@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central table reader for the driver-generated testdata
+  * (`/root/testdata/sf*`; schemas in FIXTURES.md §B).
+  *
+  * Scale notes (100 TB design stance): all reads are plain parquet scans so
+  * Catalyst's FileSourceStrategy gets full predicate pushdown + column
+  * pruning; callers `.select(...)` / `.filter(...)` immediately after the
+  * read so `PushedFilters`/`ReadSchema` stay tight. No caching here — at
+  * 100 TB a cached base table is a liability; each query plans its own scan.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") readEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects by default. Read nanos as long and floor-divide to
+    * micros — the same truncation DuckDB applies when it loads nanos into
+    * its microsecond timestamp type, so both engines see identical `ts`. */
+  private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  /** Register every table as a temp view (reference S5 shape:
+    * `registerTempTable`, query1.py:93). */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => read(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,346 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.GeoFunctions.haversineKm
+
+/** Re-expressions of the reference's four analytical queries
+  * (marvlach/pyspark-big-data, `src/query1.py`..`query4.py`) retargeted onto
+  * the TPC-H-ish testdata, preserving each query's *operator shape* exactly
+  * (see SURVEY.md §2, FIXTURES.md §C) while staying Spark-idiomatic:
+  * declarative DataFrame plans so Catalyst does pushdown / pruning /
+  * partial aggregation, broadcast hints on dimension tables, no driver-side
+  * loops (the single deliberate driver round-trip in q3 mirrors
+  * query3.py:142's `head(3)` → `isin`).
+  */
+object RefQueries {
+
+  // ---------------------------------------------------------------------
+  // Q1 shape (reference query1.py): union two sources → substring-extract
+  // year/month → group-count → row_number window per year → top-3 → sort.
+  // Operators: S2 U1 F1 A1 W1 P10 O1.
+  // ---------------------------------------------------------------------
+
+  /** DataFrame-API variant (reference query1.py:121-146 `query_df`).
+    *
+    * Scale: the union is a no-shuffle narrow op; the only shuffles are the
+    * group-by (partial+final HashAggregate, tiny output: years×months rows)
+    * and the window/sort over that tiny aggregate — at 100 TB the heavy
+    * stage is the scan+partial-agg, which parallelizes per input split.
+    */
+  def q1TopMonths(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, sfDir, "lineitem")
+    // Reference unions 2010s + 2020s CSVs (query1.py:25); preserve the
+    // positional-union shape with two disjoint date slices of lineitem.
+    val split = lit("1998-01-01").cast("timestamp")
+    val early = li.filter($"l_shipdate" < split)
+    val late = li.filter($"l_shipdate" >= split)
+    val unioned = early.union(late)
+    val counts = unioned
+      .withColumn("ds", $"l_shipdate".cast("string"))
+      // 1-based substr — mirrors PySpark col[7:4] semantics (query1.py:134)
+      .withColumn("year", $"ds".substr(1, 4))
+      .withColumn("month", $"ds".substr(6, 2))
+      .groupBy($"year", $"month")
+      .count()
+      .withColumnRenamed("count", "cnt")
+    val w = Window.partitionBy($"year").orderBy($"cnt".desc, $"month".asc)
+    counts
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .orderBy($"year".asc, $"rnk".asc)
+      .select($"year", $"month", $"cnt", $"rnk")
+  }
+
+  /** SQL twin (reference query1.py:81-118 `query_sql`): temp view +
+    * `spark.sql` — identical Catalyst plan to the DF variant. */
+  def q1TopMonthsSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.read(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("""
+      WITH ym AS (
+        SELECT substr(cast(l_shipdate AS string), 1, 4) AS year,
+               substr(cast(l_shipdate AS string), 6, 2) AS month
+        FROM lineitem
+      ), counts AS (
+        SELECT year, month, count(*) AS cnt FROM ym GROUP BY year, month
+      ), ranked AS (
+        SELECT year, month, cnt,
+               row_number() OVER (PARTITION BY year
+                                  ORDER BY cnt DESC, month ASC) AS rnk
+        FROM counts
+      )
+      SELECT year, month, cnt, rnk FROM ranked
+      WHERE rnk <= 3 ORDER BY year ASC, rnk ASC
+    """)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q2 shape (reference query2.py): equality filter → cast+lpad →
+  // CASE-WHEN time-of-day buckets → group-count → sort desc.
+  // Operators: P4 F2 F3 F4 A1 O2.
+  // ---------------------------------------------------------------------
+
+  /** DataFrame-API variant (query2.py:97-132). The HHMM-int → zero-padded
+    * string → string-range bucketing mirrors the reference's `TIME OCC`
+    * handling (query2.py:52,78,109-125) exactly. */
+  def q2TimeBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "events")
+      .filter($"event_type" === "click")
+      .withColumn("hhmm", (hour($"ts") * 100 + minute($"ts")).cast("int"))
+      .withColumn("t4", lpad($"hhmm".cast("string"), 4, "0"))
+      .withColumn("bucket",
+        when($"t4" >= "0500" && $"t4" <= "1159", "Morning")
+          .when($"t4" >= "1200" && $"t4" <= "1659", "Afternoon")
+          .when($"t4" >= "1700" && $"t4" <= "2059", "Evening")
+          .otherwise("Night"))
+      .groupBy($"bucket")
+      .count()
+      .withColumnRenamed("count", "cnt")
+      .orderBy($"cnt".desc, $"bucket".asc)
+      .select($"bucket", $"cnt")
+  }
+
+  /** Typed-Dataset port of the reference's RDD map-reduce variant
+    * (query2.py:33-58): the Python-lambda `bin_it` + `reduceByKey` becomes
+    * `groupByKey(...).count()` — same semantics, but the closure runs inside
+    * the JVM and the aggregation keeps Catalyst's partial/final split, so
+    * the reference's measured ~2× RDD penalty (results/query2.txt:17-27)
+    * disappears. */
+  def q2TimeBucketsTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def binIt(hhmm: Int): String = {
+      val t4 = f"$hhmm%04d"
+      if (t4 >= "0500" && t4 <= "1159") "Morning"
+      else if (t4 >= "1200" && t4 <= "1659") "Afternoon"
+      else if (t4 >= "1700" && t4 <= "2059") "Evening"
+      else "Night"
+    }
+    Tables.read(spark, sfDir, "events")
+      .filter($"event_type" === "click")
+      .select((hour($"ts") * 100 + minute($"ts")).cast("int").as("hhmm"))
+      .as[Int]
+      .groupByKey(binIt)
+      .count()
+      .toDF("bucket", "cnt")
+      .orderBy($"cnt".desc, $"bucket".asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q3 shape (reference query3.py): clean (regexp_replace/cast/rename) →
+  // join chain with CLI-selectable hints → distinct → top-3-to-driver →
+  // isin → join inline dim → group-count → sort.
+  // Operators: F5 F3 P3 J2 J4 A3 O4 P9 S4 A1 O2.
+  // ---------------------------------------------------------------------
+
+  /** @param hint1 strategy hint for the orders side of join 1
+    * @param hint2 strategy hint for the customer side of join 2
+    * "optimal" = no hint (Catalyst/AQE decides) — the reference's CLI
+    * exposes exactly these strings (query3.py:175-192, README.md:176-177).
+    *
+    * Scale: at 100 TB `lineitem⋈orders` is the big join — hints let the
+    * caller force SMJ/SHJ; `customer` and the inline dim are broadcast
+    * (dim explicitly, customer via hint or AQE). The deliberate driver
+    * round-trip (`head(3)` → `isin`) ships only 3 keys back, mirroring
+    * query3.py:142-144; the isin-literal prunes before the joins thanks to
+    * Catalyst predicate pushdown.
+    */
+  def q3JoinChain(spark: SparkSession, sfDir: String,
+      hint1: String = "optimal", hint2: String = "optimal"): DataFrame = {
+    import spark.implicits._
+    def hinted(df: DataFrame, h: String): DataFrame =
+      if (h == "optimal") df else df.hint(h)
+
+    val li = Tables.read(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val ord = Tables.read(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+      // F5: clean "1-URGENT" → "URGENT" (reference strips "[$,]" from
+      // income strings, query3.py:68-71)
+      .withColumn("priority", regexp_replace($"o_orderpriority", "[0-9-]", ""))
+    val cust = Tables.read(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_acctbal")
+
+    // O4: top-3 "wealthiest" to driver, then P9 isin — literal port of
+    // query3.py:135-144 (head(3) → python list → isin).
+    val top3: Array[Long] = cust
+      .select($"c_custkey", $"c_acctbal").distinct()
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      .head(3).map(_.getLong(0))
+
+    // S4: inline dimension table (reference's 19-row descent dim,
+    // query3.py:8-32)
+    val dim = Seq(
+      ("URGENT", "Critical"), ("HIGH", "High"), ("MEDIUM", "Medium"),
+      ("NOT SPECIFIED", "Unspecified"), ("LOW", "Low"))
+      .toDF("priority", "priority_label")
+
+    li.withColumnRenamed("l_orderkey", "o_orderkey")
+      .join(hinted(ord, hint1), Seq("o_orderkey"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+      .join(hinted(cust, hint2), Seq("c_custkey"))
+      .filter($"c_custkey".isin(top3: _*))
+      .join(broadcast(dim), Seq("priority"))
+      .groupBy($"priority_label")
+      .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("qty"))
+      .orderBy($"priority_label".asc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Q4 shape (reference query4.py): compound filters → expression equi-join
+  // (differently-named keys) → geodesic distance → avg+count per group →
+  // sort desc. Operators: P5 P6 P7 J3 X1→Column-math A2 O2.
+  // ---------------------------------------------------------------------
+
+  /** Shared pre-distance plan: filtered customers with synthetic
+    * deterministic coordinates, nations likewise (FIXTURES.md §C — integer
+    * arithmetic both Spark and DuckDB reproduce bit-identically). */
+  private def q4Parts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cust = Tables.read(spark, sfDir, "customer")
+      .filter($"c_acctbal".isNotNull && $"c_acctbal" =!= 0.0 &&
+        $"c_acctbal".between(-500.0, 8000.0))
+      .withColumn("c_lat", ($"c_custkey" % 120).cast("double") - 60.0 + 0.25)
+      .withColumn("c_lon", ($"c_custkey" % 300).cast("double") - 150.0 + 0.5)
+      .select($"c_custkey", $"c_nationkey", $"c_lat", $"c_lon")
+    val nat = Tables.read(spark, sfDir, "nation")
+      .withColumn("n_lat", ($"n_nationkey" * 3).cast("double") - 30.0)
+      .withColumn("n_lon", ($"n_nationkey" * 7).cast("double") - 80.0)
+      .select($"n_nationkey", $"n_name", $"n_lat", $"n_lon")
+    (cust, nat)
+  }
+
+  private def q4Finish(joined: DataFrame): DataFrame = {
+    val j = joined.withColumn("dist_km",
+      haversineKm(col("c_lat"), col("c_lon"), col("n_lat"), col("n_lon")))
+    j.groupBy(col("n_name"))
+      .agg(round(avg(col("dist_km")), 4).as("avg_dist_km"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("avg_dist_km").desc, col("n_name").asc)
+  }
+
+  /** DF variant (query4.py:24-70). The reference's Python-UDF geodesic
+    * (query4.py:9-10) is re-expressed as pure Column math (haversine) —
+    * codegen-able, no serialization boundary, oracle-expressible. */
+  def q4Distance(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cust, nat) = q4Parts(spark, sfDir)
+    // J3: expression join on differently-named keys (query4.py:43)
+    q4Finish(cust.join(nat, cust("c_nationkey") === nat("n_nationkey")))
+  }
+
+  /** Broadcast variant — idiomatic port of the reference's hand-rolled
+    * collectAsMap+broadcast map-side join (query4.py:104-132, J5): the
+    * `broadcast()` hint gives the same no-shuffle-of-the-big-side plan
+    * without driver materialization. At 100 TB: nation is tiny → this is
+    * the plan AQE would pick; the hint makes it deterministic. */
+  def q4DistanceBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cust, nat) = q4Parts(spark, sfDir)
+    q4Finish(cust.join(broadcast(nat),
+      cust("c_nationkey") === nat("n_nationkey")))
+  }
+
+  /** SQL twin (query4.py:73-101): temp views + spark.sql, UDF replaced by
+    * built-in math functions registered-free. */
+  def q4DistanceSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.read(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    Tables.read(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql("""
+      WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               cast(c_custkey % 120 AS double) - 60.0 + 0.25 AS c_lat,
+               cast(c_custkey % 300 AS double) - 150.0 + 0.5 AS c_lon
+        FROM customer
+        WHERE c_acctbal IS NOT NULL AND c_acctbal != 0.0
+          AND c_acctbal BETWEEN -500.0 AND 8000.0
+      ), n AS (
+        SELECT n_nationkey, n_name,
+               cast(n_nationkey * 3 AS double) - 30.0 AS n_lat,
+               cast(n_nationkey * 7 AS double) - 80.0 AS n_lon
+        FROM nation
+      ), j AS (
+        SELECT n_name,
+               2.0 * 6371.0 * asin(sqrt(
+                 pow(sin(radians(n_lat - c_lat) / 2), 2) +
+                 cos(radians(c_lat)) * cos(radians(n_lat)) *
+                 pow(sin(radians(n_lon - c_lon) / 2), 2))) AS dist_km
+        FROM c JOIN n ON c.c_nationkey = n.n_nationkey
+      )
+      SELECT n_name, round(avg(dist_km), 4) AS avg_dist_km,
+             count(*) AS cnt
+      FROM j GROUP BY n_name
+      ORDER BY avg_dist_km DESC, n_name ASC
+    """)
+  }
+
+  /** Typed cogroup port of the reference's hand-rolled repartition
+    * (reduce-side) join (query4.py:135-173, J6) + manual (sum,count)
+    * average (query4.py:168-170, A5): `KeyValueGroupedDataset.cogroup`
+    * reproduces the tag-union-groupByKey shape inside the JVM, and the
+    * per-group manual partial aggregation mirrors the reference's
+    * accumulator. Kept for operator parity — q4Distance* is the plan to
+    * use at scale (SortMergeJoin/Broadcast beats cogroup's full shuffle of
+    * both sides with no partial aggregation). */
+  def q4DistanceCogroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (cust, nat) = q4Parts(spark, sfDir)
+    val custTyped = cust.select($"c_nationkey".cast("int").as("key"),
+      $"c_lat", $"c_lon").as[(Int, Double, Double)]
+    val natTyped = nat.select($"n_nationkey".cast("int").as("key"),
+      $"n_name", $"n_lat", $"n_lon").as[(Int, String, Double, Double)]
+    val joined = custTyped.groupByKey(_._1)
+      .cogroup(natTyped.groupByKey(_._1)) { (_, cs, ns) =>
+        // one-to-many flatten: nation side is unique per key
+        // (query4.py:166-167 identifies the police row by tuple length)
+        val nList = ns.toList
+        if (nList.isEmpty) Iterator.empty
+        else {
+          val (_, name, nlat, nlon) = nList.head
+          cs.map { case (_, clat, clon) =>
+            (name, GeoFunctions_haversineScalar(clat, clon, nlat, nlon))
+          }
+        }
+      }
+    // A5: manual (sum, count) pairs → avg, the reference's reduceByKey
+    // accumulator, as a typed reduceGroups.
+    joined.groupByKey(_._1)
+      .mapValues { case (_, d) => (d, 1L) }
+      .reduceGroups((a, b) => (a._1 + b._1, a._2 + b._2))
+      .map { case (name, (sum, n)) =>
+        (name, BigDecimal(sum / n).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, n)
+      }
+      .toDF("n_name", "avg_dist_km", "cnt")
+      .orderBy($"avg_dist_km".desc, $"n_name".asc)
+  }
+
+  // scalar haversine used inside typed closures — same java.lang.Math the
+  // codegen'd Column version compiles to, so results are bit-identical.
+  private def GeoFunctions_haversineScalar(
+      lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
+    graft.functions.GeoFunctions.haversineKmScalar(lat1, lon1, lat2, lon2)
+
+  // ---------------------------------------------------------------------
+  // Multi-key USING join (J1 shape — reference joins on ["LAT","LON"],
+  // query3.py:117-120) over a derived aggregate.
+  // ---------------------------------------------------------------------
+
+  /** lineitem ⋈ per-(partkey,suppkey) aggregate on the composite key —
+    * multi-column equi join that dedups its key columns (USING semantics).
+    * Scale: both sides hash-partition on the same composite key, so the
+    * join reuses the aggregate's exchange (one shuffle, not two). */
+  def qJoinMultiKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, sfDir, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity", $"l_returnflag")
+    val ps = li.groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity").as("ps_qty"))
+    li.join(ps, Seq("l_partkey", "l_suppkey"))
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"ps_qty"), 4).as("weighted_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag".asc)
+  }
+}
