@@ -38,6 +38,27 @@ object SparkEntry {
     "q4_distance_cogroup" -> ((s, d) => RefQueries.q4DistanceCogroup(s, d)),
     // J1: multi-key USING join
     "q_join_multikey" -> ((s, d) => RefQueries.qJoinMultiKey(s, d)),
+    // Text analysis (documents)
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_langid_eval" -> ((s, d) => TextAnalysis.langIdEval(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // Deduplication (documents)
+    "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simHash(s, d)),
+    // Similarity search (embeddings)
+    "sim_topk_bruteforce" -> ((s, d) => Similarity.topKBruteForce(s, d)),
+    "sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
+    "embed_cosine_neardup" -> ((s, d) => Similarity.cosineNearDup(s, d)),
+    // Multimodal columns
+    "mm_props_json" -> ((s, d) => Multimodal.propsJson(s, d)),
+    "mm_binary_features" -> ((s, d) => Multimodal.binaryFeatures(s, d)),
+    // Event windowing / sessionization (batch twins of graft.streaming)
+    "ev_window_tumbling" -> ((s, d) => Events.tumblingWindow(s, d)),
+    "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -128,6 +149,194 @@ object SparkEntry {
     FROM lineitem l JOIN ps USING (l_partkey, l_suppkey)
     GROUP BY l_returnflag ORDER BY l_returnflag ASC"""
 
+  private val textTokensOracle = """
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS ws_tokens,
+             regexp_split_to_array(
+               trim(regexp_replace(trim(text), '([.,!?;:])', ' \1 ', 'g')),
+               '\s+') AS bpe_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars_calc,
+           len(ws_tokens)::BIGINT AS n_tokens,
+           len(bpe_tokens)::BIGINT AS n_bpe_tokens,
+           round(list_sum(list_transform(ws_tokens, t -> length(t)))::double
+                 / greatest(len(ws_tokens), 1), 4) AS avg_token_len
+    FROM t ORDER BY doc_id ASC"""
+
+  private val textQualityOracle = """
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_tokens,
+             len(list_filter(toks, t -> t IN
+               ('the', 'a', 'and', 'of', 'to', 'in', 'is')))::BIGINT AS stop_cnt,
+             (length(text) -
+              length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT
+               AS punct_cnt
+      FROM t
+    )
+    SELECT doc_id, n_tokens, stop_cnt, punct_cnt,
+           round(stop_cnt::double / greatest(n_tokens, 1), 4) AS stop_ratio,
+           CASE WHEN n_tokens >= 40
+                 AND round(stop_cnt::double / greatest(n_tokens, 1), 4)
+                     BETWEEN 0.05 AND 0.6 THEN 'good'
+                WHEN n_tokens >= 10 THEN 'ok'
+                ELSE 'short' END AS quality
+    FROM s ORDER BY doc_id ASC"""
+
+  private val textLangIdCore = """
+    SELECT doc_id,
+           len(list_filter(toks, t -> t IN ('the', 'and', 'of', 'to')))::BIGINT AS s_en,
+           len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und')))::BIGINT AS s_de,
+           len(list_filter(toks, t -> t IN ('le', 'la', 'les', 'et')))::BIGINT AS s_fr,
+           len(list_filter(toks, t -> t IN ('el', 'los', 'una', 'y')))::BIGINT AS s_es
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents)"""
+
+  private val textLangIdOracle = s"""
+    WITH scores AS ($textLangIdCore)
+    SELECT doc_id, s_en, s_de, s_fr, s_es,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM scores ORDER BY doc_id ASC"""
+
+  private val textLangIdEvalOracle = s"""
+    WITH scores AS ($textLangIdCore),
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                  WHEN s_fr >= s_es THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+      FROM scores)
+    SELECT d.lang, p.pred_lang, count(*) AS cnt
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.pred_lang ORDER BY d.lang ASC, p.pred_lang ASC"""
+
+  private val textFingerprintOracle = """
+    WITH n AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                    1, 1024) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(norm) = 0 THEN 0
+                ELSE list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(generate_series(1, length(norm)),
+                                   i -> ascii(substr(norm, i, 1)))),
+                  (a, x) -> (a * 31 + x) % 1000000007) END AS fp
+    FROM n ORDER BY doc_id ASC"""
+
+  private val dedupExactOracle = """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM (SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents)
+    GROUP BY norm ORDER BY keep_id ASC"""
+
+  private val dedupNgramJaccardOracle = """
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ), t AS (
+      SELECT doc_id, substr(norm, 1, 64) AS block,
+             string_split(norm, ' ') AS toks
+      FROM d
+    ), sh AS (
+      SELECT doc_id, block,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+               AS shingles
+      FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(len(list_intersect(a.shingles, b.shingles))::double /
+                   greatest(len(list_distinct(
+                     list_concat(a.shingles, b.shingles))), 1)::double,
+                   4) AS jaccard
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    ORDER BY doc_a ASC, doc_b ASC"""
+
+  private val simTopKOracle = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 3
+    ), s AS (
+      SELECT q_id, vec_id, list_cosine_similarity(v, q_vec) AS c
+      FROM e, q WHERE vec_id != q_id
+    ), r AS (
+      SELECT q_id, vec_id, c,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY c DESC, vec_id ASC) AS rnk
+      FROM s
+    )
+    SELECT q_id, vec_id, round(c, 6) AS cos_sim, rnk::INTEGER AS rnk
+    FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
+
+  private val mmPropsJsonOracle = """
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT event_type, count(*) AS cnt, round(avg(k), 4) AS avg_k,
+           max(k) AS max_k,
+           count(CASE WHEN k IS NULL THEN 1 END) AS null_k
+    FROM e GROUP BY event_type ORDER BY event_type ASC"""
+
+  private val mmBinaryFeaturesOracle = """
+    SELECT doc_id,
+           octet_length(encode(text))::INTEGER AS n_bytes,
+           CASE WHEN length(text) = 0 THEN -1
+                ELSE ascii(substr(text, 1, 1)) END AS first_byte,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(generate_series(1, least(8, length(text))),
+                                   i -> ascii(substr(text, i, 1)))),
+                  (a, x) -> (a * 31 + x) % 1000000007) END AS feat_hash
+    FROM documents ORDER BY doc_id ASC"""
+
+  private val evWindowOracle = """
+    SELECT cast(date_trunc('hour', ts) AS varchar) AS hour_start,
+           event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC"""
+
+  private val evSessionizeOracle = """
+    WITH x AS (
+      SELECT user_id, event_id, ts, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), s AS (
+      SELECT user_id, value,
+             sum(CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT user_id, max(session_id)::BIGINT AS n_sessions,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id ORDER BY user_id ASC"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_topmonths" -> q1Oracle,
     "q1_sql" -> q1Oracle,
@@ -142,5 +351,20 @@ object SparkEntry {
     "q4_distance_sql" -> q4Oracle,
     "q4_distance_cogroup" -> q4Oracle,
     "q_join_multikey" -> multiKeyOracle,
+    "text_tokens" -> textTokensOracle,
+    "text_quality" -> textQualityOracle,
+    "text_langid" -> textLangIdOracle,
+    "text_langid_eval" -> textLangIdEvalOracle,
+    "text_fingerprint" -> textFingerprintOracle,
+    "dedup_exact" -> dedupExactOracle,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    // dedup_minhash_lsh / dedup_simhash / sim_topk_lsh /
+    // embed_cosine_neardup are hash-randomized or pruning-approximate →
+    // no SQL oracle (driver rows-only check)
+    "sim_topk_bruteforce" -> simTopKOracle,
+    "mm_props_json" -> mmPropsJsonOracle,
+    "mm_binary_features" -> mmBinaryFeaturesOracle,
+    "ev_window_tumbling" -> evWindowOracle,
+    "ev_sessionize" -> evSessionizeOracle,
   )
 }

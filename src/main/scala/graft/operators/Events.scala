@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream analytics over the batch `events` table — the batch twins
+  * of the Structured Streaming operators in `graft.streaming` (same
+  * windowing semantics; streaming adds watermarks on top).
+  */
+object Events {
+
+  /** Tumbling 1-hour windowed aggregation via the built-in `window()`
+    * grouping — the exact groupBy a `readStream` version would use.
+    * Scale: one shuffle on (window, event_type); partial aggregation
+    * happens map-side, so the exchange carries only per-(hour,type) rows. */
+  def tumblingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".cast("string").as("hour_start"),
+        $"event_type", $"cnt", $"sum_value")
+      .orderBy($"hour_start".asc, $"event_type".asc)
+  }
+
+  /** Batch sessionization: 30-minute-gap sessions per user via lag +
+    * running sum — the batch twin of the `flatMapGroupsWithState`
+    * sessionizer in `graft.streaming.Sessionize`.
+    * Scale: both windows share one hash-partition-by-user exchange; the
+    * per-user sort is local to each partition. */
+  def sessionize(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables.read(spark, sfDir, "events")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > gapMicros, 1).otherwise(0))
+      .withColumn("session_id",
+        sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id")
+      .agg(max($"session_id").as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("total_value"))
+      .orderBy($"user_id".asc)
+  }
+}

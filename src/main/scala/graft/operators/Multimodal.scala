@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: opaque binary payloads with typed metadata,
+  * plus JSON property extraction — the shape of an image/audio ingest
+  * pipeline with the actual codec stubbed (no media libraries in this
+  * container; see `FakeDecoder`).
+  *
+  * Scale stance: the binary column never explodes — decode runs
+  * per-partition (batched iterator, the Scala analog of `mapInPandas`),
+  * emitting only small typed metadata. JSON extraction is a codegen'd
+  * path expression, no UDF.
+  */
+object Multimodal {
+
+  /** JSON property extraction over `events.props` (`{"k": <int>}`):
+    * from_json-style typed pull + group stats. */
+  def propsJson(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg($"k"), 4).as("avg_k"),
+        max($"k").as("max_k"),
+        count(when($"k".isNull, 1)).as("null_k"))
+      .orderBy($"event_type".asc)
+  }
+
+  /** STUB decoder for the binary payload. A real pipeline would decode
+    * image/audio bytes here (resize, frame-sample, feature-extract); this
+    * container has no media libs, so the "features" are a deterministic
+    * function of the bytes: payload size, first byte, and a polynomial
+    * hash of the first 8 bytes standing in for an embedding. The Spark
+    * plumbing around it — binary column, per-partition batched iteration,
+    * typed output schema — is the real, tested part. */
+  object FakeDecoder {
+    final case class Decoded(doc_id: Long, n_bytes: Int, first_byte: Int,
+      feat_hash: Long)
+
+    def decodeBatch(rows: Iterator[(Long, Array[Byte])]): Iterator[Decoded] =
+      rows.map { case (id, bytes) =>
+        var h = 0L
+        var i = 0
+        val n = math.min(8, bytes.length)
+        while (i < n) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+        Decoded(id, bytes.length,
+          if (bytes.isEmpty) -1 else bytes(0) & 0xff, h)
+      }
+  }
+
+  /** Binary-column feature extraction: text → utf-8 bytes as the stand-in
+    * payload (the testdata has no true media column), then the per-
+    * partition decode stub. Output is deliberately arithmetic so the
+    * DuckDB oracle can reproduce it from the text itself. */
+  def binaryFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payload = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payload
+      .mapPartitions(FakeDecoder.decodeBatch)
+      .toDF()
+      .select($"doc_id", $"n_bytes", $"first_byte", $"feat_hash")
+      .orderBy($"doc_id".asc)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>[64]`).
+  *
+  * Two tiers, per the standard ANN playbook:
+  *  - brute-force cosine top-k — the exact baseline. The query set is tiny
+  *    and broadcast, so the "cross join" is really a broadcast nested loop
+  *    over one scan of the corpus: at 100 TB it is scan-bound and never
+  *    shuffles the corpus.
+  *  - random-hyperplane LSH — the scale path: 16 sign bits, banded 4×4;
+  *    only bucket-colliding candidates get exact cosine. Candidate count
+  *    is bounded by bucket occupancy instead of corpus size.
+  */
+object Similarity {
+
+  val Dim = 64 // testdata embedding dimensionality (FIXTURES.md §B)
+
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+
+  /** Exact brute-force cosine top-k for query vectors vec_id < nQueries. */
+  def topKBruteForce(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = corpus(spark, sfDir)
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"vec".as("q_vec"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", VectorFunctions.cosine($"vec", $"q_vec"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos_sim"), $"rnk")
+      .orderBy($"q_id".asc, $"rnk".asc)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) —
+    * pure integer arithmetic, reproducible anywhere. */
+  private def planeComponent(p: Int, d: Int): Double =
+    ((p.toLong * 73856093L + d.toLong * 19349663L) % 997L).toDouble / 498.5 - 1.0
+
+  private val planes: Array[Array[Double]] =
+    Array.tabulate(16, Dim)((p, d) => planeComponent(p, d))
+
+  /** 16-bit sign signature under the fixed hyperplanes, as a Column. */
+  private def signature(vec: Column): Column =
+    planes.indices.map { p =>
+      when(VectorFunctions.dot(vec, typedLit(planes(p).toSeq)) >= 0,
+        lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def withBands(df: DataFrame, nBands: Int = 4): DataFrame = {
+    val bits = 16 / nBands
+    val mask = (1 << bits) - 1
+    df.select(col("*"),
+      explode(array((0 until nBands).map(b => struct(
+        lit(b).as("band"),
+        shiftRight(col("sig"), bits * b).bitwiseAND(lit(mask)).as("bval"))): _*))
+        .as("bb"))
+      .select(col("*"), col("bb.band"), col("bb.bval")).drop("bb")
+  }
+
+  /** LSH-bucketed approximate top-k: same output shape as the brute-force
+    * baseline but candidates limited to vectors sharing ≥1 of 4 signature
+    * bands with the query. Approximate (can miss true neighbors) →
+    * rows-only check, with the brute-force entry as the recall reference. */
+  def topKLsh(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = corpus(spark, sfDir).withColumn("sig", signature($"vec"))
+    val banded = withBands(emb)
+    val qb = withBands(emb.filter($"vec_id" < nQueries))
+      .select($"vec_id".as("q_id"), $"vec".as("q_vec"), $"band", $"bval")
+    val candidates = banded.join(broadcast(qb), Seq("band", "bval"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_vec", $"vec_id", $"vec")
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    candidates
+      .withColumn("cos", VectorFunctions.cosine($"vec", $"q_vec"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos_sim"), $"rnk")
+      .orderBy($"q_id".asc, $"rnk".asc)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via the same LSH banding —
+    * all-pairs within band buckets only, never a full cross join.
+    * Threshold 0.4 is calibrated to the synthetic testdata (max observed
+    * off-diagonal cosine ≈ 0.51); a production near-dup pass would use
+    * 0.9+. Deterministic but band-pruned → rows-only check. */
+  def cosineNearDup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    // Pre-normalize once per vector so per-pair work is a single dot
+    // product; use 2×8-bit bands (256-way buckets) so bucket fan-out —
+    // and with it the pair count — stays ~16× smaller than 4×4-bit
+    // banding. Cosine is computed before the pair-dedup so `distinct`
+    // only shuffles the few above-threshold pairs, not every candidate.
+    val emb = corpus(spark, sfDir)
+      .withColumn("nrm", VectorFunctions.norm($"vec"))
+      .withColumn("unit", transform($"vec", x => x / $"nrm"))
+      .withColumn("sig", signature($"vec"))
+      .select($"vec_id", $"unit", $"sig")
+    val banded = withBands(emb, nBands = 2)
+    val l = banded.select($"vec_id".as("id_a"), $"unit".as("unit_a"),
+      $"band", $"bval")
+    val r = banded.select($"vec_id".as("id_b"), $"unit".as("unit_b"),
+      $"band", $"bval")
+    l.join(r, Seq("band", "bval"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("cos_sim", round(
+        VectorFunctions.dot($"unit_a", $"unit_b"), 6))
+      .filter($"cos_sim" >= threshold)
+      .select($"id_a", $"id_b", $"cos_sim")
+      .distinct()
+      .orderBy($"id_a".asc, $"id_b".asc)
+  }
+}
