@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators — the streaming twins of the batch
+  * `graft.operators.Events` queries. The reference is purely batch
+  * (SURVEY.md §2.10), so these are extension operators: `readStream` →
+  * transform → `writeStream`, watermarked windowed aggregation, and a
+  * `flatMapGroupsWithState` sessionizer.
+  *
+  * Scale stance: state is partitioned by group key across executors;
+  * watermarks bound state size (late data beyond 10 min is dropped), so
+  * the job's memory footprint is O(active keys), not O(stream length).
+  * Tested with MemoryStream in `StreamingSpec` (no kafka in this
+  * environment); in production the source/sink swap is one line each.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window aggregation — identical groupBy to the
+    * batch `Events.tumblingWindow`, plus the 10-minute watermark that lets
+    * the engine finalize windows and evict their state. */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".as("hour_start"), $"event_type", $"cnt",
+        $"sum_value")
+  }
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(nEvents: Long, totalValue: Double,
+    lastEventMs: Long)
+  final case class SessionUpdate(user_id: Long, n_events: Long,
+    total_value: Double, closed: Boolean)
+
+  /** Event-time sessionization with a gap timeout via
+    * `flatMapGroupsWithState` — the streaming counterpart of the batch
+    * lag+running-sum sessionizer (`Events.sessionize`). Emits a closed
+    * session when the event-time watermark passes lastEvent+gap. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, rows: Iterator[Ev],
+        state: GroupState[SessionState]): Iterator[SessionUpdate] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionUpdate(userId, s.nEvents, s.totalValue, closed = true))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var emitted = List.empty[SessionUpdate]
+        var cur = state.getOption
+        sorted.foreach { ev =>
+          val t = ev.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastEventMs > gapMs =>
+              // gap exceeded inside the batch: close the old session
+              emitted ::= SessionUpdate(userId, s.nEvents, s.totalValue,
+                closed = true)
+              cur = Some(SessionState(1L, ev.value, t))
+            case Some(s) =>
+              cur = Some(SessionState(s.nEvents + 1, s.totalValue + ev.value,
+                math.max(s.lastEventMs, t)))
+            case None =>
+              cur = Some(SessionState(1L, ev.value, t))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastEventMs + gapMs)
+        }
+        emitted.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** Semantics tests on crafted fixtures: write a tiny documents.parquet
+  * with known duplicates/near-duplicates and assert the dedup operators
+  * find exactly them. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val fixtureDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest to hide from hunters"
+    val docs = Seq(
+      // 0 and 1: exact duplicates modulo case/whitespace
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, "  " + base.toUpperCase + "  ", "en", "src1", base.length.toLong),
+      // 2: near-duplicate of 0 (one word changed near the end)
+      (2L, base.replace("hunters", "wolves"), "en", "src2", base.length.toLong),
+      // 3: unrelated
+      (3L, "completely different content about spark catalyst optimizer " +
+        "rules and physical plan strategies with many unique words here",
+        "en", "src3", 100L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val rows = Dedup.exactDedup(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(0L) == 2L, "docs 0 and 1 should collapse to keep_id=0")
+    assert(rows(2L) == 1L && rows(3L) == 1L)
+  }
+
+  test("ngram jaccard finds the near-duplicate pair (0,2) and the exact pair (0,1)") {
+    val pairs = Dedup.ngramJaccard(spark, fixtureDir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair missing")
+    assert(pairs.contains((0L, 2L)), "near dup pair missing")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc matched")
+  }
+
+  test("minhash LSH finds the same pairs") {
+    val pairs = Dedup.minHashLsh(spark, fixtureDir, estThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val rows = Dedup.simHash(spark, fixtureDir, maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(rows((0L, 1L)) == 0, "normalized exact dups must hash identically")
+    assert(rows.get((0L, 2L)).exists(_ <= 10), "near-dup should be within 10 bits")
+    assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("fingerprint: identical for normalized dups, distinct otherwise") {
+    val fp = TextAnalysis.fingerprint(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(3L))
+  }
+
+  test("binary features stub: deterministic arithmetic on payload bytes") {
+    val r = Multimodal.binaryFeatures(spark, fixtureDir).collect()
+      .map(x => (x.getLong(0), (x.getInt(1), x.getInt(2), x.getLong(3)))).toMap
+    val bytes = "the quick".getBytes("UTF-8")
+    assert(r(0L)._1 == fixtureText0Len)
+    assert(r(0L)._2 == 't'.toInt)
+    var h = 0L
+    bytes.take(8).foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+    assert(r(0L)._3 == h)
+  }
+
+  private def fixtureText0Len: Int =
+    ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest to hide from hunters")
+      .getBytes("UTF-8").length
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Similarity
+import graft.functions.GeoFunctions
+
+/** Similarity-search behavior: brute force is the exact reference; the LSH
+  * tier must return a subset of the corpus ranked consistently. */
+class SimilaritySpec extends SparkSpec {
+
+  test("brute force: 3 queries × top-5, cosine within [-1, 1], rank ordered") {
+    val rows = Similarity.topKBruteForce(spark, sf).collect()
+    assert(rows.length == 15)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { g =>
+      val cos = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(cos.sameElements(cos.sorted.reverse), "rank must follow cosine desc")
+    }
+  }
+
+  test("LSH top-k cosines never exceed the brute-force cosine at same rank") {
+    val brute = Similarity.topKBruteForce(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), r.getDouble(2))).toMap
+    val lsh = Similarity.topKLsh(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getInt(3))
+      brute.get(key).foreach { b =>
+        assert(r.getDouble(2) <= b + 1e-9,
+          s"LSH rank ${key._2} for query ${key._1} beats exact top-k")
+      }
+    }
+  }
+
+  test("near-dup pairs are canonicalized and above threshold") {
+    val rows = Similarity.cosineNearDup(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+
+  test("haversine scalar: zero distance, symmetry, known value") {
+    val d0 = GeoFunctions.haversineKmScalar(48.8566, 2.3522, 48.8566, 2.3522)
+    assert(math.abs(d0) < 1e-9)
+    val ab = GeoFunctions.haversineKmScalar(48.8566, 2.3522, 51.5074, -0.1278)
+    val ba = GeoFunctions.haversineKmScalar(51.5074, -0.1278, 48.8566, 2.3522)
+    assert(math.abs(ab - ba) < 1e-9)
+    assert(ab > 340 && ab < 350, s"Paris-London ≈ 344 km, got $ab") // great-circle
+  }
+}

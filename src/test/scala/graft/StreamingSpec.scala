@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+
+/** Structured Streaming specs driven synchronously via MemoryStream +
+  * processAllAvailable (the documented local-smoke pattern). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed counts aggregate by hour and type") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedCounts(df).writeStream
+      .outputMode(OutputMode.Complete).format("memory")
+      .queryName("win_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "click", 4.0),
+        (ts("2024-01-01 10:10:00"), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00.0", "click", 1L, 4.0),
+        ("2024-01-01 10:00:00.0", "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizer closes a session after the gap via event-time timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("sess_out").start()
+    try {
+      // session 1: two events 10 min apart for user 1
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Ev(1L, ts("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      // advance watermark far past gap: user 1's session must close.
+      // (watermark = max event time - 10 min; 12:00 - 10 min > 10:40)
+      input.addData(Ev(2L, ts("2024-01-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      input.addData(Ev(2L, ts("2024-01-01 14:00:00"), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(closed.contains((1L, 2L, 3.0, true)),
+        s"expected user 1 session (2 events, 3.0) closed; got ${closed.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("in-batch gap splits sessions immediately") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("sess_out2").start()
+    try {
+      input.addData(
+        Ev(7L, ts("2024-01-01 09:00:00"), 1.0),
+        Ev(7L, ts("2024-01-01 11:00:00"), 2.0)) // 2h gap inside one batch
+      q.processAllAvailable()
+      val closed = spark.table("sess_out2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(closed.contains((7L, 1L, 1.0, true)),
+        s"first session should close in-batch; got ${closed.mkString(", ")}")
+    } finally q.stop()
+  }
+}
