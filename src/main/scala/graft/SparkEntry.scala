@@ -38,6 +38,10 @@ object SparkEntry {
     "q4_distance_cogroup" -> ((s, d) => RefQueries.q4DistanceCogroup(s, d)),
     // J1: multi-key USING join
     "q_join_multikey" -> ((s, d) => RefQueries.qJoinMultiKey(s, d)),
+    // A5: typed Aggregator custom aggregate
+    "q_avg_aggregator" -> ((s, d) => RefQueries.qAvgAggregator(s, d)),
+    // Native codegen'd cosine_sim Catalyst expression
+    "sim_topk_native" -> ((s, d) => Similarity.topKBruteForceNative(s, d)),
     // Text analysis (documents)
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -362,6 +366,10 @@ object SparkEntry {
     // embed_cosine_neardup are hash-randomized or pruning-approximate →
     // no SQL oracle (driver rows-only check)
     "sim_topk_bruteforce" -> simTopKOracle,
+    "sim_topk_native" -> simTopKOracle,
+    "q_avg_aggregator" -> """
+      SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""",
     "mm_props_json" -> mmPropsJsonOracle,
     "mm_binary_features" -> mmBinaryFeaturesOracle,
     "ev_window_tumbling" -> evWindowOracle,

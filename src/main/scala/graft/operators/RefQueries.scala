@@ -331,6 +331,22 @@ object RefQueries {
     * multi-column equi join that dedups its key columns (USING semantics).
     * Scale: both sides hash-partition on the same composite key, so the
     * join reuses the aggregate's exchange (one shuffle, not two). */
+  /** A5 as a first-class custom aggregate: typed
+    * `Aggregator[Double, (sum, count), Double]` (graft.functions
+    * .AvgAggregator) applied per group — the reference's manual RDD
+    * (sum,count) average with Tungsten buffers and partial/final split. */
+  def qAvgAggregator(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_quantity").as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.AvgAggregator.toColumn.name("avg_raw"))
+      .toDF("l_returnflag", "avg_raw")
+      .select($"l_returnflag", round($"avg_raw", 4).as("avg_qty"))
+      .orderBy($"l_returnflag".asc)
+  }
+
   def qJoinMultiKey(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.read(spark, sfDir, "lineitem")

@@ -43,6 +43,28 @@ object Similarity {
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
+  /** Brute-force top-k with the native codegen'd `cosine_sim` Catalyst
+    * expression (graft.functions.CosineSimilarity) instead of the
+    * interpreted HOF composition — identical results, one fused primitive
+    * loop per pair inside WholeStageCodegen. This is the variant to use
+    * at scale; the HOF variant exists to show the composable route. */
+  def topKBruteForceNative(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 3): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = corpus(spark, sfDir)
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"vec".as("q_vec"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", expr("cosine_sim(vec, q_vec)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos_sim"), $"rnk")
+      .orderBy($"q_id".asc, $"rnk".asc)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
     * pure integer arithmetic, reproducible anywhere. */
   private def planeComponent(p: Int, d: Int): Double =
@@ -80,13 +102,14 @@ object Similarity {
     val banded = withBands(emb)
     val qb = withBands(emb.filter($"vec_id" < nQueries))
       .select($"vec_id".as("q_id"), $"vec".as("q_vec"), $"band", $"bval")
+    graft.functions.CosineSimilarity.register(spark)
     val candidates = banded.join(broadcast(qb), Seq("band", "bval"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"q_vec", $"vec_id", $"vec")
       .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     candidates
-      .withColumn("cos", VectorFunctions.cosine($"vec", $"q_vec"))
+      .withColumn("cos", expr("cosine_sim(vec, q_vec)"))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
       .select($"q_id", $"vec_id", round($"cos", 6).as("cos_sim"), $"rnk")
@@ -101,25 +124,24 @@ object Similarity {
   def cosineNearDup(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
-    // Pre-normalize once per vector so per-pair work is a single dot
-    // product; use 2×8-bit bands (256-way buckets) so bucket fan-out —
-    // and with it the pair count — stays ~16× smaller than 4×4-bit
-    // banding. Cosine is computed before the pair-dedup so `distinct`
-    // only shuffles the few above-threshold pairs, not every candidate.
+    // 2×8-bit bands (256-way buckets) keep bucket fan-out — and with it
+    // the pair count — ~16× smaller than 4×4-bit banding. Per-pair cosine
+    // is the native codegen'd expression (one fused loop), computed before
+    // the pair-dedup so `distinct` only shuffles the few above-threshold
+    // pairs, not every candidate.
+    graft.functions.CosineSimilarity.register(spark)
     val emb = corpus(spark, sfDir)
-      .withColumn("nrm", VectorFunctions.norm($"vec"))
-      .withColumn("unit", transform($"vec", x => x / $"nrm"))
       .withColumn("sig", signature($"vec"))
-      .select($"vec_id", $"unit", $"sig")
+      .select($"vec_id", $"vec", $"sig")
     val banded = withBands(emb, nBands = 2)
-    val l = banded.select($"vec_id".as("id_a"), $"unit".as("unit_a"),
+    val l = banded.select($"vec_id".as("id_a"), $"vec".as("vec_a"),
       $"band", $"bval")
-    val r = banded.select($"vec_id".as("id_b"), $"unit".as("unit_b"),
+    val r = banded.select($"vec_id".as("id_b"), $"vec".as("vec_b"),
       $"band", $"bval")
     l.join(r, Seq("band", "bval"))
       .filter($"id_a" < $"id_b")
       .withColumn("cos_sim", round(
-        VectorFunctions.dot($"unit_a", $"unit_b"), 6))
+        expr("cosine_sim(vec_a, vec_b)"), 6))
       .filter($"cos_sim" >= threshold)
       .select($"id_a", $"id_b", $"cos_sim")
       .distinct()
