@@ -8,10 +8,10 @@ object DevTime {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("DEV_SF_DIR", "/root/testdata/sf0.1")
-    for (name <- args; i <- 1 to 2) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, d).count()
-      println(f"TIMING $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
+    args.foreach { name =>
+      println(s"===== PLAN $name =====")
+      val df = SparkEntry.queries(name)(spark, d)
+      df.explain("formatted")
     }
     spark.stop()
   }

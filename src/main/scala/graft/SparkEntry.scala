@@ -22,6 +22,7 @@ object SparkEntry {
     // Q1 shape: union → substring year/month → group-count → window top-3
     "q1_topmonths" -> ((s, d) => RefQueries.q1TopMonths(s, d)),
     "q1_sql" -> ((s, d) => RefQueries.q1TopMonthsSql(s, d)),
+    "q1_typed" -> ((s, d) => RefQueries.q1TopMonthsTyped(s, d)),
     // Q2 shape: filter → lpad/cast → CASE buckets → group-count
     "q2_buckets" -> ((s, d) => RefQueries.q2TimeBuckets(s, d)),
     "q2_typed" -> ((s, d) => RefQueries.q2TimeBucketsTyped(s, d)),
@@ -344,6 +345,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_topmonths" -> q1Oracle,
     "q1_sql" -> q1Oracle,
+    "q1_typed" -> q1Oracle,
     "q2_buckets" -> q2Oracle,
     "q2_typed" -> q2Oracle,
     "q3_joinchain" -> q3Oracle,

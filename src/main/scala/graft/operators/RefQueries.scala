@@ -77,6 +77,35 @@ object RefQueries {
     """)
   }
 
+  /** Typed-Dataset port of the reference's RDD map-reduce variant of Q1
+    * (query1.py:45-78: reduceByKey counts → groupByKey per year →
+    * in-memory sort/top-3 → sortByKey). `groupByKey.count` keeps the
+    * partial/final aggregate split the RDD `reduceByKey` had;
+    * `flatMapGroups` does the per-year top-3 (≤ 12 rows per group, so the
+    * in-memory sort is bounded); the JVM-native closures avoid the
+    * reference's measured ~2× Python-worker penalty. */
+  def q1TopMonthsTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "lineitem")
+      .select($"l_shipdate".cast("string").substr(1, 4).as("year"),
+        $"l_shipdate".cast("string").substr(6, 2).as("month"))
+      .as[(String, String)]
+      .groupByKey(identity)
+      .count()
+      .map { case ((y, m), c) => (y, m, c) }
+      .groupByKey(_._1)
+      .flatMapGroups { (year, rows) =>
+        rows.toSeq
+          .sortBy { case (_, m, c) => (-c, m) }
+          .take(3)
+          .zipWithIndex
+          .map { case ((_, m, c), i) => (year, m, c, i + 1) }
+          .iterator
+      }
+      .toDF("year", "month", "cnt", "rnk")
+      .orderBy($"year".asc, $"rnk".asc)
+  }
+
   // ---------------------------------------------------------------------
   // Q2 shape (reference query2.py): equality filter → cast+lpad →
   // CASE-WHEN time-of-day buckets → group-count → sort desc.
