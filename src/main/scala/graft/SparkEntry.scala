@@ -37,6 +37,8 @@ object SparkEntry {
     "q4_distance_broadcast" -> ((s, d) => RefQueries.q4DistanceBroadcast(s, d)),
     "q4_distance_sql" -> ((s, d) => RefQueries.q4DistanceSql(s, d)),
     "q4_distance_cogroup" -> ((s, d) => RefQueries.q4DistanceCogroup(s, d)),
+    "q4_distance_bcastvar" -> ((s, d) => RefQueries.q4DistanceBroadcastVar(s, d)),
+    "q_skew_salted_agg" -> ((s, d) => RefQueries.qSkewSaltedAgg(s, d)),
     // J1: multi-key USING join
     "q_join_multikey" -> ((s, d) => RefQueries.qJoinMultiKey(s, d)),
     // A5: typed Aggregator custom aggregate
@@ -57,12 +59,14 @@ object SparkEntry {
     // Similarity search (embeddings)
     "sim_topk_bruteforce" -> ((s, d) => Similarity.topKBruteForce(s, d)),
     "sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
+    "sim_topk_ivf" -> ((s, d) => Similarity.topKIvf(s, d)),
     "embed_cosine_neardup" -> ((s, d) => Similarity.cosineNearDup(s, d)),
     // Multimodal columns
     "mm_props_json" -> ((s, d) => Multimodal.propsJson(s, d)),
     "mm_binary_features" -> ((s, d) => Multimodal.binaryFeatures(s, d)),
     // Event windowing / sessionization (batch twins of graft.streaming)
     "ev_window_tumbling" -> ((s, d) => Events.tumblingWindow(s, d)),
+    "ev_window_sliding" -> ((s, d) => Events.slidingWindow(s, d)),
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
   )
 
@@ -356,6 +360,22 @@ object SparkEntry {
     "q4_distance_broadcast" -> q4Oracle,
     "q4_distance_sql" -> q4Oracle,
     "q4_distance_cogroup" -> q4Oracle,
+    "q4_distance_bcastvar" -> q4Oracle,
+    "q_skew_salted_agg" -> """
+      SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value,
+             round(sum(value) / count(*), 4) AS avg_value
+      FROM events GROUP BY event_type ORDER BY event_type ASC""",
+    "ev_window_sliding" -> """
+      WITH w AS (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                         - INTERVAL '30 minutes']) AS win_start,
+               event_type, value
+        FROM events
+      )
+      SELECT cast(win_start AS varchar) AS win_start, event_type,
+             count(*) AS cnt, round(sum(value), 4) AS sum_value
+      FROM w GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""",
     "q_join_multikey" -> multiKeyOracle,
     "text_tokens" -> textTokensOracle,
     "text_quality" -> textQualityOracle,

@@ -25,6 +25,21 @@ object Events {
       .orderBy($"hour_start".asc, $"event_type".asc)
   }
 
+  /** Sliding-window aggregation: 1-hour windows every 30 minutes — each
+    * event lands in 2 windows. Spark's `window()` does the fan-out
+    * natively; the oracle reproduces it by unnesting the two candidate
+    * window starts per event. Scale: output is 2× the tumbling case but
+    * the shuffle still carries only (window, type) partial aggregates. */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "events")
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".cast("string").as("win_start"),
+        $"event_type", $"cnt", $"sum_value")
+      .orderBy($"win_start".asc, $"event_type".asc)
+  }
+
   /** Batch sessionization: 30-minute-gap sessions per user via lag +
     * running sum — the batch twin of the `flatMapGroupsWithState`
     * sessionizer in `graft.streaming.Sessionize`.

@@ -351,6 +351,57 @@ object RefQueries {
       lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
     graft.functions.GeoFunctions.haversineKmScalar(lat1, lon1, lat2, lon2)
 
+  /** Literal port of the reference's broadcast-variable map-side join
+    * (X2/J5, query4.py:104-132): collect the tiny dimension to the driver,
+    * `sparkContext.broadcast` the map, look it up inside a typed closure.
+    * Kept for API parity — `q4DistanceBroadcast` (broadcast *hint*) is the
+    * idiomatic form; this one is the explicit-broadcast shape for when the
+    * lookup is genuinely imperative. Nation is 25 rows — the collect is
+    * safe at any scale. */
+  def q4DistanceBroadcastVar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (cust, nat) = q4Parts(spark, sfDir)
+    val natMap: Map[Int, (String, Double, Double)] = nat
+      .select($"n_nationkey".cast("int"), $"n_name", $"n_lat", $"n_lon")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getDouble(2),
+        r.getDouble(3))))
+      .toMap
+    val bc = spark.sparkContext.broadcast(natMap)
+    cust.select($"c_nationkey".cast("int"), $"c_lat", $"c_lon")
+      .as[(Int, Double, Double)]
+      .flatMap { case (nk, clat, clon) =>
+        bc.value.get(nk).map { case (name, nlat, nlon) =>
+          (name, GeoFunctions_haversineScalar(clat, clon, nlat, nlon))
+        }
+      }
+      .toDF("n_name", "dist_km")
+      .groupBy($"n_name")
+      .agg(round(avg($"dist_km"), 4).as("avg_dist_km"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"avg_dist_km".desc, $"n_name".asc)
+  }
+
+  /** Skew-resistant two-stage aggregation (salting): the classic fix for
+    * hot keys at 100 TB. `events.event_type` has 5 values — at scale a
+    * straight groupBy puts 1/5 of the table on one reducer. Stage 1 groups
+    * on (key, salt) spreading each hot key over `salts` reducers; stage 2
+    * re-aggregates the per-salt partials (sums/counts compose; avg is
+    * finished from them). Result is identical to the direct aggregation —
+    * the DuckDB oracle is the unsalted query. */
+  def qSkewSaltedAgg(spark: SparkSession, sfDir: String,
+      salts: Int = 16): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "events")
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(salts)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("c"), sum($"value").as("s"))
+      .groupBy($"event_type")
+      .agg(sum($"c").as("cnt"), round(sum($"s"), 4).as("sum_value"),
+        round(sum($"s") / sum($"c"), 4).as("avg_value"))
+      .orderBy($"event_type".asc)
+  }
+
   // ---------------------------------------------------------------------
   // Multi-key USING join (J1 shape — reference joins on ["LAT","LON"],
   // query3.py:117-120) over a derived aggregate.

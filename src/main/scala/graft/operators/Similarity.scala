@@ -116,6 +116,53 @@ object Similarity {
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into Voronoi cells
+    * around a small set of centroids; a query probes only its `nprobe`
+    * nearest cells. Centroids here are the first `nCells` corpus vectors
+    * (deterministic — a production build would k-means them); assignment
+    * and probing both use the native cosine expression.
+    *
+    * Scale: the cell assignment is one broadcast-centroids pass over the
+    * corpus (at 100 TB you'd persist it as a bucketed table partitioned by
+    * cell_id); each query then touches ~nprobe/nCells of the data. The
+    * final exact rerank within probed cells is a per-cell top-k.
+    * Approximate → rows-only check, brute-force entry is the reference. */
+  def topKIvf(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 3, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = corpus(spark, sfDir)
+    val centroids = emb.filter($"vec_id" < nCells)
+      .select($"vec_id".as("cell_id"), $"vec".as("centroid"))
+    // corpus → nearest centroid (1 broadcast join + per-cell argmax)
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"cell_cos".desc, $"cell_id".asc)
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("cell_cos", expr("cosine_sim(vec, centroid)"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter($"r" === 1)
+      .select($"vec_id", $"vec", $"cell_id")
+    // query → nprobe nearest centroids
+    val wProbe = Window.partitionBy($"q_id")
+      .orderBy($"probe_cos".desc, $"cell_id".asc)
+    val probes = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"vec".as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("probe_cos", expr("cosine_sim(q_vec, centroid)"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter($"r" <= nprobe)
+      .select($"q_id", $"q_vec", $"cell_id")
+    // exact rerank within probed cells only
+    val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", expr("cosine_sim(vec, q_vec)"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos_sim"), $"rnk")
+      .orderBy($"q_id".asc, $"rnk".asc)
+  }
+
   /** Embedding-cosine near-duplicate pairs via the same LSH banding —
     * all-pairs within band buckets only, never a full cross join.
     * Threshold 0.4 is calibrated to the synthetic testdata (max observed

@@ -33,6 +33,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k cosines never exceed the brute-force cosine at same rank") {
+    val brute = Similarity.topKBruteForce(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), r.getDouble(2))).toMap
+    val ivf = Similarity.topKIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getInt(3))
+      brute.get(key).foreach { b =>
+        assert(r.getDouble(2) <= b + 1e-9,
+          s"IVF rank ${key._2} for query ${key._1} beats exact top-k")
+      }
+    }
+  }
+
   test("near-dup pairs are canonicalized and above threshold") {
     val rows = Similarity.cosineNearDup(spark, sf).collect()
     rows.foreach { r =>
