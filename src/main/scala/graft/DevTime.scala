@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time queries (2 runs each — cold incl. codegen/JIT, then
+  * warm) or dump formatted plans with -plan. Not part of the driver
+  * contract. */
 object DevTime {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -8,10 +12,16 @@ object DevTime {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("DEV_SF_DIR", "/root/testdata/sf0.1")
-    args.foreach { name =>
-      println(s"===== PLAN $name =====")
-      val df = SparkEntry.queries(name)(spark, d)
-      df.explain("formatted")
+    val (flags, names) = args.partition(_.startsWith("-"))
+    names.foreach { name =>
+      if (flags.contains("-plan")) {
+        println(s"===== PLAN $name =====")
+        SparkEntry.queries(name)(spark, d).explain("formatted")
+      } else (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, d).count()
+        println(f"TIMING $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
+      }
     }
     spark.stop()
   }

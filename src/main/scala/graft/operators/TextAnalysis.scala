@@ -102,13 +102,12 @@ object TextAnalysis {
     * would dominate the scan. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.PolyHash.register(spark)
     Tables.read(spark, sfDir, "documents")
       .withColumn("norm",
         expr("substr(regexp_replace(lower(trim(text)), '\\\\s+', ' '), 1, 1024)"))
-      .withColumn("fp", expr(
-        """aggregate(
-             transform(sequence(1, length(norm)), i -> ascii(substr(norm, i, 1))),
-             0L, (a, x) -> (a * 31 + x) % 1000000007)"""))
+      // native codegen'd byte-loop rolling hash (graft.functions.PolyHash)
+      .withColumn("fp", expr("poly_hash(norm, 1024)"))
       .select($"doc_id", $"fp")
       .orderBy($"doc_id".asc)
   }
