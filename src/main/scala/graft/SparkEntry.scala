@@ -25,6 +25,7 @@ object SparkEntry {
     "q1_typed" -> ((s, d) => RefQueries.q1TopMonthsTyped(s, d)),
     // Q2 shape: filter → lpad/cast → CASE buckets → group-count
     "q2_buckets" -> ((s, d) => RefQueries.q2TimeBuckets(s, d)),
+    "q2_sql" -> ((s, d) => RefQueries.q2TimeBucketsSql(s, d)),
     "q2_typed" -> ((s, d) => RefQueries.q2TimeBucketsTyped(s, d)),
     // Q3 shape: clean → join chain (hints) → top-3-to-driver → isin →
     // inline dim → group-count
@@ -351,6 +352,7 @@ object SparkEntry {
     "q1_sql" -> q1Oracle,
     "q1_typed" -> q1Oracle,
     "q2_buckets" -> q2Oracle,
+    "q2_sql" -> q2Oracle,
     "q2_typed" -> q2Oracle,
     "q3_joinchain" -> q3Oracle,
     "q3_hint_broadcast" -> q3Oracle,

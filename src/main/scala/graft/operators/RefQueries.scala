@@ -133,6 +133,25 @@ object RefQueries {
       .select($"bucket", $"cnt")
   }
 
+  /** SQL twin (reference query2.py:61-93 `query_sql`). */
+  def q2TimeBucketsSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.read(spark, sfDir, "events").createOrReplaceTempView("events")
+    spark.sql("""
+      WITH b AS (
+        SELECT CASE
+                 WHEN t4 >= '0500' AND t4 <= '1159' THEN 'Morning'
+                 WHEN t4 >= '1200' AND t4 <= '1659' THEN 'Afternoon'
+                 WHEN t4 >= '1700' AND t4 <= '2059' THEN 'Evening'
+                 ELSE 'Night' END AS bucket
+        FROM (SELECT lpad(cast(hour(ts) * 100 + minute(ts) AS string),
+                          4, '0') AS t4
+              FROM events WHERE event_type = 'click')
+      )
+      SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket
+      ORDER BY cnt DESC, bucket ASC
+    """)
+  }
+
   /** Typed-Dataset port of the reference's RDD map-reduce variant
     * (query2.py:33-58): the Python-lambda `bin_it` + `reduceByKey` becomes
     * `groupByKey(...).count()` — same semantics, but the closure runs inside
