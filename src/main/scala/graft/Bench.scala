@@ -15,18 +15,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: forces full evaluation of every output column (a bare
     // count() would let Catalyst prune the per-row work entirely).
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    def run(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // untimed warm-up pass: JIT + codegen compilation are per-query
     // one-time costs; the timed pass below measures steady-state
     // throughput (disable with SPARK_GRAFT_WARMUP=0).
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      ordered.foreach { case (_, fn) => run(fn) }
+      ordered.foreach { case (name, fn) => run(name, fn) }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      run(fn)
+      run(name, fn)
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

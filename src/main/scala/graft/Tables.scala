@@ -23,13 +23,20 @@ object Tables {
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects by default. Read nanos as long and floor-divide to
     * micros — the same truncation DuckDB applies when it loads nanos into
-    * its microsecond timestamp type, so both engines see identical `ts`. */
+    * its microsecond timestamp type, so both engines see identical `ts`.
+    *
+    * Notes: `nanosAsLong` is a session-wide conf (Spark offers no per-read
+    * flag); it only changes how TIMESTAMP(NANOS) columns decode — other
+    * tables here have micro timestamps and are unaffected. The pmod form
+    * is true floor division (a bare `div` truncates toward zero and would
+    * diverge from DuckDB by 1µs on pre-1970 nanos). */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+          org.apache.spark.sql.functions.expr(
+            "(ts - pmod(ts, 1000)) div 1000")))
   }
 
   /** Register every table as a temp view (reference S5 shape:

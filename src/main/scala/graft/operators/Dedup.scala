@@ -21,26 +21,34 @@ object Dedup {
   private def normText: Column =
     regexp_replace(lower(trim(col("text"))), "\\s+", " ")
 
-  /** Exact dedup: group on normalized text, keep the smallest doc_id.
-    * One shuffle on the (hashed) text key; at scale you'd group on
-    * xxhash64(norm) first and only compare full text within hash buckets —
-    * both shapes are a single hash aggregate. */
+  /** Exact dedup: group on (xxhash64(norm), norm), keep the smallest
+    * doc_id. Grouping on the hash alone would silently merge 64-bit
+    * collisions (~n²/2^65 expected at 10^10 docs — a few real ones);
+    * including the full normalized text in the key makes the group exact
+    * while the leading hash keeps partitioning/comparison cheap. One
+    * hash-aggregate shuffle either way. */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.read(spark, sfDir, "documents")
       .withColumn("norm", normText)
-      .groupBy(xxhash64($"norm").as("text_hash"))
+      .groupBy(xxhash64($"norm").as("text_hash"), $"norm")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select($"keep_id", $"n_copies")
       .orderBy($"keep_id".asc)
   }
 
-  /** Token 3-gram shingles of normalized text, as a Column over `toks`. */
+  /** Token 3-gram shingles of normalized text, as a Column over `toks`.
+    * The size guard must short-circuit: Spark's `sequence(1, 0)` counts
+    * DOWN (step defaults to -1 when start > stop), so a bare
+    * `sequence(1, greatest(size-2, 0))` would index element 0 and crash
+    * on documents with fewer than 3 tokens. */
   private val shinglesExpr =
-    """transform(sequence(1, greatest(size(toks) - 2, 0)),
-                 i -> concat(element_at(toks, i), ' ',
-                             element_at(toks, i + 1), ' ',
-                             element_at(toks, i + 2)))"""
+    """CASE WHEN size(toks) >= 3 THEN
+         transform(sequence(1, size(toks) - 2),
+                   i -> concat(element_at(toks, i), ' ',
+                               element_at(toks, i + 1), ' ',
+                               element_at(toks, i + 2)))
+       ELSE array() END"""
 
   /** Exact n-gram (token-3-gram) Jaccard near-dup within a cheap blocking
     * key (first 64 normalized chars). Blocking bounds the pair count —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.GeoFunctions.haversineKm
+import graft.functions.GeoFunctions.{haversineKm, haversineKmScalar}
 
 /** Re-expressions of the reference's four analytical queries
   * (marvlach/pyspark-big-data, `src/query1.py`..`query4.py`) retargeted onto
@@ -347,7 +347,7 @@ object RefQueries {
         else {
           val (_, name, nlat, nlon) = nList.head
           cs.map { case (_, clat, clon) =>
-            (name, GeoFunctions_haversineScalar(clat, clon, nlat, nlon))
+            (name, haversineKmScalar(clat, clon, nlat, nlon))
           }
         }
       }
@@ -363,12 +363,6 @@ object RefQueries {
       .toDF("n_name", "avg_dist_km", "cnt")
       .orderBy($"avg_dist_km".desc, $"n_name".asc)
   }
-
-  // scalar haversine used inside typed closures — same java.lang.Math the
-  // codegen'd Column version compiles to, so results are bit-identical.
-  private def GeoFunctions_haversineScalar(
-      lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
-    graft.functions.GeoFunctions.haversineKmScalar(lat1, lon1, lat2, lon2)
 
   /** Literal port of the reference's broadcast-variable map-side join
     * (X2/J5, query4.py:104-132): collect the tiny dimension to the driver,
@@ -391,7 +385,7 @@ object RefQueries {
       .as[(Int, Double, Double)]
       .flatMap { case (nk, clat, clon) =>
         bc.value.get(nk).map { case (name, nlat, nlon) =>
-          (name, GeoFunctions_haversineScalar(clat, clon, nlat, nlon))
+          (name, haversineKmScalar(clat, clon, nlat, nlon))
         }
       }
       .toDF("n_name", "dist_km")
@@ -426,10 +420,6 @@ object RefQueries {
   // query3.py:117-120) over a derived aggregate.
   // ---------------------------------------------------------------------
 
-  /** lineitem ⋈ per-(partkey,suppkey) aggregate on the composite key —
-    * multi-column equi join that dedups its key columns (USING semantics).
-    * Scale: both sides hash-partition on the same composite key, so the
-    * join reuses the aggregate's exchange (one shuffle, not two). */
   /** A5 as a first-class custom aggregate: typed
     * `Aggregator[Double, (sum, count), Double]` (graft.functions
     * .AvgAggregator) applied per group — the reference's manual RDD
@@ -446,6 +436,10 @@ object RefQueries {
       .orderBy($"l_returnflag".asc)
   }
 
+  /** lineitem ⋈ per-(partkey,suppkey) aggregate on the composite key —
+    * multi-column equi join that dedups its key columns (USING semantics).
+    * Scale: both sides hash-partition on the same composite key, so the
+    * join reuses the aggregate's exchange (one shuffle, not two). */
   def qJoinMultiKey(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.read(spark, sfDir, "lineitem")

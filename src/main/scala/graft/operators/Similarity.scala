@@ -73,12 +73,14 @@ object Similarity {
   private val planes: Array[Array[Double]] =
     Array.tabulate(16, Dim)((p, d) => planeComponent(p, d))
 
-  /** 16-bit sign signature under the fixed hyperplanes, as a Column. */
-  private def signature(vec: Column): Column =
-    planes.indices.map { p =>
-      when(VectorFunctions.dot(vec, typedLit(planes(p).toSeq)) >= 0,
-        lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** 16-bit sign signature under the fixed hyperplanes — native codegen'd
+    * expression (graft.functions.HyperplaneSignature); the corpus-wide
+    * signature pass stays inside WholeStageCodegen instead of paying 16
+    * interpreted HOF folds per row. */
+  private def signature(spark: SparkSession, vec: Column): Column = {
+    graft.functions.HyperplaneSignature.register(spark, planes)
+    expr(s"hyperplane_sig(${vec.toString})")
+  }
 
   private def withBands(df: DataFrame, nBands: Int = 4): DataFrame = {
     val bits = 16 / nBands
@@ -98,7 +100,7 @@ object Similarity {
   def topKLsh(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 3): DataFrame = {
     import spark.implicits._
-    val emb = corpus(spark, sfDir).withColumn("sig", signature($"vec"))
+    val emb = corpus(spark, sfDir).withColumn("sig", signature(spark, $"vec"))
     val banded = withBands(emb)
     val qb = withBands(emb.filter($"vec_id" < nQueries))
       .select($"vec_id".as("q_id"), $"vec".as("q_vec"), $"band", $"bval")
@@ -178,7 +180,7 @@ object Similarity {
     // pairs, not every candidate.
     graft.functions.CosineSimilarity.register(spark)
     val emb = corpus(spark, sfDir)
-      .withColumn("sig", signature($"vec"))
+      .withColumn("sig", signature(spark, $"vec"))
       .select($"vec_id", $"vec", $"sig")
     val banded = withBands(emb, nBands = 2)
     val l = banded.select($"vec_id".as("id_a"), $"vec".as("vec_a"),

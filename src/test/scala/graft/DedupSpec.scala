@@ -23,6 +23,9 @@ class DedupSpec extends SparkSpec {
       (3L, "completely different content about spark catalyst optimizer " +
         "rules and physical plan strategies with many unique words here",
         "en", "src3", 100L),
+      // 4: fewer than 3 tokens — regression guard: Spark's sequence(1, 0)
+      // counts DOWN, so an unguarded shingle transform crashes on this
+      (4L, "two tokens", "en", "src4", 10L),
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
     dir
