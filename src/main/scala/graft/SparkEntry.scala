@@ -52,6 +52,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_langid_eval" -> ((s, d) => TextAnalysis.langIdEval(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     // Deduplication (documents)
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -69,6 +70,9 @@ object SparkEntry {
     "ev_window_tumbling" -> ((s, d) => Events.tumblingWindow(s, d)),
     "ev_window_sliding" -> ((s, d) => Events.slidingWindow(s, d)),
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "ev_sessionize_typed" -> ((s, d) => Events.sessionizeTyped(s, d)),
+    // Sketches
+    "q_approx_distinct" -> ((s, d) => RefQueries.qApproxDistinct(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -398,5 +402,30 @@ object SparkEntry {
     "mm_binary_features" -> mmBinaryFeaturesOracle,
     "ev_window_tumbling" -> evWindowOracle,
     "ev_sessionize" -> evSessionizeOracle,
+    "ev_sessionize_typed" -> evSessionizeOracle,
+    "text_tfidf_topk" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+      ), df AS (
+        SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+      ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM toks
+      ), scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               tf.tf * ln((n.n_docs + 1)::double / (df.df + 1)) AS tfidf_raw
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+      ), ranked AS (
+        SELECT doc_id, tok, tf, df, tfidf_raw,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf_raw DESC, tok ASC) AS rnk
+        FROM scored
+      )
+      SELECT doc_id, tok, tf, df, round(tfidf_raw, 6) AS tfidf,
+             rnk::INTEGER AS rnk
+      FROM ranked WHERE rnk <= 3 ORDER BY doc_id ASC, rnk ASC""",
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import java.sql.Timestamp
 
 /** Event-stream analytics over the batch `events` table — the batch twins
   * of the Structured Streaming operators in `graft.streaming` (same
@@ -38,6 +39,44 @@ object Events {
       .select($"window.start".cast("string").as("win_start"),
         $"event_type", $"cnt", $"sum_value")
       .orderBy($"win_start".asc, $"event_type".asc)
+  }
+
+  /** Typed mapGroups sessionization — same semantics as `sessionize` but
+    * as an imperative per-user walk (the direct batch analog of the
+    * streaming `flatMapGroupsWithState` state machine). The per-user event
+    * list is sorted in memory: bounded by events-per-user, which is the
+    * same bound the window-function variant's per-partition sort pays.
+    * Same oracle as `sessionize`. */
+  def sessionizeTyped(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // microsecond precision, matching the window variant's unix_micros —
+    // Timestamp.getTime alone floors to millis and could merge sessions
+    // whose gap exceeds the threshold by <1ms.
+    def micros(ts: Timestamp): Long =
+      (ts.getTime - ts.getNanos / 1000000) * 1000L + ts.getNanos / 1000
+    Tables.read(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[(Long, Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (userId, rows) =>
+        val evs = rows.toArray.sortBy(r => (micros(r._3), r._2))
+        var nSessions = 0L
+        var lastUs = Long.MinValue
+        var total = 0.0
+        evs.foreach { case (_, _, ts, v) =>
+          val t = micros(ts)
+          if (lastUs == Long.MinValue || t - lastUs > gapUs) nSessions += 1
+          lastUs = t
+          total += v
+        }
+        (userId, nSessions, evs.length.toLong,
+          BigDecimal(total).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+      .toDF("user_id", "n_sessions", "n_events", "total_value")
+      .orderBy($"user_id".asc)
   }
 
   /** Batch sessionization: 30-minute-gap sessions per user via lag +

@@ -436,6 +436,22 @@ object RefQueries {
       .orderBy($"l_returnflag".asc)
   }
 
+  /** Sketch aggregation: exact `countDistinct` next to the HyperLogLog++
+    * `approx_count_distinct` — at 100 TB the exact distinct is a full
+    * shuffle of the key set while the sketch is a few KB per partition;
+    * this query exposes both so the error is observable. Approx column →
+    * rows-only driver check; the accuracy bound is asserted in
+    * `SketchSpec`. */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact_orders"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      .orderBy($"l_returnflag".asc)
+  }
+
   /** lineitem ⋈ per-(partkey,suppkey) aggregate on the composite key —
     * multi-column equi join that dedups its key columns (USING semantics).
     * Scale: both sides hash-partition on the same composite key, so the

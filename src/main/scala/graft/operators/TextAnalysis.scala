@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Text-analysis operators over the `documents` table — the language-ID /
@@ -93,6 +94,39 @@ object TextAnalysis {
       .join(pred, Seq("doc_id"))
       .groupBy($"lang", $"pred_lang").count().withColumnRenamed("count", "cnt")
       .orderBy($"lang".asc, $"pred_lang".asc)
+  }
+
+  /** TF-IDF top-3 terms per document — the multi-stage text-analytics
+    * pipeline shape: tokenize → per-(doc,term) tf → per-term document
+    * frequency → smoothed idf = ln((N+1)/(df+1)) → top-k per doc.
+    *
+    * Scale: two hash-aggregate shuffles (doc×term, term) + one broadcast
+    * of the per-term df table? No — df is as big as the vocabulary, so it
+    * joins shuffle-to-shuffle on `tok`; the corpus size N rides along as a
+    * broadcast single-row cross join (never a driver action). Top-k per
+    * doc is a WindowGroupLimit. */
+  def tfidfTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id",
+        explode(split(regexp_replace(lower(trim($"text")), "\\s+", " "), " "))
+          .as("tok"))
+    val tf = toks.groupBy($"doc_id", $"tok").count()
+      .withColumnRenamed("count", "tf")
+    val df = toks.groupBy($"tok")
+      .agg(countDistinct($"doc_id").as("df"))
+    val n = toks.select(countDistinct($"doc_id").as("n_docs"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tfidf_raw".desc, $"tok".asc)
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_raw",
+        $"tf" * log(($"n_docs" + 1).cast("double") / ($"df" + 1)))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"doc_id", $"tok", $"tf", $"df",
+        round($"tfidf_raw", 6).as("tfidf"), $"rnk")
+      .orderBy($"doc_id".asc, $"rnk".asc)
   }
 
   /** Document fingerprinting: polynomial rolling hash (base 31, mod 1e9+7)
