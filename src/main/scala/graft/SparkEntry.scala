@@ -71,6 +71,7 @@ object SparkEntry {
     "ev_window_sliding" -> ((s, d) => Events.slidingWindow(s, d)),
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "ev_sessionize_typed" -> ((s, d) => Events.sessionizeTyped(s, d)),
+    "ev_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
     // Sketches
     "q_approx_distinct" -> ((s, d) => RefQueries.qApproxDistinct(s, d)),
   )
@@ -403,6 +404,21 @@ object SparkEntry {
     "ev_window_tumbling" -> evWindowOracle,
     "ev_sessionize" -> evSessionizeOracle,
     "ev_sessionize_typed" -> evSessionizeOracle,
+    // oracle: DuckDB's native ASOF JOIN — an independent implementation
+    // of the as-of semantics our union+window composition expresses
+    "ev_asof_join" -> """
+      WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+      ), c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+        WHERE event_type = 'click'
+      )
+      SELECT p.event_id, p.user_id, cast(p.ts AS varchar) AS ts_s,
+             c.click_id, epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      ORDER BY p.event_id ASC""",
     "text_tfidf_topk" -> """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(

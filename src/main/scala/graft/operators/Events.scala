@@ -41,6 +41,38 @@ object Events {
       .orderBy($"win_start".asc, $"event_type".asc)
   }
 
+  /** As-of (backward) join composed from built-ins — for each 'purchase'
+    * event, the most recent 'click' by the same user at or before it.
+    * Spark has no ASOF JOIN operator; per the extension preference order
+    * this composes existing ops before reaching for a custom SparkPlan:
+    * tag both sides, union, one window sorted by (ts, side) per user, and
+    * carry the last non-null click forward (`last(..., ignoreNulls)` over
+    * an unbounded-preceding frame). The oracle is DuckDB's *native*
+    * `ASOF LEFT JOIN` — an independent implementation of the semantics.
+    *
+    * Scale: exactly one hash-partition-by-user exchange + per-partition
+    * sort — the same cost as a sort-merge join on user_id; no row
+    * explosion, no range cross-product. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.read(spark, sfDir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .withColumn("side", when($"event_type" === "click", 0).otherwise(1))
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("click_id_src", when($"side" === 0, $"event_id"))
+      .withColumn("click_us_src", when($"side" === 0, $"us"))
+    // clicks sort before purchases on (impossible-in-data) ts ties so an
+    // equal-timestamp click still qualifies (ASOF's ts >= click_ts)
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"side".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("click_id", last($"click_id_src", ignoreNulls = true).over(w))
+      .withColumn("click_us", last($"click_us_src", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"event_id", $"user_id", $"ts".cast("string").as("ts_s"),
+        $"click_id", ($"us" - $"click_us").as("gap_us"))
+      .orderBy($"event_id".asc)
+  }
+
   /** Typed mapGroups sessionization — same semantics as `sessionize` but
     * as an imperative per-user walk (the direct batch analog of the
     * streaming `flatMapGroupsWithState` state machine). The per-user event

@@ -31,6 +31,15 @@ object StreamingOps {
         $"sum_value")
   }
 
+  /** Streaming exactly-once dedup on event_id: state is bounded by the
+    * watermark (an id older than the watermark can be evicted because a
+    * duplicate arriving later would be dropped as late data anyway). The
+    * streaming twin of the batch `Dedup.exactDedup` keep-first semantics. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(nEvents: Long, totalValue: Double,
     lastEventMs: Long)

@@ -37,6 +37,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup emits each event_id once across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type")
+    val q = StreamingOps.dedupStream(df).writeStream
+      .outputMode(OutputMode.Append).format("memory")
+      .queryName("dedup_out").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "click"),
+        (1L, ts("2024-01-01 10:00:01"), "click"), // in-batch dup
+        (2L, ts("2024-01-01 10:00:02"), "view"))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:01:00"), "click")) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L),
+        s"expected each id once, got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("sessionizer closes a session after the gap via event-time timeout") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
