@@ -33,6 +33,7 @@ object SparkEntry {
     "q3_hint_broadcast" -> ((s, d) => RefQueries.q3JoinChain(s, d, "broadcast", "broadcast")),
     "q3_hint_merge" -> ((s, d) => RefQueries.q3JoinChain(s, d, "merge", "merge")),
     "q3_hint_shuffle_hash" -> ((s, d) => RefQueries.q3JoinChain(s, d, "shuffle_hash", "shuffle_hash")),
+    "q3_topk_distributed" -> ((s, d) => RefQueries.q3TopKDistributed(s, d)),
     // Q4 shape: compound filter → expression join → haversine → avg+count
     "q4_distance" -> ((s, d) => RefQueries.q4Distance(s, d)),
     "q4_distance_broadcast" -> ((s, d) => RefQueries.q4DistanceBroadcast(s, d)),
@@ -363,6 +364,7 @@ object SparkEntry {
     "q3_hint_broadcast" -> q3Oracle,
     "q3_hint_merge" -> q3Oracle,
     "q3_hint_shuffle_hash" -> q3Oracle,
+    "q3_topk_distributed" -> q3Oracle,
     "q4_distance" -> q4Oracle,
     "q4_distance_broadcast" -> q4Oracle,
     "q4_distance_sql" -> q4Oracle,

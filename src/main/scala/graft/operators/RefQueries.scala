@@ -436,6 +436,39 @@ object RefQueries {
       .orderBy($"l_returnflag".asc)
   }
 
+  /** The distributed alternative to q3's driver round-trip: top-3
+    * customers via `limit(3)` kept as a plan node + `left_semi` join,
+    * never collecting keys to the driver. Same result as `q3JoinChain`
+    * (same oracle); at 100 TB this is the correct shape — the literal
+    * `head(3)` port exists for reference parity, this one for scale. */
+  def q3TopKDistributed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val ord = Tables.read(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+      .withColumn("priority", regexp_replace($"o_orderpriority", "[0-9-]", ""))
+    val cust = Tables.read(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_acctbal")
+    val top3 = cust.select($"c_custkey", $"c_acctbal").distinct()
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      .limit(3)
+      .select($"c_custkey")
+    val dim = Seq(
+      ("URGENT", "Critical"), ("HIGH", "High"), ("MEDIUM", "Medium"),
+      ("NOT SPECIFIED", "Unspecified"), ("LOW", "Low"))
+      .toDF("priority", "priority_label")
+    li.withColumnRenamed("l_orderkey", "o_orderkey")
+      .join(ord, Seq("o_orderkey"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+      .join(cust, Seq("c_custkey"))
+      .join(broadcast(top3), Seq("c_custkey"), "left_semi")
+      .join(broadcast(dim), Seq("priority"))
+      .groupBy($"priority_label")
+      .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("qty"))
+      .orderBy($"priority_label".asc)
+  }
+
   /** Sketch aggregation: exact `countDistinct` next to the HyperLogLog++
     * `approx_count_distinct` — at 100 TB the exact distinct is a full
     * shuffle of the key set while the sketch is a few KB per partition;
@@ -460,8 +493,11 @@ object RefQueries {
 
   /** lineitem ⋈ per-(partkey,suppkey) aggregate on the composite key —
     * multi-column equi join that dedups its key columns (USING semantics).
-    * Scale: both sides hash-partition on the same composite key, so the
-    * join reuses the aggregate's exchange (one shuffle, not two). */
+    * Scale: at bench scale AQE broadcasts the aggregate side (observed in
+    * the plan), so the fact side never shuffles for the join; when the
+    * aggregate outgrows the broadcast threshold, SMJ partitions both
+    * sides on the same composite key and the aggregate's exchange is
+    * reusable — either way, one shuffle of the fact table, not two. */
   def qJoinMultiKey(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.read(spark, sfDir, "lineitem")
