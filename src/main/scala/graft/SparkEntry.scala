@@ -67,6 +67,7 @@ object SparkEntry {
     // Multimodal columns
     "mm_props_json" -> ((s, d) => Multimodal.propsJson(s, d)),
     "mm_binary_features" -> ((s, d) => Multimodal.binaryFeatures(s, d)),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     // Event windowing / sessionization (batch twins of graft.streaming)
     "ev_window_tumbling" -> ((s, d) => Events.tumblingWindow(s, d)),
     "ev_window_sliding" -> ((s, d) => Events.slidingWindow(s, d)),
@@ -403,6 +404,21 @@ object SparkEntry {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""",
     "mm_props_json" -> mmPropsJsonOracle,
     "mm_binary_features" -> mmBinaryFeaturesOracle,
+    "mm_frame_sample" -> """
+      WITH d AS (
+        SELECT doc_id, text, (length(text) // 16) AS n_frames
+        FROM documents
+      ), idx AS (
+        SELECT doc_id, n_frames, text,
+               unnest(range(0, n_frames, 4)) AS frame_idx
+        FROM d WHERE n_frames >= 1
+      )
+      SELECT doc_id, frame_idx, n_frames,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(1, 16),
+                 i -> ascii(substr(text, frame_idx::int * 16 + i, 1)))),
+               (a, x) -> (a * 31 + x) % 1000000007) AS frame_hash
+      FROM idx ORDER BY doc_id ASC, frame_idx ASC""",
     "ev_window_tumbling" -> evWindowOracle,
     "ev_sessionize" -> evSessionizeOracle,
     "ev_sessionize_typed" -> evSessionizeOracle,

@@ -52,6 +52,30 @@ object Multimodal {
       }
   }
 
+  /** Frame-sampling stub: treat the payload as a "video" of fixed 16-byte
+    * frames and sample every 4th frame, emitting a per-frame feature hash
+    * (stand-in for a per-frame embedding — no codecs in this container).
+    * The Spark shape is the real part: explode a strided index sequence,
+    * slice the payload per frame, hash natively (`poly_hash`), no UDFs.
+    * Scale: fan-out is n_frames/stride rows per doc, produced inside
+    * codegen; no shuffle until the final order-for-compare. */
+  def frameSample(spark: SparkSession, sfDir: String,
+      frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    Tables.read(spark, sfDir, "documents")
+      .withColumn("n_frames",
+        floor(length($"text") / frameBytes).cast("long"))
+      .filter($"n_frames" >= 1)
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0, cast(n_frames AS int) - 1, $stride)")))
+      .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+        $"n_frames",
+        expr(s"poly_hash(substr(text, frame_idx * $frameBytes + 1, " +
+          s"$frameBytes), $frameBytes)").as("frame_hash"))
+      .orderBy($"doc_id".asc, $"frame_idx".asc)
+  }
+
   /** Binary-column feature extraction: text → utf-8 bytes as the stand-in
     * payload (the testdata has no true media column), then the per-
     * partition decode stub. Output is deliberately arithmetic so the
