@@ -68,6 +68,7 @@ object SparkEntry {
     "mm_props_json" -> ((s, d) => Multimodal.propsJson(s, d)),
     "mm_binary_features" -> ((s, d) => Multimodal.binaryFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
     // Event windowing / sessionization (batch twins of graft.streaming)
     "ev_window_tumbling" -> ((s, d) => Events.tumblingWindow(s, d)),
     "ev_window_sliding" -> ((s, d) => Events.slidingWindow(s, d)),
@@ -419,6 +420,17 @@ object SparkEntry {
                  i -> ascii(substr(text, frame_idx::int * 16 + i, 1)))),
                (a, x) -> (a * 31 + x) % 1000000007) AS frame_hash
       FROM idx ORDER BY doc_id ASC, frame_idx ASC""",
+    "mm_resize" -> """
+      SELECT doc_id,
+             length(text)::BIGINT AS n_bytes,
+             ((length(text) + 1) // 2)::BIGINT AS resized_bytes,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE list_reduce(list_prepend(0::BIGINT,
+                    list_transform(
+                      generate_series(1, length(text), 2),
+                      i -> ascii(substr(text, i, 1)))),
+                    (a, x) -> (a * 31 + x) % 1000000007) END AS resized_hash
+      FROM documents ORDER BY doc_id ASC""",
     "ev_window_tumbling" -> evWindowOracle,
     "ev_sessionize" -> evSessionizeOracle,
     "ev_sessionize_typed" -> evSessionizeOracle,

@@ -52,6 +52,31 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: decimate the payload by `factor` (every factor-th byte)
+    * — the shape of an image downsample with the real resampler stubbed.
+    * Runs in the same per-partition batched iterator as the decoder;
+    * output is the resized size + a native hash of the resized bytes so
+    * the oracle can reproduce it from the text. */
+  def resize(spark: SparkSession, sfDir: String, factor: Int = 2): DataFrame = {
+    import spark.implicits._
+    val payload = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payload.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val resized = Array.tabulate(
+          (bytes.length + factor - 1) / factor)(i => bytes(i * factor))
+        var h = 0L
+        resized.foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+        (id, bytes.length, resized.length, h)
+      }
+    }
+      .toDF("doc_id", "n_bytes", "resized_bytes", "resized_hash")
+      .select($"doc_id", $"n_bytes".cast("long").as("n_bytes"),
+        $"resized_bytes".cast("long").as("resized_bytes"), $"resized_hash")
+      .orderBy($"doc_id".asc)
+  }
+
   /** Frame-sampling stub: treat the payload as a "video" of fixed 16-byte
     * frames and sample every 4th frame, emitting a per-frame feature hash
     * (stand-in for a per-frame embedding — no codecs in this container).

@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Degenerate-input behavior: an empty documents table (schema only) must
+  * produce empty results, not crashes — at 100 TB some partition or date
+  * slice is always empty. */
+class RobustnessSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup operators return empty on an empty corpus") {
+    assert(Dedup.exactDedup(spark, emptyDir).count() == 0)
+    assert(Dedup.ngramJaccard(spark, emptyDir).count() == 0)
+    assert(Dedup.minHashLsh(spark, emptyDir).count() == 0)
+    assert(Dedup.simHash(spark, emptyDir).count() == 0)
+  }
+
+  test("text operators return empty on an empty corpus") {
+    assert(TextAnalysis.tokenCounts(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.qualityScore(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.langId(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.fingerprint(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.tfidfTopK(spark, emptyDir).count() == 0)
+  }
+
+  test("multimodal stubs return empty on an empty corpus") {
+    assert(Multimodal.binaryFeatures(spark, emptyDir).count() == 0)
+    assert(Multimodal.frameSample(spark, emptyDir).count() == 0)
+    assert(Multimodal.resize(spark, emptyDir).count() == 0)
+  }
+}
