@@ -56,7 +56,10 @@ object Multimodal {
     * — the shape of an image downsample with the real resampler stubbed.
     * Runs in the same per-partition batched iterator as the decoder;
     * output is the resized size + a native hash of the resized bytes so
-    * the oracle can reproduce it from the text. */
+    * the oracle can reproduce it from the text. NB the oracle folds
+    * per-character ascii() — equal to the byte fold only for ASCII
+    * payloads, which the fixtures guarantee (asserted in
+    * RobustnessSpec). */
   def resize(spark: SparkSession, sfDir: String, factor: Int = 2): DataFrame = {
     import spark.implicits._
     val payload = Tables.read(spark, sfDir, "documents")

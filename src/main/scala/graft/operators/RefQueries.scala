@@ -196,21 +196,42 @@ object RefQueries {
     * query3.py:142-144; the isin-literal prunes before the joins thanks to
     * Catalyst predicate pushdown.
     */
+  /** Shared q3 inputs: projected lineitem, orders with the F5-cleaned
+    * priority ("1-URGENT" → "URGENT", mirroring the reference's income
+    * cleanup query3.py:68-71), projected customer, and the S4 inline
+    * dimension (reference's 19-row descent dim, query3.py:8-32). */
+  private def q3Parts(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val li = Tables.read(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val ord = Tables.read(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+      .withColumn("priority", regexp_replace($"o_orderpriority", "[0-9-]", ""))
+    val cust = Tables.read(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_acctbal")
+    val dim = Seq(
+      ("URGENT", "Critical"), ("HIGH", "High"), ("MEDIUM", "Medium"),
+      ("NOT SPECIFIED", "Unspecified"), ("LOW", "Low"))
+      .toDF("priority", "priority_label")
+    (li, ord, cust, dim)
+  }
+
+  /** Shared q3 tail: join to the inline dim, group-count + quantity sum,
+    * deterministic order. `joined` must already be restricted to the
+    * top-3 customers (by either mechanism). */
+  private def q3Finish(joined: DataFrame, dim: DataFrame): DataFrame =
+    joined.join(broadcast(dim), Seq("priority"))
+      .groupBy(col("priority_label"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 4).as("qty"))
+      .orderBy(col("priority_label").asc)
+
   def q3JoinChain(spark: SparkSession, sfDir: String,
       hint1: String = "optimal", hint2: String = "optimal"): DataFrame = {
     import spark.implicits._
     def hinted(df: DataFrame, h: String): DataFrame =
       if (h == "optimal") df else df.hint(h)
-
-    val li = Tables.read(spark, sfDir, "lineitem")
-      .select($"l_orderkey", $"l_quantity")
-    val ord = Tables.read(spark, sfDir, "orders")
-      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
-      // F5: clean "1-URGENT" → "URGENT" (reference strips "[$,]" from
-      // income strings, query3.py:68-71)
-      .withColumn("priority", regexp_replace($"o_orderpriority", "[0-9-]", ""))
-    val cust = Tables.read(spark, sfDir, "customer")
-      .select($"c_custkey", $"c_acctbal")
+    val (li, ord, cust, dim) = q3Parts(spark, sfDir)
 
     // O4: top-3 "wealthiest" to driver, then P9 isin — literal port of
     // query3.py:135-144 (head(3) → python list → isin).
@@ -219,22 +240,13 @@ object RefQueries {
       .orderBy($"c_acctbal".desc, $"c_custkey".asc)
       .head(3).map(_.getLong(0))
 
-    // S4: inline dimension table (reference's 19-row descent dim,
-    // query3.py:8-32)
-    val dim = Seq(
-      ("URGENT", "Critical"), ("HIGH", "High"), ("MEDIUM", "Medium"),
-      ("NOT SPECIFIED", "Unspecified"), ("LOW", "Low"))
-      .toDF("priority", "priority_label")
-
-    li.withColumnRenamed("l_orderkey", "o_orderkey")
-      .join(hinted(ord, hint1), Seq("o_orderkey"))
-      .withColumnRenamed("o_custkey", "c_custkey")
-      .join(hinted(cust, hint2), Seq("c_custkey"))
-      .filter($"c_custkey".isin(top3: _*))
-      .join(broadcast(dim), Seq("priority"))
-      .groupBy($"priority_label")
-      .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("qty"))
-      .orderBy($"priority_label".asc)
+    q3Finish(
+      li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(hinted(ord, hint1), Seq("o_orderkey"))
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .join(hinted(cust, hint2), Seq("c_custkey"))
+        .filter($"c_custkey".isin(top3: _*)),
+      dim)
   }
 
   // ---------------------------------------------------------------------
@@ -443,30 +455,18 @@ object RefQueries {
     * `head(3)` port exists for reference parity, this one for scale. */
   def q3TopKDistributed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.read(spark, sfDir, "lineitem")
-      .select($"l_orderkey", $"l_quantity")
-    val ord = Tables.read(spark, sfDir, "orders")
-      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
-      .withColumn("priority", regexp_replace($"o_orderpriority", "[0-9-]", ""))
-    val cust = Tables.read(spark, sfDir, "customer")
-      .select($"c_custkey", $"c_acctbal")
+    val (li, ord, cust, dim) = q3Parts(spark, sfDir)
     val top3 = cust.select($"c_custkey", $"c_acctbal").distinct()
       .orderBy($"c_acctbal".desc, $"c_custkey".asc)
       .limit(3)
       .select($"c_custkey")
-    val dim = Seq(
-      ("URGENT", "Critical"), ("HIGH", "High"), ("MEDIUM", "Medium"),
-      ("NOT SPECIFIED", "Unspecified"), ("LOW", "Low"))
-      .toDF("priority", "priority_label")
-    li.withColumnRenamed("l_orderkey", "o_orderkey")
-      .join(ord, Seq("o_orderkey"))
-      .withColumnRenamed("o_custkey", "c_custkey")
-      .join(cust, Seq("c_custkey"))
-      .join(broadcast(top3), Seq("c_custkey"), "left_semi")
-      .join(broadcast(dim), Seq("priority"))
-      .groupBy($"priority_label")
-      .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("qty"))
-      .orderBy($"priority_label".asc)
+    q3Finish(
+      li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(ord, Seq("o_orderkey"))
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .join(cust, Seq("c_custkey"))
+        .join(broadcast(top3), Seq("c_custkey"), "left_semi"),
+      dim)
   }
 
   /** Sketch aggregation: exact `countDistinct` next to the HyperLogLog++

@@ -18,9 +18,12 @@ object TextAnalysis {
 
   /** Tokens of whitespace-normalized text. BPE-ish refinement: also splits
     * off punctuation runs as their own tokens (a cheap proxy for subword
-    * boundaries that stays regex-expressible on both engines). */
+    * boundaries that stays regex-expressible on both engines). The outer
+    * trim matters: padding a boundary punctuation mark would otherwise
+    * leave a leading/trailing space, and Spark's split keeps the empty
+    * token that produces (the oracle trims — they must agree). */
   private val tokensExpr =
-    "split(regexp_replace(trim(text), '([.,!?;:])', ' $1 '), '\\\\s+')"
+    "split(trim(regexp_replace(trim(text), '([.,!?;:])', ' $1 ')), '\\\\s+')"
 
   /** Token counting: whitespace tokens + punctuation-split "BPE-ish"
     * tokens + character counts per document. */
@@ -65,11 +68,9 @@ object TextAnalysis {
       .orderBy($"doc_id".asc)
   }
 
-  /** Language-ID by stopword-marker n-gram heuristic: count hits from four
-    * per-language marker sets, argmax with a fixed priority order. (The
-    * testdata text is synthetic word salad, so this measures the operator,
-    * not linguistics.) */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared single-pass language scoring: per-row marker-set hit counts,
+    * argmax prediction, with the labeled `lang` riding along. */
+  private def langScores(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.read(spark, sfDir, "documents")
       .withColumn("toks", expr("split(lower(trim(text)), '\\\\s+')"))
@@ -82,16 +83,25 @@ object TextAnalysis {
           .when($"s_de" >= $"s_fr" && $"s_de" >= $"s_es", "de")
           .when($"s_fr" >= $"s_es", "fr")
           .otherwise("es"))
+  }
+
+  /** Language-ID by stopword-marker n-gram heuristic: count hits from four
+    * per-language marker sets, argmax with a fixed priority order. (The
+    * testdata text is synthetic word salad, so this measures the operator,
+    * not linguistics.) */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    langScores(spark, sfDir)
       .select($"doc_id", $"s_en", $"s_de", $"s_fr", $"s_es", $"pred_lang")
       .orderBy($"doc_id".asc)
   }
 
-  /** Confusion-matrix summary of langId against the labeled `lang` column. */
+  /** Confusion-matrix summary of langId against the labeled `lang` column —
+    * one scan (the label rides along with the scores), shuffling only the
+    * langs×langs matrix. */
   def langIdEval(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pred = langId(spark, sfDir).select($"doc_id", $"pred_lang")
-    Tables.read(spark, sfDir, "documents").select($"doc_id", $"lang")
-      .join(pred, Seq("doc_id"))
+    langScores(spark, sfDir)
       .groupBy($"lang", $"pred_lang").count().withColumnRenamed("count", "cnt")
       .orderBy($"lang".asc, $"pred_lang".asc)
   }

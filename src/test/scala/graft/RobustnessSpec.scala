@@ -32,6 +32,18 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAnalysis.tfidfTopK(spark, emptyDir).count() == 0)
   }
 
+  test("testdata documents are ASCII (mm/text oracles equate bytes and chars)") {
+    // The mm_* oracles fold DuckDB ascii() code points while the Scala
+    // stubs fold UTF-8 bytes; equivalent only for ASCII text. The
+    // generator guarantees it — this guard makes the assumption fail
+    // loudly if the fixtures ever change.
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.read(spark, sf, "documents")
+      .filter(length(col("text")) =!= octet_length(encode(col("text"), "UTF-8")))
+      .count()
+    assert(nonAscii == 0, s"$nonAscii non-ASCII documents in fixture")
+  }
+
   test("multimodal stubs return empty on an empty corpus") {
     assert(Multimodal.binaryFeatures(spark, emptyDir).count() == 0)
     assert(Multimodal.frameSample(spark, emptyDir).count() == 0)
