@@ -77,6 +77,7 @@ object SparkEntry {
     "ev_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
     // Sketches
     "q_approx_distinct" -> ((s, d) => RefQueries.qApproxDistinct(s, d)),
+    "q_profile" -> ((s, d) => RefQueries.qProfile(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -372,6 +373,17 @@ object SparkEntry {
     "q4_distance_sql" -> q4Oracle,
     "q4_distance_cogroup" -> q4Oracle,
     "q4_distance_bcastvar" -> q4Oracle,
+    "q_profile" -> """
+      SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+             count(*) - count(o_orderstatus) AS n_null,
+             count(DISTINCT o_orderstatus) AS n_distinct FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority) FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+             count(DISTINCT o_custkey) FROM orders
+      ORDER BY col_name ASC""",
     "q_skew_salted_agg" -> """
       SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value,
              round(sum(value) / count(*), 4) AS avg_value

@@ -469,6 +469,25 @@ object RefQueries {
       dim)
   }
 
+  /** Table profiling — the data-quality pass an ingest pipeline runs
+    * first: per column, row count, null count, exact distinct count.
+    * One pruned scan per profiled column (Catalyst reads only that
+    * column); at 100 TB swap the exact distincts for
+    * `approx_count_distinct` — the query shape is identical. */
+  def qProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.read(spark, sfDir, "orders")
+    val profiled = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+    profiled.map { c =>
+      ord.agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"))
+    }.reduce(_.union(_))
+      .orderBy($"col_name".asc)
+  }
+
   /** Sketch aggregation: exact `countDistinct` next to the HyperLogLog++
     * `approx_count_distinct` — at 100 TB the exact distinct is a full
     * shuffle of the key set while the sketch is a few KB per partition;

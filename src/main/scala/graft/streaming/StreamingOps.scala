@@ -31,6 +31,19 @@ object StreamingOps {
         $"sum_value")
   }
 
+  /** Watermarked stream-stream join: each purchase joined to the clicks by
+    * the same user in the preceding 30 minutes. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so the
+    * engine can evict buffered rows once the watermark passes — state is
+    * O(30 min of stream) per side, not unbounded. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("c_ts", "10 minutes")
+    val p = purchases.withWatermark("p_ts", "10 minutes")
+    p.join(c, expr("""
+      p_user = c_user AND
+      c_ts <= p_ts AND c_ts >= p_ts - interval 30 minutes"""))
+  }
+
   /** Streaming exactly-once dedup on event_id: state is bounded by the
     * watermark (an id older than the watermark can be evicted because a
     * duplicate arriving later would be dropped as late data anyway). The

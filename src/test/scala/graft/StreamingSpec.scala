@@ -85,6 +85,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to recent clicks per user") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamingOps.clickAttribution(
+      clicks.toDF().toDF("c_user", "c_ts", "c_id"),
+      purchases.toDF().toDF("p_user", "p_ts", "p_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attr_out").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 10:00:00"), 100L),
+        (1L, ts("2024-01-01 09:00:00"), 101L), // >30min before purchase
+        (2L, ts("2024-01-01 10:05:00"), 102L)) // other user
+      purchases.addData((1L, ts("2024-01-01 10:10:00"), 200L))
+      q.processAllAvailable()
+      val pairs = spark.table("attr_out").collect()
+        .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+      assert(pairs == Set((200L, 100L)),
+        s"expected purchase 200 <- click 100 only, got $pairs")
+    } finally q.stop()
+  }
+
   test("in-batch gap splits sessions immediately") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
