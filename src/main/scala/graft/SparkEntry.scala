@@ -78,6 +78,8 @@ object SparkEntry {
     // Sketches
     "q_approx_distinct" -> ((s, d) => RefQueries.qApproxDistinct(s, d)),
     "q_profile" -> ((s, d) => RefQueries.qProfile(s, d)),
+    "q_quantiles" -> ((s, d) => RefQueries.qQuantiles(s, d)),
+    "text_bigrams" -> ((s, d) => TextAnalysis.bigramStats(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -384,6 +386,26 @@ object SparkEntry {
       SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
              count(DISTINCT o_custkey) FROM orders
       ORDER BY col_name ASC""",
+    "q_quantiles" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""",
+    "text_bigrams" -> """
+      WITH toks AS (
+        SELECT doc_id, l[ord] AS tok, ord FROM (
+          SELECT doc_id, l, unnest(generate_series(1, len(l))) AS ord
+          FROM (SELECT doc_id, string_split(
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+                FROM documents))
+      ), bg AS (
+        SELECT tok || ' ' ||
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS bigram
+        FROM toks
+      )
+      SELECT bigram, count(*) AS cnt FROM bg WHERE bigram IS NOT NULL
+      GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20""",
     "q_skew_salted_agg" -> """
       SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value,
              round(sum(value) / count(*), 4) AS avg_value

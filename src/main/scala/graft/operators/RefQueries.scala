@@ -469,6 +469,22 @@ object RefQueries {
       dim)
   }
 
+  /** Exact percentiles per group (median + p90 of extended price).
+    * `percentile` is the exact sort-based aggregate — right up to the
+    * scale where the per-group value set no longer fits a partition;
+    * past that, `approx_percentile` (KLL-sketch-style) is the drop-in.
+    * Oracle: DuckDB `quantile_cont` (same linear interpolation). */
+  def qQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag".asc)
+  }
+
   /** Table profiling — the data-quality pass an ingest pipeline runs
     * first: per column, row count, null count, exact distinct count.
     * One pruned scan per profiled column (Catalyst reads only that

@@ -106,6 +106,25 @@ object TextAnalysis {
       .orderBy($"lang".asc, $"pred_lang".asc)
   }
 
+  /** Corpus-wide top-20 bigrams — n-gram statistics for LM-data prep.
+    * Same codegen'd posexplode + window-lead shingle stream as MinHash
+    * (no per-row array materialization); the global top-20 is a tiny
+    * ordered limit after one count shuffle. */
+  def bigramStats(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')"))
+      .select($"doc_id", posexplode(split($"norm", " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    toks
+      .withColumn("t1", lead($"tok", 1).over(w))
+      .filter($"t1".isNotNull)
+      .select(concat_ws(" ", $"tok", $"t1").as("bigram"))
+      .groupBy($"bigram").count().withColumnRenamed("count", "cnt")
+      .orderBy($"cnt".desc, $"bigram".asc)
+      .limit(k)
+  }
+
   /** TF-IDF top-3 terms per document — the multi-stage text-analytics
     * pipeline shape: tokenize → per-(doc,term) tf → per-term document
     * frequency → smoothed idf = ln((N+1)/(df+1)) → top-k per doc.
