@@ -19,6 +19,23 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("registerViews exposes every table to SQL") {
+    Tables.registerViews(spark, sf)
+    val n = spark.sql("""
+      SELECT count(*) FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey""").collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
+  test("driver materializations: show / take / head / collect / explain") {
+    val df = SparkEntry.entry(spark)
+    df.show(5) // S6: renders without error
+    assert(df.take(3).length == 3)
+    assert(df.head(1).nonEmpty)
+    assert(df.collect().nonEmpty)
+    df.explain() // S7
+  }
+
   test("oracle keys are a subset of query keys") {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracles without queries: $extra")
