@@ -75,6 +75,7 @@ object SparkEntry {
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "ev_sessionize_typed" -> ((s, d) => Events.sessionizeTyped(s, d)),
     "ev_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
+    "ev_range_join" -> ((s, d) => Events.rangeJoinBinned(s, d)),
     // Sketches
     "q_approx_distinct" -> ((s, d) => RefQueries.qApproxDistinct(s, d)),
     "q_profile" -> ((s, d) => RefQueries.qProfile(s, d)),
@@ -483,6 +484,16 @@ object SparkEntry {
       FROM p ASOF LEFT JOIN c
         ON p.user_id = c.user_id AND p.ts >= c.click_ts
       ORDER BY p.event_id ASC""",
+    // oracle: DuckDB's native inequality (IE) join for the range predicate
+    "ev_range_join" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      )
+      SELECT a.user_id, count(*) AS n_pairs
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND abs(a.us - b.us) <= 60000000
+      GROUP BY a.user_id ORDER BY a.user_id ASC""",
     "text_tfidf_topk" -> """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(

@@ -41,6 +41,33 @@ object Events {
       .orderBy($"win_start".asc, $"event_type".asc)
   }
 
+  /** Event-time range join, binned: count pairs of events by the same
+    * user within `windowSec` of each other. A naive `|a.ts - b.ts| <= w`
+    * join plans as a nested-loop at any scale; binning time into
+    * `windowSec` buckets and replicating one side to its 3 neighboring
+    * buckets turns it into a hash equi-join on (user, bucket) + a cheap
+    * residual filter — each qualifying pair matches in exactly one
+    * bucket (the right side's), so no dedup pass is needed.
+    * Oracle: DuckDB's native inequality join (IEJoin) — an independent
+    * algorithm for the same semantics. */
+  def rangeJoinBinned(spark: SparkSession, sfDir: String,
+      windowSec: Int = 60): DataFrame = {
+    import spark.implicits._
+    val winUs = windowSec * 1000000L
+    val ev = Tables.read(spark, sfDir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("bucket", expr(s"us div $winUs"))
+    val a = ev.select($"user_id", $"event_id".as("a_id"), $"us".as("a_us"),
+      explode(array($"bucket" - 1, $"bucket", $"bucket" + 1)).as("bucket"))
+    val b = ev.select($"user_id", $"event_id".as("b_id"), $"us".as("b_us"),
+      $"bucket")
+    a.join(b, Seq("user_id", "bucket"))
+      .filter($"a_id" < $"b_id" && abs($"a_us" - $"b_us") <= winUs)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"user_id".asc)
+  }
+
   /** As-of (backward) join composed from built-ins — for each 'purchase'
     * event, the most recent 'click' by the same user at or before it.
     * Spark has no ASOF JOIN operator; per the extension preference order
