@@ -18,8 +18,7 @@ import graft.Tables
   */
 object Dedup {
 
-  private def normText: Column =
-    regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+  private def normText: Column = graft.functions.TextNorm.normCol
 
   /** Exact dedup: group on (xxhash64(norm), norm), keep the smallest
     * doc_id. Grouping on the hash alone would silently merge 64-bit

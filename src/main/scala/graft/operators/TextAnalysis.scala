@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.TextNorm
 
 /** Text-analysis operators over the `documents` table — the language-ID /
   * quality-scoring / token-counting / fingerprinting stages of a training-
@@ -113,7 +114,7 @@ object TextAnalysis {
   def bigramStats(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     import spark.implicits._
     val toks = Tables.read(spark, sfDir, "documents")
-      .withColumn("norm", expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')"))
+      .withColumn("norm", expr(TextNorm.normSql))
       .select($"doc_id", posexplode(split($"norm", " ")).as(Seq("pos", "tok")))
     val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
     toks
@@ -137,14 +138,15 @@ object TextAnalysis {
   def tfidfTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     val toks = Tables.read(spark, sfDir, "documents")
-      .select($"doc_id",
-        explode(split(regexp_replace(lower(trim($"text")), "\\s+", " "), " "))
-          .as("tok"))
+      .select($"doc_id", explode(split(TextNorm.normCol, " ")).as("tok"))
     val tf = toks.groupBy($"doc_id", $"tok").count()
       .withColumnRenamed("count", "tf")
     val df = toks.groupBy($"tok")
       .agg(countDistinct($"doc_id").as("df"))
-    val n = toks.select(countDistinct($"doc_id").as("n_docs"))
+    // corpus size from a pruned one-column scan, not the exploded
+    // token stream (split emits >=1 token per doc, so the counts agree)
+    val n = Tables.read(spark, sfDir, "documents")
+      .select(countDistinct($"doc_id").as("n_docs"))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"tfidf_raw".desc, $"tok".asc)
     tf.join(df, Seq("tok"))
@@ -168,7 +170,7 @@ object TextAnalysis {
     graft.functions.PolyHash.register(spark)
     Tables.read(spark, sfDir, "documents")
       .withColumn("norm",
-        expr("substr(regexp_replace(lower(trim(text)), '\\\\s+', ' '), 1, 1024)"))
+        expr(s"substr(${TextNorm.normSql}, 1, 1024)"))
       // native codegen'd byte-loop rolling hash (graft.functions.PolyHash)
       .withColumn("fp", expr("poly_hash(norm, 1024)"))
       .select($"doc_id", $"fp")

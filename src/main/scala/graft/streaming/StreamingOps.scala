@@ -44,10 +44,14 @@ object StreamingOps {
       c_ts <= p_ts AND c_ts >= p_ts - interval 30 minutes"""))
   }
 
-  /** Streaming exactly-once dedup on event_id: state is bounded by the
-    * watermark (an id older than the watermark can be evicted because a
-    * duplicate arriving later would be dropped as late data anyway). The
-    * streaming twin of the batch `Dedup.exactDedup` keep-first semantics. */
+  /** Streaming keep-first dedup on event_id within the watermark horizon:
+    * state is bounded by the watermark. Guarantees exactly-once only for
+    * duplicates that carry the original event time (or arrive inside the
+    * horizon); a duplicate redelivered with a *fresh* event time after its
+    * id was evicted is re-emitted — beyond-horizon redelivery degrades to
+    * at-least-once, the standard dropDuplicatesWithinWatermark contract.
+    * The streaming twin of the batch `Dedup.exactDedup` keep-first
+    * semantics. */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

@@ -14,6 +14,9 @@ class RobustnessSpec extends SparkSpec {
     Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
     dir
   }
 
@@ -30,6 +33,25 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAnalysis.langId(spark, emptyDir).count() == 0)
     assert(TextAnalysis.fingerprint(spark, emptyDir).count() == 0)
     assert(TextAnalysis.tfidfTopK(spark, emptyDir).count() == 0)
+  }
+
+  test("similarity operators return empty on an empty embeddings table") {
+    assert(Similarity.topKBruteForce(spark, emptyDir).count() == 0)
+    assert(Similarity.topKLsh(spark, emptyDir).count() == 0)
+    assert(Similarity.topKIvf(spark, emptyDir).count() == 0)
+    assert(Similarity.cosineNearDup(spark, emptyDir).count() == 0)
+  }
+
+  test("events have unique (user_id, event_type, ts) — asof oracle determinism") {
+    // ev_asof_join's hash-exact match against DuckDB's native ASOF JOIN
+    // relies on no two same-user clicks sharing a timestamp (both engines
+    // would pick an arbitrary one of the tied rows). Fails loudly if the
+    // fixture ever regenerates with coarser timestamps.
+    import org.apache.spark.sql.functions._
+    val dups = Tables.read(spark, sf, "events")
+      .groupBy(col("user_id"), col("event_type"), col("ts")).count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0, s"$dups tied (user, type, ts) rows in events fixture")
   }
 
   test("testdata documents are ASCII (mm/text oracles equate bytes and chars)") {
