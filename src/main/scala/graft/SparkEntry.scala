@@ -64,6 +64,7 @@ object SparkEntry {
     "sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
     "sim_topk_ivf" -> ((s, d) => Similarity.topKIvf(s, d)),
     "embed_cosine_neardup" -> ((s, d) => Similarity.cosineNearDup(s, d)),
+    "embed_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     // Multimodal columns
     "mm_props_json" -> ((s, d) => Multimodal.propsJson(s, d)),
     "mm_binary_features" -> ((s, d) => Multimodal.binaryFeatures(s, d)),
@@ -76,6 +77,7 @@ object SparkEntry {
     "ev_sessionize_typed" -> ((s, d) => Events.sessionizeTyped(s, d)),
     "ev_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
     "ev_range_join" -> ((s, d) => Events.rangeJoinBinned(s, d)),
+    "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
     // Sketches
     "q_approx_distinct" -> ((s, d) => RefQueries.qApproxDistinct(s, d)),
     "q_profile" -> ((s, d) => RefQueries.qProfile(s, d)),
@@ -484,6 +486,45 @@ object SparkEntry {
       FROM p ASOF LEFT JOIN c
         ON p.user_id = c.user_id AND p.ts >= c.click_ts
       ORDER BY p.event_id ASC""",
+    "embed_quantize_int8" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), m AS (
+        SELECT vec_id, v,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(v, x -> abs(x))),
+                 (a, x) -> greatest(a, x)) AS max_abs
+        FROM e
+      ), q AS (
+        SELECT vec_id, max_abs,
+               list_transform(v, x -> round(x * 127.0 / max_abs, 0)::INTEGER)
+                 AS qv
+        FROM m WHERE max_abs > 0
+      )
+      SELECT vec_id, round(max_abs / 127.0, 6) AS scale,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(qv, x -> x::BIGINT)), (a, x) -> a + x) AS q_sum,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(qv, x -> abs(x)::BIGINT)), (a, x) -> a + x)
+               AS q_l1
+      FROM q ORDER BY vec_id ASC""",
+    "ev_funnel" -> """
+      WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                 AS first_click,
+               max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                 AS last_purchase
+        FROM events GROUP BY user_id
+      )
+      SELECT count(*) AS n_users,
+             count(first_click) AS n_clickers,
+             count(CASE WHEN last_purchase > first_click THEN 1 END)
+               AS n_converted,
+             round(count(CASE WHEN last_purchase > first_click THEN 1 END)
+                   ::double /
+                   greatest(count(first_click), 1), 4) AS conversion
+      FROM per_user""",
     // oracle: DuckDB's native inequality (IE) join for the range predicate
     "ev_range_join" -> """
       WITH e AS (

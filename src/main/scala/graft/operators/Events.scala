@@ -41,6 +41,26 @@ object Events {
       .orderBy($"win_start".asc, $"event_type".asc)
   }
 
+  /** Funnel analysis: per-user click → purchase conversion. One scan,
+    * one conditional-aggregation group-by per user (min event time per
+    * step), then a tiny global rollup — the standard funnel shape that
+    * needs no self-join. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.read(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "click", unix_micros($"ts"))).as("first_click"),
+        max(when($"event_type" === "purchase", unix_micros($"ts"))).as("last_purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count($"first_click").as("n_clickers"),
+      count(when($"last_purchase" > $"first_click", 1)).as("n_converted"),
+      round(
+        count(when($"last_purchase" > $"first_click", 1)).cast("double") /
+          greatest(count($"first_click"), lit(1)), 4).as("conversion"))
+  }
+
   /** Event-time range join, binned: count pairs of events by the same
     * user within `windowSec` of each other. A naive `|a.ts - b.ts| <= w`
     * join plans as a nested-loop at any scale; binning time into
