@@ -54,6 +54,7 @@ object SparkEntry {
     "text_langid_eval" -> ((s, d) => TextAnalysis.langIdEval(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
+    "text_sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     // Deduplication (documents)
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -389,6 +390,12 @@ object SparkEntry {
       SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
              count(DISTINCT o_custkey) FROM orders
       ORDER BY col_name ASC""",
+    "text_sample_stratified" -> """
+      SELECT lang, count(*) AS n_total,
+             count(CASE WHEN doc_id % 10 < 1 THEN 1 END) AS n_kept,
+             round(count(CASE WHEN doc_id % 10 < 1 THEN 1 END)::double /
+                   greatest(count(*), 1), 4) AS rate
+      FROM documents GROUP BY lang ORDER BY lang ASC""",
     "q_quantiles" -> """
       SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,

@@ -107,6 +107,24 @@ object TextAnalysis {
       .orderBy($"lang".asc, $"pred_lang".asc)
   }
 
+  /** Deterministic stratified subsampling — the reproducible take-10%
+    * every training-data pipeline needs. Membership is a pure function of
+    * the stable id (`doc_id % denom < keep`), so the sample is identical
+    * across runs, engines, and cluster layouts (a `rand()`-based sample is
+    * none of those). Per-stratum keep counts verify the rates. At scale
+    * you'd key on a hash of a content id; the modulo shape is identical. */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+      keep: Int = 1, denom: Int = 10): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(pmod($"doc_id", lit(denom)) < keep, 1)).as("n_kept"))
+      .withColumn("rate",
+        round($"n_kept".cast("double") / greatest($"n_total", lit(1)), 4))
+      .orderBy($"lang".asc)
+  }
+
   /** Corpus-wide top-20 bigrams — n-gram statistics for LM-data prep.
     * Same codegen'd posexplode + window-lead shingle stream as MinHash
     * (no per-row array materialization); the global top-20 is a tiny
