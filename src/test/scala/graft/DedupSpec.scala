@@ -47,12 +47,14 @@ class DedupSpec extends SparkSpec {
       "unrelated doc matched")
   }
 
-  test("minhash LSH finds the same pairs") {
-    val pairs = Dedup.minHashLsh(spark, fixtureDir, estThreshold = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((0L, 1L)))
-    assert(pairs.contains((0L, 2L)))
-    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  test("minhash LSH finds the same pairs; exact dups estimate at 1.0") {
+    val rows = Dedup.minHashLsh(spark, fixtureDir, estThreshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.contains((0L, 1L)))
+    assert(rows((0L, 1L)) == 1.0,
+      "identical normalized docs must have identical signatures")
+    assert(rows.contains((0L, 2L)))
+    assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {

@@ -1,0 +1,49 @@
+package graft
+
+/** Physical-plan regression guards: the scale-critical plan shapes the
+  * PERF.md audit verified by hand, asserted so a future refactor that
+  * silently loses pushdown / broadcast / top-k-pushdown fails here. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: rank filter compiles to WindowGroupLimit (top-k pushdown)") {
+    assert(plan("q1_topmonths").contains("WindowGroupLimit"))
+  }
+
+  test("q1: shipdate filters and pruned schema reach the parquet scan") {
+    val p = plan("q1_topmonths")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "filter not pushed to scan")
+    assert(p.contains("ReadSchema: struct<l_shipdate"),
+      "scan not pruned to l_shipdate")
+    assert(!p.contains("l_extendedprice"), "scan reads unneeded columns")
+  }
+
+  test("q4: dimension join is a broadcast hash join, no cartesian") {
+    val p = plan("q4_distance")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q3: driver round-trip isin literals are pushed into both scans") {
+    val p = plan("q3_joinchain")
+    assert(p.contains("In(o_custkey") || p.contains("In(c_custkey"),
+      "top-3 isin literal not pushed into a parquet scan")
+  }
+
+  test("ev_sessionize: both windows share one exchange") {
+    val p = plan("ev_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"expected a single hash exchange for both windows, found $exchanges")
+  }
+
+  test("text ops: map-only plan, scan pruned to (doc_id, text)") {
+    val p = plan("text_tokens")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-row text op should not shuffle")
+  }
+}
