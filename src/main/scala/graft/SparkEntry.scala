@@ -71,6 +71,7 @@ object SparkEntry {
     "mm_binary_features" -> ((s, d) => Multimodal.binaryFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
+    "mm_crossmodal_join" -> ((s, d) => Multimodal.crossModalJoin(s, d)),
     // Event windowing / sessionization (batch twins of graft.streaming)
     "ev_window_tumbling" -> ((s, d) => Events.tumblingWindow(s, d)),
     "ev_window_sliding" -> ((s, d) => Events.slidingWindow(s, d)),
@@ -475,6 +476,19 @@ object SparkEntry {
                       i -> ascii(substr(text, i, 1)))),
                     (a, x) -> (a * 31 + x) % 1000000007) END AS resized_hash
       FROM documents ORDER BY doc_id ASC""",
+    "mm_crossmodal_join" -> """
+      WITH v AS (
+        SELECT vec_id AS doc_id,
+               sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                 (a, x) -> a + x)) AS vec_norm
+        FROM embeddings
+      )
+      SELECT lang, count(*) AS cnt,
+             round(avg(vec_norm), 6) AS avg_norm,
+             round(avg(length(text)), 4) AS avg_chars
+      FROM documents d JOIN v USING (doc_id)
+      GROUP BY lang ORDER BY lang ASC""",
     "ev_window_tumbling" -> evWindowOracle,
     "ev_sessionize" -> evSessionizeOracle,
     "ev_sessionize_typed" -> evSessionizeOracle,

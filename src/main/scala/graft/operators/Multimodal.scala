@@ -30,6 +30,29 @@ object Multimodal {
       .orderBy($"event_type".asc)
   }
 
+  /** Cross-modal join: text metadata ⋈ vector modality on the shared id
+    * (doc_id = vec_id), rolled up per language — the "attach the
+    * embedding to its document" step every multimodal pipeline has.
+    * Scale: ids are unique on both sides, so this is a plain 1:1
+    * shuffle-hash/SMJ join; the vector reduces to its norm before the
+    * group-by, so the aggregate shuffles scalars, not arrays. */
+  def crossModalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", length($"text").cast("long").as("n_chars_calc"))
+    val vecs = Tables.read(spark, sfDir, "embeddings")
+      .select($"vec_id".as("doc_id"),
+        sqrt(expr(
+          "aggregate(cast(embedding AS array<double>), 0.0d, (a, x) -> a + x * x)"))
+          .as("vec_norm"))
+    docs.join(vecs, Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg($"vec_norm"), 6).as("avg_norm"),
+        round(avg($"n_chars_calc"), 4).as("avg_chars"))
+      .orderBy($"lang".asc)
+  }
+
   /** STUB decoder for the binary payload. A real pipeline would decode
     * image/audio bytes here (resize, frame-sample, feature-extract); this
     * container has no media libs, so the "features" are a deterministic
