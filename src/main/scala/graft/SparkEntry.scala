@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1 shape: union → substring year/month → group-count → window top-3
     "q1_topmonths" -> ((s, d) => RefQueries.q1TopMonths(s, d)),
+    "q1_csv" -> ((s, d) => RefQueries.q1TopMonthsCsv(s, d)),
     "q1_sql" -> ((s, d) => RefQueries.q1TopMonthsSql(s, d)),
     "q1_typed" -> ((s, d) => RefQueries.q1TopMonthsTyped(s, d)),
     // Q2 shape: filter → lpad/cast → CASE buckets → group-count
@@ -367,6 +368,7 @@ object SparkEntry {
     "q1_topmonths" -> q1Oracle,
     "q1_sql" -> q1Oracle,
     "q1_typed" -> q1Oracle,
+    "q1_csv" -> q1Oracle,
     "q2_buckets" -> q2Oracle,
     "q2_sql" -> q2Oracle,
     "q2_typed" -> q2Oracle,

@@ -30,9 +30,28 @@ object RefQueries {
     * and the window/sort over that tiny aggregate — at 100 TB the heavy
     * stage is the scan+partial-agg, which parallelizes per input split.
     */
-  def q1TopMonths(spark: SparkSession, sfDir: String): DataFrame = {
+  def q1TopMonths(spark: SparkSession, sfDir: String): DataFrame =
+    q1Shape(spark, Tables.read(spark, sfDir, "lineitem"))
+
+  /** CSV-source twin (reference S1: every query ran against both CSV and
+    * Parquet, with the format gap measured — results/query1.txt:100-122).
+    * The parquet fixture is converted once to a cached CSV copy (header +
+    * schema inference on read, exactly the reference's reader options);
+    * same plan, same oracle — the bench shows the format cost. */
+  def q1TopMonthsCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val safe = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val csvDir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_$safe/lineitem"
+    if (!new java.io.File(csvDir).exists()) {
+      Tables.read(spark, sfDir, "lineitem")
+        .write.option("header", "true").mode("overwrite").csv(csvDir)
+    }
+    q1Shape(spark,
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(csvDir))
+  }
+
+  private def q1Shape(spark: SparkSession, li: DataFrame): DataFrame = {
     import spark.implicits._
-    val li = Tables.read(spark, sfDir, "lineitem")
     // Reference unions 2010s + 2020s CSVs (query1.py:25); preserve the
     // positional-union shape with two disjoint date slices of lineitem.
     val split = lit("1998-01-01").cast("timestamp")
