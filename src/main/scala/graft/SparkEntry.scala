@@ -52,6 +52,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_langid_ngram" -> ((s, d) => TextAnalysis.langIdNgram(s, d)),
     "text_langid_eval" -> ((s, d) => TextAnalysis.langIdEval(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
@@ -439,6 +440,29 @@ object SparkEntry {
     "text_quality" -> textQualityOracle,
     "text_langid" -> textLangIdOracle,
     "text_langid_eval" -> textLangIdEvalOracle,
+    "text_langid_ngram" -> """
+      WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+      s AS (
+        SELECT doc_id,
+          ((length(lt) - length(replace(lt, 'th', ''))) // 2 +
+           (length(lt) - length(replace(lt, 'he ', ''))) // 3 +
+           (length(lt) - length(replace(lt, 'ing', ''))) // 3) AS g_en,
+          ((length(lt) - length(replace(lt, 'sch', ''))) // 3 +
+           (length(lt) - length(replace(lt, 'der', ''))) // 3 +
+           (length(lt) - length(replace(lt, 'ung', ''))) // 3) AS g_de,
+          ((length(lt) - length(replace(lt, 'les', ''))) // 3 +
+           (length(lt) - length(replace(lt, 'eau', ''))) // 3 +
+           (length(lt) - length(replace(lt, 'oux', ''))) // 3) AS g_fr,
+          ((length(lt) - length(replace(lt, 'ción', ''))) // 4 +
+           (length(lt) - length(replace(lt, 'los', ''))) // 3 +
+           (length(lt) - length(replace(lt, 'ñ', ''))) // 1) AS g_es
+        FROM t)
+      SELECT doc_id, g_en, g_de, g_fr, g_es,
+             CASE WHEN g_en >= g_de AND g_en >= g_fr AND g_en >= g_es THEN 'en'
+                  WHEN g_de >= g_fr AND g_de >= g_es THEN 'de'
+                  WHEN g_fr >= g_es THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+      FROM s ORDER BY doc_id ASC""",
     "text_fingerprint" -> textFingerprintOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,

@@ -107,6 +107,33 @@ object TextAnalysis {
       .orderBy($"lang".asc, $"pred_lang".asc)
   }
 
+  /** Character-trigram language-ID — the literal n-gram heuristic: score
+    * each language by occurrences of its characteristic character
+    * trigrams anywhere in the text (substring counts via length deltas —
+    * pure codegen'd string math, no tokenization needed), argmax with the
+    * same fixed priority order as the marker-word variant. */
+  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // occurrences of literal `pat` in lower(text):
+    // (len(t) - len(replace(t, pat, ''))) div len(pat)
+    def occ(pat: String) = expr(
+      s"(length(lt) - length(replace(lt, '$pat', ''))) div ${pat.length}")
+    def score(pats: Seq[String]) = pats.map(occ).reduce(_ + _)
+    Tables.read(spark, sfDir, "documents")
+      .withColumn("lt", lower($"text"))
+      .withColumn("g_en", score(Seq("th", "he ", "ing")))
+      .withColumn("g_de", score(Seq("sch", "der", "ung")))
+      .withColumn("g_fr", score(Seq("les", "eau", "oux")))
+      .withColumn("g_es", score(Seq("ción", "los", "ñ")))
+      .withColumn("pred_lang",
+        when($"g_en" >= $"g_de" && $"g_en" >= $"g_fr" && $"g_en" >= $"g_es", "en")
+          .when($"g_de" >= $"g_fr" && $"g_de" >= $"g_es", "de")
+          .when($"g_fr" >= $"g_es", "fr")
+          .otherwise("es"))
+      .select($"doc_id", $"g_en", $"g_de", $"g_fr", $"g_es", $"pred_lang")
+      .orderBy($"doc_id".asc)
+  }
+
   /** Deterministic stratified subsampling — the reproducible take-10%
     * every training-data pipeline needs. Membership is a pure function of
     * the stable id (`doc_id % denom < keep`), so the sample is identical
