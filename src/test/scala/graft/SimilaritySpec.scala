@@ -47,6 +47,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN recall@5 floors vs exact baseline (measured with margin)") {
+    val brute = Similarity.topKBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.topKLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.topKIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRecall = (lsh & brute).size.toDouble / brute.size
+    val ivfRecall = (ivf & brute).size.toDouble / brute.size
+    // measured at sf0.001: lsh 0.60, ivf 0.87 — floors leave margin.
+    // Sign-LSH recall is inherently modest on this synthetic corpus
+    // (max off-diagonal cosine ≈ 0.5: no true near neighbors to
+    // preserve); IVF probes 4/16 cells and lands much higher.
+    assert(lshRecall >= 0.3, f"LSH recall@5 $lshRecall%.2f below floor")
+    assert(ivfRecall >= 0.7, f"IVF recall@5 $ivfRecall%.2f below floor")
+  }
+
   test("near-dup pairs are canonicalized and above threshold") {
     val rows = Similarity.cosineNearDup(spark, sf).collect()
     rows.foreach { r =>
