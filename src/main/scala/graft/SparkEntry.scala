@@ -82,6 +82,8 @@ object SparkEntry {
     "ev_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
     "ev_range_join" -> ((s, d) => Events.rangeJoinBinned(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
+    "ev_pivot" -> ((s, d) => Events.pivotCounts(s, d)),
+    "q_rollup" -> ((s, d) => RefQueries.qRollup(s, d)),
     // Sketches
     "q_approx_distinct" -> ((s, d) => RefQueries.qApproxDistinct(s, d)),
     "q_profile" -> ((s, d) => RefQueries.qProfile(s, d)),
@@ -518,6 +520,25 @@ object SparkEntry {
     "ev_window_tumbling" -> evWindowOracle,
     "ev_sessionize" -> evSessionizeOracle,
     "ev_sessionize_typed" -> evSessionizeOracle,
+    "ev_pivot" -> """
+      SELECT user_id,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY user_id ORDER BY user_id ASC""",
+    "q_rollup" -> """
+      WITH ym AS (
+        SELECT substr(cast(l_shipdate AS varchar), 1, 4) AS year,
+               substr(cast(l_shipdate AS varchar), 6, 2) AS month,
+               l_quantity
+        FROM lineitem
+      )
+      SELECT year, month, count(*) AS cnt, round(sum(l_quantity), 4) AS qty,
+             (grouping(year) * 2 + grouping(month))::BIGINT AS gid
+      FROM ym GROUP BY ROLLUP (year, month)
+      ORDER BY gid ASC, year ASC NULLS FIRST, month ASC NULLS FIRST""",
     // oracle: DuckDB's native ASOF JOIN — an independent implementation
     // of the as-of semantics our union+window composition expresses
     "ev_asof_join" -> """

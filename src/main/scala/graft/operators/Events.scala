@@ -41,6 +41,20 @@ object Events {
       .orderBy($"win_start".asc, $"event_type".asc)
   }
 
+  /** Pivot (wide counts): events per user × type as columns. The value
+    * list is explicit — an unlisted-values pivot needs a distinct-scan
+    * job first (a hidden driver round-trip at scale). Missing combos are
+    * 0, not null, to match conditional-aggregation semantics. */
+  def pivotCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy($"user_id".asc)
+  }
+
   /** Funnel analysis: per-user click → purchase conversion. One scan,
     * one conditional-aggregation group-by per user (min event time per
     * step), then a tiny global rollup — the standard funnel shape that

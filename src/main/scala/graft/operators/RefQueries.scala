@@ -488,6 +488,24 @@ object RefQueries {
       dim)
   }
 
+  /** Rollup aggregation: per-(year, month) counts with year and grand
+    * totals in one pass — Catalyst expands the grouping sets, partial
+    * aggregation still applies, so the shuffle carries one partial row
+    * per (grouping set × key), not the input. `grouping_id` disambiguates
+    * NULL-as-total from NULL-as-value. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "lineitem")
+      .withColumn("ds", $"l_shipdate".cast("string"))
+      .withColumn("year", $"ds".substr(1, 4))
+      .withColumn("month", $"ds".substr(6, 2))
+      .rollup($"year", $"month")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"l_quantity"), 4).as("qty"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"gid".asc, $"year".asc_nulls_first, $"month".asc_nulls_first)
+  }
+
   /** Exact percentiles per group (median + p90 of extended price).
     * `percentile` is the exact sort-based aggregate — right up to the
     * scale where the per-group value set no longer fits a partition;
