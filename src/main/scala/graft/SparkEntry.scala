@@ -84,6 +84,7 @@ object SparkEntry {
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
     "ev_pivot" -> ((s, d) => Events.pivotCounts(s, d)),
     "q_rollup" -> ((s, d) => RefQueries.qRollup(s, d)),
+    "q_semi_anti_join" -> ((s, d) => RefQueries.qSemiAntiJoin(s, d)),
     // Sketches
     "q_approx_distinct" -> ((s, d) => RefQueries.qApproxDistinct(s, d)),
     "q_profile" -> ((s, d) => RefQueries.qProfile(s, d)),
@@ -520,6 +521,15 @@ object SparkEntry {
     "ev_window_tumbling" -> evWindowOracle,
     "ev_sessionize" -> evSessionizeOracle,
     "ev_sessionize_typed" -> evSessionizeOracle,
+    "q_semi_anti_join" -> """
+      SELECT c_mktsegment,
+             count(CASE WHEN EXISTS (SELECT 1 FROM events e
+                                     WHERE e.user_id = c.c_custkey)
+                   THEN 1 END) AS n_with_events,
+             count(CASE WHEN NOT EXISTS (SELECT 1 FROM events e
+                                         WHERE e.user_id = c.c_custkey)
+                   THEN 1 END) AS n_without_events
+      FROM customer c GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""",
     "ev_pivot" -> """
       SELECT user_id,
              count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

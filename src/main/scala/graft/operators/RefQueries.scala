@@ -488,6 +488,29 @@ object RefQueries {
       dim)
   }
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS): customers partitioned by
+    * whether they have any event activity, rolled up per market segment.
+    * Both joins build a hash table of just the distinct keys of the
+    * events side — no row multiplication, which is what makes semi/anti
+    * the right tool for existence checks at scale (vs inner join +
+    * distinct, which explodes first and dedups after). */
+  def qSemiAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.read(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val ev = Tables.read(spark, sfDir, "events")
+      .select($"user_id".as("c_custkey"))
+    val withEv = cust.join(ev, Seq("c_custkey"), "left_semi")
+      .withColumn("has_events", lit(1L))
+    val withoutEv = cust.join(ev, Seq("c_custkey"), "left_anti")
+      .withColumn("has_events", lit(0L))
+    withEv.union(withoutEv)
+      .groupBy($"c_mktsegment")
+      .agg(sum($"has_events").as("n_with_events"),
+        (count(lit(1)) - sum($"has_events")).as("n_without_events"))
+      .orderBy($"c_mktsegment".asc)
+  }
+
   /** Rollup aggregation: per-(year, month) counts with year and grand
     * totals in one pass — Catalyst expands the grouping sets, partial
     * aggregation still applies, so the shuffle carries one partial row
