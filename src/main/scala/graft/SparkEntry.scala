@@ -85,6 +85,8 @@ object SparkEntry {
     "ev_pivot" -> ((s, d) => Events.pivotCounts(s, d)),
     "q_rollup" -> ((s, d) => RefQueries.qRollup(s, d)),
     "q_semi_anti_join" -> ((s, d) => RefQueries.qSemiAntiJoin(s, d)),
+    "q_window_suite" -> ((s, d) => RefQueries.qWindowSuite(s, d)),
+    "q_order_latency" -> ((s, d) => RefQueries.qOrderLatency(s, d)),
     // Sketches
     "q_approx_distinct" -> ((s, d) => RefQueries.qApproxDistinct(s, d)),
     "q_profile" -> ((s, d) => RefQueries.qProfile(s, d)),
@@ -521,6 +523,33 @@ object SparkEntry {
     "ev_window_tumbling" -> evWindowOracle,
     "ev_sessionize" -> evSessionizeOracle,
     "ev_sessionize_typed" -> evSessionizeOracle,
+    "q_window_suite" -> """
+      SELECT o_orderkey, o_custkey,
+             row_number() OVER seq_w AS seq,
+             round(o_totalprice - coalesce(
+               lag(o_totalprice, 1) OVER seq_w, 0.0), 4) AS price_delta,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_total,
+             dense_rank() OVER price_w AS price_rank,
+             ntile(4) OVER price_w AS quartile
+      FROM orders
+      WINDOW seq_w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC),
+             price_w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
+      ORDER BY o_custkey ASC, seq ASC""",
+    "q_order_latency" -> """
+      SELECT o_orderpriority, count(*) AS cnt,
+             round(avg(date_diff('day', cast(o_orderdate AS date),
+                                 cast(l_shipdate AS date))), 4)
+               AS avg_latency_days,
+             max(date_diff('day', cast(o_orderdate AS date),
+                           cast(l_shipdate AS date)))::BIGINT
+               AS max_latency_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""",
     "q_semi_anti_join" -> """
       SELECT c_mktsegment,
              count(CASE WHEN EXISTS (SELECT 1 FROM events e

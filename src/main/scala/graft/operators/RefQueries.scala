@@ -488,6 +488,52 @@ object RefQueries {
       dim)
   }
 
+  /** Window-function suite beyond the reference's lone row_number: per
+    * customer order sequence with lag-delta, running sum (explicit rows
+    * frame), dense_rank, and ntile quartile — all four share one
+    * partition-by-customer sort, so Catalyst plans a single exchange +
+    * sort for the whole set. */
+  def qWindowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byCust = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val byCustPrice = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.read(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("seq", row_number().over(byCust))
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(byCust))
+      .withColumn("price_delta",
+        round($"o_totalprice" - coalesce($"prev_price", lit(0.0)), 4))
+      .withColumn("running_total", round(sum($"o_totalprice").over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+      .withColumn("price_rank", dense_rank().over(byCustPrice).cast("long"))
+      .withColumn("quartile", ntile(4).over(byCustPrice).cast("long"))
+      .select($"o_orderkey", $"o_custkey", $"seq".cast("long").as("seq"),
+        $"price_delta", $"running_total", $"price_rank", $"quartile")
+      .orderBy($"o_custkey".asc, $"seq".asc)
+  }
+
+  /** Date arithmetic (absent from the reference, which kept dates as
+    * strings): shipping latency in days between order date and each
+    * line's ship date, aggregated per priority. */
+  def qOrderLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.read(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.read(spark, sfDir, "lineitem")
+      .select($"l_orderkey".as("o_orderkey"), $"l_shipdate")
+    li.join(ord, Seq("o_orderkey"))
+      .withColumn("lat_days",
+        datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date"))
+          .cast("long"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg($"lat_days"), 4).as("avg_latency_days"),
+        max($"lat_days").as("max_latency_days"))
+      .orderBy($"o_orderpriority".asc)
+  }
+
   /** Semi/anti joins (EXISTS / NOT EXISTS): customers partitioned by
     * whether they have any event activity, rolled up per market segment.
     * Both joins build a hash table of just the distinct keys of the
