@@ -84,6 +84,8 @@ object SparkEntry {
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
     "ev_pivot" -> ((s, d) => Events.pivotCounts(s, d)),
     "q_rollup" -> ((s, d) => RefQueries.qRollup(s, d)),
+    "q_cube" -> ((s, d) => RefQueries.qCube(s, d)),
+    "mm_props_json_typed" -> ((s, d) => Multimodal.propsJsonTyped(s, d)),
     "q_semi_anti_join" -> ((s, d) => RefQueries.qSemiAntiJoin(s, d)),
     "q_window_suite" -> ((s, d) => RefQueries.qWindowSuite(s, d)),
     "q_order_latency" -> ((s, d) => RefQueries.qOrderLatency(s, d)),
@@ -480,6 +482,15 @@ object SparkEntry {
       SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""",
     "mm_props_json" -> mmPropsJsonOracle,
+    "mm_props_json_typed" -> mmPropsJsonOracle,
+    "q_cube" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             round(sum(l_quantity), 4) AS qty,
+             (grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT
+               AS gid
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+               l_linestatus ASC NULLS FIRST""",
     "mm_binary_features" -> mmBinaryFeaturesOracle,
     "mm_frame_sample" -> """
       WITH d AS (

@@ -30,6 +30,25 @@ object Multimodal {
       .orderBy($"event_type".asc)
   }
 
+  /** Schema'd JSON parse (`from_json` with an explicit struct schema) —
+    * the typed sibling of `propsJson`'s path extraction: one parse per
+    * row yielding a struct, fields then projected; the right shape when
+    * several fields are pulled from the same JSON document. Same output
+    * (and oracle) as the path-based variant. */
+  def propsJsonTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "events")
+      .withColumn("p", from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .withColumn("k", $"p.k")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg($"k"), 4).as("avg_k"),
+        max($"k").as("max_k"),
+        count(when($"k".isNull, 1)).as("null_k"))
+      .orderBy($"event_type".asc)
+  }
+
   /** Cross-modal join: text metadata ⋈ vector modality on the shared id
     * (doc_id = vec_id), rolled up per language — the "attach the
     * embedding to its document" step every multimodal pipeline has.

@@ -534,6 +534,18 @@ object RefQueries {
       .orderBy($"o_orderpriority".asc)
   }
 
+  /** Cube aggregation — all 2^n grouping sets of (returnflag, linestatus)
+    * in one pass (rollup's sibling; same partial-aggregation property). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("qty"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"gid".asc, $"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first)
+  }
+
   /** Semi/anti joins (EXISTS / NOT EXISTS): customers partitioned by
     * whether they have any event activity, rolled up per market segment.
     * Both joins build a hash table of just the distinct keys of the
