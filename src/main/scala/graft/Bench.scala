@@ -15,11 +15,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: forces full evaluation of every output column (a bare
     // count() would let Catalyst prune the per-row work entirely).
+    // Returns success — a failed query must surface in the JSON (as -1 and
+    // in "failed"), not read as a near-zero "speedup".
     def run(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        false
       }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // untimed warm-up pass: JIT + codegen compilation are per-query
@@ -29,13 +32,16 @@ object Bench {
       ordered.foreach { case (name, fn) => run(name, fn) }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      run(name, fn)
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val ok = run(name, fn)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -1.0, ok)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,6 +26,7 @@ object SparkEntry {
     "q1_typed" -> ((s, d) => RefQueries.q1TopMonthsTyped(s, d)),
     // Q2 shape: filter → lpad/cast → CASE buckets → group-count
     "q2_buckets" -> ((s, d) => RefQueries.q2TimeBuckets(s, d)),
+    "q2_csv" -> ((s, d) => RefQueries.q2TimeBucketsCsv(s, d)),
     "q2_sql" -> ((s, d) => RefQueries.q2TimeBucketsSql(s, d)),
     "q2_typed" -> ((s, d) => RefQueries.q2TimeBucketsTyped(s, d)),
     // Q3 shape: clean → join chain (hints) → top-3-to-driver → isin →
@@ -34,14 +35,21 @@ object SparkEntry {
     "q3_hint_broadcast" -> ((s, d) => RefQueries.q3JoinChain(s, d, "broadcast", "broadcast")),
     "q3_hint_merge" -> ((s, d) => RefQueries.q3JoinChain(s, d, "merge", "merge")),
     "q3_hint_shuffle_hash" -> ((s, d) => RefQueries.q3JoinChain(s, d, "shuffle_hash", "shuffle_hash")),
+    // asymmetric hints — the reference CLI selects each join's hint
+    // independently (query3.py:175-192)
+    "q3_hint_asym" -> ((s, d) => RefQueries.q3JoinChain(s, d, "merge", "broadcast")),
+    "q3_hint_replicate_nl" -> ((s, d) => RefQueries.q3JoinChainReplicateNl(s, d)),
+    "q3_joinchain_bot" -> ((s, d) => RefQueries.q3JoinChain(s, d, extreme = "bot")),
     "q3_topk_distributed" -> ((s, d) => RefQueries.q3TopKDistributed(s, d)),
     // Q4 shape: compound filter → expression join → haversine → avg+count
     "q4_distance" -> ((s, d) => RefQueries.q4Distance(s, d)),
+    "q4_csv" -> ((s, d) => RefQueries.q4DistanceCsv(s, d)),
     "q4_distance_broadcast" -> ((s, d) => RefQueries.q4DistanceBroadcast(s, d)),
     "q4_distance_sql" -> ((s, d) => RefQueries.q4DistanceSql(s, d)),
     "q4_distance_cogroup" -> ((s, d) => RefQueries.q4DistanceCogroup(s, d)),
     "q4_distance_bcastvar" -> ((s, d) => RefQueries.q4DistanceBroadcastVar(s, d)),
     "q_skew_salted_agg" -> ((s, d) => RefQueries.qSkewSaltedAgg(s, d)),
+    "q_skew_join" -> ((s, d) => RefQueries.qSkewJoin(s, d)),
     // J1: multi-key USING join
     "q_join_multikey" -> ((s, d) => RefQueries.qJoinMultiKey(s, d)),
     // A5: typed Aggregator custom aggregate
@@ -66,6 +74,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> ((s, d) => Similarity.topKBruteForce(s, d)),
     "sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
     "sim_topk_ivf" -> ((s, d) => Similarity.topKIvf(s, d)),
+    "sim_topk_ivf_kmeans" -> ((s, d) => Similarity.topKIvfKmeans(s, d)),
     "embed_cosine_neardup" -> ((s, d) => Similarity.cosineNearDup(s, d)),
     "embed_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     // Multimodal columns
@@ -93,6 +102,7 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => RefQueries.qApproxDistinct(s, d)),
     "q_profile" -> ((s, d) => RefQueries.qProfile(s, d)),
     "q_quantiles" -> ((s, d) => RefQueries.qQuantiles(s, d)),
+    "q_quantiles_approx" -> ((s, d) => RefQueries.qQuantilesApprox(s, d)),
     "text_bigrams" -> ((s, d) => TextAnalysis.bigramStats(s, d)),
   )
 
@@ -147,6 +157,26 @@ object SparkEntry {
     JOIN dim ON regexp_replace(o.o_orderpriority, '[0-9-]', '', 'g')
                 = dim.priority
     WHERE c.c_custkey IN (SELECT c_custkey FROM top3)
+    GROUP BY priority_label ORDER BY priority_label ASC"""
+
+  /** q3 "bot" income variant (reference CLI arg "bot",
+    * query3.py:101,134-140): bottom-3 balances instead of top-3. */
+  private val q3OracleBot = """
+    WITH bot3 AS (
+      SELECT c_custkey FROM (SELECT DISTINCT c_custkey, c_acctbal FROM customer)
+      ORDER BY c_acctbal ASC, c_custkey ASC LIMIT 3
+    ), dim(priority, priority_label) AS (
+      VALUES ('URGENT', 'Critical'), ('HIGH', 'High'), ('MEDIUM', 'Medium'),
+             ('NOT SPECIFIED', 'Unspecified'), ('LOW', 'Low')
+    )
+    SELECT priority_label, count(*) AS cnt,
+           round(sum(l_quantity), 4) AS qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN dim ON regexp_replace(o.o_orderpriority, '[0-9-]', '', 'g')
+                = dim.priority
+    WHERE c.c_custkey IN (SELECT c_custkey FROM bot3)
     GROUP BY priority_label ORDER BY priority_label ASC"""
 
   private val q4Oracle = """
@@ -307,6 +337,107 @@ object SparkEntry {
     SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
     ORDER BY doc_a ASC, doc_b ASC"""
 
+  /** MinHash+LSH oracle: the permutation family is portable integer math
+    * (`h_p(s) = ((2p+1)·polyhash(s) + 7919p) mod 1e9+7`), so DuckDB
+    * independently recomputes signatures, band buckets, candidate pairs,
+    * and the matching-minhash estimate. */
+  private val dedupMinhashOracle = """
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ), t AS (
+      SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+    ), sh AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(toks) - 2, 0)),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM t
+    ), ph AS (
+      SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(1, length(shingle)),
+                 i -> ascii(substr(shingle, i, 1))::BIGINT)),
+               (a, x) -> (a * 31 + x) % 1000000007) AS h
+      FROM sh
+    ), mh AS (
+      SELECT doc_id, p, min((h * (2*p + 1) + 7919*p) % 1000000007) AS mh
+      FROM ph CROSS JOIN generate_series(0, 15) s(p)
+      GROUP BY doc_id, p
+    ), sigs AS (
+      SELECT doc_id, list(mh ORDER BY p ASC) AS sig FROM mh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, sig, band,
+             concat_ws(':', sig[4*band+1], sig[4*band+2], sig[4*band+3],
+                       sig[4*band+4]) AS bsig
+      FROM sigs CROSS JOIN generate_series(0, 3) b(band)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b USING (band, bsig)
+      WHERE a.doc_id < b.doc_id
+    ), est AS (
+      SELECT doc_a, doc_b,
+             round(list_sum(list_transform(generate_series(1, 16),
+               i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+               / 16.0, 4) AS est_jaccard
+      FROM pairs
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM est
+    WHERE est_jaccard >= 0.5
+    ORDER BY doc_a ASC, doc_b ASC"""
+
+  /** SimHash oracle: per-token bit votes from portable modular byte-folds
+    * (see Dedup.simHash scaladoc) — DuckDB recomputes the 64 signature
+    * bits, the shifted 16-bit band buckets, and the hamming distances. */
+  private val dedupSimhashOracle = """
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM d
+    ), th AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(1, length(tok)),
+                 i -> ascii(substr(tok, i, 1))::BIGINT)),
+               (a, x) -> (a * 31 + x) % 1000000007) AS m1,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(1, length(tok)),
+                 i -> ascii(substr(tok, i, 1))::BIGINT)),
+               (a, x) -> (a * 131 + x) % 998244353) AS m2
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, b,
+             sum((((b*b + 3*b + 7) * m1 + (2*b*b + b + 3) * m2 + b)
+                  % 1000000007) & 1) AS ones,
+             count(*) AS n
+      FROM th CROSS JOIN generate_series(0, 63) g(b)
+      GROUP BY doc_id, b
+    ), sigbits AS (
+      SELECT doc_id, b, CASE WHEN 2 * ones > n THEN 1 ELSE 0 END AS bit
+      FROM bits
+    ), sigs AS (
+      SELECT doc_id, list(bit ORDER BY b ASC) AS bits
+      FROM sigbits GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, bits, band,
+             list_sum(list_transform(generate_series(1, 16),
+               j -> bits[16*band + j] * (1 << (j-1)))) AS bval
+      FROM sigs CROSS JOIN generate_series(0, 3) t(band)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.bits AS bits_a, b.bits AS bits_b
+      FROM banded a JOIN banded b USING (band, bval)
+      WHERE a.doc_id < b.doc_id
+    ), ham AS (
+      SELECT doc_a, doc_b,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CASE WHEN bits_a[i] != bits_b[i] THEN 1 ELSE 0 END))
+               ::INTEGER AS hamming
+      FROM pairs
+    )
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 8
+    ORDER BY doc_a ASC, doc_b ASC"""
+
   private val simTopKOracle = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -322,6 +453,200 @@ object SparkEntry {
       FROM s
     )
     SELECT q_id, vec_id, round(c, 6) AS cos_sim, rnk::INTEGER AS rnk
+    FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
+
+  // -------------------------------------------------------------------
+  // LSH-family oracles. The random-hyperplane signature is a pure integer
+  // formula (Similarity.planeComponent) both engines reproduce exactly:
+  // plane[p][d] = ((p*73856093 + d*19349663) % 997) / 498.5 - 1.0, and
+  // the dot products are sequential left-folds — bit-identical IEEE
+  // doubles in Spark codegen and DuckDB list_reduce. That makes the
+  // "approximate" LSH/IVF operators fully deterministic and
+  // oracle-checkable: DuckDB independently recomputes signatures, band
+  // buckets, candidates, and exact reranks.
+  // -------------------------------------------------------------------
+
+  /** Shared CTE prefix: embeddings as double vectors + 16-bit hyperplane
+    * signatures. */
+  private val embSigCtes = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), planes AS (
+      SELECT p, list_transform(generate_series(0, 63),
+               d -> ((p * 73856093 + d * 19349663) % 997) / 498.5 - 1.0)
+               AS plane
+      FROM generate_series(0, 15) t(p)
+    ), sig AS (
+      SELECT vec_id,
+             sum(CASE WHEN list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, 64),
+                     i -> v[i] * plane[i])), (a, x) -> a + x) >= 0
+                 THEN (1 << p) ELSE 0 END)::INTEGER AS sig
+      FROM e CROSS JOIN planes GROUP BY vec_id
+    )"""
+
+  private val simTopKLshOracle = s"""
+    $embSigCtes, bands AS (
+      SELECT vec_id, band, (sig >> (4 * band)) & 15 AS bval
+      FROM sig CROSS JOIN generate_series(0, 3) t(band)
+    ), qb AS (
+      SELECT vec_id AS q_id, band, bval FROM bands WHERE vec_id < 3
+    ), cand AS (
+      SELECT DISTINCT b.vec_id, q.q_id
+      FROM bands b JOIN qb q USING (band, bval)
+      WHERE b.vec_id != q.q_id
+    ), scored AS (
+      SELECT c.q_id, c.vec_id, list_cosine_similarity(ev.v, eq.v) AS cos
+      FROM cand c
+      JOIN e ev ON ev.vec_id = c.vec_id
+      JOIN e eq ON eq.vec_id = c.q_id
+    ), r AS (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk::INTEGER AS rnk
+    FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
+
+  private val embCosineNearDupOracle = s"""
+    $embSigCtes, bands AS (
+      SELECT vec_id, band, (sig >> (8 * band)) & 255 AS bval
+      FROM sig CROSS JOIN generate_series(0, 1) t(band)
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b USING (band, bval)
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT DISTINCT p.id_a, p.id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+    FROM pairs p
+    JOIN e ea ON ea.vec_id = p.id_a
+    JOIN e eb ON eb.vec_id = p.id_b
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+    ORDER BY id_a ASC, id_b ASC"""
+
+  private val simTopKIvfOracle = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), centroids AS (
+      SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16
+    ), assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT ev.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
+                          c.cell_id ASC) AS r
+        FROM e ev CROSS JOIN centroids c
+      ) WHERE r = 1
+    ), probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT ev.vec_id AS q_id, c.cell_id,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
+                          c.cell_id ASC) AS r
+        FROM e ev CROSS JOIN centroids c WHERE ev.vec_id < 3
+      ) WHERE r <= 4
+    ), cand AS (
+      SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a USING (cell_id)
+      WHERE a.vec_id != p.q_id
+    ), scored AS (
+      SELECT c.q_id, c.vec_id, list_cosine_similarity(e1.v, e2.v) AS cos
+      FROM cand c
+      JOIN e e1 ON e1.vec_id = c.vec_id
+      JOIN e e2 ON e2.vec_id = c.q_id
+    ), r AS (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk::INTEGER AS rnk
+    FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
+
+  /** IVF-with-k-means oracle: the integer-quantized Lloyd update
+    * (Similarity.kmeansCentroids) is bit-reproducible, so DuckDB unrolls
+    * the 2 iterations — assign (cosine argmax) → per-(cell,dim) integer
+    * sums → truncated-mean centroids (empty cells keep the previous
+    * centroid) — then replays the IVF probe + exact rerank. */
+  private val simTopKIvfKmeansOracle = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+      SELECT vec_id::INTEGER AS cell_id, v AS cv FROM e WHERE vec_id < 16
+    ), a1 AS (
+      SELECT vec_id, cell_id, v FROM (
+        SELECT ev.vec_id, c.cell_id, ev.v,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
+                          c.cell_id ASC) AS r
+        FROM e ev CROSS JOIN c0 c
+      ) WHERE r = 1
+    ), s1 AS (
+      SELECT cell_id, d,
+             sum(floor(v[d] * 1000000.0 + 0.5)::BIGINT) AS s,
+             count(*) AS n
+      FROM a1 CROSS JOIN generate_series(1, 64) g(d)
+      GROUP BY cell_id, d
+    ), cm1 AS (
+      SELECT cell_id,
+             list(trunc(s::DOUBLE / n) / 1000000.0 ORDER BY d ASC) AS cv
+      FROM s1 GROUP BY cell_id
+    ), c1 AS (
+      SELECT c0.cell_id, coalesce(cm1.cv, c0.cv) AS cv
+      FROM c0 LEFT JOIN cm1 USING (cell_id)
+    ), a2 AS (
+      SELECT vec_id, cell_id, v FROM (
+        SELECT ev.vec_id, c.cell_id, ev.v,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
+                          c.cell_id ASC) AS r
+        FROM e ev CROSS JOIN c1 c
+      ) WHERE r = 1
+    ), s2 AS (
+      SELECT cell_id, d,
+             sum(floor(v[d] * 1000000.0 + 0.5)::BIGINT) AS s,
+             count(*) AS n
+      FROM a2 CROSS JOIN generate_series(1, 64) g(d)
+      GROUP BY cell_id, d
+    ), cm2 AS (
+      SELECT cell_id,
+             list(trunc(s::DOUBLE / n) / 1000000.0 ORDER BY d ASC) AS cv
+      FROM s2 GROUP BY cell_id
+    ), c2 AS (
+      SELECT c1.cell_id, coalesce(cm2.cv, c1.cv) AS cv
+      FROM c1 LEFT JOIN cm2 USING (cell_id)
+    ), assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT ev.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
+                          c.cell_id ASC) AS r
+        FROM e ev CROSS JOIN c2 c
+      ) WHERE r = 1
+    ), probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT ev.vec_id AS q_id, c.cell_id,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
+                          c.cell_id ASC) AS r
+        FROM e ev CROSS JOIN c2 c WHERE ev.vec_id < 3
+      ) WHERE r <= 4
+    ), cand AS (
+      SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a USING (cell_id)
+      WHERE a.vec_id != p.q_id
+    ), scored AS (
+      SELECT c.q_id, c.vec_id, list_cosine_similarity(e1.v, e2.v) AS cos
+      FROM cand c
+      JOIN e e1 ON e1.vec_id = c.vec_id
+      JOIN e e2 ON e2.vec_id = c.q_id
+    ), r AS (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk::INTEGER AS rnk
     FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
 
   private val mmPropsJsonOracle = """
@@ -378,14 +703,19 @@ object SparkEntry {
     "q1_typed" -> q1Oracle,
     "q1_csv" -> q1Oracle,
     "q2_buckets" -> q2Oracle,
+    "q2_csv" -> q2Oracle,
     "q2_sql" -> q2Oracle,
     "q2_typed" -> q2Oracle,
     "q3_joinchain" -> q3Oracle,
     "q3_hint_broadcast" -> q3Oracle,
     "q3_hint_merge" -> q3Oracle,
     "q3_hint_shuffle_hash" -> q3Oracle,
+    "q3_hint_asym" -> q3Oracle,
+    "q3_hint_replicate_nl" -> q3Oracle,
+    "q3_joinchain_bot" -> q3OracleBot,
     "q3_topk_distributed" -> q3Oracle,
     "q4_distance" -> q4Oracle,
+    "q4_csv" -> q4Oracle,
     "q4_distance_broadcast" -> q4Oracle,
     "q4_distance_sql" -> q4Oracle,
     "q4_distance_cogroup" -> q4Oracle,
@@ -413,6 +743,21 @@ object SparkEntry {
              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
              count(*) AS cnt
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""",
+    // bound-checked sketch oracles: the oracle computes the exact side and
+    // asserts (via literal TRUE columns that the driver hash-compares) that
+    // the Spark-side sketch stayed within its documented error bound
+    "q_quantiles_approx" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             count(*) AS cnt, true AS p50_ok, true AS p90_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""",
+    "q_approx_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS exact_orders,
+             count(DISTINCT l_partkey) AS exact_parts,
+             true AS orders_ok, true AS parts_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""",
     "text_bigrams" -> """
       WITH toks AS (
         SELECT doc_id, l[ord] AS tok, ord FROM (
@@ -431,6 +776,14 @@ object SparkEntry {
       SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value,
              round(sum(value) / count(*), 4) AS avg_value
       FROM events GROUP BY event_type ORDER BY event_type ASC""",
+    "q_skew_join" -> """
+      SELECT c_mktsegment, count(*) AS cnt, round(sum(value), 4) AS sum_value,
+             sum(length(props)) AS props_bytes
+      FROM (SELECT least(user_id, 20) AS k, value, props FROM events) e
+      JOIN (SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey <= 20) c
+        ON e.k = c.c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""",
     "ev_window_sliding" -> """
       WITH w AS (
         SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
@@ -473,11 +826,14 @@ object SparkEntry {
     "text_fingerprint" -> textFingerprintOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
-    // dedup_minhash_lsh / dedup_simhash / sim_topk_lsh /
-    // embed_cosine_neardup are hash-randomized or pruning-approximate →
-    // no SQL oracle (driver rows-only check)
+    "dedup_minhash_lsh" -> dedupMinhashOracle,
+    "dedup_simhash" -> dedupSimhashOracle,
     "sim_topk_bruteforce" -> simTopKOracle,
     "sim_topk_native" -> simTopKOracle,
+    "sim_topk_lsh" -> simTopKLshOracle,
+    "sim_topk_ivf" -> simTopKIvfOracle,
+    "sim_topk_ivf_kmeans" -> simTopKIvfKmeansOracle,
+    "embed_cosine_neardup" -> embCosineNearDupOracle,
     "q_avg_aggregator" -> """
       SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""",

@@ -50,10 +50,89 @@ object Dedup {
        ELSE array() END"""
 
   /** Exact n-gram (token-3-gram) Jaccard near-dup within a cheap blocking
-    * key (first 64 normalized chars). Blocking bounds the pair count —
-    * the exact-similarity stage only ever sees same-block pairs, which is
-    * the standard sorted-neighborhood/blocking design at scale. */
+    * key: (first 64 normalized chars, shingle-count log2 bucket). Blocking
+    * bounds the pair count — the exact-similarity stage only ever sees
+    * same-block pairs, the standard sorted-neighborhood/blocking design at
+    * scale.
+    *
+    * The size bucket is the skew guard: a corpus with boilerplate prefixes
+    * (license headers, templated pages) puts millions of docs in one
+    * prefix block, degrading the self-join to quadratic fan-out; splitting
+    * each block by `floor(log2(|shingles| + 1))` caps same-bucket
+    * occupancy without losing a single qualifying pair. Proof: for
+    * Jaccard ≥ 1/2 with shingle-set sizes a ≤ b, j ≤ |∩|/|∪| ≤ a/b, so
+    * b ≤ 2a, hence log2(b+1) − log2(a+1) < 1 and the floored buckets
+    * differ by at most 1 — covered by probing each left doc into buckets
+    * {s, s+1}. Pairs are canonicalized (least, greatest) + distinct, so
+    * the output is IDENTICAL to the unsplit blocking — the DuckDB oracle
+    * joins on the prefix block alone, independently verifying the pruning
+    * is lossless. */
   def ngramJaccard(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    ngramCandidates(spark, sfDir)
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a".asc, $"doc_b".asc)
+  }
+
+  /** Candidate pairs with exact Jaccard, pre-threshold — exposed so the
+    * skew stress spec can assert both candidate-count bounds and
+    * losslessness of the size-bucket split.
+    *
+    * Each unordered pair is emitted exactly once, with no dedup shuffle:
+    * same-bucket pairs via `doc_a < doc_b`, cross-bucket pairs only
+    * through the lower-bucket doc's `s+1` probe (the bucket assignment is
+    * fixed per doc, so the two paths are disjoint); `least/greatest`
+    * canonicalizes the cross-bucket order. */
+  private[graft] def ngramCandidates(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    // Shingle sets via the codegen'd posexplode + lead-window stream (the
+    // minHashLsh path), materialized ONCE by the collect_set aggregate.
+    // The one-Project HOF route (`transform(sequence(...))`) is
+    // interpreted AND would be re-evaluated per downstream reference —
+    // sh_a, the size bucket, and twice inside the explode array — which
+    // measured ~18× slower at sf0.1. Docs with < 3 tokens drop out here;
+    // their shingle set is empty, so no pair they appear in can reach any
+    // positive threshold — output is unchanged.
+    val toks = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", normText)
+      .select($"doc_id", substring($"norm", 1, 64).as("block"),
+        posexplode(split($"norm", " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    val docs = toks
+      .withColumn("t1", lead($"tok", 1).over(w))
+      .withColumn("t2", lead($"tok", 2).over(w))
+      .filter($"t2".isNotNull)
+      .select($"doc_id", $"block",
+        concat_ws(" ", $"tok", $"t1", $"t2").as("shingle"))
+      .groupBy($"doc_id", $"block")
+      .agg(collect_set($"shingle").as("shingles"))
+      .withColumn("szb",
+        floor(log2(size($"shingles") + 1)).cast("int"))
+      .select($"doc_id", $"block", $"szb", $"shingles")
+    val a = docs.select($"doc_id".as("id_a"),
+      $"block", $"shingles".as("sh_a"), $"szb".as("szb_a"),
+      explode(array($"szb", $"szb" + 1)).as("szbk"))
+    val b = docs.select($"doc_id".as("id_b"), $"block",
+      $"shingles".as("sh_b"), $"szb".as("szbk"))
+    a.join(b, Seq("block", "szbk"))
+      .filter(($"szbk" === $"szb_a" && $"id_a" < $"id_b") ||
+        $"szbk" =!= $"szb_a")
+      .withColumn("jaccard", round(
+        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          greatest(size(array_union($"sh_a", $"sh_b")), lit(1)).cast("double"),
+        4))
+      .select(least($"id_a", $"id_b").as("doc_a"),
+        greatest($"id_a", $"id_b").as("doc_b"), $"jaccard")
+  }
+
+  /** Differential reference for the skew stress spec: blocking on the
+    * prefix alone (exactly the oracle's semantics — and the pre-hardening
+    * implementation). Quadratic in hot blocks; kept to prove the
+    * size-bucket split returns the identical pair set. */
+  private[graft] def ngramJaccardUnsplit(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     val docs = Tables.read(spark, sfDir, "documents")
@@ -77,26 +156,31 @@ object Dedup {
       .orderBy($"doc_a".asc, $"doc_b".asc)
   }
 
-  /** MinHash + LSH banding near-dup: 16 permutations over xxhash64'd
+  /** MinHash + LSH banding near-dup: 16 permutations over poly-hashed
     * shingles, banded 4×4; candidate pairs = docs sharing any band bucket;
     * estimated Jaccard = fraction of matching minhashes.
     *
-    * Hash-randomized (xxhash64 seeds) → no SQL oracle; rows-only check.
+    * The permutation family is `h_p(s) = ((2p+1)·ph(s) + 7919p) mod
+    * 1e9+7` over the codegen'd `poly_hash` base — a portable integer
+    * formula DuckDB replicates exactly, which makes the whole pipeline
+    * (signatures → band buckets → pairs → estimate) oracle-checkable;
+    * it is also cheaper than 16 independent string hashes (one byte-loop
+    * per shingle, then 16 reg-width mod-muls).
     * Scale: the band-bucket self-join replaces the O(n²) pair space with
     * per-bucket fan-out; 16 minhash aggregates are one pass over the
-    * shingle arrays inside codegen. */
+    * shingle stream inside codegen. */
   def minHashLsh(spark: SparkSession, sfDir: String,
       estThreshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     val nPerm = 16
     val bands = 4
     val rowsPerBand = nPerm / bands
+    graft.functions.PolyHash.register(spark)
     // Shingle stream without materializing per-doc arrays: posexplode
     // tokens → window lead(1)/lead(2) → concat. Everything stays in
     // WholeStageCodegen (the transform()/array_distinct() HOF route is
     // interpreted and measured ~5× slower at sf0.1); duplicate shingles
-    // are harmless because min() ignores them. minhash_p = min over
-    // shingles of xxhash64(shingle, seed_p); the group-by shuffles only
+    // are harmless because min() ignores them. The group-by shuffles only
     // per-partition partial mins — #docs × 16 longs.
     val toks = Tables.read(spark, sfDir, "documents")
       .withColumn("norm", normText)
@@ -107,11 +191,13 @@ object Dedup {
       .withColumn("t2", lead($"tok", 2).over(w))
       .filter($"t2".isNotNull)
       .select($"doc_id", concat_ws(" ", $"tok", $"t1", $"t2").as("shingle"))
+    def perm(p: Int): Column =
+      (call_function("poly_hash", $"shingle", lit(1 << 20)) * lit(2L * p + 1)
+        + lit(7919L * p)) % lit(1000000007L)
     val sig = shingles
       .groupBy($"doc_id")
-      .agg(min(xxhash64($"shingle", lit(0))).as("mh_0"),
-        (1 until nPerm).map(p =>
-          min(xxhash64($"shingle", lit(p))).as(s"mh_$p")): _*)
+      .agg(min(perm(0)).as("mh_0"),
+        (1 until nPerm).map(p => min(perm(p)).as(s"mh_$p")): _*)
       .withColumn("sig",
         array((0 until nPerm).map(p => col(s"mh_$p")): _*))
       .select($"doc_id", $"sig")
@@ -139,12 +225,18 @@ object Dedup {
       .orderBy($"doc_a".asc, $"doc_b".asc)
   }
 
-  /** SimHash near-dup: 64-bit signature from FNV-1a token hashes computed
+  /** SimHash near-dup: 64-bit signature from per-token bit votes computed
     * in a typed mapPartitions (the per-bit vote loop is genuinely
     * imperative — mapPartitions is the documented last-resort tier and
     * stays one narrow no-shuffle stage), then 4×16-bit band buckets for
     * candidates and hamming ≤ `maxHamming` via bit_count(xor).
-    * Hash-based → rows-only check. */
+    *
+    * Token bit b is derived from two modular byte-folds:
+    * `bit_b = (((b²+3b+7)·m1 + (2b²+b+3)·m2 + b) mod 1e9+7) & 1` with
+    * `m1 = fold(31, 1e9+7)`, `m2 = fold(131, 998244353)` — portable
+    * integer arithmetic (byte-wise == DuckDB's per-character `ascii()`
+    * fold for the ASCII fixtures, like PolyHash), so the full pipeline
+    * (votes → signature → band buckets → hamming) is oracle-checkable. */
   def simHash(spark: SparkSession, sfDir: String,
       maxHamming: Int = 8): DataFrame = {
     import spark.implicits._
@@ -155,16 +247,20 @@ object Dedup {
       it.map { case (id, norm) =>
         val votes = new Array[Int](64)
         norm.split(' ').foreach { tok =>
-          var h = 0xcbf29ce484222325L // FNV-1a 64-bit
+          var m1 = 0L
+          var m2 = 0L
           var i = 0
           while (i < tok.length) {
-            h ^= tok.charAt(i).toLong
-            h *= 0x100000001b3L
+            val c = tok.charAt(i).toLong
+            m1 = (m1 * 31 + c) % 1000000007L
+            m2 = (m2 * 131 + c) % 998244353L
             i += 1
           }
           var b = 0
           while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            val mixed = ((b.toLong * b + 3 * b + 7) * m1 +
+              (2L * b * b + b + 3) * m2 + b) % 1000000007L
+            if ((mixed & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
             b += 1
           }
         }
@@ -174,9 +270,13 @@ object Dedup {
         (id, sig)
       }
     }.toDF("doc_id", "sig")
+    // band value is the SHIFTED 16-bit slice (0..65535) — same bucketing
+    // as a masked-in-place slice, but reproducible without 64-bit signed
+    // wraparound on the oracle side
     val banded = sigs.select($"doc_id", $"sig",
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        $"sig".bitwiseAND(lit(0xffffL << (16 * b))).as("bsig"))): _*))
+        shiftrightunsigned($"sig", 16 * b).bitwiseAND(lit(0xffffL))
+          .as("bsig"))): _*))
         .as("bb"))
       .select($"doc_id", $"sig", $"bb.band", $"bb.bsig")
     val l = banded.select($"doc_id".as("doc_a"), $"sig".as("sig_a"),

@@ -123,8 +123,11 @@ object Events {
       .withColumn("click_id_src", when($"side" === 0, $"event_id"))
       .withColumn("click_us_src", when($"side" === 0, $"us"))
     // clicks sort before purchases on (impossible-in-data) ts ties so an
-    // equal-timestamp click still qualifies (ASOF's ts >= click_ts)
-    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"side".asc)
+    // equal-timestamp click still qualifies (ASOF's ts >= click_ts);
+    // event_id breaks same-side ts ties so the picked click_id is
+    // deterministic across runs (and matches DuckDB ASOF's choice)
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us".asc, $"side".asc, $"event_id".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("click_id", last($"click_id_src", ignoreNulls = true).over(w))
       .withColumn("click_us", last($"click_us_src", ignoreNulls = true).over(w))

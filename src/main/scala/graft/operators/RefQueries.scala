@@ -38,17 +38,16 @@ object RefQueries {
     * The parquet fixture is converted once to a cached CSV copy (header +
     * schema inference on read, exactly the reference's reader options);
     * same plan, same oracle — the bench shows the format cost. */
-  def q1TopMonthsCsv(spark: SparkSession, sfDir: String): DataFrame = {
-    val safe = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    val csvDir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_$safe/lineitem"
-    if (!new java.io.File(csvDir).exists()) {
-      Tables.read(spark, sfDir, "lineitem")
-        .write.option("header", "true").mode("overwrite").csv(csvDir)
-    }
-    q1Shape(spark,
-      spark.read.option("header", "true").option("inferSchema", "true")
-        .csv(csvDir))
-  }
+  def q1TopMonthsCsv(spark: SparkSession, sfDir: String): DataFrame =
+    q1Shape(spark, readCsvTwin(spark, sfDir, "lineitem"))
+
+  /** CSV twin of a fixture table: cached conversion (atomic, staleness-
+    * checked — Etl.csvFixture) read back with header + schema inference,
+    * exactly the reference's CSV reader options. */
+  private def readCsvTwin(spark: SparkSession, sfDir: String,
+      table: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(graft.sources.Etl.csvFixture(spark, sfDir, table))
 
   private def q1Shape(spark: SparkSession, li: DataFrame): DataFrame = {
     import spark.implicits._
@@ -134,9 +133,17 @@ object RefQueries {
   /** DataFrame-API variant (query2.py:97-132). The HHMM-int → zero-padded
     * string → string-range bucketing mirrors the reference's `TIME OCC`
     * handling (query2.py:52,78,109-125) exactly. */
-  def q2TimeBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+  def q2TimeBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    q2Shape(spark, Tables.read(spark, sfDir, "events"))
+
+  /** CSV-source twin of q2 (reference results/query2.txt measured both
+    * formats; same oracle — the bench shows the format cost). */
+  def q2TimeBucketsCsv(spark: SparkSession, sfDir: String): DataFrame =
+    q2Shape(spark, readCsvTwin(spark, sfDir, "events"))
+
+  private def q2Shape(spark: SparkSession, ev: DataFrame): DataFrame = {
     import spark.implicits._
-    Tables.read(spark, sfDir, "events")
+    ev
       .filter($"event_type" === "click")
       .withColumn("hhmm", (hour($"ts") * 100 + minute($"ts")).cast("int"))
       .withColumn("t4", lpad($"hhmm".cast("string"), 4, "0"))
@@ -245,26 +252,58 @@ object RefQueries {
       .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 4).as("qty"))
       .orderBy(col("priority_label").asc)
 
+  /** @param extreme "top" = 3 wealthiest customers (reference CLI arg
+    * "top"), "bot" = 3 poorest (reference CLI arg "bot",
+    * query3.py:101,134-140 — both published in results/query3.txt). */
   def q3JoinChain(spark: SparkSession, sfDir: String,
-      hint1: String = "optimal", hint2: String = "optimal"): DataFrame = {
+      hint1: String = "optimal", hint2: String = "optimal",
+      extreme: String = "top"): DataFrame = {
     import spark.implicits._
     def hinted(df: DataFrame, h: String): DataFrame =
       if (h == "optimal") df else df.hint(h)
     val (li, ord, cust, dim) = q3Parts(spark, sfDir)
 
-    // O4: top-3 "wealthiest" to driver, then P9 isin — literal port of
+    // O4: top/bot-3 by balance to driver, then P9 isin — literal port of
     // query3.py:135-144 (head(3) → python list → isin).
-    val top3: Array[Long] = cust
-      .select($"c_custkey", $"c_acctbal").distinct()
-      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
-      .head(3).map(_.getLong(0))
+    val extreme3: Array[Long] = q3Extreme3(cust, extreme)
 
     q3Finish(
       li.withColumnRenamed("l_orderkey", "o_orderkey")
         .join(hinted(ord, hint1), Seq("o_orderkey"))
         .withColumnRenamed("o_custkey", "c_custkey")
         .join(hinted(cust, hint2), Seq("c_custkey"))
-        .filter($"c_custkey".isin(top3: _*)),
+        .filter($"c_custkey".isin(extreme3: _*)),
+      dim)
+  }
+
+  /** The reference's `head(3)` driver round-trip, direction-selectable. */
+  private def q3Extreme3(cust: DataFrame, extreme: String): Array[Long] = {
+    val bal = col("c_acctbal")
+    cust.select(col("c_custkey"), bal).distinct()
+      .orderBy(if (extreme == "bot") bal.asc else bal.desc,
+        col("c_custkey").asc)
+      .head(3).map(_.getLong(0))
+  }
+
+  /** The reference's fourth hint, `shuffle_replicate_nl`, as a declared
+    * query: the customer-side join is forced to a cartesian
+    * (replicate-nested-loop) plan, the equi-condition demoted to a
+    * post-product filter — the reference's most instructive baseline
+    * datapoint is exactly this blow-up (results/query3.txt:92-94).
+    * The hinted side is pre-restricted to the 3 selected customers so the
+    * product is |joined|×3, not |joined|×|customer| — the measured
+    * replicate-NL overhead vs `q3_hint_broadcast` is the lesson, kept
+    * bench-runnable at sf0.1. Same oracle as every q3 variant. */
+  def q3JoinChainReplicateNl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (li, ord, cust, dim) = q3Parts(spark, sfDir)
+    val top3: Array[Long] = q3Extreme3(cust, "top")
+    q3Finish(
+      li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(ord, Seq("o_orderkey"))
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .join(cust.filter($"c_custkey".isin(top3: _*))
+          .hint("shuffle_replicate_nl"), Seq("c_custkey")),
       dim)
   }
 
@@ -277,15 +316,20 @@ object RefQueries {
   /** Shared pre-distance plan: filtered customers with synthetic
     * deterministic coordinates, nations likewise (FIXTURES.md §C — integer
     * arithmetic both Spark and DuckDB reproduce bit-identically). */
-  private def q4Parts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  private def q4Parts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    q4PartsFrom(spark, Tables.read(spark, sfDir, "customer"),
+      Tables.read(spark, sfDir, "nation"))
+
+  private def q4PartsFrom(spark: SparkSession, custRaw: DataFrame,
+      natRaw: DataFrame): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val cust = Tables.read(spark, sfDir, "customer")
+    val cust = custRaw
       .filter($"c_acctbal".isNotNull && $"c_acctbal" =!= 0.0 &&
         $"c_acctbal".between(-500.0, 8000.0))
       .withColumn("c_lat", ($"c_custkey" % 120).cast("double") - 60.0 + 0.25)
       .withColumn("c_lon", ($"c_custkey" % 300).cast("double") - 150.0 + 0.5)
       .select($"c_custkey", $"c_nationkey", $"c_lat", $"c_lon")
-    val nat = Tables.read(spark, sfDir, "nation")
+    val nat = natRaw
       .withColumn("n_lat", ($"n_nationkey" * 3).cast("double") - 30.0)
       .withColumn("n_lon", ($"n_nationkey" * 7).cast("double") - 80.0)
       .select($"n_nationkey", $"n_name", $"n_lat", $"n_lon")
@@ -307,6 +351,15 @@ object RefQueries {
   def q4Distance(spark: SparkSession, sfDir: String): DataFrame = {
     val (cust, nat) = q4Parts(spark, sfDir)
     // J3: expression join on differently-named keys (query4.py:43)
+    q4Finish(cust.join(nat, cust("c_nationkey") === nat("n_nationkey")))
+  }
+
+  /** CSV-source twin of q4 (reference results/query4.txt measured both
+    * formats; same oracle). */
+  def q4DistanceCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cust, nat) = q4PartsFrom(spark,
+      readCsvTwin(spark, sfDir, "customer"),
+      readCsvTwin(spark, sfDir, "nation"))
     q4Finish(cust.join(nat, cust("c_nationkey") === nat("n_nationkey")))
   }
 
@@ -444,6 +497,34 @@ object RefQueries {
       .agg(sum($"c").as("cnt"), round(sum($"s"), 4).as("sum_value"),
         round(sum($"s") / sum($"c"), 4).as("avg_value"))
       .orderBy($"event_type".asc)
+  }
+
+  /** Skewed JOIN — the other half of the skew story next to
+    * `qSkewSaltedAgg`: `least(user_id, 20)` funnels ~99% of events onto
+    * one join key, the worst case for a sort-merge join (one reducer gets
+    * the whole table). The fix demonstrated here is AQE's skew-join
+    * split (`spark.sql.adaptive.skewJoin`): at runtime the oversized
+    * partition is divided into sub-partitions, each joined against a
+    * replicated copy of the matching build rows — AqeSpec asserts the
+    * plan actually contains the `skew=true` split. Results are identical
+    * either way (the oracle is the plain join), which is the point:
+    * skew handling is a physical-plan concern, not a semantic one. */
+  def qSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // props rides along so the hot partition is hot in BYTES, not just
+    // rows — AQE's skew detector reads shuffle byte sizes, and the
+    // (constant-key, low-cardinality-value) columns alone compress to
+    // near-uniform partition sizes at test scale
+    val ev = Tables.read(spark, sfDir, "events")
+      .select(least($"user_id", lit(20L)).as("c_custkey"), $"value", $"props")
+    val cust = Tables.read(spark, sfDir, "customer")
+      .filter($"c_custkey" <= 20)
+      .select($"c_custkey", $"c_mktsegment")
+    ev.join(cust, Seq("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"),
+        sum(length($"props")).as("props_bytes"))
+      .orderBy($"c_mktsegment".asc)
   }
 
   // ---------------------------------------------------------------------
@@ -603,6 +684,33 @@ object RefQueries {
       .orderBy($"l_returnflag".asc)
   }
 
+  /** approx_percentile twin of `qQuantiles` — the 100 TB drop-in, measured
+    * instead of claimed. The KLL-style sketch (`approx_percentile`,
+    * accuracy 10000 → rank error ≤ n/10000) is compared against the exact
+    * sort-based percentile in the same query; the output carries the exact
+    * values plus per-percentile bound checks, so the DuckDB oracle
+    * (`quantile_cont` + literal TRUE) independently verifies both the
+    * exact values and that the sketch stayed within its error bound.
+    * At 100 TB the exact column is dropped and only the sketch runs — a
+    * few KB of state per partition instead of a full sort. */
+  def qQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.9)").as("e90"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"),
+        count(lit(1)).as("cnt"))
+      .select($"l_returnflag",
+        round($"e50", 4).as("p50_price"), round($"e90", 4).as("p90_price"),
+        $"cnt",
+        (abs($"a50" - $"e50") <= $"e50" * 0.01).as("p50_ok"),
+        (abs($"a90" - $"e90") <= $"e90" * 0.01).as("p90_ok"))
+      .orderBy($"l_returnflag".asc)
+  }
+
   /** Table profiling — the data-quality pass an ingest pipeline runs
     * first: per column, row count, null count, exact distinct count.
     * One pruned scan per profiled column (Catalyst reads only that
@@ -628,19 +736,41 @@ object RefQueries {
     * this query exposes both so the error is observable. Approx column →
     * rows-only driver check; the accuracy bound is asserted in
     * `SketchSpec`. */
-  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Raw form: exact distincts next to the HLL estimates (SketchSpec
+    * asserts the 3-sigma error bound on these columns directly). */
+  def qApproxDistinctRaw(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.read(spark, sfDir, "lineitem")
-    // Two separate aggregations joined on the tiny group key: mixing a
-    // DISTINCT aggregate with HLL sketches in one agg makes Catalyst
-    // Expand every input row per aggregate family (measured 5× slower at
-    // sf0.1 than the two clean plans + 3-row join).
-    val exact = li.groupBy($"l_returnflag")
+    // Separate aggregations joined on the tiny group key: mixing DISTINCT
+    // aggregates with HLL sketches (or each other) in one agg makes
+    // Catalyst Expand every input row per aggregate family (measured 5×
+    // slower at sf0.1 than the clean plans + 3-row joins).
+    val exactOrd = li.groupBy($"l_returnflag")
       .agg(countDistinct($"l_orderkey").as("exact_orders"))
+    val exactPart = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"))
     val approx = li.groupBy($"l_returnflag")
       .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
         approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
-    exact.join(approx, Seq("l_returnflag"))
+    exactOrd.join(exactPart, Seq("l_returnflag"))
+      .join(approx, Seq("l_returnflag"))
+      .orderBy($"l_returnflag".asc)
+  }
+
+  /** Declared form: HLL++ sketch vs exact distinct, oracle-verifiable.
+    * The output carries the exact counts plus a bound check per sketch
+    * column (|approx − exact| ≤ 5% — 2.5σ at rsd 0.02), so the DuckDB
+    * oracle (exact counts + literal TRUE) is a hard gate on both the
+    * exact values and the sketch staying in bound; the raw estimates are
+    * additionally asserted in SketchSpec. */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    qApproxDistinctRaw(spark, sfDir)
+      .select($"l_returnflag", $"exact_orders", $"exact_parts",
+        (abs($"approx_orders" - $"exact_orders") <=
+          $"exact_orders" * 0.05).as("orders_ok"),
+        (abs($"approx_parts" - $"exact_parts") <=
+          $"exact_parts" * 0.05).as("parts_ok"))
       .orderBy($"l_returnflag".asc)
   }
 

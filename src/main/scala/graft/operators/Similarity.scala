@@ -79,7 +79,9 @@ object Similarity {
     * interpreted HOF folds per row. */
   private def signature(spark: SparkSession, vec: Column): Column = {
     graft.functions.HyperplaneSignature.register(spark, planes)
-    expr(s"hyperplane_sig(${vec.toString})")
+    // call_function binds the Column directly — no round-trip through SQL
+    // text (expr(s"...${vec.toString}...") breaks on any derived Column)
+    call_function("hyperplane_sig", vec)
   }
 
   private def withBands(df: DataFrame, nBands: Int = 4): DataFrame = {
@@ -121,21 +123,43 @@ object Similarity {
   /** IVF (inverted-file) ANN: the corpus is partitioned into Voronoi cells
     * around a small set of centroids; a query probes only its `nprobe`
     * nearest cells. Centroids here are the first `nCells` corpus vectors
-    * (deterministic — a production build would k-means them); assignment
-    * and probing both use the native cosine expression.
+    * (deterministic seed; `topKIvfKmeans` is the Lloyd-refined variant);
+    * assignment and probing both use the native cosine expression.
     *
     * Scale: the cell assignment is one broadcast-centroids pass over the
     * corpus (at 100 TB you'd persist it as a bucketed table partitioned by
     * cell_id); each query then touches ~nprobe/nCells of the data. The
-    * final exact rerank within probed cells is a per-cell top-k.
-    * Approximate → rows-only check, brute-force entry is the reference. */
+    * final exact rerank within probed cells is a per-cell top-k. */
   def topKIvf(spark: SparkSession, sfDir: String, k: Int = 5,
       nQueries: Int = 3, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
-    graft.functions.CosineSimilarity.register(spark)
     val emb = corpus(spark, sfDir)
     val centroids = emb.filter($"vec_id" < nCells)
-      .select($"vec_id".as("cell_id"), $"vec".as("centroid"))
+      .select($"vec_id".cast("int").as("cell_id"), $"vec".as("centroid"))
+    ivfFlow(spark, emb, centroids, k, nQueries, nprobe)
+  }
+
+  /** IVF with k-means-refined centroids (`kmeansCentroids`): same flow,
+    * higher recall — the probed cells actually cover the density of the
+    * corpus instead of whatever the first `nCells` vectors happened to
+    * be. Fully deterministic (integer-quantized Lloyd updates), so it has
+    * a real DuckDB oracle like the seeded variant. */
+  def topKIvfKmeans(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 3, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = corpus(spark, sfDir)
+    val cents = kmeansCentroids(spark, sfDir, nCells)
+    val centroids = broadcast(
+      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("cell_id", "centroid"))
+    ivfFlow(spark, emb, centroids, k, nQueries, nprobe)
+  }
+
+  /** Shared IVF flow: assign corpus to cells, probe, exact-rerank. */
+  private def ivfFlow(spark: SparkSession, emb: DataFrame,
+      centroids: DataFrame, k: Int, nQueries: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
     // corpus → nearest centroid (1 broadcast join + per-cell argmax)
     val wAssign = Window.partitionBy($"vec_id")
       .orderBy($"cell_cos".desc, $"cell_id".asc)
@@ -163,6 +187,60 @@ object Similarity {
       .filter($"rnk" <= k)
       .select($"q_id", $"vec_id", round($"cos", 6).as("cos_sim"), $"rnk")
       .orderBy($"q_id".asc, $"rnk".asc)
+  }
+
+  /** Deterministic Lloyd iterations for IVF centroids, seeded with the
+    * first `nCells` vectors.
+    *
+    * The update is integer-quantized so the result is bit-reproducible
+    * regardless of aggregation order (and replicable by the DuckDB
+    * oracle): per dimension, sum `floor(x·1e6 + 0.5)` as longs (integer
+    * addition is associative — float sums would vary with partition
+    * merge order), then truncated integer mean, then `/1e6` back to
+    * double. Assignment is cosine-argmax with cell_id tiebreak.
+    *
+    * Scale: each iteration is one broadcast-centroids pass over the
+    * corpus + a (cell × dim) partial-sum shuffle of `nCells·64` longs;
+    * the 16×64 model is collected to the driver exactly like any
+    * fitted-model loop (spark.ml does the same). */
+  private[graft] def kmeansCentroids(spark: SparkSession, sfDir: String,
+      nCells: Int = 16, iters: Int = 2): Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = corpus(spark, sfDir)
+    var cents: Array[(Int, Array[Double])] = emb.filter($"vec_id" < nCells)
+      .select($"vec_id".cast("int"), $"vec").as[(Int, Seq[Double])]
+      .collect().map { case (id, v) => (id, v.toArray) }
+    for (_ <- 1 to iters) {
+      val centDf = broadcast(
+        cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+          .toDF("cell_id", "centroid"))
+      val wA = Window.partitionBy($"vec_id")
+        .orderBy($"cell_cos".desc, $"cell_id".asc)
+      val sums = emb.crossJoin(centDf)
+        .withColumn("cell_cos", expr("cosine_sim(vec, centroid)"))
+        .withColumn("r", row_number().over(wA))
+        .filter($"r" === 1)
+        .select($"cell_id", posexplode($"vec").as(Seq("pos", "x")))
+        .groupBy($"cell_id", $"pos")
+        .agg(sum(floor($"x" * 1000000.0 + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (id, old) =>
+        byCell.get(id) match {
+          case Some(rows) =>
+            val arr = old.clone()
+            rows.foreach { r =>
+              arr(r.getInt(1)) =
+                (r.getLong(2) / r.getLong(3)).toDouble / 1000000.0
+            }
+            (id, arr)
+          case None => (id, old) // empty cell keeps its previous centroid
+        }
+      }
+    }
+    cents
   }
 
   /** Symmetric int8 quantization of embeddings — the storage/bandwidth

@@ -42,4 +42,37 @@ object Etl {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(parquetPath)
   }
+
+  /** Cached CSV copy of a parquet fixture table, for the CSV-source twin
+    * queries (the reference measured every query on both formats).
+    *
+    * Publication is atomic and staleness-safe: the copy is written to a
+    * fresh temp dir and renamed into place, and is rebuilt whenever the
+    * source parquet is newer than the copy's `_SUCCESS` marker — a bare
+    * `exists()` check would trust a stale copy after fixture regeneration,
+    * or a torn one from a crashed writer. */
+  def csvFixture(spark: SparkSession, sfDir: String, table: String): String = {
+    val safe = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val target = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_csv_$safe/$table")
+    val success = new java.io.File(target, "_SUCCESS")
+    val srcMtime = new java.io.File(s"$sfDir/$table.parquet").lastModified
+    if (!success.exists() || success.lastModified < srcMtime) {
+      val tmp = new java.io.File(target.getParentFile,
+        s"$table.tmp-${java.util.UUID.randomUUID()}")
+      graft.Tables.read(spark, sfDir, table)
+        .write.option("header", "true").mode(SaveMode.Overwrite)
+        .csv(tmp.getAbsolutePath)
+      deleteRecursively(target)
+      // if the rename loses a concurrent-writer race, the winner's copy
+      // (also complete — it renamed a finished dir) is used instead
+      if (!tmp.renameTo(target)) deleteRecursively(tmp)
+    }
+    target.getAbsolutePath
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 }

@@ -65,6 +65,41 @@ class DedupSpec extends SparkSpec {
     assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  /** Boilerplate-prefix stress corpus: every doc shares the same 64+ char
+    * prefix (one hot block), tails vary in length across 6 log-spaced
+    * groups with exact-duplicate clusters inside each group. */
+  private lazy val boilerplateDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-boiler").toString
+    val prefix = (1 to 15).map(i => s"common$i").mkString(" ") // > 64 chars
+    val docs = (0 until 240).map { i =>
+      val group = i % 6
+      val variant = (i / 6) % 8 // 8 distinct tails per group → dup clusters
+      val tailLen = 8 << group
+      val tail = (0 until tailLen).map(j => s"g${group}v${variant}w$j")
+        .mkString(" ")
+      (i.toLong, s"$prefix $tail", "en", s"src$i", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("ngram blocking skew: size-bucket split is lossless vs prefix-only blocking") {
+    assertSameRows(
+      Dedup.ngramJaccard(spark, boilerplateDir),
+      Dedup.ngramJaccardUnsplit(spark, boilerplateDir))
+  }
+
+  test("ngram blocking skew: split bounds candidate fan-out in a hot block") {
+    val n = 240L
+    val allPairs = n * (n - 1) / 2
+    val candidates = Dedup.ngramCandidates(spark, boilerplateDir).count()
+    // prefix-only blocking would compare all 28k pairs; the size-bucket
+    // split must cut the hot block's fan-out well below that
+    assert(candidates < allPairs * 6 / 10,
+      s"candidate pairs $candidates not bounded vs all-pairs $allPairs")
+  }
+
   test("fingerprint: identical for normalized dups, distinct otherwise") {
     val fp = TextAnalysis.fingerprint(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -33,6 +33,12 @@ class PlanSpec extends SparkSpec {
       "top-3 isin literal not pushed into a parquet scan")
   }
 
+  test("q3 replicate_nl hint forces the cartesian plan (the measured blow-up)") {
+    // the one deliberate CartesianProduct in the suite — the reference's
+    // own worst-case hint datapoint (results/query3.txt:92-94)
+    assert(plan("q3_hint_replicate_nl").contains("CartesianProduct"))
+  }
+
   test("ev_sessionize: both windows share one exchange") {
     val p = plan("ev_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -64,6 +64,15 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfRecall >= 0.7, f"IVF recall@5 $ivfRecall%.2f below floor")
   }
 
+  test("IVF with k-means centroids: recall@5 ≥ 0.85") {
+    val brute = Similarity.topKBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val km = Similarity.topKIvfKmeans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (km & brute).size.toDouble / brute.size
+    assert(recall >= 0.85, f"k-means IVF recall@5 $recall%.2f below floor")
+  }
+
   test("near-dup pairs are canonicalized and above threshold") {
     val rows = Similarity.cosineNearDup(spark, sf).collect()
     rows.foreach { r =>
