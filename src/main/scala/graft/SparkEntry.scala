@@ -65,6 +65,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "text_sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     // Deduplication (documents)
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -75,6 +76,7 @@ object SparkEntry {
     "sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
     "sim_topk_ivf" -> ((s, d) => Similarity.topKIvf(s, d)),
     "sim_topk_ivf_kmeans" -> ((s, d) => Similarity.topKIvfKmeans(s, d)),
+    "embed_kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "embed_cosine_neardup" -> ((s, d) => Similarity.cosineNearDup(s, d)),
     "embed_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     // Multimodal columns
@@ -92,6 +94,7 @@ object SparkEntry {
     "ev_range_join" -> ((s, d) => Events.rangeJoinBinned(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
     "ev_pivot" -> ((s, d) => Events.pivotCounts(s, d)),
+    "ev_retention" -> ((s, d) => Events.retention(s, d)),
     "q_rollup" -> ((s, d) => RefQueries.qRollup(s, d)),
     "q_cube" -> ((s, d) => RefQueries.qCube(s, d)),
     "mm_props_json_typed" -> ((s, d) => Multimodal.propsJsonTyped(s, d)),
@@ -564,12 +567,12 @@ object SparkEntry {
     SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk::INTEGER AS rnk
     FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
 
-  /** IVF-with-k-means oracle: the integer-quantized Lloyd update
-    * (Similarity.kmeansCentroids) is bit-reproducible, so DuckDB unrolls
-    * the 2 iterations — assign (cosine argmax) → per-(cell,dim) integer
-    * sums → truncated-mean centroids (empty cells keep the previous
-    * centroid) — then replays the IVF probe + exact rerank. */
-  private val simTopKIvfKmeansOracle = """
+  /** Shared unrolled-Lloyd CTE prefix: the integer-quantized k-means
+    * update (Similarity.kmeansCentroids) is bit-reproducible, so DuckDB
+    * replays the 2 iterations — assign (cosine argmax) → per-(cell,dim)
+    * integer sums → truncated-mean centroids (empty cells keep the
+    * previous centroid) — ending with the final corpus assignment. */
+  private val kmeansCtes = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), c0 AS (
@@ -624,7 +627,10 @@ object SparkEntry {
                           c.cell_id ASC) AS r
         FROM e ev CROSS JOIN c2 c
       ) WHERE r = 1
-    ), probes AS (
+    )"""
+
+  private val simTopKIvfKmeansOracle = s"""
+    $kmeansCtes, probes AS (
       SELECT q_id, cell_id FROM (
         SELECT ev.vec_id AS q_id, c.cell_id,
                row_number() OVER (PARTITION BY ev.vec_id
@@ -648,6 +654,19 @@ object SparkEntry {
     )
     SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk::INTEGER AS rnk
     FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
+
+  /** Clustering-summary oracle: same unrolled Lloyd replay; the centroid
+    * norm is a sequential fold, bit-identical to the Scala loop. */
+  private val embedKmeansClustersOracle = s"""
+    $kmeansCtes, counts AS (
+      SELECT cell_id, count(*) AS n_vecs FROM assigned GROUP BY cell_id
+    )
+    SELECT c2.cell_id, coalesce(counts.n_vecs, 0) AS n_vecs,
+           round(sqrt(list_reduce(list_prepend(0.0,
+             list_transform(c2.cv, x -> x * x)), (a, b) -> a + b)), 6)
+             AS centroid_norm
+    FROM c2 LEFT JOIN counts USING (cell_id)
+    ORDER BY cell_id ASC"""
 
   private val mmPropsJsonOracle = """
     WITH e AS (
@@ -833,6 +852,37 @@ object SparkEntry {
     "sim_topk_lsh" -> simTopKLshOracle,
     "sim_topk_ivf" -> simTopKIvfOracle,
     "sim_topk_ivf_kmeans" -> simTopKIvfKmeansOracle,
+    "embed_kmeans_clusters" -> embedKmeansClustersOracle,
+    "text_repetition" -> """
+      WITH d AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+      ), t AS (
+        SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+      ), sh AS (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(1, greatest(len(toks) - 2, 0)),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM t
+      ), pc AS (
+        SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY doc_id, shingle
+      )
+      SELECT doc_id, sum(c)::BIGINT AS n_shingles, count(*) AS n_distinct,
+             max(c) AS max_repeat,
+             round(1.0 - count(*)::double / sum(c), 4) AS rep_ratio
+      FROM pc GROUP BY doc_id ORDER BY doc_id ASC""",
+    "ev_retention" -> """
+      WITH e AS (
+        SELECT user_id, cast(ts AS date) AS day FROM events
+      ), c AS (
+        SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+      )
+      SELECT cast(cohort_day AS varchar) AS cohort_day,
+             date_diff('day', cohort_day, day)::BIGINT AS day_offset,
+             count(DISTINCT user_id) AS n_users
+      FROM e JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""",
     "embed_cosine_neardup" -> embCosineNearDupOracle,
     "q_avg_aggregator" -> """
       SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty

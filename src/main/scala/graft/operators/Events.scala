@@ -55,6 +55,26 @@ object Events {
       .orderBy($"user_id".asc)
   }
 
+  /** Cohort retention — the standard activity-analytics matrix: users
+    * grouped by first-seen date (cohort), counted by distinct activity at
+    * each day offset from that cohort date. Two hash aggregates (per-user
+    * min date; per-(cohort, offset) distinct users) and one shuffle join
+    * back on user_id — no self-join over events, which is what makes the
+    * shape linear at 100 TB. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.read(spark, sfDir, "events")
+      .select($"user_id", $"ts".cast("date").as("day"))
+    val cohort = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .withColumn("day_offset", datediff($"day", $"cohort_day").cast("long"))
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select($"cohort_day".cast("string").as("cohort_day"), $"day_offset",
+        $"n_users")
+      .orderBy($"cohort_day".asc, $"day_offset".asc)
+  }
+
   /** Funnel analysis: per-user click → purchase conversion. One scan,
     * one conditional-aggregation group-by per user (min event time per
     * step), then a tiny global rollup — the standard funnel shape that

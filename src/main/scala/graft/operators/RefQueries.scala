@@ -695,14 +695,19 @@ object RefQueries {
     * few KB of state per partition instead of a full sort. */
   def qQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.read(spark, sfDir, "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("e50"),
+    val li = Tables.read(spark, sfDir, "lineitem")
+    // exact and sketch percentiles in separate aggregations joined on the
+    // tiny group key — one ObjectHashAggregate carrying all four
+    // imperative buffers measured ~1.7× slower than the two clean plans
+    // (same reasoning as qApproxDistinctRaw)
+    val exact = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("e50"),
         expr("percentile(l_extendedprice, 0.9)").as("e90"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
-        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"),
         count(lit(1)).as("cnt"))
+    val approx = li.groupBy($"l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"))
+    exact.join(approx, Seq("l_returnflag"))
       .select($"l_returnflag",
         round($"e50", 4).as("p50_price"), round($"e90", 4).as("p90_price"),
         $"cnt",

@@ -243,6 +243,43 @@ object Similarity {
     cents
   }
 
+  /** Embedding clustering summary — the corpus-curation view of the same
+    * deterministic k-means model IVF uses: per cell, how many vectors
+    * land there and the centroid's L2 norm (a cheap drift/collapse
+    * signal). Empty cells are reported with 0 — a cell that lost all its
+    * members is exactly what a curation pass needs to see. The centroid
+    * norm is a sequential fold over the 64 dims, so the DuckDB oracle
+    * reproduces it bit-for-bit from its own unrolled Lloyd replay. */
+  def kmeansClusters(spark: SparkSession, sfDir: String,
+      nCells: Int = 16): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = corpus(spark, sfDir)
+    val cents = kmeansCentroids(spark, sfDir, nCells)
+    val centroids = broadcast(
+      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("cell_id", "centroid"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"cell_cos".desc, $"cell_id".asc)
+    val counts = emb.crossJoin(centroids)
+      .withColumn("cell_cos", expr("cosine_sim(vec, centroid)"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter($"r" === 1)
+      .groupBy($"cell_id")
+      .agg(count(lit(1)).as("n_vecs"))
+    val norms = cents.toSeq.map { case (id, v) =>
+      var ss = 0.0
+      var i = 0
+      while (i < v.length) { ss += v(i) * v(i); i += 1 }
+      (id, BigDecimal(math.sqrt(ss))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("cell_id", "centroid_norm")
+    broadcast(norms).join(counts, Seq("cell_id"), "left")
+      .select($"cell_id", coalesce($"n_vecs", lit(0L)).as("n_vecs"),
+        $"centroid_norm")
+      .orderBy($"cell_id".asc)
+  }
+
   /** Symmetric int8 quantization of embeddings — the storage/bandwidth
     * path for vectors at scale (float32 → int8 is 4× smaller; at 100 TB
     * of embeddings that is the difference between fitting in cluster

@@ -205,6 +205,36 @@ object TextAnalysis {
       .orderBy($"doc_id".asc, $"rnk".asc)
   }
 
+  /** Repetition detection — the boilerplate/low-quality signal LM-data
+    * filtering keys on: per document, total vs distinct token-3-gram
+    * count, the hottest shingle's frequency, and the repeated fraction
+    * `1 − distinct/total`. Same codegen'd shingle stream as MinHash; the
+    * per-(doc, shingle) count is one hash-aggregate whose partial side
+    * collapses repeats before the shuffle. Docs with < 3 tokens have no
+    * shingles and drop out (nothing to measure — same rule as the oracle). */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", expr(TextNorm.normSql))
+      .select($"doc_id", posexplode(split($"norm", " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    toks
+      .withColumn("t1", lead($"tok", 1).over(w))
+      .withColumn("t2", lead($"tok", 2).over(w))
+      .filter($"t2".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"tok", $"t1", $"t2").as("shingle"))
+      .groupBy($"doc_id", $"shingle").count()
+      .groupBy($"doc_id")
+      .agg(sum($"count").as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        max($"count").as("max_repeat"))
+      .withColumn("rep_ratio", round(
+        lit(1.0) - $"n_distinct".cast("double") / $"n_shingles", 4))
+      .select($"doc_id", $"n_shingles", $"n_distinct", $"max_repeat",
+        $"rep_ratio")
+      .orderBy($"doc_id".asc)
+  }
+
   /** Document fingerprinting: polynomial rolling hash (base 31, mod 1e9+7)
     * over the ascii codes of the first 1024 chars of whitespace-normalized
     * text. Prefix-capped so the per-row cost is O(1024) regardless of
