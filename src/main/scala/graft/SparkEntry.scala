@@ -22,6 +22,8 @@ object SparkEntry {
     // Q1 shape: union → substring year/month → group-count → window top-3
     "q1_topmonths" -> ((s, d) => RefQueries.q1TopMonths(s, d)),
     "q1_csv" -> ((s, d) => RefQueries.q1TopMonthsCsv(s, d)),
+    "q1_orc" -> ((s, d) => RefQueries.q1TopMonthsOrc(s, d)),
+    "q1_jsonl" -> ((s, d) => RefQueries.q1TopMonthsJsonl(s, d)),
     "q1_sql" -> ((s, d) => RefQueries.q1TopMonthsSql(s, d)),
     "q1_typed" -> ((s, d) => RefQueries.q1TopMonthsTyped(s, d)),
     // Q2 shape: filter → lpad/cast → CASE buckets → group-count
@@ -95,6 +97,7 @@ object SparkEntry {
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
     "ev_pivot" -> ((s, d) => Events.pivotCounts(s, d)),
     "ev_retention" -> ((s, d) => Events.retention(s, d)),
+    "ev_partitioned_scan" -> ((s, d) => Events.partitionedScan(s, d)),
     "q_rollup" -> ((s, d) => RefQueries.qRollup(s, d)),
     "q_cube" -> ((s, d) => RefQueries.qCube(s, d)),
     "mm_props_json_typed" -> ((s, d) => Multimodal.propsJsonTyped(s, d)),
@@ -721,6 +724,8 @@ object SparkEntry {
     "q1_sql" -> q1Oracle,
     "q1_typed" -> q1Oracle,
     "q1_csv" -> q1Oracle,
+    "q1_orc" -> q1Oracle,
+    "q1_jsonl" -> q1Oracle,
     "q2_buckets" -> q2Oracle,
     "q2_csv" -> q2Oracle,
     "q2_sql" -> q2Oracle,
@@ -883,6 +888,11 @@ object SparkEntry {
              count(DISTINCT user_id) AS n_users
       FROM e JOIN c USING (user_id)
       GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""",
+    "ev_partitioned_scan" -> """
+      SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+      FROM events
+      WHERE cast(ts AS date) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      GROUP BY event_type ORDER BY event_type ASC""",
     "embed_cosine_neardup" -> embCosineNearDupOracle,
     "q_avg_aggregator" -> """
       SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty

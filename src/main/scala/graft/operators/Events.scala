@@ -55,6 +55,22 @@ object Events {
       .orderBy($"user_id".asc)
   }
 
+  /** Partition-pruned scan over the date-partitioned events copy
+    * (`Etl.eventsByDayFixture`, `event_date=YYYY-MM-DD/` layout): the
+    * one-week filter is resolved against the directory listing at plan
+    * time (`PartitionFilters`, asserted in PlanSpec), so 23 of 30 daily
+    * partitions are never opened. At 100 TB this is the difference
+    * between reading ~23 TB and reading ~5 TB for the same answer —
+    * partition layout is the highest-leverage pruning there is. */
+  def partitionedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(graft.sources.Etl.eventsByDayFixture(spark, sfDir))
+      .filter($"event_date".between("2024-01-08", "2024-01-14"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"event_type".asc)
+  }
+
   /** Cohort retention — the standard activity-analytics matrix: users
     * grouped by first-seen date (cohort), counted by distinct activity at
     * each day offset from that cohort date. Two hash aggregates (per-user

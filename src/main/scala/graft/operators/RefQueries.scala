@@ -49,6 +49,22 @@ object RefQueries {
     spark.read.option("header", "true").option("inferSchema", "true")
       .csv(graft.sources.Etl.csvFixture(spark, sfDir, table))
 
+  /** ORC-source twin: same plan over an ORC copy — with columnar
+    * predicate pushdown and pruning like parquet, unlike the CSV twin. */
+  def q1TopMonthsOrc(spark: SparkSession, sfDir: String): DataFrame =
+    q1Shape(spark, spark.read.orc(
+      graft.sources.Etl.fixture(spark, sfDir, "lineitem", "orc")))
+
+  /** JSON-lines-source twin — the interchange format training-data
+    * pipelines actually ingest. Schema inference reads timestamps back
+    * as ISO strings; q1's substring year/month extraction and the
+    * string→timestamp comparison coercion make the plan identical in
+    * results, while the bench shows the parse cost of JSONL vs columnar
+    * sources. */
+  def q1TopMonthsJsonl(spark: SparkSession, sfDir: String): DataFrame =
+    q1Shape(spark, spark.read.json(
+      graft.sources.Etl.fixture(spark, sfDir, "lineitem", "json")))
+
   private def q1Shape(spark: SparkSession, li: DataFrame): DataFrame = {
     import spark.implicits._
     // Reference unions 2010s + 2020s CSVs (query1.py:25); preserve the

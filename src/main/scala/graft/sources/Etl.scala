@@ -44,25 +44,53 @@ object Etl {
   }
 
   /** Cached CSV copy of a parquet fixture table, for the CSV-source twin
-    * queries (the reference measured every query on both formats).
+    * queries (the reference measured every query on both formats). */
+  def csvFixture(spark: SparkSession, sfDir: String, table: String): String =
+    fixture(spark, sfDir, table, "csv")
+
+  /** Cached alternate-format copy of a fixture table (`csv`, `json`
+    * (JSON-lines), `orc`) for source-twin queries.
     *
     * Publication is atomic and staleness-safe: the copy is written to a
     * fresh temp dir and renamed into place, and is rebuilt whenever the
     * source parquet is newer than the copy's `_SUCCESS` marker — a bare
     * `exists()` check would trust a stale copy after fixture regeneration,
     * or a torn one from a crashed writer. */
-  def csvFixture(spark: SparkSession, sfDir: String, table: String): String = {
+  def fixture(spark: SparkSession, sfDir: String, table: String,
+      format: String): String =
+    cachedFixture(sfDir, s"$table-$format", s"$sfDir/$table.parquet") { tmp =>
+      val w = graft.Tables.read(spark, sfDir, table)
+        .write.mode(SaveMode.Overwrite)
+      (if (format == "csv") w.option("header", "true") else w)
+        .format(format).save(tmp.getAbsolutePath)
+    }
+
+  /** Cached copy of `events` as a date-partitioned parquet table
+    * (`event_date=YYYY-MM-DD/` directories) — the layout a production
+    * event store uses so date filters prune whole partitions at plan
+    * time instead of scanning 100 TB to discard 97% of it. */
+  def eventsByDayFixture(spark: SparkSession, sfDir: String): String =
+    cachedFixture(sfDir, "events-byday", s"$sfDir/events.parquet") { tmp =>
+      import org.apache.spark.sql.functions.{col, date_format}
+      graft.Tables.read(spark, sfDir, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("event_date")
+        .parquet(tmp.getAbsolutePath)
+    }
+
+  private def cachedFixture(sfDir: String, key: String, srcPath: String)(
+      write: java.io.File => Unit): String = {
     val safe = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val target = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_csv_$safe/$table")
+      s"${System.getProperty("java.io.tmpdir")}/graft_fix_$safe/$key")
     val success = new java.io.File(target, "_SUCCESS")
-    val srcMtime = new java.io.File(s"$sfDir/$table.parquet").lastModified
+    val srcMtime = new java.io.File(srcPath).lastModified
     if (!success.exists() || success.lastModified < srcMtime) {
       val tmp = new java.io.File(target.getParentFile,
-        s"$table.tmp-${java.util.UUID.randomUUID()}")
-      graft.Tables.read(spark, sfDir, table)
-        .write.option("header", "true").mode(SaveMode.Overwrite)
-        .csv(tmp.getAbsolutePath)
+        s"$key.tmp-${java.util.UUID.randomUUID()}")
+      tmp.getParentFile.mkdirs()
+      write(tmp)
       deleteRecursively(target)
       // if the rename loses a concurrent-writer race, the winner's copy
       // (also complete — it renamed a finished dir) is used instead

@@ -46,6 +46,14 @@ class PlanSpec extends SparkSpec {
       s"expected a single hash exchange for both windows, found $exchanges")
   }
 
+  test("ev_partitioned_scan: date filter becomes a plan-time PartitionFilter") {
+    val p = plan("ev_partitioned_scan")
+    assert(p.contains("PartitionFilters: [") &&
+      !p.contains("PartitionFilters: []"),
+      s"date filter not applied as a partition filter:\n$p")
+    assert(p.contains("event_date"), "partition column missing from plan")
+  }
+
   test("text ops: map-only plan, scan pruned to (doc_id, text)") {
     val p = plan("text_tokens")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string"))
