@@ -13,6 +13,12 @@ class DifferentialSpec extends SparkSpec {
       RefQueries.q1TopMonthsSql(spark, sf))
   }
 
+  test("q1: parquet ≡ orc ≡ jsonl source twins") {
+    val base = RefQueries.q1TopMonths(spark, sf)
+    assertSameRows(base, RefQueries.q1TopMonthsOrc(spark, sf))
+    assertSameRows(base, RefQueries.q1TopMonthsJsonl(spark, sf))
+  }
+
   test("q2: df ≡ typed Dataset port") {
     assertSameRows(RefQueries.q2TimeBuckets(spark, sf),
       RefQueries.q2TimeBucketsTyped(spark, sf))
