@@ -94,6 +94,7 @@ object SparkEntry {
     "ev_sessionize_typed" -> ((s, d) => Events.sessionizeTyped(s, d)),
     "ev_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
     "ev_range_join" -> ((s, d) => Events.rangeJoinBinned(s, d)),
+    "ev_range_join_native" -> ((s, d) => Events.rangeJoinNative(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
     "ev_pivot" -> ((s, d) => Events.pivotCounts(s, d)),
     "ev_retention" -> ((s, d) => Events.retention(s, d)),
@@ -1061,6 +1062,15 @@ object SparkEntry {
       FROM per_user""",
     // oracle: DuckDB's native inequality (IE) join for the range predicate
     "ev_range_join" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      )
+      SELECT a.user_id, count(*) AS n_pairs
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND abs(a.us - b.us) <= 60000000
+      GROUP BY a.user_id ORDER BY a.user_id ASC""",
+    "ev_range_join_native" -> """
       WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS us FROM events
       )

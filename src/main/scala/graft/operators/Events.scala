@@ -138,6 +138,29 @@ object Events {
       .orderBy($"user_id".asc)
   }
 
+  /** Native range join — identical semantics to `rangeJoinBinned`, but
+    * planned by the first-class `RangeJoinExec` operator (custom
+    * LogicalPlan + SparkStrategy + physical node, graft.plans.RangeJoin):
+    * one hash-partition of each side instead of the 3-way bucket explode,
+    * a per-key two-pointer merge instead of post-join window filtering.
+    * Same oracle as the binned variant (DuckDB's native IEJoin). The two
+    * sides are separate scans so attribute ids stay distinct. */
+  def rangeJoinNative(spark: SparkSession, sfDir: String,
+      windowSec: Int = 60): DataFrame = {
+    import spark.implicits._
+    val a = Tables.read(spark, sfDir, "events")
+      .select($"user_id", $"event_id".as("a_id"), unix_micros($"ts").as("a_us"))
+    val b = Tables.read(spark, sfDir, "events")
+      .select($"user_id".as("ub"), $"event_id".as("b_id"),
+        unix_micros($"ts").as("b_us"))
+    graft.plans.RangeJoin.join(a, b, "user_id", "ub", "a_us", "b_us",
+        windowSec * 1000000L)
+      .filter($"a_id" < $"b_id")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"user_id".asc)
+  }
+
   /** As-of (backward) join composed from built-ins — for each 'purchase'
     * event, the most recent 'click' by the same user at or before it.
     * Spark has no ASOF JOIN operator; per the extension preference order

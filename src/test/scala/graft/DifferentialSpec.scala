@@ -30,6 +30,12 @@ class DifferentialSpec extends SparkSpec {
       assertSameRows(base, RefQueries.q3JoinChain(spark, sf, h, h))
   }
 
+  test("range join: native RangeJoinExec ≡ bucket-explode composition") {
+    assertSameRows(
+      graft.operators.Events.rangeJoinBinned(spark, sf),
+      graft.operators.Events.rangeJoinNative(spark, sf))
+  }
+
   test("q4: df ≡ sql ≡ broadcast ≡ typed cogroup port") {
     val base = RefQueries.q4Distance(spark, sf)
     assertSameRows(base, RefQueries.q4DistanceSql(spark, sf))

@@ -54,6 +54,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("event_date"), "partition column missing from plan")
   }
 
+  test("ev_range_join_native: custom RangeJoinExec planned, no explode, " +
+      "agg reuses the join's partitioning") {
+    val p = plan("ev_range_join_native")
+    assert(p.contains("RangeJoin"), "custom operator not planned")
+    assert(!p.contains("Generate explode"), "explode present in native plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"expected ≤2 exchanges (one per join side, agg reuses), got $exchanges")
+  }
+
   test("text ops: map-only plan, scan pruned to (doc_id, text)") {
     val p = plan("text_tokens")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string"))
