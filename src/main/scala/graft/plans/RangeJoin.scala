@@ -81,11 +81,16 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
 
       // right side as (key, ts, copied row) — copies are required
-      // because unsafe rows are reused by the upstream iterator
+      // because unsafe rows are reused by the upstream iterator.
+      // Null keys/timestamps never match under SQL join semantics, so
+      // null rows are dropped on both sides (they sort first under the
+      // required ascending ordering, so filtering preserves the merge
+      // invariants).
       case class RRow(key: Long, ts: Long, row: InternalRow)
-      val rBuf = rIter.map { r =>
+      val rBuf = rIter.flatMap { r =>
         val kt = rProj(r)
-        RRow(kt.getLong(0), kt.getLong(1), r.copy())
+        if (kt.isNullAt(0) || kt.isNullAt(1)) None
+        else Some(RRow(kt.getLong(0), kt.getLong(1), r.copy()))
       }.buffered
 
       new Iterator[InternalRow] {
@@ -101,21 +106,25 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
           while (lIter.hasNext) {
             lRow = lIter.next()
             val kt = lProj(lRow)
-            val k = kt.getLong(0)
-            lTs = kt.getLong(1)
-            if (!haveKey || k != curKey) {
-              // materialize the right group for this key (SMJ-style
-              // bounded buffer: one key's rows)
-              haveKey = true
-              curKey = k
-              group.clear()
-              lo = 0
-              while (rBuf.hasNext && rBuf.head.key < k) rBuf.next()
-              while (rBuf.hasNext && rBuf.head.key == k) group += rBuf.next()
+            if (kt.isNullAt(0) || kt.isNullAt(1)) {
+              lRow = null // null key/ts never matches (SQL semantics)
+            } else {
+              val k = kt.getLong(0)
+              lTs = kt.getLong(1)
+              if (!haveKey || k != curKey) {
+                // materialize the right group for this key (SMJ-style
+                // bounded buffer: one key's rows)
+                haveKey = true
+                curKey = k
+                group.clear()
+                lo = 0
+                while (rBuf.hasNext && rBuf.head.key < k) rBuf.next()
+                while (rBuf.hasNext && rBuf.head.key == k) group += rBuf.next()
+              }
+              while (lo < group.length && group(lo).ts < lTs - w) lo += 1
+              gi = lo
+              if (gi < group.length && group(gi).ts <= lTs + w) return true
             }
-            while (lo < group.length && group(lo).ts < lTs - w) lo += 1
-            gi = lo
-            if (gi < group.length && group(gi).ts <= lTs + w) return true
           }
           false
         }
