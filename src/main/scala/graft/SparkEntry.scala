@@ -93,6 +93,7 @@ object SparkEntry {
     "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "ev_sessionize_typed" -> ((s, d) => Events.sessionizeTyped(s, d)),
     "ev_asof_join" -> ((s, d) => Events.asofJoin(s, d)),
+    "ev_asof_native" -> ((s, d) => Events.asofJoinNative(s, d)),
     "ev_range_join" -> ((s, d) => Events.rangeJoinBinned(s, d)),
     "ev_range_join_native" -> ((s, d) => Events.rangeJoinNative(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -1009,6 +1010,20 @@ object SparkEntry {
     // oracle: DuckDB's native ASOF JOIN — an independent implementation
     // of the as-of semantics our union+window composition expresses
     "ev_asof_join" -> """
+      WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+      ), c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+        WHERE event_type = 'click'
+      )
+      SELECT p.event_id, p.user_id, cast(p.ts AS varchar) AS ts_s,
+             c.click_id, epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      ORDER BY p.event_id ASC""",
+    // same independent DuckDB ASOF oracle for the native AsOfJoinExec
+    "ev_asof_native" -> """
       WITH p AS (
         SELECT event_id, user_id, ts FROM events
         WHERE event_type = 'purchase'

@@ -42,6 +42,9 @@ object GraftStrategies extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case RangeJoinPlan(l, r, lk, rk, lt, rt, w) =>
       RangeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, w) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb,
+        outer) :: Nil
     case _ => Nil
   }
 }

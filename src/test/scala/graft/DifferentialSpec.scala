@@ -30,6 +30,12 @@ class DifferentialSpec extends SparkSpec {
       assertSameRows(base, RefQueries.q3JoinChain(spark, sf, h, h))
   }
 
+  test("as-of join: native AsOfJoinExec ≡ union+window composition") {
+    assertSameRows(
+      graft.operators.Events.asofJoin(spark, sf),
+      graft.operators.Events.asofJoinNative(spark, sf))
+  }
+
   test("range join: native RangeJoinExec ≡ bucket-explode composition") {
     assertSameRows(
       graft.operators.Events.rangeJoinBinned(spark, sf),

@@ -76,4 +76,49 @@ class RangeJoinSpec extends SparkSpec {
       graft.plans.RangeJoin.join(l, l, "l_k", "l_k", "l_ts", "l_ts", 10)
     }
   }
+
+  /** As-of reference: left join on (key, rts <= lts), keep the row with
+    * max (r_ts, r_id) per left row — the same "last wins, tie-broken"
+    * semantics AsOfJoinExec implements with O(1) merge state. */
+  private def asofReference(l: DataFrame, r: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_id"))
+      .orderBy(col("r_ts").desc_nulls_last, col("r_id").desc_nulls_last)
+    l.join(r, col("l_k") === col("r_k") && col("r_ts") <= col("l_ts"),
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_id"), col("r_id"))
+  }
+
+  private def checkAsof(seed: Long, n: Int, nKeys: Int): Unit = {
+    val l = mkSide(seed, n, nKeys, "l")
+    val r = mkSide(seed + 1000, n, nKeys, "r")
+    val native = graft.plans.AsOfJoin
+      .join(l, r, "l_k", "r_k", "l_ts", "r_ts", tieBreak = Seq("r_id"))
+      .select(col("l_id"), col("r_id"))
+    assertSameRows(native.orderBy("l_id", "r_id"),
+      asofReference(l, r).orderBy("l_id", "r_id"))
+  }
+
+  test("asof random differential: dense keys (many ts ties)") {
+    checkAsof(seed = 11, n = 400, nKeys = 6)
+  }
+
+  test("asof random differential: sparse keys") {
+    checkAsof(seed = 12, n = 300, nKeys = 80)
+  }
+
+  test("asof inner drops unmatched left rows") {
+    val l = mkSide(13, 200, 6, "l")
+    val r = mkSide(1013, 200, 6, "r")
+    val outer = graft.plans.AsOfJoin
+      .join(l, r, "l_k", "r_k", "l_ts", "r_ts", Seq("r_id"),
+        leftOuter = true)
+    val inner = graft.plans.AsOfJoin
+      .join(l, r, "l_k", "r_k", "l_ts", "r_ts", Seq("r_id"),
+        leftOuter = false)
+    assert(inner.count() == outer.filter(col("r_id").isNotNull).count())
+    assert(inner.filter(col("r_id").isNull).count() == 0)
+  }
 }
