@@ -68,6 +68,8 @@ object SparkEntry {
     "text_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "text_sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
+    "text_mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     // Deduplication (documents)
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -879,6 +881,52 @@ object SparkEntry {
              max(c) AS max_repeat,
              round(1.0 - count(*)::double / sum(c), 4) AS rep_ratio
       FROM pc GROUP BY doc_id ORDER BY doc_id ASC""",
+    "text_chunk" -> """
+      WITH d AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+      ), t AS (
+        SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+      ), c AS (
+        SELECT doc_id, toks,
+               (ceil(greatest(len(toks) - 64, 0) / 48.0) + 1)::INTEGER
+                 AS n_chunks
+        FROM t
+      ), x AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM c
+      ), s AS (
+        SELECT doc_id, chunk_id,
+               toks[chunk_id*48 + 1 : chunk_id*48 + 64] AS ct
+        FROM x
+      )
+      SELECT doc_id, chunk_id::INTEGER AS chunk_id,
+             len(ct)::BIGINT AS chunk_len,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(
+                 generate_series(1, length(array_to_string(ct, ' '))),
+                 i -> ascii(substr(array_to_string(ct, ' '), i, 1))::BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007) AS chunk_hash
+      FROM s ORDER BY doc_id ASC, chunk_id ASC""",
+    "text_mixture_sample" -> """
+      WITH x AS (
+        SELECT lang, doc_id,
+               (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                          WHEN 'fr' THEN 1.0 WHEN 'es' THEN 0.25
+                          WHEN 'zh' THEN 0.1 ELSE 0.0 END)::DOUBLE AS rate,
+               (doc_id * 2654435761 + 7) % 1000000007 AS h
+        FROM documents
+      )
+      SELECT lang, count(*) AS n_total,
+             sum(CASE WHEN h < floor(rate * 1000000007)::BIGINT
+                      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             max(rate) AS target_rate,
+             round(sum(CASE WHEN h < floor(rate * 1000000007)::BIGINT
+                            THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+               AS actual_rate
+      FROM x GROUP BY lang ORDER BY lang ASC""",
     "ev_retention" -> """
       WITH e AS (
         SELECT user_id, cast(ts AS date) AS day FROM events

@@ -205,6 +205,66 @@ object TextAnalysis {
       .orderBy($"doc_id".asc, $"rnk".asc)
   }
 
+  /** Document chunking — fixed-size overlapping token windows (size 64,
+    * stride 48), THE preprocessing op between raw documents and training
+    * sequences. Chunk boundaries are pure arithmetic over the token
+    * array: chunk i covers tokens [i·stride, i·stride + size); the last
+    * chunk may be short; docs shorter than one stride yield one chunk.
+    * Output carries the chunk's token count and a poly_hash of its
+    * re-joined text so the oracle verifies content, not just counts.
+    * Scale: explode fans out ~len/stride rows per doc — linear in corpus
+    * token count, no shuffle until a downstream op needs one. */
+  def chunk(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    Tables.read(spark, sfDir, "documents")
+      .withColumn("toks", split(expr(TextNorm.normSql), " "))
+      .withColumn("n_toks", size($"toks"))
+      // number of chunks: ceil(max(n - chunkSize, 0) / stride) + 1
+      .withColumn("n_chunks",
+        (ceil(greatest($"n_toks" - chunkSize, lit(0)).cast("double") / stride)
+          + 1).cast("int"))
+      .select($"doc_id", $"toks", $"n_toks",
+        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("ord", "chunk_id")))
+      .withColumn("chunk_toks",
+        slice($"toks", $"chunk_id" * stride + 1, lit(chunkSize)))
+      .select($"doc_id", $"chunk_id",
+        size($"chunk_toks").cast("long").as("chunk_len"),
+        expr("poly_hash(concat_ws(' ', chunk_toks), 1048576)")
+          .as("chunk_hash"))
+      .orderBy($"doc_id".asc, $"chunk_id".asc)
+  }
+
+  /** Weighted mixture sampling — per-language target rates applied with
+    * a deterministic integer hash threshold (`(doc_id·2654435761 + 7)
+    * mod 1e9+7`, kept iff below rate·1e9+7): the "dataset mixture"
+    * op a training pipeline runs to rebalance sources. Unlike rand(),
+    * the decision is reproducible row-wise on both engines, so the
+    * oracle verifies the exact kept-set, not just approximate rates. */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25,
+      "zh" -> 0.1)
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (l, r)) =>
+      when($"lang" === l, r).otherwise(acc)
+    }
+    val M = 1000000007L
+    Tables.read(spark, sfDir, "documents")
+      .withColumn("rate", rateCol)
+      .withColumn("h", ($"doc_id" * 2654435761L + 7L) % M)
+      // floor, not cast: Spark's double→long cast truncates while
+      // DuckDB's rounds — floor() is identical on both engines
+      .withColumn("keep", $"h" < floor($"rate" * M).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        max($"rate").as("target_rate"))
+      .withColumn("actual_rate",
+        round($"n_kept".cast("double") / $"n_total", 4))
+      .orderBy($"lang".asc)
+  }
+
   /** Repetition detection — the boilerplate/low-quality signal LM-data
     * filtering keys on: per document, total vs distinct token-3-gram
     * count, the hottest shingle's frequency, and the repeated fraction
