@@ -33,12 +33,17 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAnalysis.langId(spark, emptyDir).count() == 0)
     assert(TextAnalysis.fingerprint(spark, emptyDir).count() == 0)
     assert(TextAnalysis.tfidfTopK(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.repetition(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.chunk(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.mixtureSample(spark, emptyDir).count() == 0)
   }
 
   test("similarity operators return empty on an empty embeddings table") {
     assert(Similarity.topKBruteForce(spark, emptyDir).count() == 0)
     assert(Similarity.topKLsh(spark, emptyDir).count() == 0)
     assert(Similarity.topKIvf(spark, emptyDir).count() == 0)
+    assert(Similarity.topKIvfKmeans(spark, emptyDir).count() == 0)
+    assert(Similarity.kmeansClusters(spark, emptyDir).count() == 0)
     assert(Similarity.cosineNearDup(spark, emptyDir).count() == 0)
   }
 
