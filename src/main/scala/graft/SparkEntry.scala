@@ -54,6 +54,7 @@ object SparkEntry {
     "q_skew_join" -> ((s, d) => RefQueries.qSkewJoin(s, d)),
     // J1: multi-key USING join
     "q_join_multikey" -> ((s, d) => RefQueries.qJoinMultiKey(s, d)),
+    "q_bucketed_join" -> ((s, d) => RefQueries.qBucketedJoin(s, d)),
     // A5: typed Aggregator custom aggregate
     "q_avg_aggregator" -> ((s, d) => RefQueries.qAvgAggregator(s, d)),
     // Native codegen'd cosine_sim Catalyst expression
@@ -824,6 +825,11 @@ object SparkEntry {
              count(*) AS cnt, round(sum(value), 4) AS sum_value
       FROM w GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""",
     "q_join_multikey" -> multiKeyOracle,
+    "q_bucketed_join" -> """
+      SELECT o_orderpriority, count(*) AS cnt,
+             round(sum(l_quantity), 4) AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""",
     "text_tokens" -> textTokensOracle,
     "text_quality" -> textQualityOracle,
     "text_langid" -> textLangIdOracle,

@@ -515,6 +515,49 @@ object RefQueries {
       .orderBy($"event_type".asc)
   }
 
+  /** Bucketed co-located join — the 100 TB pattern for join keys used
+    * repeatedly: both sides are written `bucketBy(16, orderkey)` once
+    * (per session + scale dir; the warm-up pass absorbs the write), and
+    * every subsequent join on that key plans WITHOUT any exchange — the
+    * bucketed scans already satisfy the join's required distribution.
+    * At 100 TB this converts the recurring fact-fact shuffle (the
+    * dominant cost of `q_join_multikey`-style queries) into a one-time
+    * layout decision. PlanSpec asserts the exchange-free join. */
+  def qBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val safe = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val liT = s"graft_li_bucketed_$safe"
+    val ordT = s"graft_ord_bucketed_$safe"
+    // a fresh session's in-memory catalog forgets tables while their
+    // warehouse directories survive — clear the stale location or the
+    // CTAS validation refuses to create the table
+    def dropStaleLocation(table: String): Unit = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+    if (!spark.catalog.tableExists(liT)) {
+      dropStaleLocation(liT)
+      Tables.read(spark, sfDir, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liT)
+    }
+    if (!spark.catalog.tableExists(ordT)) {
+      dropStaleLocation(ordT)
+      Tables.read(spark, sfDir, "orders")
+        .select($"o_orderkey", $"o_orderpriority")
+        .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ordT)
+    }
+    spark.table(liT)
+      .join(spark.table(ordT), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("qty"))
+      .orderBy($"o_orderpriority".asc)
+  }
+
   /** Skewed JOIN — the other half of the skew story next to
     * `qSkewSaltedAgg`: `least(user_id, 20)` funnels ~99% of events onto
     * one join key, the worst case for a sort-merge join (one reducer gets

@@ -46,6 +46,26 @@ class PlanSpec extends SparkSpec {
       s"expected a single hash exchange for both windows, found $exchanges")
   }
 
+  test("q_bucketed_join: bucketed sides join without an exchange") {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_bucketed_join")
+      // the only hash exchange allowed is the post-join aggregation;
+      // a shuffling join would add one per side
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges <= 1,
+        s"bucketed join should not shuffle its inputs ($exchanges exchanges):\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ev_partitioned_scan: date filter becomes a plan-time PartitionFilter") {
     val p = plan("ev_partitioned_scan")
     assert(p.contains("PartitionFilters: [") &&
