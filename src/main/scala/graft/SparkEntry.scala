@@ -34,14 +34,20 @@ object SparkEntry {
     // Q3 shape: clean → join chain (hints) → top-3-to-driver → isin →
     // inline dim → group-count
     "q3_joinchain" -> ((s, d) => RefQueries.q3JoinChain(s, d)),
+    "q3_csv" -> ((s, d) => RefQueries.q3JoinChain(s, d, fromCsv = true)),
     "q3_hint_broadcast" -> ((s, d) => RefQueries.q3JoinChain(s, d, "broadcast", "broadcast")),
     "q3_hint_merge" -> ((s, d) => RefQueries.q3JoinChain(s, d, "merge", "merge")),
     "q3_hint_shuffle_hash" -> ((s, d) => RefQueries.q3JoinChain(s, d, "shuffle_hash", "shuffle_hash")),
     // asymmetric hints — the reference CLI selects each join's hint
-    // independently (query3.py:175-192)
+    // independently (query3.py:175-192); the published matrix also
+    // includes per-join "optimal" combos (results/query3.txt:96-102)
     "q3_hint_asym" -> ((s, d) => RefQueries.q3JoinChain(s, d, "merge", "broadcast")),
+    "q3_hint_opt_merge" -> ((s, d) => RefQueries.q3JoinChain(s, d, "optimal", "merge")),
+    "q3_hint_opt_shuffle_hash" -> ((s, d) => RefQueries.q3JoinChain(s, d, "optimal", "shuffle_hash")),
     "q3_hint_replicate_nl" -> ((s, d) => RefQueries.q3JoinChainReplicateNl(s, d)),
+    "q3_hint_replicate_nl_join1" -> ((s, d) => RefQueries.q3JoinChainReplicateNlJoin1(s, d)),
     "q3_joinchain_bot" -> ((s, d) => RefQueries.q3JoinChain(s, d, extreme = "bot")),
+    "q3_joinchain_rawkey" -> ((s, d) => RefQueries.q3JoinChainRawKey(s, d)),
     "q3_topk_distributed" -> ((s, d) => RefQueries.q3TopKDistributed(s, d)),
     // Q4 shape: compound filter → expression join → haversine → avg+count
     "q4_distance" -> ((s, d) => RefQueries.q4Distance(s, d)),
@@ -73,6 +79,7 @@ object SparkEntry {
     "text_mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     // Deduplication (documents)
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "dedup_exact_twopass" -> ((s, d) => Dedup.exactDedupTwoPass(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simHash(s, d)),
@@ -112,6 +119,7 @@ object SparkEntry {
     // Sketches
     "q_approx_distinct" -> ((s, d) => RefQueries.qApproxDistinct(s, d)),
     "q_profile" -> ((s, d) => RefQueries.qProfile(s, d)),
+    "q_profile_approx" -> ((s, d) => RefQueries.qProfileApprox(s, d)),
     "q_quantiles" -> ((s, d) => RefQueries.qQuantiles(s, d)),
     "q_quantiles_approx" -> ((s, d) => RefQueries.qQuantilesApprox(s, d)),
     "text_bigrams" -> ((s, d) => TextAnalysis.bigramStats(s, d)),
@@ -170,6 +178,27 @@ object SparkEntry {
     WHERE c.c_custkey IN (SELECT c_custkey FROM top3)
     GROUP BY priority_label ORDER BY priority_label ASC"""
 
+  /** Raw-key sensitivity oracle (reference strip-vs-keep, query3.py:84-96):
+    * the uncleaned key joins against the dim's cleaned values — nothing
+    * matches and the result is empty BY DESIGN; DuckDB independently
+    * confirms the silent total row loss. */
+  private val q3OracleRawKey = """
+    WITH top3 AS (
+      SELECT c_custkey FROM (SELECT DISTINCT c_custkey, c_acctbal FROM customer)
+      ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3
+    ), dim(priority, priority_label) AS (
+      VALUES ('URGENT', 'Critical'), ('HIGH', 'High'), ('MEDIUM', 'Medium'),
+             ('NOT SPECIFIED', 'Unspecified'), ('LOW', 'Low')
+    )
+    SELECT priority_label, count(*) AS cnt,
+           round(sum(l_quantity), 4) AS qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN dim ON o.o_orderpriority = dim.priority
+    WHERE c.c_custkey IN (SELECT c_custkey FROM top3)
+    GROUP BY priority_label ORDER BY priority_label ASC"""
+
   /** q3 "bot" income variant (reference CLI arg "bot",
     * query3.py:101,134-140): bottom-3 balances instead of top-3. */
   private val q3OracleBot = """
@@ -211,7 +240,10 @@ object SparkEntry {
                pow(sin(radians(n_lon - c_lon) / 2), 2))) AS dist_km
       FROM c JOIN n ON c.c_nationkey = n.n_nationkey
     )
-    SELECT n_name, round(avg(dist_km), 4) AS avg_dist_km, count(*) AS cnt
+    SELECT n_name,
+           round(sum(CAST(dist_km AS DECIMAL(20,6)))::DOUBLE / count(*), 4)
+             AS avg_dist_km,
+           count(*) AS cnt
     FROM j GROUP BY n_name
     ORDER BY avg_dist_km DESC, n_name ASC"""
 
@@ -702,7 +734,8 @@ object SparkEntry {
 
   private val evWindowOracle = """
     SELECT cast(date_trunc('hour', ts) AS varchar) AS hour_start,
-           event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+           event_type, count(*) AS cnt,
+           round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC"""
 
   private val evSessionizeOracle = """
@@ -721,8 +754,24 @@ object SparkEntry {
       FROM x
     )
     SELECT user_id, max(session_id)::BIGINT AS n_sessions,
-           count(*) AS n_events, round(sum(value), 4) AS total_value
+           count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS total_value
     FROM s GROUP BY user_id ORDER BY user_id ASC"""
+
+  private val evAsofOracle = """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, cast(p.ts AS varchar) AS ts_s,
+           c.click_id, epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    ORDER BY p.event_id ASC"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_topmonths" -> q1Oracle,
@@ -736,12 +785,17 @@ object SparkEntry {
     "q2_sql" -> q2Oracle,
     "q2_typed" -> q2Oracle,
     "q3_joinchain" -> q3Oracle,
+    "q3_csv" -> q3Oracle,
     "q3_hint_broadcast" -> q3Oracle,
     "q3_hint_merge" -> q3Oracle,
     "q3_hint_shuffle_hash" -> q3Oracle,
     "q3_hint_asym" -> q3Oracle,
+    "q3_hint_opt_merge" -> q3Oracle,
+    "q3_hint_opt_shuffle_hash" -> q3Oracle,
     "q3_hint_replicate_nl" -> q3Oracle,
+    "q3_hint_replicate_nl_join1" -> q3Oracle,
     "q3_joinchain_bot" -> q3OracleBot,
+    "q3_joinchain_rawkey" -> q3OracleRawKey,
     "q3_topk_distributed" -> q3Oracle,
     "q4_distance" -> q4Oracle,
     "q4_csv" -> q4Oracle,
@@ -760,6 +814,21 @@ object SparkEntry {
       SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
              count(DISTINCT o_custkey) FROM orders
       ORDER BY col_name ASC""",
+    // bound-checked sketch twin (literal TRUE gates the 5% bound, like
+    // q_approx_distinct)
+    "q_profile_approx" -> """
+      SELECT * FROM (
+        SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+               count(*) - count(o_orderstatus) AS n_null,
+               count(DISTINCT o_orderstatus) AS n_distinct,
+               true AS distinct_ok FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority), true FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey), true FROM orders
+      ) ORDER BY col_name ASC""",
     "text_sample_stratified" -> """
       SELECT lang, count(*) AS n_total,
              count(CASE WHEN doc_id % 10 < 1 THEN 1 END) AS n_kept,
@@ -802,12 +871,15 @@ object SparkEntry {
       SELECT bigram, count(*) AS cnt FROM bg WHERE bigram IS NOT NULL
       GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20""",
     "q_skew_salted_agg" -> """
-      SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value,
-             round(sum(value) / count(*), 4) AS avg_value
+      SELECT event_type, count(*) AS cnt,
+             round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS sum_value,
+             round(sum(CAST(value AS DECIMAL(20,6)))::DOUBLE / count(*), 4)
+               AS avg_value
       FROM events GROUP BY event_type ORDER BY event_type ASC""",
     "q_skew_join" -> """
-      SELECT c_mktsegment, count(*) AS cnt, round(sum(value), 4) AS sum_value,
-             sum(length(props)) AS props_bytes
+      SELECT c_mktsegment, count(*) AS cnt,
+             round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS sum_value,
+             sum(length(props))::BIGINT AS props_bytes
       FROM (SELECT least(user_id, 20) AS k, value, props FROM events) e
       JOIN (SELECT c_custkey, c_mktsegment FROM customer
             WHERE c_custkey <= 20) c
@@ -822,7 +894,8 @@ object SparkEntry {
         FROM events
       )
       SELECT cast(win_start AS varchar) AS win_start, event_type,
-             count(*) AS cnt, round(sum(value), 4) AS sum_value
+             count(*) AS cnt,
+             round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS sum_value
       FROM w GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""",
     "q_join_multikey" -> multiKeyOracle,
     "q_bucketed_join" -> """
@@ -859,6 +932,7 @@ object SparkEntry {
       FROM s ORDER BY doc_id ASC""",
     "text_fingerprint" -> textFingerprintOracle,
     "dedup_exact" -> dedupExactOracle,
+    "dedup_exact_twopass" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_minhash_lsh" -> dedupMinhashOracle,
     "dedup_simhash" -> dedupSimhashOracle,
@@ -945,7 +1019,8 @@ object SparkEntry {
       FROM e JOIN c USING (user_id)
       GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""",
     "ev_partitioned_scan" -> """
-      SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+      SELECT event_type, count(*) AS cnt,
+             round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS sum_value
       FROM events
       WHERE cast(ts AS date) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       GROUP BY event_type ORDER BY event_type ASC""",
@@ -999,7 +1074,8 @@ object SparkEntry {
         FROM embeddings
       )
       SELECT lang, count(*) AS cnt,
-             round(avg(vec_norm), 6) AS avg_norm,
+             round(sum(CAST(vec_norm AS DECIMAL(20,8)))::DOUBLE / count(*), 6)
+               AS avg_norm,
              round(avg(length(text)), 4) AS avg_chars
       FROM documents d JOIN v USING (doc_id)
       GROUP BY lang ORDER BY lang ASC""",
@@ -1062,34 +1138,15 @@ object SparkEntry {
       FROM ym GROUP BY ROLLUP (year, month)
       ORDER BY gid ASC, year ASC NULLS FIRST, month ASC NULLS FIRST""",
     // oracle: DuckDB's native ASOF JOIN — an independent implementation
-    // of the as-of semantics our union+window composition expresses
-    "ev_asof_join" -> """
-      WITH p AS (
-        SELECT event_id, user_id, ts FROM events
-        WHERE event_type = 'purchase'
-      ), c AS (
-        SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
-        WHERE event_type = 'click'
-      )
-      SELECT p.event_id, p.user_id, cast(p.ts AS varchar) AS ts_s,
-             c.click_id, epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
-      FROM p ASOF LEFT JOIN c
-        ON p.user_id = c.user_id AND p.ts >= c.click_ts
-      ORDER BY p.event_id ASC""",
+    // of the as-of semantics our union+window composition expresses.
+    // The right side is pre-reduced to max(event_id) per (user, ts):
+    // DuckDB ASOF leaves the pick among duplicate-(key, ts) right rows
+    // unspecified, while both Spark variants deterministically keep the
+    // max click_id — the reduction makes the oracle's tie-break explicit
+    // instead of relying on the fixture having no ties
+    "ev_asof_join" -> evAsofOracle,
     // same independent DuckDB ASOF oracle for the native AsOfJoinExec
-    "ev_asof_native" -> """
-      WITH p AS (
-        SELECT event_id, user_id, ts FROM events
-        WHERE event_type = 'purchase'
-      ), c AS (
-        SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
-        WHERE event_type = 'click'
-      )
-      SELECT p.event_id, p.user_id, cast(p.ts AS varchar) AS ts_s,
-             c.click_id, epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
-      FROM p ASOF LEFT JOIN c
-        ON p.user_id = c.user_id AND p.ts >= c.click_ts
-      ORDER BY p.event_id ASC""",
+    "ev_asof_native" -> evAsofOracle,
     "embed_quantize_int8" -> """
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -36,6 +36,37 @@ object Dedup {
       .orderBy($"keep_id".asc)
   }
 
+  /** Two-pass exact dedup — the 100 TB shape. `exactDedup` is correct but
+    * its one shuffle carries the FULL normalized text as part of the group
+    * key: at 100 TB the exchange is corpus-sized. Here pass 1 shuffles
+    * only (xxhash64, doc_id) — 16 bytes/row — to find hash groups; text
+    * crosses the wire ONLY for rows whose hash has count > 1 (the dup
+    * candidates, typically a small fraction), where pass 2 confirms
+    * byte-equality by grouping on (hash, norm), so 64-bit collisions
+    * still split correctly. Output is identical to `exactDedup` (same
+    * oracle). The candidate-hash dim is broadcast — it holds one long per
+    * duplicated GROUP; if a corpus's dup-group count outgrew the
+    * broadcast threshold, the hint drops out and AQE falls back to a
+    * shuffle semi-join of the hashes, never the full text. */
+  def exactDedupTwoPass(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def docs = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", normText)
+      .select($"doc_id", $"norm", xxhash64($"norm").as("text_hash"))
+    val byHash = docs.drop("norm")
+      .groupBy($"text_hash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    val singles = byHash.filter($"n_copies" === 1)
+      .select($"keep_id", $"n_copies")
+    val dupHashes = byHash.filter($"n_copies" > 1).select($"text_hash")
+    val confirmed = docs
+      .join(broadcast(dupHashes), Seq("text_hash"), "left_semi")
+      .groupBy($"text_hash", $"norm")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+    singles.union(confirmed).orderBy($"keep_id".asc)
+  }
+
   /** Token 3-gram shingles of normalized text, as a Column over `toks`.
     * The size guard must short-circuit: Spark's `sequence(1, 0)` counts
     * DOWN (step defaults to -1 when start > stop), so a bare
@@ -60,17 +91,20 @@ object Dedup {
     * prefix block, degrading the self-join to quadratic fan-out; splitting
     * each block by `floor(log2(|shingles| + 1))` caps same-bucket
     * occupancy without losing a single qualifying pair. Proof: for
-    * Jaccard ≥ 1/2 with shingle-set sizes a ≤ b, j ≤ |∩|/|∪| ≤ a/b, so
-    * b ≤ 2a, hence log2(b+1) − log2(a+1) < 1 and the floored buckets
-    * differ by at most 1 — covered by probing each left doc into buckets
-    * {s, s+1}. Pairs are canonicalized (least, greatest) + distinct, so
-    * the output is IDENTICAL to the unsplit blocking — the DuckDB oracle
-    * joins on the prefix block alone, independently verifying the pruning
-    * is lossless. */
+    * Jaccard ≥ t with shingle-set sizes a ≤ b, t ≤ j ≤ |∩|/|∪| ≤ a/b, so
+    * b ≤ a/t, hence log2(b+1) − log2(a+1) < log2(1/t) and the floored
+    * buckets differ by at most W = ceil(log2(1/t)) — covered by probing
+    * each left doc into buckets {s, …, s+W} (W = 1 at the default
+    * t = 0.5). Pairs are canonicalized (least, greatest), so the output
+    * is IDENTICAL to the unsplit blocking — the DuckDB oracle joins on
+    * the prefix block alone, independently verifying the pruning is
+    * lossless. */
   def ngramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
-    ngramCandidates(spark, sfDir)
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    ngramCandidates(spark, sfDir, threshold)
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a".asc, $"doc_b".asc)
@@ -80,13 +114,21 @@ object Dedup {
     * skew stress spec can assert both candidate-count bounds and
     * losslessness of the size-bucket split.
     *
+    * The probe width is DERIVED from the threshold — W = ceil(log2(1/t))
+    * buckets above a doc's own — so the split is lossless for every
+    * t ∈ (0, 1], not just the t ≥ 0.5 the original {s, s+1} probe set
+    * covered (FP note: computing ceil on the floating log over-probes by
+    * at most one bucket near integer values, which costs candidates but
+    * never loses a pair).
+    *
     * Each unordered pair is emitted exactly once, with no dedup shuffle:
     * same-bucket pairs via `doc_a < doc_b`, cross-bucket pairs only
-    * through the lower-bucket doc's `s+1` probe (the bucket assignment is
-    * fixed per doc, so the two paths are disjoint); `least/greatest`
-    * canonicalizes the cross-bucket order. */
+    * through the lower-bucket doc's `s+d` probe at exactly d = the
+    * bucket gap (the bucket assignment is fixed per doc, so the paths
+    * are disjoint); `least/greatest` canonicalizes the cross-bucket
+    * order. */
   private[graft] def ngramCandidates(spark: SparkSession,
-      sfDir: String): DataFrame = {
+      sfDir: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     // Shingle sets via the codegen'd posexplode + lead-window stream (the
     // minHashLsh path), materialized ONCE by the collect_set aggregate.
@@ -112,9 +154,11 @@ object Dedup {
       .withColumn("szb",
         floor(log2(size($"shingles") + 1)).cast("int"))
       .select($"doc_id", $"block", $"szb", $"shingles")
+    val probeW = math.ceil(math.log(1.0 / threshold) / math.log(2.0))
+      .toInt.max(0)
     val a = docs.select($"doc_id".as("id_a"),
       $"block", $"shingles".as("sh_a"), $"szb".as("szb_a"),
-      explode(array($"szb", $"szb" + 1)).as("szbk"))
+      explode(array((0 to probeW).map(d => $"szb" + d): _*)).as("szbk"))
     val b = docs.select($"doc_id".as("id_b"), $"block",
       $"shingles".as("sh_b"), $"szb".as("szbk"))
     a.join(b, Seq("block", "szbk"))

@@ -20,7 +20,11 @@ object Events {
     import spark.implicits._
     Tables.read(spark, sfDir, "events")
       .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+      // decimal sum: order-independent (a double sum's last ulp depends on
+      // partition merge order — see RefQueries.qSkewJoin)
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
+          .as("sum_value"))
       .select($"window.start".cast("string").as("hour_start"),
         $"event_type", $"cnt", $"sum_value")
       .orderBy($"hour_start".asc, $"event_type".asc)
@@ -35,7 +39,9 @@ object Events {
     import spark.implicits._
     Tables.read(spark, sfDir, "events")
       .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
-      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
+          .as("sum_value"))
       .select($"window.start".cast("string").as("win_start"),
         $"event_type", $"cnt", $"sum_value")
       .orderBy($"win_start".asc, $"event_type".asc)
@@ -67,7 +73,9 @@ object Events {
     spark.read.parquet(graft.sources.Etl.eventsByDayFixture(spark, sfDir))
       .filter($"event_date".between("2024-01-08", "2024-01-14"))
       .groupBy($"event_type")
-      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
+          .as("sum_value"))
       .orderBy($"event_type".asc)
   }
 
@@ -247,16 +255,21 @@ object Events {
         val evs = rows.toArray.sortBy(r => (micros(r._3), r._2))
         var nSessions = 0L
         var lastUs = Long.MinValue
-        var total = 0.0
+        // micro-unit long accumulator (each value quantized exactly like a
+        // decimal(20,6) cast): order-independent, so the total matches the
+        // declarative variant's decimal sum bit-for-bit
+        var totalMicros = 0L
         evs.foreach { case (_, _, ts, v) =>
           val t = micros(ts)
           if (lastUs == Long.MinValue || t - lastUs > gapUs) nSessions += 1
           lastUs = t
-          total += v
+          totalMicros += BigDecimal(v)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .underlying.movePointRight(6).longValueExact
         }
         (userId, nSessions, evs.length.toLong,
-          BigDecimal(total).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble)
+          BigDecimal(java.math.BigDecimal.valueOf(totalMicros, 6))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       .toDF("user_id", "n_sessions", "n_events", "total_value")
       .orderBy($"user_id".asc)
@@ -284,7 +297,8 @@ object Events {
       .groupBy($"user_id")
       .agg(max($"session_id").as("n_sessions"),
         count(lit(1)).as("n_events"),
-        round(sum($"value"), 4).as("total_value"))
+        round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
+          .as("total_value"))
       .orderBy($"user_id".asc)
   }
 }

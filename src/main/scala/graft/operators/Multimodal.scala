@@ -66,8 +66,12 @@ object Multimodal {
           .as("vec_norm"))
     docs.join(vecs, Seq("doc_id"))
       .groupBy($"lang")
+      // avg_norm via order-independent decimal sum (continuous doubles —
+      // see RefQueries.q4Finish); avg_chars sums exact integers, so a
+      // plain avg is already deterministic
       .agg(count(lit(1)).as("cnt"),
-        round(avg($"vec_norm"), 6).as("avg_norm"),
+        round(sum($"vec_norm".cast("decimal(20,8)")).cast("double") /
+          count(lit(1)), 6).as("avg_norm"),
         round(avg($"n_chars_calc"), 4).as("avg_chars"))
       .orderBy($"lang".asc)
   }

@@ -43,11 +43,18 @@ object RefQueries {
 
   /** CSV twin of a fixture table: cached conversion (atomic, staleness-
     * checked — Etl.csvFixture) read back with header + schema inference,
-    * exactly the reference's CSV reader options. */
+    * exactly the reference's CSV reader options. The inference pass (a
+    * full extra parse of the file) runs ONCE per (path, JVM) and the
+    * resulting StructType is reused — a format twin measures steady-state
+    * read cost, not N repeated inference scans. */
   private def readCsvTwin(spark: SparkSession, sfDir: String,
-      table: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "true")
-      .csv(graft.sources.Etl.csvFixture(spark, sfDir, table))
+      table: String): DataFrame = {
+    val path = graft.sources.Etl.csvFixture(spark, sfDir, table)
+    val schema = graft.sources.Etl.schemaOnce(path)(
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(path).schema)
+    spark.read.option("header", "true").schema(schema).csv(path)
+  }
 
   /** ORC-source twin: same plan over an ORC copy — with columnar
     * predicate pushdown and pruning like parquet, unlike the CSV twin. */
@@ -60,10 +67,14 @@ object RefQueries {
     * as ISO strings; q1's substring year/month extraction and the
     * string→timestamp comparison coercion make the plan identical in
     * results, while the bench shows the parse cost of JSONL vs columnar
-    * sources. */
-  def q1TopMonthsJsonl(spark: SparkSession, sfDir: String): DataFrame =
-    q1Shape(spark, spark.read.json(
-      graft.sources.Etl.fixture(spark, sfDir, "lineitem", "json")))
+    * sources. Like the CSV twin, the inference scan runs once per
+    * (path, JVM) and the schema is reused. */
+  def q1TopMonthsJsonl(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = graft.sources.Etl.fixture(spark, sfDir, "lineitem", "json")
+    val schema = graft.sources.Etl.schemaOnce(path)(
+      spark.read.json(path).schema)
+    q1Shape(spark, spark.read.schema(schema).json(path))
+  }
 
   private def q1Shape(spark: SparkSession, li: DataFrame): DataFrame = {
     import spark.implicits._
@@ -241,16 +252,28 @@ object RefQueries {
   /** Shared q3 inputs: projected lineitem, orders with the F5-cleaned
     * priority ("1-URGENT" → "URGENT", mirroring the reference's income
     * cleanup query3.py:68-71), projected customer, and the S4 inline
-    * dimension (reference's 19-row descent dim, query3.py:8-32). */
-  private def q3Parts(spark: SparkSession, sfDir: String)
+    * dimension (reference's 19-row descent dim, query3.py:8-32).
+    *
+    * @param fromCsv read all three tables from their CSV fixture copies
+    *   (the reference ran every query on both formats)
+    * @param cleanKey apply the F5 regexp cleanup to the join key; `false`
+    *   is the reference's strip-vs-keep sensitivity study
+    *   (query3.py:84-96) — the raw key never matches the dim here, so
+    *   every row is silently lost (see q3JoinChainRawKey) */
+  private def q3Parts(spark: SparkSession, sfDir: String,
+      fromCsv: Boolean = false, cleanKey: Boolean = true)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    val li = Tables.read(spark, sfDir, "lineitem")
+    def rd(t: String): DataFrame =
+      if (fromCsv) readCsvTwin(spark, sfDir, t) else Tables.read(spark, sfDir, t)
+    val li = rd("lineitem")
       .select($"l_orderkey", $"l_quantity")
-    val ord = Tables.read(spark, sfDir, "orders")
+    val ord = rd("orders")
       .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
-      .withColumn("priority", regexp_replace($"o_orderpriority", "[0-9-]", ""))
-    val cust = Tables.read(spark, sfDir, "customer")
+      .withColumn("priority",
+        if (cleanKey) regexp_replace($"o_orderpriority", "[0-9-]", "")
+        else $"o_orderpriority")
+    val cust = rd("customer")
       .select($"c_custkey", $"c_acctbal")
     val dim = Seq(
       ("URGENT", "Critical"), ("HIGH", "High"), ("MEDIUM", "Medium"),
@@ -273,11 +296,11 @@ object RefQueries {
     * query3.py:101,134-140 — both published in results/query3.txt). */
   def q3JoinChain(spark: SparkSession, sfDir: String,
       hint1: String = "optimal", hint2: String = "optimal",
-      extreme: String = "top"): DataFrame = {
+      extreme: String = "top", fromCsv: Boolean = false): DataFrame = {
     import spark.implicits._
     def hinted(df: DataFrame, h: String): DataFrame =
       if (h == "optimal") df else df.hint(h)
-    val (li, ord, cust, dim) = q3Parts(spark, sfDir)
+    val (li, ord, cust, dim) = q3Parts(spark, sfDir, fromCsv = fromCsv)
 
     // O4: top/bot-3 by balance to driver, then P9 isin — literal port of
     // query3.py:135-144 (head(3) → python list → isin).
@@ -292,10 +315,12 @@ object RefQueries {
       dim)
   }
 
-  /** The reference's `head(3)` driver round-trip, direction-selectable. */
+  /** The reference's `head(3)` driver round-trip, direction-selectable.
+    * The key is cast to long explicitly: the CSV twin's inferred schema
+    * types small keys as int, which would make `getLong` throw. */
   private def q3Extreme3(cust: DataFrame, extreme: String): Array[Long] = {
     val bal = col("c_acctbal")
-    cust.select(col("c_custkey"), bal).distinct()
+    cust.select(col("c_custkey").cast("long").as("c_custkey"), bal).distinct()
       .orderBy(if (extreme == "bot") bal.asc else bal.desc,
         col("c_custkey").asc)
       .head(3).map(_.getLong(0))
@@ -320,6 +345,50 @@ object RefQueries {
         .withColumnRenamed("o_custkey", "c_custkey")
         .join(cust.filter($"c_custkey".isin(top3: _*))
           .hint("shuffle_replicate_nl"), Seq("c_custkey")),
+      dim)
+  }
+
+  /** The reference's headline blow-up datapoint — cartesian forced on
+    * JOIN 1 (lineitem ⋈ orders), its slowest published combo (354.94 s,
+    * results/query3.txt:92-94, ~10× the hinted plans). The hinted orders
+    * side is pre-restricted to the 3 selected customers' orders (the
+    * reference could afford the full product on a 2M-row table; lineitem
+    * × orders at sf0.1 could not be benched), so the measured product is
+    * |lineitem| × ~45, demonstrating the replicate-NL overhead per probe
+    * row while staying runnable. Same oracle as every q3 variant. */
+  def q3JoinChainReplicateNlJoin1(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (li, ord, cust, dim) = q3Parts(spark, sfDir)
+    val top3: Array[Long] = q3Extreme3(cust, "top")
+    q3Finish(
+      li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(ord.filter($"o_custkey".isin(top3: _*))
+          .hint("shuffle_replicate_nl"), Seq("o_orderkey"))
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .join(cust, Seq("c_custkey"))
+        .filter($"c_custkey".isin(top3: _*)),
+      dim)
+  }
+
+  /** Raw-join-key sensitivity twin — the reference's strip-vs-keep study
+    * (query3.py:84-96; both sides published in results/query3.txt:1,38).
+    * Skipping the F5 cleanup joins raw `o_orderpriority` ("1-URGENT")
+    * against the dim's cleaned keys ("URGENT"): nothing matches, and the
+    * inner join silently drops EVERY row — the result goes from 5 groups
+    * to 0 with no error anywhere. That silent-row-loss is the reference's
+    * most instructive data-quality lesson, and the DuckDB oracle (same
+    * query, same raw key) independently confirms the empty result. */
+  def q3JoinChainRawKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (li, ord, cust, dim) = q3Parts(spark, sfDir, cleanKey = false)
+    val top3: Array[Long] = q3Extreme3(cust, "top")
+    q3Finish(
+      li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(ord, Seq("o_orderkey"))
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .join(cust, Seq("c_custkey"))
+        .filter($"c_custkey".isin(top3: _*)),
       dim)
   }
 
@@ -355,8 +424,13 @@ object RefQueries {
   private def q4Finish(joined: DataFrame): DataFrame = {
     val j = joined.withColumn("dist_km",
       haversineKm(col("c_lat"), col("c_lon"), col("n_lat"), col("n_lon")))
+    // avg as decimal-sum / count: a plain avg(double) accumulates in
+    // partition order, so its last ulp varies run to run; the decimal(20,6)
+    // sum is order-independent and the double division + round is then a
+    // pure function of (sum, count) — deterministic on both engines
     j.groupBy(col("n_name"))
-      .agg(round(avg(col("dist_km")), 4).as("avg_dist_km"),
+      .agg(round(sum(col("dist_km").cast("decimal(20,6)")).cast("double") /
+        count(lit(1)), 4).as("avg_dist_km"),
         count(lit(1)).as("cnt"))
       .orderBy(col("avg_dist_km").desc, col("n_name").asc)
   }
@@ -416,7 +490,9 @@ object RefQueries {
                  pow(sin(radians(n_lon - c_lon) / 2), 2))) AS dist_km
         FROM c JOIN n ON c.c_nationkey = n.n_nationkey
       )
-      SELECT n_name, round(avg(dist_km), 4) AS avg_dist_km,
+      SELECT n_name,
+             round(cast(sum(cast(dist_km AS decimal(20,6))) AS double)
+                   / count(*), 4) AS avg_dist_km,
              count(*) AS cnt
       FROM j GROUP BY n_name
       ORDER BY avg_dist_km DESC, n_name ASC
@@ -452,12 +528,19 @@ object RefQueries {
         }
       }
     // A5: manual (sum, count) pairs → avg, the reference's reduceByKey
-    // accumulator, as a typed reduceGroups.
+    // accumulator, as a typed reduceGroups. The sum accumulates micro-km
+    // longs (each distance quantized exactly like a decimal(20,6) cast) so
+    // it is order-independent — reduceGroups merge order varies run to
+    // run, and a double accumulator would leak that order into the hash.
     joined.groupByKey(_._1)
-      .mapValues { case (_, d) => (d, 1L) }
+      .mapValues { case (_, d) =>
+        (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.movePointRight(6).longValueExact, 1L)
+      }
       .reduceGroups((a, b) => (a._1 + b._1, a._2 + b._2))
-      .map { case (name, (sum, n)) =>
-        (name, BigDecimal(sum / n).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .map { case (name, (sumMicros, n)) =>
+        val q = java.math.BigDecimal.valueOf(sumMicros, 6).doubleValue / n
+        (name, BigDecimal(q).setScale(4, BigDecimal.RoundingMode.HALF_UP)
           .toDouble, n)
       }
       .toDF("n_name", "avg_dist_km", "cnt")
@@ -490,7 +573,9 @@ object RefQueries {
       }
       .toDF("n_name", "dist_km")
       .groupBy($"n_name")
-      .agg(round(avg($"dist_km"), 4).as("avg_dist_km"),
+      // same order-independent decimal-sum avg as q4Finish
+      .agg(round(sum($"dist_km".cast("decimal(20,6)")).cast("double") /
+        count(lit(1)), 4).as("avg_dist_km"),
         count(lit(1)).as("cnt"))
       .orderBy($"avg_dist_km".desc, $"n_name".asc)
   }
@@ -508,10 +593,13 @@ object RefQueries {
     Tables.read(spark, sfDir, "events")
       .withColumn("salt", pmod(xxhash64($"event_id"), lit(salts)))
       .groupBy($"event_type", $"salt")
-      .agg(count(lit(1)).as("c"), sum($"value").as("s"))
+      // decimal partials: order-independent exact sums, so the two-stage
+      // result is bit-identical to the direct aggregation (the oracle)
+      .agg(count(lit(1)).as("c"), sum($"value".cast("decimal(20,6)")).as("s"))
       .groupBy($"event_type")
-      .agg(sum($"c").as("cnt"), round(sum($"s"), 4).as("sum_value"),
-        round(sum($"s") / sum($"c"), 4).as("avg_value"))
+      .agg(sum($"c").as("cnt"),
+        round(sum($"s"), 4).cast("double").as("sum_value"),
+        round(sum($"s").cast("double") / sum($"c"), 4).as("avg_value"))
       .orderBy($"event_type".asc)
   }
 
@@ -525,32 +613,10 @@ object RefQueries {
     * layout decision. PlanSpec asserts the exchange-free join. */
   def qBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val safe = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    val liT = s"graft_li_bucketed_$safe"
-    val ordT = s"graft_ord_bucketed_$safe"
-    // a fresh session's in-memory catalog forgets tables while their
-    // warehouse directories survive — clear the stale location or the
-    // CTAS validation refuses to create the table
-    def dropStaleLocation(table: String): Unit = {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val p = new org.apache.hadoop.fs.Path(wh, table)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) { fs.delete(p, true); () }
-    }
-    if (!spark.catalog.tableExists(liT)) {
-      dropStaleLocation(liT)
-      Tables.read(spark, sfDir, "lineitem")
-        .select($"l_orderkey", $"l_quantity")
-        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(liT)
-    }
-    if (!spark.catalog.tableExists(ordT)) {
-      dropStaleLocation(ordT)
-      Tables.read(spark, sfDir, "orders")
-        .select($"o_orderkey", $"o_orderpriority")
-        .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(ordT)
-    }
+    // build (CTAS, staleness-guarded) lives in Etl.bucketedOrderTables so
+    // the declared query itself is read-only; Bench pre-builds it in the
+    // separately-timed etl phase
+    val (liT, ordT) = graft.sources.Etl.bucketedOrderTables(spark, sfDir)
     spark.table(liT)
       .join(spark.table(ordT), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority")
@@ -581,7 +647,14 @@ object RefQueries {
       .select($"c_custkey", $"c_mktsegment")
     ev.join(cust, Seq("c_custkey"))
       .groupBy($"c_mktsegment")
-      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"),
+      // decimal sum: `value` is a continuous double and ~94% of rows land
+      // in one group, so a double sum is partition-order dependent in its
+      // last ulp — summing as decimal(20,6) is integer-exact and
+      // order-independent, making the result (and the oracle hash)
+      // deterministic across runs
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
+          .as("sum_value"),
         sum(length($"props")).as("props_bytes"))
       .orderBy($"c_mktsegment".asc)
   }
@@ -791,6 +864,35 @@ object RefQueries {
         (count(lit(1)) - count(col(c))).as("n_null"),
         countDistinct(col(c)).as("n_distinct"))
     }.reduce(_.union(_))
+      .orderBy($"col_name".asc)
+  }
+
+  /** Sketch twin of `qProfile` — the 100 TB drop-in, measured instead of
+    * claimed (same exact/sketch pairing as quantiles/distinct): per
+    * column the exact profile plus a bound check that the HLL++ estimate
+    * (rsd 0.02) stayed within 5% of the exact distinct, so the DuckDB
+    * oracle (exact counts + literal TRUE) gates both. Exact and sketch
+    * run as separate aggregations joined on the 1-row column key —
+    * mixing DISTINCT and HLL in one agg triggers Catalyst's Expand
+    * (see qApproxDistinctRaw). At 100 TB the exact column is dropped and
+    * the profile is one sketch pass per column. */
+  def qProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.read(spark, sfDir, "orders")
+    val profiled = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+    profiled.map { c =>
+      val exact = ord.agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"))
+      val approx = ord.agg(lit(c).as("col_name"),
+        approx_count_distinct(col(c), 0.02).as("approx_distinct"))
+      exact.join(approx, Seq("col_name"))
+    }.reduce(_.union(_))
+      .select($"col_name", $"n_rows", $"n_null", $"n_distinct",
+        (abs($"approx_distinct" - $"n_distinct") <=
+          $"n_distinct" * 0.05).as("distinct_ok"))
       .orderBy($"col_name".asc)
   }
 

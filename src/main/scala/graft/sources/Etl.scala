@@ -48,6 +48,20 @@ object Etl {
   def csvFixture(spark: SparkSession, sfDir: String, table: String): String =
     fixture(spark, sfDir, table, "csv")
 
+  /** Once-per-JVM schema memo for the format-twin readers. Schema
+    * inference is a full extra scan of the input — the reference pays it
+    * once during its one-time ETL (csv_to_parquet.py:7-13), so a bench
+    * or verify run invoking a CSV/JSON twin N times must not pay N
+    * inference scans (at 100 TB one inference pass is hours). Keyed by
+    * fixture path; testdata is immutable within a JVM run. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  def schemaOnce(key: String)(
+      infer: => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(key, _ => infer)
+
   /** Cached alternate-format copy of a fixture table (`csv`, `json`
     * (JSON-lines), `orc`) for source-twin queries.
     *
@@ -78,6 +92,63 @@ object Etl {
         .partitionBy("event_date")
         .parquet(tmp.getAbsolutePath)
     }
+
+  /** Bucketed `lineitem`/`orders` slices on the order key, built once per
+    * (session, scale dir) for the exchange-free co-located join
+    * (RefQueries.qBucketedJoin). Build lives HERE, not in the declared
+    * query: the query stays read-only (a cold timed run must measure the
+    * join, not two CTAS writes), and Bench accounts the build in its
+    * separate `etl` phase.
+    *
+    * Staleness discipline mirrors `cachedFixture`: a fresh session's
+    * in-memory catalog forgets tables while their warehouse directories
+    * survive, and a surviving dir may also be stale (older than the
+    * source parquet) or torn (no `_SUCCESS`) — any of those clears the
+    * location before the CTAS. Table names are scoped by scale dir, and
+    * the session's warehouse dir is process-scoped (Bench/Verify), so the
+    * delete can only ever touch this process's own build artifacts. */
+  def bucketedOrderTables(spark: SparkSession, sfDir: String)
+      : (String, String) = {
+    val safe = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val liT = s"graft_li_bucketed_$safe"
+    val ordT = s"graft_ord_bucketed_$safe"
+    def ensure(table: String, srcTable: String, cols: Seq[String],
+        bucketCol: String): Unit = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val success = new org.apache.hadoop.fs.Path(loc, "_SUCCESS")
+      val srcMtime =
+        new java.io.File(s"$sfDir/$srcTable.parquet").lastModified
+      val fresh = fs.exists(success) &&
+        fs.getFileStatus(success).getModificationTime >= srcMtime
+      if (!spark.catalog.tableExists(table) || !fresh) {
+        if (spark.catalog.tableExists(table))
+          spark.sql(s"DROP TABLE IF EXISTS $table")
+        if (fs.exists(loc)) { fs.delete(loc, true); () }
+        graft.Tables.read(spark, sfDir, srcTable)
+          .select(cols.map(org.apache.spark.sql.functions.col): _*)
+          .write.bucketBy(16, bucketCol).sortBy(bucketCol)
+          .mode(SaveMode.Overwrite).saveAsTable(table)
+      }
+    }
+    ensure(liT, "lineitem", Seq("l_orderkey", "l_quantity"), "l_orderkey")
+    ensure(ordT, "orders", Seq("o_orderkey", "o_orderpriority"), "o_orderkey")
+    (liT, ordT)
+  }
+
+  /** Pre-build every derived input the declared queries read (format
+    * twins, the date-partitioned events copy, bucketed join tables) so a
+    * timed pass measures queries, not conversions. Bench reports this as
+    * its separate `etl` metric. */
+  def prepareFixtures(spark: SparkSession, sfDir: String): Unit = {
+    Seq("csv", "orc", "json").foreach(f => fixture(spark, sfDir, "lineitem", f))
+    Seq("customer", "nation", "events", "orders")
+      .foreach(t => csvFixture(spark, sfDir, t))
+    eventsByDayFixture(spark, sfDir)
+    bucketedOrderTables(spark, sfDir)
+    ()
+  }
 
   private def cachedFixture(sfDir: String, key: String, srcPath: String)(
       write: java.io.File => Unit): String = {

@@ -90,6 +90,23 @@ class DedupSpec extends SparkSpec {
       Dedup.ngramJaccardUnsplit(spark, boilerplateDir))
   }
 
+  test("ngram split stays lossless below t=0.5 (probe width derived from threshold)") {
+    // t = 0.2 allows size ratios up to 5× (log2 gap up to 3 buckets) —
+    // the fixed {s, s+1} probe set would lose cross-group pairs here
+    assertSameRows(
+      Dedup.ngramJaccard(spark, boilerplateDir, threshold = 0.2),
+      Dedup.ngramJaccardUnsplit(spark, boilerplateDir, threshold = 0.2))
+  }
+
+  test("two-pass exact dedup matches the one-shuffle variant") {
+    assertSameRows(
+      Dedup.exactDedupTwoPass(spark, fixtureDir),
+      Dedup.exactDedup(spark, fixtureDir))
+    assertSameRows(
+      Dedup.exactDedupTwoPass(spark, boilerplateDir),
+      Dedup.exactDedup(spark, boilerplateDir))
+  }
+
   test("ngram blocking skew: split bounds candidate fan-out in a hot block") {
     val n = 240L
     val allPairs = n * (n - 1) / 2

@@ -22,6 +22,7 @@ class RobustnessSpec extends SparkSpec {
 
   test("dedup operators return empty on an empty corpus") {
     assert(Dedup.exactDedup(spark, emptyDir).count() == 0)
+    assert(Dedup.exactDedupTwoPass(spark, emptyDir).count() == 0)
     assert(Dedup.ngramJaccard(spark, emptyDir).count() == 0)
     assert(Dedup.minHashLsh(spark, emptyDir).count() == 0)
     assert(Dedup.simHash(spark, emptyDir).count() == 0)
@@ -48,10 +49,11 @@ class RobustnessSpec extends SparkSpec {
   }
 
   test("events have unique (user_id, event_type, ts) — asof oracle determinism") {
-    // ev_asof_join's hash-exact match against DuckDB's native ASOF JOIN
-    // relies on no two same-user clicks sharing a timestamp (both engines
-    // would pick an arbitrary one of the tied rows). Fails loudly if the
-    // fixture ever regenerates with coarser timestamps.
+    // The asof oracle no longer depends on this (it pre-reduces tied
+    // clicks to max(event_id) per (user, ts), matching both Spark
+    // variants' deterministic tie-break), but the property is still worth
+    // surfacing: a regeneration with coarser timestamps changes gap_us
+    // semantics and session boundaries, and this canary says so loudly.
     import org.apache.spark.sql.functions._
     val dups = Tables.read(spark, sf, "events")
       .groupBy(col("user_id"), col("event_type"), col("ts")).count()
