@@ -98,6 +98,47 @@ class DedupSpec extends SparkSpec {
       Dedup.ngramJaccardUnsplit(spark, boilerplateDir, threshold = 0.2))
   }
 
+  /** Sums shuffle-write bytes across all tasks of `run` via a listener.
+    * Listener delivery is async — poll until the counter stabilizes. */
+  private def shuffledBytes(run: => Unit): Long = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(t.taskMetrics).foreach { m =>
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      run
+      var prev = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(100); waited += 100
+        val b = bytes.get
+        if (b == prev) stable += 1 else { stable = 0; prev = b }
+      }
+      bytes.get
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("two-pass exact dedup shuffles a fraction of the one-shuffle bytes") {
+    // the real corpus is (almost) all-unique — the representative case:
+    // one-shuffle carries every normalized text in its group key, while
+    // pass 1 of the two-pass shape carries 16 bytes/row and pass 2 only
+    // the dup-candidate texts
+    val one = shuffledBytes(operators.Dedup.exactDedup(spark, sf).collect())
+    val two = shuffledBytes(
+      operators.Dedup.exactDedupTwoPass(spark, sf).collect())
+    assert(two > 0 && one > 0)
+    info(s"shuffle bytes: one-shuffle=$one two-pass=$two " +
+      f"(${one.toDouble / two}%.1fx reduction)")
+    assert(two < one / 2,
+      s"two-pass shuffled $two bytes vs one-shuffle $one — expected < half")
+  }
+
   test("two-pass exact dedup matches the one-shuffle variant") {
     assertSameRows(
       Dedup.exactDedupTwoPass(spark, fixtureDir),
