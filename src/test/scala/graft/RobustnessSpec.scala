@@ -61,6 +61,19 @@ class RobustnessSpec extends SparkSpec {
     assert(dups == 0, s"$dups tied (user, type, ts) rows in events fixture")
   }
 
+  test("l_quantity is integer-valued (qty double sums are exact by construction)") {
+    // The q3/rollup/cube/multikey `qty` oracles sum l_quantity as plain
+    // doubles. That is safe ONLY because every value is an integer-valued
+    // double (sums stay exact and order-independent below 2^53) — unlike
+    // events.value, which is continuous and summed as decimal everywhere.
+    // If the generator ever emits fractional quantities, this fails loudly
+    // and those sums must move to the decimal(20,6) pattern too.
+    import org.apache.spark.sql.functions._
+    val frac = Tables.read(spark, sf, "lineitem")
+      .filter(col("l_quantity") =!= floor(col("l_quantity"))).count()
+    assert(frac == 0, s"$frac fractional l_quantity rows — qty sums no longer exact")
+  }
+
   test("testdata documents are ASCII (mm/text oracles equate bytes and chars)") {
     // The mm_* oracles fold DuckDB ascii() code points while the Scala
     // stubs fold UTF-8 bytes; equivalent only for ASCII text. The
