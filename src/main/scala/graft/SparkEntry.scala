@@ -77,6 +77,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
+    "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     // Deduplication (documents)
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_exact_twopass" -> ((s, d) => Dedup.exactDedupTwoPass(s, d)),
@@ -112,6 +113,7 @@ object SparkEntry {
     "ev_partitioned_scan" -> ((s, d) => Events.partitionedScan(s, d)),
     "q_rollup" -> ((s, d) => RefQueries.qRollup(s, d)),
     "q_cube" -> ((s, d) => RefQueries.qCube(s, d)),
+    "q_zorder_layout" -> ((s, d) => RefQueries.qZorderLayout(s, d)),
     "mm_props_json_typed" -> ((s, d) => Multimodal.propsJsonTyped(s, d)),
     "q_semi_anti_join" -> ((s, d) => RefQueries.qSemiAntiJoin(s, d)),
     "q_window_suite" -> ((s, d) => RefQueries.qWindowSuite(s, d)),
@@ -931,6 +933,60 @@ object SparkEntry {
                   ELSE 'es' END AS pred_lang
       FROM s ORDER BY doc_id ASC""",
     "text_fingerprint" -> textFingerprintOracle,
+    // decontamination: same poly-hash fold as the minhash oracle; the
+    // benchmark set (docs 0..4) is replayed as a DISTINCT hash CTE
+    "text_decontaminate" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id,
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(generate_series(1, length(s)),
+              i -> ascii(substr(s, i, 1))::BIGINT)),
+            (a, x) -> (a * 31 + x) % 1000000007) AS shash
+        FROM (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+              FROM d, unnest(generate_series(1, greatest(len(toks) - 2, 0)))
+                t(i))
+      ), bench AS (
+        SELECT DISTINCT shash FROM sh WHERE doc_id < 5
+      ), agg AS (
+        SELECT doc_id, count(*) AS n_shingles,
+               sum(CASE WHEN shash IN (SELECT shash FROM bench)
+                        THEN 1 ELSE 0 END) AS n_matched
+        FROM sh GROUP BY doc_id
+      )
+      SELECT doc_id, n_shingles::BIGINT AS n_shingles,
+             n_matched::BIGINT AS n_matched,
+             round(n_matched::DOUBLE / n_shingles, 4) AS contamination,
+             n_matched > 0 AS contaminated
+      FROM agg ORDER BY doc_id ASC""",
+    "q_zorder_layout" -> """
+      WITH o AS (
+        SELECT o_custkey AS ck,
+               date_diff('day', DATE '1992-01-01',
+                         cast(o_orderdate AS date)) AS day
+        FROM orders
+      ), s AS (
+        SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+               min(day) AS day_min, max(day) AS day_max FROM o
+      ), z AS (
+        SELECT ck, day,
+               ((ck - ck_min) * 256) // (ck_max - ck_min + 1) AS x8,
+               ((day - day_min) * 256) // (day_max - day_min + 1) AS y8
+        FROM o, s
+      ), zz AS (
+        SELECT ck, day,
+               list_sum(list_transform(generate_series(0, 7),
+                 i -> (((x8 >> i) & 1) << (2*i)) +
+                      (((y8 >> i) & 1) << (2*i + 1)))) AS zval
+        FROM z
+      )
+      SELECT (zval // 16)::BIGINT AS zbucket, count(*) AS cnt,
+             min(ck)::BIGINT AS ck_lo, max(ck)::BIGINT AS ck_hi,
+             min(day)::BIGINT AS day_lo, max(day)::BIGINT AS day_hi
+      FROM zz GROUP BY 1 ORDER BY 1 ASC""",
     "dedup_exact" -> dedupExactOracle,
     "dedup_exact_twopass" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,

@@ -940,6 +940,45 @@ object RefQueries {
       .orderBy($"l_returnflag".asc)
   }
 
+  /** Z-order (Morton) layout — the multi-dimensional clustering technique
+    * behind 2-D scan pruning at 100 TB: interleaving the bits of two
+    * normalized dimensions (customer key × order day) gives a 1-D sort
+    * key whose contiguous ranges are LOCALIZED in BOTH dimensions, so
+    * per-file min/max zone maps prune selective predicates on either
+    * column. In production the layout step is
+    * `repartitionByRange(zval).sortWithinPartitions(zval).write` and this
+    * query's output IS the resulting per-file stats table: per 16-cell
+    * z-range, row count and the min/max span of each dimension — each
+    * bucket covers ~1/8 of either domain instead of all of it, which is
+    * exactly the pruning a 1-D sort can only give one column.
+    * All-integer math (scale-to-256 + bit interleave), so the DuckDB
+    * oracle replays it bit-for-bit; the min/max domain scan is the same
+    * metadata pass a table format would supply for free. */
+  def qZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.read(spark, sfDir, "orders")
+      .select($"o_custkey".cast("long").as("ck"),
+        datediff($"o_orderdate".cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("day"))
+    val stats = ord.agg(min($"ck").as("ck_min"), max($"ck").as("ck_max"),
+      min($"day").as("day_min"), max($"day").as("day_max"))
+    val zExpr = (0 until 8).map(i =>
+      s"(shiftleft(shiftrightunsigned(x8, $i) & 1, ${2 * i})) + " +
+        s"(shiftleft(shiftrightunsigned(y8, $i) & 1, ${2 * i + 1}))")
+      .mkString(" + ")
+    ord.crossJoin(broadcast(stats))
+      .withColumn("x8",
+        expr("((ck - ck_min) * 256) div (ck_max - ck_min + 1)"))
+      .withColumn("y8",
+        expr("((day - day_min) * 256) div (day_max - day_min + 1)"))
+      .withColumn("zbucket", expr(s"($zExpr) div 16"))
+      .groupBy($"zbucket")
+      .agg(count(lit(1)).as("cnt"),
+        min($"ck").as("ck_lo"), max($"ck").as("ck_hi"),
+        min($"day").as("day_lo"), max($"day").as("day_hi"))
+      .orderBy($"zbucket".asc)
+  }
+
   /** lineitem ⋈ per-(partkey,suppkey) aggregate on the composite key —
     * multi-column equi join that dedups its key columns (USING semantics).
     * Scale: at bench scale AQE broadcasts the aggregate side (observed in

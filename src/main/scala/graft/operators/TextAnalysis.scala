@@ -295,6 +295,55 @@ object TextAnalysis {
       .orderBy($"doc_id".asc)
   }
 
+  /** Benchmark decontamination — the pre-training step that removes eval
+    * data from the corpus: per document, the fraction of its token
+    * n-gram shingles that collide with a benchmark set's shingles.
+    * The benchmark here is docs 0..4 (standing in for an eval suite);
+    * real pipelines use 8-13-gram windows — the fixture's ~50-token
+    * word-salad texts use n=3 so the collision pathway is actually
+    * exercised (148 contaminated docs at sf0.01, oracle-confirmed).
+    *
+    * Scale: the benchmark side is an eval suite — MBs of distinct
+    * shingle hashes against TBs of corpus — so it is broadcast and the
+    * corpus NEVER shuffles for the membership test; the only corpus
+    * shuffles are the per-(doc, shingle) dedup and the per-doc count
+    * (both map-side combined). Shingles travel as poly-hash longs, not
+    * strings. Benchmark docs themselves stay in the output (at 100%
+    * contamination) — dropping rows silently is the rawkey lesson. */
+  def decontaminate(spark: SparkSession, sfDir: String,
+      benchMax: Long = 5L, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(n >= 2, s"shingle width must be >= 2, got $n")
+    graft.functions.PolyHash.register(spark)
+    val toks = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", TextNorm.normCol)
+      .select($"doc_id", posexplode(split($"norm", " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    val withLeads = (1 until n).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"t$i", lead($"tok", i).over(w))
+    }
+    val shingles = withLeads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select($"doc_id", concat_ws(" ",
+        ($"tok" +: (1 until n).map(i => col(s"t$i"))): _*).as("shingle"))
+      .select($"doc_id",
+        call_function("poly_hash", $"shingle", lit(1 << 20)).as("shash"))
+      .distinct()
+    val bench = shingles.filter($"doc_id" < benchMax)
+      .select($"shash").distinct()
+    shingles
+      .join(broadcast(bench.withColumn("hit", lit(1L))),
+        Seq("shash"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum($"hit"), lit(0L)).as("n_matched"))
+      .select($"doc_id", $"n_shingles", $"n_matched",
+        round($"n_matched".cast("double") / $"n_shingles", 4)
+          .as("contamination"),
+        ($"n_matched" > 0).as("contaminated"))
+      .orderBy($"doc_id".asc)
+  }
+
   /** Document fingerprinting: polynomial rolling hash (base 31, mod 1e9+7)
     * over the ascii codes of the first 1024 chars of whitespace-normalized
     * text. Prefix-capped so the per-row cost is O(1024) regardless of

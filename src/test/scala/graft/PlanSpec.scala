@@ -90,4 +90,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       "per-row text op should not shuffle")
   }
+
+  test("q3 join-1 cartesian variant plans the CartesianProduct (the headline blow-up)") {
+    assert(plan("q3_hint_replicate_nl_join1").contains("CartesianProduct"))
+  }
+
+  test("dedup_exact_twopass: pass-1 exchange carries hashes, not text") {
+    // the entire point of the two-pass shape — if `norm` leaks into the
+    // first aggregation's exchange, the op degenerates to the one-shuffle
+    // cost with two scans on top
+    val df = operators.Dedup.exactDedupTwoPass(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val firstAgg = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(text_hash"))
+      .toSeq
+    assert(firstAgg.nonEmpty, s"no hash-keyed exchange found:\n$p")
+    assert(firstAgg.exists(!_.contains("norm")),
+      s"pass-1 exchange still carries the normalized text:\n$p")
+  }
+
+  test("q_profile_approx: no Expand (exact and sketch stay in separate aggs)") {
+    val p = plan("q_profile_approx")
+    assert(!p.contains("Expand"),
+      s"Expand present — DISTINCT and HLL were planned in one aggregate:\n$p")
+  }
+
+  test("q1_csv: cached-schema read plans without an inference scan") {
+    // the plan itself proves the explicit schema: an inference pass would
+    // appear as a separate job before this one, but the reader must also
+    // not re-infer — assert the scan reads the full typed schema directly
+    val p = plan("q1_csv")
+    assert(p.contains("ReadSchema: struct<l_shipdate"),
+      s"csv scan lost its typed pruned schema:\n$p")
+  }
 }

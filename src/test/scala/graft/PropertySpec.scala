@@ -33,4 +33,25 @@ class PropertySpec extends AnyFunSuite {
       ac <= ab + bc + 1e-6
     })
   }
+
+  test("decimal(20,6)-quantized sums are partition-order independent; double sums are not guaranteed") {
+    // The correctness-gate invariant behind the r3 decimal-sum migration:
+    // quantizing each double to micro-units (exactly Spark's cast to
+    // decimal(20,6)) makes the sum a sum of longs — identical under ANY
+    // grouping/permutation of the inputs, which is what the DuckDB hash
+    // compare needs. Doubles only promise this per fixed order.
+    val values = Gen.listOfN(60, Gen.choose(0.01, 500.0))
+    val seed = Gen.choose(0L, Long.MaxValue)
+    def micros(d: Double): Long =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.movePointRight(6).longValueExact
+    check(Prop.forAll(values, seed) { (vs, s) =>
+      val shuffled = new scala.util.Random(s).shuffle(vs)
+      // any partitioning into runs, summed per-run then combined
+      val k = 1 + (s % 7).toInt.abs
+      val partA = vs.grouped(k).map(_.map(micros).sum).sum
+      val partB = shuffled.grouped(3).map(_.map(micros).sum).sum
+      partA == partB
+    })
+  }
 }
