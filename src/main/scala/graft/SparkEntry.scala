@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_exact_twopass" -> ((s, d) => Dedup.exactDedupTwoPass(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simHash(s, d)),
     // Similarity search (embeddings)
     "sim_topk_bruteforce" -> ((s, d) => Similarity.topKBruteForce(s, d)),
@@ -429,6 +430,27 @@ object SparkEntry {
     SELECT doc_a, doc_b, est_jaccard FROM est
     WHERE est_jaccard >= 0.5
     ORDER BY doc_a ASC, doc_b ASC"""
+
+  /** Cluster-resolution oracle: recursive CTE computing each node's min
+    * reachable doc_id over the (replayed) minhash pair graph — an
+    * independent algorithm for the same fixpoint the iterative label
+    * propagation converges to. */
+  private lazy val dedupClustersOracle = s"""
+    WITH RECURSIVE pr AS ($dedupMinhashOracle),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pr
+      UNION ALL
+      SELECT doc_b, doc_a FROM pr
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    walk(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.a, w.label FROM edges e JOIN walk w ON w.doc_id = e.b
+    )
+    SELECT doc_id, min(label) AS cluster_id,
+           doc_id = min(label) AS is_keeper
+    FROM walk GROUP BY doc_id ORDER BY doc_id ASC"""
 
   /** SimHash oracle: per-token bit votes from portable modular byte-folds
     * (see Dedup.simHash scaladoc) — DuckDB recomputes the 64 signature
@@ -991,6 +1013,7 @@ object SparkEntry {
     "dedup_exact_twopass" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_minhash_lsh" -> dedupMinhashOracle,
+    "dedup_clusters" -> dedupClustersOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "sim_topk_bruteforce" -> simTopKOracle,
     "sim_topk_native" -> simTopKOracle,

@@ -57,6 +57,17 @@ class DedupSpec extends SparkSpec {
     assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("cluster resolution: transitive near-dups collapse to one keeper") {
+    // pairs (0,1) and (0,2) → one component {0,1,2} with keeper 0;
+    // docs 3 (unrelated) and 4 (too short) never enter the pair graph
+    val rows = Dedup.dedupClusters(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L))
+    assert(rows(0L) == ((0L, true)))
+    assert(rows(1L) == ((0L, false)))
+    assert(rows(2L) == ((0L, false)))
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val rows = Dedup.simHash(spark, fixtureDir, maxHamming = 10)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap

@@ -26,6 +26,7 @@ class RobustnessSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(spark, emptyDir).count() == 0)
     assert(Dedup.minHashLsh(spark, emptyDir).count() == 0)
     assert(Dedup.simHash(spark, emptyDir).count() == 0)
+    assert(Dedup.dedupClusters(spark, emptyDir).count() == 0)
   }
 
   test("text operators return empty on an empty corpus") {
