@@ -44,10 +44,15 @@ object Dedup {
     * candidates, typically a small fraction), where pass 2 confirms
     * byte-equality by grouping on (hash, norm), so 64-bit collisions
     * still split correctly. Output is identical to `exactDedup` (same
-    * oracle). The candidate-hash dim is broadcast — it holds one long per
-    * duplicated GROUP; if a corpus's dup-group count outgrew the
-    * broadcast threshold, the hint drops out and AQE falls back to a
-    * shuffle semi-join of the hashes, never the full text. */
+    * oracle). The candidate-hash dim is broadcast — one long per
+    * duplicated GROUP — and the hint is load-bearing: without it the
+    * semi-join's probe-side shuffle would carry the full text again
+    * (even under AQE's runtime BHJ conversion the probe map stage still
+    * writes its shuffle files). The hint is ALWAYS honored, so on a
+    * pathological corpus whose dup-group count outgrows driver memory
+    * the job fails fast with a broadcast error rather than silently
+    * degrading — at that point the right tool is a bloom filter over
+    * the dup hashes or pre-bucketing both passes on the hash. */
   def exactDedupTwoPass(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     def docs = Tables.read(spark, sfDir, "documents")
@@ -310,7 +315,7 @@ object Dedup {
     var prevSum = Long.MinValue
     var curSum = labelSum(labels)
     var iter = 0
-    while (curSum != prevSum && iter < 64) {
+    try while (curSum != prevSum && iter < 64) {
       val nbrMin = edges
         .join(labels.select($"doc_id".as("src"), $"label"), Seq("src"))
         .groupBy($"dst")
@@ -334,11 +339,10 @@ object Dedup {
       curSum = labelSum(next)
       labels = next
       iter += 1
-    }
+    } finally edges.unpersist() // also on non-convergence / mid-loop failure
     if (curSum != prevSum)
       throw new IllegalStateException(
         s"dedupClusters did not converge in $iter iterations")
-    edges.unpersist()
     labels
       .select($"doc_id", $"label".as("cluster_id"),
         ($"doc_id" === $"label").as("is_keeper"))

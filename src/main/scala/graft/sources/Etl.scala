@@ -93,6 +93,15 @@ object Etl {
         .parquet(tmp.getAbsolutePath)
     }
 
+  /** Stable private warehouse for graft-built tables (bucketed join
+    * slices): one fixed path so (a) the bucketed build's staleness check
+    * can reuse a previous run's tables instead of rebuilding cold every
+    * process, (b) nothing accumulates per run (a per-process UUID dir
+    * would leak a bucketed lineitem+orders copy per JVM), and (c) any
+    * location this code ever deletes is inside graft's own namespace. */
+  def warehouseDir: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+
   /** Bucketed `lineitem`/`orders` slices on the order key, built once per
     * (session, scale dir) for the exchange-free co-located join
     * (RefQueries.qBucketedJoin). Build lives HERE, not in the declared
@@ -104,9 +113,13 @@ object Etl {
     * in-memory catalog forgets tables while their warehouse directories
     * survive, and a surviving dir may also be stale (older than the
     * source parquet) or torn (no `_SUCCESS`) — any of those clears the
-    * location before the CTAS. Table names are scoped by scale dir, and
-    * the session's warehouse dir is process-scoped (Bench/Verify), so the
-    * delete can only ever touch this process's own build artifacts. */
+    * location before the CTAS. Table names are scoped by scale dir and
+    * live in graft's private warehouse (`warehouseDir`), so the delete
+    * can only ever touch graft's own build artifacts; a fresh, complete,
+    * non-stale build from a PREVIOUS run is reused as-is. (Two processes
+    * building the SAME scale dir concurrently could race the CTAS — the
+    * driver runs Verify/Bench sequentially; concurrent runs should point
+    * spark.sql.warehouse.dir at distinct dirs.) */
   def bucketedOrderTables(spark: SparkSession, sfDir: String)
       : (String, String) = {
     val safe = sfDir.replaceAll("[^a-zA-Z0-9]", "_")

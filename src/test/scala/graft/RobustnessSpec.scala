@@ -38,6 +38,7 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAnalysis.repetition(spark, emptyDir).count() == 0)
     assert(TextAnalysis.chunk(spark, emptyDir).count() == 0)
     assert(TextAnalysis.mixtureSample(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.decontaminate(spark, emptyDir).count() == 0)
   }
 
   test("similarity operators return empty on an empty embeddings table") {

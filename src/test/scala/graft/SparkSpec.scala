@@ -13,8 +13,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_wh_${java.util.UUID.randomUUID()}")
+      .config("spark.sql.warehouse.dir", graft.sources.Etl.warehouseDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -43,9 +43,31 @@ def main(src, dst, copies=10):
         pq.write_table(table, f"{dst}/{name}.parquet", version="2.6",
                        coerce_timestamps=None, compression="snappy")
 
+    # One shift base per KEY DOMAIN, derived from the table that OWNS the
+    # key — a foreign key must shift by the owner's base, not its own
+    # column max, or referential integrity silently breaks whenever some
+    # owner keys are absent from the referencing table (e.g. customers
+    # with no orders: max(o_custkey) < max(c_custkey) would point copy-1
+    # orders at the wrong customers).
+    def base(name, col):
+        t = load(name)
+        return max(t.column(col).to_pylist()) + 1
+
+    shifts = {
+        "c_custkey": base("customer", "c_custkey"),
+        "s_suppkey": base("supplier", "s_suppkey"),
+        "p_partkey": base("part", "p_partkey"),
+        "o_orderkey": base("orders", "o_orderkey"),
+        "event_id": base("events", "event_id"),
+    }
+    shifts["o_custkey"] = shifts["c_custkey"]
+    shifts["l_orderkey"] = shifts["o_orderkey"]
+    shifts["l_partkey"] = shifts["p_partkey"]
+    shifts["l_suppkey"] = shifts["s_suppkey"]
+    shifts["user_id"] = shifts["c_custkey"]  # events.user_id ⋈ c_custkey
+
     def key_shift(name, keys):
         t = load(name)
-        shifts = {k: max(t.column(k).to_pylist()) + 1 for k in keys}
         out = []
         for i in range(copies):
             c = t
@@ -63,17 +85,7 @@ def main(src, dst, copies=10):
     key_shift("part", ["p_partkey"])
     key_shift("orders", ["o_orderkey", "o_custkey"])
     key_shift("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
-    # events.user_id joins customer.c_custkey -> same shift base
-    cust = load("customer")
-    cshift = max(cust.column("c_custkey").to_pylist()) + 1
-    ev = load("events")
-    eshift = max(ev.column("event_id").to_pylist()) + 1
-    out = []
-    for i in range(copies):
-        c = shifted(ev, "event_id", eshift, i)
-        c = shifted(c, "user_id", cshift, i)
-        out.append(c)
-    dump("events", pa.concat_tables(out))
+    key_shift("events", ["event_id", "user_id"])
 
     docs = load("documents")
     dshift = max(docs.column("doc_id").to_pylist()) + 1
@@ -93,7 +105,10 @@ def main(src, dst, copies=10):
     dump("documents", pa.concat_tables(out))
 
     emb = load("embeddings")
-    vshift = max(emb.column("vec_id").to_pylist()) + 1
+    # vec_id joins doc_id (mm_crossmodal_join): shift by the DOCUMENTS
+    # base — embeddings' own max (fewer vectors than docs) would land
+    # copy-i vectors on copy-j documents
+    vshift = dshift
     vecs = emb.column("embedding").to_pylist()
     out = []
     for i in range(copies):
