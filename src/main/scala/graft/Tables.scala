@@ -29,14 +29,22 @@ object Tables {
     * flag); it only changes how TIMESTAMP(NANOS) columns decode — other
     * tables here have micro timestamps and are unaffected. The pmod form
     * is true floor division (a bare `div` truncates toward zero and would
-    * diverge from DuckDB by 1µs on pre-1970 nanos). */
+    * diverge from DuckDB by 1µs on pre-1970 nanos). The nanos handling is
+    * schema-driven: an events table whose `ts` is already a micro/milli
+    * TIMESTAMP (any non-fixture source) decodes as a timestamp and is
+    * passed through untouched — the conversion only applies when the
+    * column actually arrived as nanos-as-long. */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(
-            "(ts - pmod(ts, 1000)) div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(
+              "(ts - pmod(ts, 1000)) div 1000")))
+      case _ => raw
+    }
   }
 
   /** Register every table as a temp view (reference S5 shape:

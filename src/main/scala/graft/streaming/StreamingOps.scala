@@ -44,6 +44,18 @@ object StreamingOps {
       c_ts <= p_ts AND c_ts >= p_ts - interval 30 minutes"""))
   }
 
+  /** Stream-static enrichment join — the "attach dimension metadata to
+    * the event stream" pattern: each micro-batch of the stream joins a
+    * STATIC dimension. Stateless (the static side is fixed for the
+    * query's lifetime, so no watermark or join state is needed), and the
+    * broadcast hint keeps the stream side shuffle-free per micro-batch —
+    * at scale this is a map-side lookup on every executor, the streaming
+    * sibling of `q4_distance_broadcast`. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim),
+      events("user_id") === dim("c_custkey"), "left_outer")
+      .drop("c_custkey")
+
   /** Streaming keep-first dedup on event_id within the watermark horizon:
     * state is bounded by the watermark. Guarantees exactly-once only for
     * duplicates that carry the original event time (or arrive inside the

@@ -88,6 +88,24 @@ class RobustnessSpec extends SparkSpec {
     assert(nonAscii == 0, s"$nonAscii non-ASCII documents in fixture")
   }
 
+  test("events reader accepts micro-timestamp tables, not just the nanos fixture") {
+    // a user's own events table has a plain TIMESTAMP ts; the nanos-as-
+    // long conversion must be schema-driven, not assumed
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-microev").toString
+    Tables.read(spark, sf, "events").limit(100)
+      .write.parquet(s"$dir/events.parquet") // Spark writes micros
+    val again = Tables.read(spark, dir, "events")
+    assert(again.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(again.count() == 100)
+    // round-trip preserves values: micros written == micros read
+    val orig = Tables.read(spark, sf, "events").limit(100)
+      .agg(sum(unix_micros(col("ts")))).head.getLong(0)
+    val rt = again.agg(sum(unix_micros(col("ts")))).head.getLong(0)
+    assert(orig == rt)
+  }
+
   test("multimodal stubs return empty on an empty corpus") {
     assert(Multimodal.binaryFeatures(spark, emptyDir).count() == 0)
     assert(Multimodal.frameSample(spark, emptyDir).count() == 0)

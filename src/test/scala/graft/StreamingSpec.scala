@@ -109,6 +109,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dim per micro-batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = StreamingOps.enrichWithDim(df, dim).writeStream
+      .outputMode(OutputMode.Append).format("memory")
+      .queryName("enrich_out").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:01:00"), 2.0),
+        (9L, ts("2024-01-01 10:02:00"), 3.0)) // no dim row -> null segment
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          Option(r.getAs[String]("c_mktsegment")))).toSet
+      assert(rows == Set(
+        (1L, Some("BUILDING")), (2L, Some("MACHINERY")), (9L, None)))
+    } finally q.stop()
+  }
+
   test("in-batch gap splits sessions immediately") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
