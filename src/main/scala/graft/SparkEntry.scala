@@ -78,6 +78,8 @@ object SparkEntry {
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "text_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
+    "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     // Deduplication (documents)
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_exact_twopass" -> ((s, d) => Dedup.exactDedupTwoPass(s, d)),
@@ -984,6 +986,74 @@ object SparkEntry {
              round(n_matched::DOUBLE / n_shingles, 4) AS contamination,
              n_matched > 0 AS contaminated
       FROM agg ORDER BY doc_id ASC""",
+    "text_curation_funnel" -> """
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ), f0 AS (
+        SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+               len(list_filter(toks, t -> t IN ('the','and','of','to',
+                 'der','die','das','und','le','la','les','et',
+                 'el','los','una','y'))) AS lang_hits,
+               round(len(list_filter(toks, t -> t IN
+                 ('the','a','and','of','to','in','is')))::double /
+                 greatest(len(toks), 1), 4) AS stop_ratio
+        FROM t
+      ), r AS (
+        SELECT doc_id, round(1.0 - count(*)::double / sum(c), 4) AS rep_ratio
+        FROM (SELECT doc_id, shingle, count(*) AS c FROM (
+                SELECT doc_id, unnest(list_transform(
+                  generate_series(1, greatest(len(tk) - 2, 0)),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+                FROM (SELECT doc_id, string_split(
+                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' ') AS tk
+                      FROM documents))
+              GROUP BY doc_id, shingle)
+        GROUP BY doc_id
+      ), flags AS (
+        SELECT f0.doc_id, lang_hits > 0 AS f_lang, n_tokens >= 10 AS f_len,
+               stop_ratio BETWEEN 0.05 AND 0.6 AS f_stop,
+               coalesce(r.rep_ratio, 0.0) <= 0.3 AS f_rep
+        FROM f0 LEFT JOIN r ON f0.doc_id = r.doc_id
+      ), a AS (
+        SELECT count(*) AS n0,
+               sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN f_lang AND f_len THEN 1 ELSE 0 END) AS n2,
+               sum(CASE WHEN f_lang AND f_len AND f_stop
+                   THEN 1 ELSE 0 END) AS n3,
+               sum(CASE WHEN f_lang AND f_len AND f_stop AND f_rep
+                   THEN 1 ELSE 0 END) AS n4
+        FROM flags
+      )
+      SELECT stage, n_in::BIGINT AS n_in, n_kept::BIGINT AS n_kept,
+             (n_in - n_kept)::BIGINT AS n_dropped
+      FROM (
+        SELECT '1_lang_known' AS stage, n0 AS n_in, n1 AS n_kept FROM a
+        UNION ALL SELECT '2_min_length', n1, n2 FROM a
+        UNION ALL SELECT '3_stopword_band', n2, n3 FROM a
+        UNION ALL SELECT '4_repetition_cap', n3, n4 FROM a
+      ) ORDER BY stage ASC""",
+    // naive single cumsum — independently validates the distributed
+    // range-decomposed prefix sum the Spark side runs
+    "text_pack_sequences" -> """
+      WITH t AS (
+        SELECT doc_id,
+               len(string_split(regexp_replace(lower(trim(text)),
+                 '\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+        FROM documents
+      ), c AS (
+        SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM t
+      )
+      SELECT (cum_before // 512)::BIGINT AS bin_id, count(*) AS n_docs,
+             sum(n_tokens)::BIGINT AS bin_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1 ORDER BY 1 ASC""",
     "q_zorder_layout" -> """
       WITH o AS (
         SELECT o_custkey AS ck,

@@ -295,6 +295,101 @@ object TextAnalysis {
       .orderBy($"doc_id".asc)
   }
 
+  /** Curation funnel — the per-stage attrition report a data-curation
+    * pipeline is steered by: each stage's filter applied IN SEQUENCE
+    * (language known → length floor → stopword-ratio band → repetition
+    * cap), with kept/dropped counts per stage. One pass computes all
+    * per-doc flags (plus a join to the shingle-repetition aggregate);
+    * the funnel itself is a single tiny aggregate — at 100 TB this is
+    * scan-bound like every other text op. Thresholds mirror the
+    * individual operators (`langId`, `qualityScore`, `repetition`). */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.read(spark, sfDir, "documents")
+      .withColumn("toks", expr("split(lower(trim(text)), '\\\\s+')"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("lang_hits", expr(
+        """size(filter(toks, t -> t IN ('the','and','of','to',
+          |'der','die','das','und','le','la','les','et',
+          |'el','los','una','y')))""".stripMargin))
+      .withColumn("stop_cnt", expr(
+        "size(filter(toks, t -> t IN ('the','a','and','of','to','in','is')))"))
+      .withColumn("stop_ratio",
+        round($"stop_cnt".cast("double") / greatest($"n_tokens", lit(1L)), 4))
+      .select($"doc_id", $"n_tokens", $"lang_hits", $"stop_ratio")
+    val rep = repetition(spark, sfDir).select($"doc_id", $"rep_ratio")
+    val flags = toks.join(rep, Seq("doc_id"), "left_outer")
+      .withColumn("rep_ratio", coalesce($"rep_ratio", lit(0.0)))
+      .select($"doc_id",
+        ($"lang_hits" > 0).as("f_lang"),
+        ($"n_tokens" >= 10).as("f_len"),
+        $"stop_ratio".between(0.05, 0.6).as("f_stop"),
+        ($"rep_ratio" <= 0.3).as("f_rep"))
+    // coalesce: sum over an EMPTY corpus is null; the funnel report for
+    // empty input is 4 stages of zeros, not nulls
+    val agg = flags.agg(
+      count(lit(1)).as("n0"),
+      coalesce(sum(when($"f_lang", 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when($"f_lang" && $"f_len", 1L).otherwise(0L)), lit(0L))
+        .as("n2"),
+      coalesce(sum(when($"f_lang" && $"f_len" && $"f_stop", 1L)
+        .otherwise(0L)), lit(0L)).as("n3"),
+      coalesce(sum(when($"f_lang" && $"f_len" && $"f_stop" && $"f_rep", 1L)
+        .otherwise(0L)), lit(0L)).as("n4"))
+    agg.select(expr(
+      """stack(4,
+        |'1_lang_known', n0, n1,
+        |'2_min_length', n1, n2,
+        |'3_stopword_band', n2, n3,
+        |'4_repetition_cap', n3, n4) AS (stage, n_in, n_kept)
+        |""".stripMargin))
+      .withColumn("n_dropped", $"n_in" - $"n_kept")
+      .orderBy($"stage".asc)
+  }
+
+  /** Sequence packing — the pre-training step that concatenates the
+    * token stream in a fixed document order and cuts it into
+    * `seqLen`-token training sequences; the output is the per-bin layout
+    * (docs starting in each bin, token mass) a packing job would write.
+    *
+    * The global running token count is a DISTRIBUTED prefix sum: docs
+    * are grouped into coarse doc_id ranges, per-range token sums are
+    * cumsum'd in a tiny single-partition window (#ranges rows, not
+    * #docs), offsets join back broadcast, and the per-doc running sum is
+    * a window partitioned BY RANGE — fully parallel. A naive
+    * `Window.orderBy(doc_id)` with no partitioning funnels 100 TB
+    * through ONE task; this shape never materializes more than a range
+    * on one executor. The oracle is the naive single cumsum (DuckDB can
+    * afford it at oracle scale), independently validating the
+    * decomposition. */
+  def packSequences(spark: SparkSession, sfDir: String,
+      seqLen: Long = 512L, rangeSize: Long = 100L): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", TextNorm.normCol)
+      .select($"doc_id",
+        size(split($"norm", " ")).cast("long").as("n_tokens"))
+      .withColumn("rng", expr(s"doc_id div $rangeSize"))
+    val rangeTotals = docs.groupBy($"rng")
+      .agg(sum($"n_tokens").as("rng_tokens"))
+    // tiny window: one row per range
+    val wRng = Window.orderBy($"rng".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rangeOffsets = rangeTotals
+      .withColumn("rng_offset", coalesce(sum($"rng_tokens").over(wRng), lit(0L)))
+      .select($"rng", $"rng_offset")
+    val wDoc = Window.partitionBy($"rng").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(rangeOffsets), Seq("rng"))
+      .withColumn("cum_before",
+        $"rng_offset" + coalesce(sum($"n_tokens").over(wDoc), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_before div $seqLen"))
+      .groupBy($"bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"bin_id".asc)
+  }
+
   /** Benchmark decontamination — the pre-training step that removes eval
     * data from the corpus: per document, the fraction of its token
     * n-gram shingles that collide with a benchmark set's shingles.
