@@ -11,10 +11,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // stable private warehouse: only graft's own bucketed build
-      // artifacts live here, the staleness check (Etl
-      // .bucketedOrderTables) makes cross-run reuse safe, and nothing
-      // accumulates per run
+      // per-process private warehouse, deleted on exit (Etl.warehouseDir:
+      // bucket metadata cannot outlive the in-memory catalog, so
+      // isolation is free and concurrent runs cannot collide)
       .config("spark.sql.warehouse.dir", graft.sources.Etl.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1018,13 +1018,16 @@ object SparkEntry {
                coalesce(r.rep_ratio, 0.0) <= 0.3 AS f_rep
         FROM f0 LEFT JOIN r ON f0.doc_id = r.doc_id
       ), a AS (
+        -- coalesce mirrors the Spark side's empty-corpus contract
+        -- (4 zero-stages, not nulls)
         SELECT count(*) AS n0,
-               sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS n1,
-               sum(CASE WHEN f_lang AND f_len THEN 1 ELSE 0 END) AS n2,
-               sum(CASE WHEN f_lang AND f_len AND f_stop
-                   THEN 1 ELSE 0 END) AS n3,
-               sum(CASE WHEN f_lang AND f_len AND f_stop AND f_rep
-                   THEN 1 ELSE 0 END) AS n4
+               coalesce(sum(CASE WHEN f_lang THEN 1 ELSE 0 END), 0) AS n1,
+               coalesce(sum(CASE WHEN f_lang AND f_len
+                   THEN 1 ELSE 0 END), 0) AS n2,
+               coalesce(sum(CASE WHEN f_lang AND f_len AND f_stop
+                   THEN 1 ELSE 0 END), 0) AS n3,
+               coalesce(sum(CASE WHEN f_lang AND f_len AND f_stop AND f_rep
+                   THEN 1 ELSE 0 END), 0) AS n4
         FROM flags
       )
       SELECT stage, n_in::BIGINT AS n_in, n_kept::BIGINT AS n_kept,

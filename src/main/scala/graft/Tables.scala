@@ -29,11 +29,15 @@ object Tables {
     * flag); it only changes how TIMESTAMP(NANOS) columns decode — other
     * tables here have micro timestamps and are unaffected. The pmod form
     * is true floor division (a bare `div` truncates toward zero and would
-    * diverge from DuckDB by 1µs on pre-1970 nanos). The nanos handling is
-    * schema-driven: an events table whose `ts` is already a micro/milli
-    * TIMESTAMP (any non-fixture source) decodes as a timestamp and is
-    * passed through untouched — the conversion only applies when the
-    * column actually arrived as nanos-as-long. */
+    * diverge from DuckDB by 1µs on pre-1970 nanos). The nanos handling
+    * is schema-driven: an events table whose `ts` decodes as a TIMESTAMP
+    * (micro/milli — any normal source) passes through untouched.
+    * CONTRACT for the LongType branch: a long-typed `ts` is interpreted
+    * as epoch NANOS — that covers TIMESTAMP(NANOS) under `nanosAsLong`
+    * (the fixture) but would misread a table storing raw BIGINT
+    * epoch-micros; Spark's decoded schema cannot distinguish the two
+    * (the logical-type annotation is gone by DataFrame level), so such
+    * tables must convert upstream. */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")

@@ -45,6 +45,20 @@ object TextAnalysis {
       .orderBy($"doc_id".asc)
   }
 
+  /** Marker / stopword sets — single source of truth for langScores,
+    * qualityScore, and curationFunnel (the DuckDB oracles inline the same
+    * literals; editing one side means editing both, but at least the
+    * Scala side cannot desynchronize with itself). */
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "una", "y"))
+  private val StopWords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is")
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
   /** Quality scoring: length / punctuation / stopword-ratio heuristics with
     * a CASE bucket — the classic "keep, maybe, drop" pre-filter. */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
@@ -53,7 +67,7 @@ object TextAnalysis {
       .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("stop_cnt", expr(
-        "size(filter(toks, t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))")
+        s"size(filter(toks, t -> t IN (${inList(StopWords)})))")
         .cast("long"))
       .withColumn("punct_cnt",
         (length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
@@ -75,10 +89,10 @@ object TextAnalysis {
     import spark.implicits._
     Tables.read(spark, sfDir, "documents")
       .withColumn("toks", expr("split(lower(trim(text)), '\\\\s+')"))
-      .withColumn("s_en", expr("size(filter(toks, t -> t IN ('the', 'and', 'of', 'to')))").cast("long"))
-      .withColumn("s_de", expr("size(filter(toks, t -> t IN ('der', 'die', 'das', 'und')))").cast("long"))
-      .withColumn("s_fr", expr("size(filter(toks, t -> t IN ('le', 'la', 'les', 'et')))").cast("long"))
-      .withColumn("s_es", expr("size(filter(toks, t -> t IN ('el', 'los', 'una', 'y')))").cast("long"))
+      .withColumn("s_en", expr(s"size(filter(toks, t -> t IN (${inList(LangMarkers("en"))})))").cast("long"))
+      .withColumn("s_de", expr(s"size(filter(toks, t -> t IN (${inList(LangMarkers("de"))})))").cast("long"))
+      .withColumn("s_fr", expr(s"size(filter(toks, t -> t IN (${inList(LangMarkers("fr"))})))").cast("long"))
+      .withColumn("s_es", expr(s"size(filter(toks, t -> t IN (${inList(LangMarkers("es"))})))").cast("long"))
       .withColumn("pred_lang",
         when($"s_en" >= $"s_de" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_es", "en")
           .when($"s_de" >= $"s_fr" && $"s_de" >= $"s_es", "de")
@@ -298,22 +312,24 @@ object TextAnalysis {
   /** Curation funnel — the per-stage attrition report a data-curation
     * pipeline is steered by: each stage's filter applied IN SEQUENCE
     * (language known → length floor → stopword-ratio band → repetition
-    * cap), with kept/dropped counts per stage. One pass computes all
-    * per-doc flags (plus a join to the shingle-repetition aggregate);
-    * the funnel itself is a single tiny aggregate — at 100 TB this is
-    * scan-bound like every other text op. Thresholds mirror the
-    * individual operators (`langId`, `qualityScore`, `repetition`). */
+    * cap), with kept/dropped counts per stage. TWO corpus scans (the
+    * flag projection and the shingle-repetition aggregate it joins),
+    * then one tiny aggregate — scan-bound at any scale. Stage
+    * definitions reuse the shared marker/stopword constants with ONE
+    * normalization (all tokens lowercased); note `qualityScore` itself
+    * is case-sensitive by design, so its stop_ratio can differ from
+    * stage 3's on capitalized stopwords — the funnel is its own
+    * operator, not a join of the others' outputs. */
   def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.read(spark, sfDir, "documents")
       .withColumn("toks", expr("split(lower(trim(text)), '\\\\s+')"))
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("lang_hits", expr(
-        """size(filter(toks, t -> t IN ('the','and','of','to',
-          |'der','die','das','und','le','la','les','et',
-          |'el','los','una','y')))""".stripMargin))
+        s"""size(filter(toks, t -> t IN
+           |(${inList(LangMarkers.values.flatten.toSeq)})))""".stripMargin))
       .withColumn("stop_cnt", expr(
-        "size(filter(toks, t -> t IN ('the','a','and','of','to','in','is')))"))
+        s"size(filter(toks, t -> t IN (${inList(StopWords)})))"))
       .withColumn("stop_ratio",
         round($"stop_cnt".cast("double") / greatest($"n_tokens", lit(1L)), 4))
       .select($"doc_id", $"n_tokens", $"lang_hits", $"stop_ratio")
@@ -359,17 +375,28 @@ object TextAnalysis {
     * a window partitioned BY RANGE — fully parallel. A naive
     * `Window.orderBy(doc_id)` with no partitioning funnels 100 TB
     * through ONE task; this shape never materializes more than a range
-    * on one executor. The oracle is the naive single cumsum (DuckDB can
-    * afford it at oracle scale), independently validating the
-    * decomposition. */
+    * on one executor. The range width is SIZED FROM THE CORPUS
+    * (metadata-cheap count → ≤ 8192 ranges), so the offset window and
+    * its broadcast stay driver-tiny at ANY corpus size — a fixed width
+    * would just move the single-task bottleneck into the offset cumsum
+    * at a billion documents. (Corpora past ~8192 × executor-range
+    * capacity would recurse the decomposition one level; one level
+    * covers anything this library targets.) The oracle is the naive
+    * single cumsum (DuckDB can afford it at oracle scale),
+    * independently validating the decomposition. */
   def packSequences(spark: SparkSession, sfDir: String,
-      seqLen: Long = 512L, rangeSize: Long = 100L): DataFrame = {
+      seqLen: Long = 512L, rangeSize: Long = 0L): DataFrame = {
     import spark.implicits._
-    val docs = Tables.read(spark, sfDir, "documents")
+    val base = Tables.read(spark, sfDir, "documents")
+    // parquet row-count is footer metadata — this is not a data scan
+    val width =
+      if (rangeSize > 0L) rangeSize
+      else math.max(100L, (base.count() + 8191L) / 8192L)
+    val docs = base
       .withColumn("norm", TextNorm.normCol)
       .select($"doc_id",
         size(split($"norm", " ")).cast("long").as("n_tokens"))
-      .withColumn("rng", expr(s"doc_id div $rangeSize"))
+      .withColumn("rng", expr(s"doc_id div $width"))
     val rangeTotals = docs.groupBy($"rng")
       .agg(sum($"n_tokens").as("rng_tokens"))
     // tiny window: one row per range

@@ -93,14 +93,22 @@ object Etl {
         .parquet(tmp.getAbsolutePath)
     }
 
-  /** Stable private warehouse for graft-built tables (bucketed join
-    * slices): one fixed path so (a) the bucketed build's staleness check
-    * can reuse a previous run's tables instead of rebuilding cold every
-    * process, (b) nothing accumulates per run (a per-process UUID dir
-    * would leak a bucketed lineitem+orders copy per JVM), and (c) any
-    * location this code ever deletes is inside graft's own namespace. */
-  def warehouseDir: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+  /** Per-process private warehouse for graft-built tables (bucketed join
+    * slices), deleted on JVM exit. Isolation is deliberate: BUCKETING
+    * METADATA lives only in the session's in-memory catalog, so a fresh
+    * JVM cannot reuse a previous run's bucketed tables anyway (an
+    * external re-registration over the old location would silently drop
+    * the bucket spec and the join would shuffle again) — every process
+    * rebuilds, the cost lands in Bench's `etl` phase, and a per-process
+    * dir means concurrent runs can never delete each other's in-flight
+    * builds and nothing accumulates after exit. */
+  lazy val warehouseDir: String = {
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_wh_${java.util.UUID.randomUUID()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(dir)))
+    dir.getAbsolutePath
+  }
 
   /** Bucketed `lineitem`/`orders` slices on the order key, built once per
     * (session, scale dir) for the exchange-free co-located join
@@ -114,12 +122,10 @@ object Etl {
     * survive, and a surviving dir may also be stale (older than the
     * source parquet) or torn (no `_SUCCESS`) — any of those clears the
     * location before the CTAS. Table names are scoped by scale dir and
-    * live in graft's private warehouse (`warehouseDir`), so the delete
-    * can only ever touch graft's own build artifacts; a fresh, complete,
-    * non-stale build from a PREVIOUS run is reused as-is. (Two processes
-    * building the SAME scale dir concurrently could race the CTAS — the
-    * driver runs Verify/Bench sequentially; concurrent runs should point
-    * spark.sql.warehouse.dir at distinct dirs.) */
+    * live in this process's private warehouse (`warehouseDir`), so the
+    * delete can only ever touch this run's own build artifacts. Within
+    * one session the build runs once (the catalog remembers the table);
+    * across sessions it reruns by design — see `warehouseDir`. */
   def bucketedOrderTables(spark: SparkSession, sfDir: String)
       : (String, String) = {
     val safe = sfDir.replaceAll("[^a-zA-Z0-9]", "_")

@@ -23,19 +23,22 @@ this; it just reads the resulting directory like any other sf dir.
 """
 import sys
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
 def shifted(table, col, shift, i):
     idx = table.schema.get_field_index(col)
-    arr = pa.compute.add(table.column(col), i * shift)
+    arr = pc.add(table.column(col), i * shift)
     return table.set_column(idx, table.schema.field(idx), arr)
 
 
 def main(src, dst, copies=10):
     import os
+    import functools
     os.makedirs(dst, exist_ok=True)
 
+    @functools.lru_cache(maxsize=None)
     def load(name):
         return pq.read_table(f"{src}/{name}.parquet")
 
@@ -50,8 +53,7 @@ def main(src, dst, copies=10):
     # with no orders: max(o_custkey) < max(c_custkey) would point copy-1
     # orders at the wrong customers).
     def base(name, col):
-        t = load(name)
-        return max(t.column(col).to_pylist()) + 1
+        return pc.max(load(name).column(col)).as_py() + 1
 
     shifts = {
         "c_custkey": base("customer", "c_custkey"),
@@ -88,7 +90,7 @@ def main(src, dst, copies=10):
     key_shift("events", ["event_id", "user_id"])
 
     docs = load("documents")
-    dshift = max(docs.column("doc_id").to_pylist()) + 1
+    dshift = base("documents", "doc_id")
     out = []
     for i in range(copies):
         c = shifted(docs, "doc_id", dshift, i)
