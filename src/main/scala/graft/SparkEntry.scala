@@ -578,10 +578,29 @@ object SparkEntry {
     SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk::INTEGER AS rnk
     FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
 
+  /** Replays the ADAPTIVE banding of Similarity.cosineNearDup: band width
+    * = smallest bits ≥ 8 with 4·2^bits ≥ count(*), 4 bands over globally
+    * indexed planes (band = p // bits, bit = p % bits). generate_series
+    * can't take subqueries in DuckDB, so the plane range is generated to
+    * the 4×30 max and filtered against the bits CTE. */
   private val embCosineNearDupOracle = s"""
-    $embSigCtes, bands AS (
-      SELECT vec_id, band, (sig >> (8 * band)) & 255 AS bval
-      FROM sig CROSS JOIN generate_series(0, 1) t(band)
+    WITH pb AS (
+      SELECT min(b)::INT AS bits FROM generate_series(8, 30) t(b)
+      WHERE (1::BIGINT << b) * 4 >= (SELECT count(*) FROM embeddings)
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), planes AS (
+      SELECT p, list_transform(generate_series(0, 63),
+               d -> ((p * 73856093 + d * 19349663) % 997) / 498.5 - 1.0)
+               AS plane
+      FROM generate_series(0, 119) t(p), pb WHERE p < 4 * pb.bits
+    ), bands AS (
+      SELECT vec_id, (p // pb.bits) AS band,
+             sum(CASE WHEN list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, 64),
+                     i -> v[i] * plane[i])), (a, x) -> a + x) >= 0
+                 THEN (1::BIGINT << (p % pb.bits)) ELSE 0 END)::BIGINT AS bval
+      FROM e CROSS JOIN planes, pb GROUP BY vec_id, band
     ), pairs AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bands a JOIN bands b USING (band, bval)

@@ -74,9 +74,13 @@ case class HyperplaneSignature(child: Expression,
 }
 
 object HyperplaneSignature {
-  /** Register `hyperplane_sig(vec)` bound to a fixed plane matrix. */
-  def register(spark: SparkSession, planes: Array[Array[Double]]): Unit =
+  /** Register `<name>(vec)` bound to a fixed plane matrix. Distinct names
+    * let one session hold several signature widths at once (e.g. the
+    * 16-bit top-k signature next to the adaptive per-band near-dup
+    * signatures) without clobbering each other. */
+  def register(spark: SparkSession, planes: Array[Array[Double]],
+      name: String = "hyperplane_sig"): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_sig", exprs => HyperplaneSignature(exprs.head, planes),
+      name, exprs => HyperplaneSignature(exprs.head, planes),
       "built-in")
 }

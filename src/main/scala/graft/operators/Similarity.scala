@@ -302,24 +302,54 @@ object Similarity {
       .orderBy($"vec_id".asc)
   }
 
-  /** Embedding-cosine near-duplicate pairs via the same LSH banding —
-    * all-pairs within band buckets only, never a full cross join.
+  /** Per-band hyperplane signature: band `j` folds the `bits` planes with
+    * GLOBAL indices `j*bits .. j*bits+bits-1` (the oracle regenerates the
+    * same matrix from the global index and splits with `p // bits`,
+    * `p % bits`). Separate registered functions per (bits, band) so the
+    * adaptive widths never clobber the fixed 16-bit top-k signature. */
+  private def bandSignature(spark: SparkSession, vec: Column,
+      bits: Int, band: Int): Column = {
+    val name = s"hyperplane_sig_${bits}b_$band"
+    val slice = Array.tabulate(bits, Dim)((i, d) =>
+      planeComponent(band * bits + i, d))
+    graft.functions.HyperplaneSignature.register(spark, slice, name)
+    call_function(name, vec)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH banding — all-pairs
+    * within band buckets only, never a full cross join.
+    *
+    * The band width ADAPTS to the corpus: `bits` is the smallest value
+    * ≥ 8 with `4 · 2^bits ≥ n`, so expected bucket occupancy stays ≤ 4
+    * and the candidate-pair count grows O(n) at ANY corpus size (a fixed
+    * width keeps occupancy ∝ n and pair count ∝ n² — measured 27× at a
+    * 10× scale-up before this). 4 bands buy recall back from the wider
+    * buckets; `bits` caps at 30 (occupancy 4 at n = 2^32 — beyond that,
+    * raise the cap or add bands). The `n` probe is a count over the
+    * pruned-to-nothing scan (no data columns read), the same
+    * metadata-cheap pattern as text_pack_sequences' range sizing.
+    *
     * Threshold 0.4 is calibrated to the synthetic testdata (max observed
     * off-diagonal cosine ≈ 0.51); a production near-dup pass would use
-    * 0.9+. Deterministic but band-pruned → rows-only check. */
+    * 0.9+. Deterministic (integer plane math both engines replay) →
+    * full hash-gated oracle despite being approximate. */
   def cosineNearDup(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, nBands: Int = 4): DataFrame = {
     import spark.implicits._
-    // 2×8-bit bands (256-way buckets) keep bucket fan-out — and with it
-    // the pair count — ~16× smaller than 4×4-bit banding. Per-pair cosine
-    // is the native codegen'd expression (one fused loop), computed before
-    // the pair-dedup so `distinct` only shuffles the few above-threshold
-    // pairs, not every candidate.
     graft.functions.CosineSimilarity.register(spark)
-    val emb = corpus(spark, sfDir)
-      .withColumn("sig", signature(spark, $"vec"))
-      .select($"vec_id", $"vec", $"sig")
-    val banded = withBands(emb, nBands = 2)
+    val emb0 = corpus(spark, sfDir)
+    val n = emb0.count()
+    var bits = 8
+    while (bits < 30 && (1L << bits) * 4L < n) bits += 1
+    // Per-pair cosine is the native codegen'd expression (one fused
+    // loop), computed before the pair-dedup so `distinct` only shuffles
+    // the few above-threshold pairs, not every candidate.
+    val banded = emb0.select(col("*"),
+      explode(array((0 until nBands).map(j => struct(
+        lit(j).as("band"),
+        bandSignature(spark, $"vec", bits, j).cast("long").as("bval"))): _*))
+        .as("bb"))
+      .select($"vec_id", $"vec", $"bb.band".as("band"), $"bb.bval".as("bval"))
     val l = banded.select($"vec_id".as("id_a"), $"vec".as("vec_a"),
       $"band", $"bval")
     val r = banded.select($"vec_id".as("id_b"), $"vec".as("vec_b"),

@@ -312,17 +312,22 @@ object TextAnalysis {
   /** Curation funnel — the per-stage attrition report a data-curation
     * pipeline is steered by: each stage's filter applied IN SEQUENCE
     * (language known → length floor → stopword-ratio band → repetition
-    * cap), with kept/dropped counts per stage. TWO corpus scans (the
-    * flag projection and the shingle-repetition aggregate it joins),
-    * then one tiny aggregate — scan-bound at any scale. Stage
-    * definitions reuse the shared marker/stopword constants with ONE
-    * normalization (all tokens lowercased); note `qualityScore` itself
-    * is case-sensitive by design, so its stop_ratio can differ from
-    * stage 3's on capitalized stopwords — the funnel is its own
+    * cap), with kept/dropped counts per stage. ONE corpus scan: the
+    * language/length/stopword flags AND the shingle-repetition ratio are
+    * all per-row array math — the ratio only needs `1 − distinct/total`
+    * over the doc's token 3-grams, which `transform` + `array_distinct`
+    * computes inside the row (the standalone `repetition` operator's
+    * explode → hash-aggregate shape is for when the per-shingle counts
+    * themselves are the output). The whole funnel is therefore a scan
+    * feeding one 4-row aggregate: no join, no shuffle of per-doc rows.
+    * Stage definitions reuse the shared marker/stopword constants with
+    * ONE normalization (all tokens lowercased); note `qualityScore`
+    * itself is case-sensitive by design, so its stop_ratio can differ
+    * from stage 3's on capitalized stopwords — the funnel is its own
     * operator, not a join of the others' outputs. */
   def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.read(spark, sfDir, "documents")
+    val flags = Tables.read(spark, sfDir, "documents")
       .withColumn("toks", expr("split(lower(trim(text)), '\\\\s+')"))
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("lang_hits", expr(
@@ -332,10 +337,17 @@ object TextAnalysis {
         s"size(filter(toks, t -> t IN (${inList(StopWords)})))"))
       .withColumn("stop_ratio",
         round($"stop_cnt".cast("double") / greatest($"n_tokens", lit(1L)), 4))
-      .select($"doc_id", $"n_tokens", $"lang_hits", $"stop_ratio")
-    val rep = repetition(spark, sfDir).select($"doc_id", $"rep_ratio")
-    val flags = toks.join(rep, Seq("doc_id"), "left_outer")
-      .withColumn("rep_ratio", coalesce($"rep_ratio", lit(0.0)))
+      // same tokens as `repetition` (TextNorm is whitespace-collapse only,
+      // so splitting on \s+ yields the identical token stream); docs with
+      // < 3 tokens have no shingles → ratio 0.0, the oracle's
+      // coalesce(rep_ratio, 0.0) contract
+      .withColumn("rep_ratio", when($"n_tokens" >= 3,
+        round(lit(1.0) - expr(
+          """size(array_distinct(transform(
+            |  sequence(0, cast(size(toks) as int) - 3),
+            |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))"""
+            .stripMargin).cast("double") / ($"n_tokens" - 2L), 4))
+        .otherwise(lit(0.0)))
       .select($"doc_id",
         ($"lang_hits" > 0).as("f_lang"),
         ($"n_tokens" >= 10).as("f_len"),
