@@ -114,6 +114,11 @@ object SparkEntry {
     "ev_pivot" -> ((s, d) => Events.pivotCounts(s, d)),
     "ev_retention" -> ((s, d) => Events.retention(s, d)),
     "ev_partitioned_scan" -> ((s, d) => Events.partitionedScan(s, d)),
+    "ev_cdc_compact" -> ((s, d) => Events.cdcCompact(s, d)),
+    "ev_incremental_agg" -> ((s, d) => Events.incrementalAgg(s, d)),
+    // Probabilistic filters (portable integer hash math — fully oracle-gated)
+    "q_bloom_prune" -> ((s, d) => Sketches.bloomPrune(s, d)),
+    "q_heavy_hitters_cms" -> ((s, d) => Sketches.heavyHittersCms(s, d)),
     "q_rollup" -> ((s, d) => RefQueries.qRollup(s, d)),
     "q_cube" -> ((s, d) => RefQueries.qCube(s, d)),
     "q_zorder_layout" -> ((s, d) => RefQueries.qZorderLayout(s, d)),
@@ -1195,6 +1200,102 @@ object SparkEntry {
       FROM events
       WHERE cast(ts AS date) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       GROUP BY event_type ORDER BY event_type ASC""",
+    "ev_cdc_compact" -> """
+      SELECT user_id, n_versions, last_event_id, last_event_type, last_ts
+      FROM (
+        SELECT user_id, event_id AS last_event_id,
+               event_type AS last_event_type,
+               cast(ts AS varchar) AS last_ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_versions
+        FROM events
+      ) WHERE rn = 1 ORDER BY user_id ASC""",
+    // the single-pass recompute: the oracle independently proves the
+    // Spark side's state+delta partial-aggregate merge is exact
+    "ev_incremental_agg" -> """
+      SELECT user_id,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                 THEN 1 ELSE 0 END)::BIGINT AS n_state,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                 THEN 1 ELSE 0 END)::BIGINT AS n_delta,
+             count(*) AS n_total,
+             round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE
+               AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id ASC""",
+    "q_bloom_prune" -> """
+      WITH keys AS (
+        SELECT o_orderkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+      ), pb AS (
+        SELECT min(b)::INT AS mbits FROM generate_series(13, 27) t(b)
+        WHERE (1::BIGINT << b) >= 16 * (SELECT count(*) FROM keys)
+      ), h(i, a, bb) AS (
+        VALUES (0, 2654435761, 1), (1, 2246822519, 10008),
+               (2, 3266489917, 20015), (3, 668265263, 30022)
+      ), bpos AS (
+        SELECT (((k % 1000000007) * a + bb) % 1000000007)
+                 % (1::BIGINT << pb.mbits) AS pos
+        FROM keys, pb, h
+      ), bloom AS (
+        SELECT pos // 32 AS word,
+               bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+        FROM bpos GROUP BY 1
+      ), fkeys AS (SELECT DISTINCT l_orderkey FROM lineitem
+      ), fhit AS (
+        SELECT l_orderkey, count(*) = 4 AS pass FROM (
+          SELECT f.l_orderkey, h.i,
+                 (((f.l_orderkey % 1000000007) * h.a + h.bb) % 1000000007)
+                   % (1::BIGINT << pb.mbits) AS pos
+          FROM fkeys f, pb, h
+        ) p JOIN bloom b ON p.pos // 32 = b.word
+                        AND (b.bits & (1::BIGINT << (p.pos % 32)::INT)) != 0
+        GROUP BY l_orderkey
+      )
+      SELECT l.l_returnflag, count(*) AS n_rows,
+             sum(CASE WHEN coalesce(fh.pass, false)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+             sum(CASE WHEN kk.k IS NOT NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS n_match,
+             sum(CASE WHEN coalesce(fh.pass, false) AND kk.k IS NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
+             (sum(CASE WHEN kk.k IS NOT NULL AND NOT coalesce(fh.pass, false)
+                  THEN 1 ELSE 0 END) = 0) AS no_false_neg
+      FROM lineitem l
+      LEFT JOIN fhit fh ON l.l_orderkey = fh.l_orderkey
+      LEFT JOIN (SELECT k FROM keys) kk ON l.l_orderkey = kk.k
+      GROUP BY l.l_returnflag ORDER BY l.l_returnflag ASC""",
+    "q_heavy_hitters_cms" -> """
+      WITH fact AS (
+        SELECT CASE WHEN l_partkey % 7 = 0 THEN l_partkey % 5
+               ELSE l_partkey END AS key
+        FROM lineitem
+      ), h(j, a, bb) AS (
+        VALUES (0, 2654435761, 1), (1, 2246822519, 10008),
+               (2, 3266489917, 20015), (3, 668265263, 30022)
+      ), cms AS (
+        SELECT j, (((key % 1000000007) * a + bb) % 1000000007) % 2048
+                 AS bucket,
+               count(*) AS cnt
+        FROM fact, h GROUP BY 1, 2
+      ), totals AS (SELECT key, count(*) AS exact_cnt FROM fact GROUP BY 1
+      ), top AS (
+        SELECT key, exact_cnt,
+               row_number() OVER (ORDER BY exact_cnt DESC, key ASC) AS rnk
+        FROM totals QUALIFY rnk <= 10
+      ), est AS (
+        SELECT t.key, t.exact_cnt, t.rnk, min(c.cnt) AS cms_est
+        FROM top t, h
+        JOIN cms c ON c.j = h.j
+          AND c.bucket = (((t.key % 1000000007) * h.a + h.bb) % 1000000007)
+                           % 2048
+        GROUP BY 1, 2, 3
+      ), n AS (SELECT count(*) AS n_total FROM fact)
+      SELECT rnk::INTEGER AS rnk, key, exact_cnt, cms_est,
+             (cms_est - exact_cnt) AS overcount,
+             (cms_est >= exact_cnt AND
+              cms_est <= exact_cnt + 2 * n_total / 2048) AS within_bound
+      FROM est, n ORDER BY rnk ASC""",
     "embed_cosine_neardup" -> embCosineNearDupOracle,
     "q_avg_aggregator" -> """
       SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty

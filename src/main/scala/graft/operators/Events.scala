@@ -301,4 +301,61 @@ object Events {
           .as("total_value"))
       .orderBy($"user_id".asc)
   }
+
+  /** CDC compaction — collapse a change log to the latest record per key,
+    * the upsert-table maintenance pass every incremental pipeline runs.
+    * One hash-partition-by-user exchange; `row_number` + the version
+    * count share the same window sort, and Spark rewrites the rn=1 filter
+    * to a per-group limit (WindowGroupLimit), so no per-user full
+    * materialization. (event_id desc) breaks exact-ts ties
+    * deterministically — the CDC "last writer wins" rule. */
+  def cdcCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.read(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("n_versions", count(lit(1)).over(
+        Window.partitionBy($"user_id")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"n_versions",
+        $"event_id".as("last_event_id"),
+        $"event_type".as("last_event_type"),
+        $"ts".cast("string").as("last_ts"))
+      .orderBy($"user_id".asc)
+  }
+
+  /** Incremental aggregation — the state + delta merge an hourly/daily
+    * pipeline runs instead of recomputing history: per-user partial
+    * aggregates over the OLD range (the persisted state) full-outer-merged
+    * with partials over the NEW range. (count, decimal-sum) partials are
+    * the canonical mergeable pair — the merge is exact, which the oracle
+    * proves by computing the SAME totals from scratch in one pass.
+    * Scale: history is never rescanned in production (state is a table);
+    * here both halves read the fixture with the cutoff pushed down, and
+    * each half is one partial-agg shuffle of its own range only. */
+  def incrementalAgg(spark: SparkSession, sfDir: String,
+      cutoff: String = "2024-01-20 00:00:00"): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.read(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"value")
+    val cut = lit(cutoff).cast("timestamp")
+    def part(df: DataFrame): DataFrame = df.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(20,6)")).as("s"))
+    val state = part(ev.filter($"ts" < cut))
+      .select($"user_id", $"n".as("n_state"), $"s".as("s_state"))
+    val delta = part(ev.filter($"ts" >= cut))
+      .select($"user_id", $"n".as("n_delta"), $"s".as("s_delta"))
+    state.join(delta, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        coalesce($"n_state", lit(0L)).as("n_state"),
+        coalesce($"n_delta", lit(0L)).as("n_delta"),
+        (coalesce($"n_state", lit(0L)) + coalesce($"n_delta", lit(0L)))
+          .as("n_total"),
+        round(coalesce($"s_state", lit(0).cast("decimal(20,6)")) +
+          coalesce($"s_delta", lit(0).cast("decimal(20,6)")), 4)
+          .cast("double").as("total_value"))
+      .orderBy($"user_id".asc)
+  }
 }

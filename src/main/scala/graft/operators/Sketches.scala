@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Probabilistic-filter operators — the runtime-filter / heavy-hitter
+  * tier of a 100 TB pipeline, built from PORTABLE integer hash math
+  * (multiply-add mod 1e9+7) so the DuckDB oracle replays every bit and
+  * the "approximate" structures stay fully hash-gated.
+  *
+  * Scale stance: both operators keep the sketch tiny (≤ a few thousand
+  * rows) and BROADCAST it past the fact table — the fact side never
+  * shuffles for the sketch, only for its own final aggregate.
+  */
+object Sketches {
+
+  /** Public mixing constants (Knuth/xxhash primes). */
+  private val P = 1000000007L
+  private val A = Array(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  private def B(i: Int): Long = 10007L * i + 1L
+
+  /** i-th hash of `key`, reduced into [0, m). Key is pre-reduced mod P so
+    * the multiply stays < 2^63 for any BIGINT key (1e9 · 3.3e9 < 9.2e18);
+    * DuckDB evaluates the identical expression. */
+  private def hashPos(key: Column, i: Int, m: Long): Column =
+    (((key % P) * A(i) + B(i)) % P) % m
+
+  /** Bloom-filter semi-join pruning — the runtime-filter pattern Spark's
+    * own InjectRuntimeFilter plans at scale: build a Bloom filter over the
+    * SELECTIVE dimension keys (urgent orders), broadcast it, and prune the
+    * fact scan before any join. The filter is (word → bits) rows, ≤ m/32
+    * of them, built with one tiny shuffle and broadcast into 4 hash-probe
+    * joins — the fact table itself never shuffles.
+    *
+    * The bit count adapts to the build side exactly like the engine's
+    * runtime filters size from build-side stats: smallest 2^b ≥ 16·n_keys
+    * (k=4 hashes → ~0.15% false-positive rate at 16 bits/key); the probe
+    * count() is one pushed-down scan of the key column. 32-bit words in a
+    * BIGINT keep every shift positive on both engines.
+    *
+    * Output: per l_returnflag, total rows, bloom-pass rows, exact matches
+    * (the semi join the bloom approximates — computed here only to
+    * MEASURE the filter; production prunes first and joins the survivors),
+    * directly-counted false positives, and the no-false-negative
+    * invariant as a hard oracle-checked boolean. All integers →
+    * hash-exact despite the operator being "approximate". */
+  def bloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.read(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey".as("k")) // o_orderkey is unique — no distinct
+    val nKeys = keys.count()
+    var mBits = 13
+    while (mBits < 27 && (1L << mBits) < 16L * nKeys) mBits += 1
+    val m = 1L << mBits
+    val bloom = keys
+      .select(explode(array((0 until 4).map(i =>
+        hashPos($"k", i, m)): _*)).as("pos"))
+      .select(($"pos" / 32).cast("long").as("word"),
+        expr("shiftleft(1L, cast(pos % 32 AS int))").as("mask"))
+      .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
+    val fact0 = Tables.read(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_returnflag")
+    // 4 broadcast probe joins (one per hash) — each a ≤ m/32-row build
+    val probed = (0 until 4).foldLeft(fact0) { (df, i) =>
+      df.withColumn(s"pos_$i", hashPos($"l_orderkey", i, m))
+        .withColumn(s"word_$i", ($"pos_$i" / 32).cast("long"))
+        .withColumn(s"mask_$i",
+          expr(s"shiftleft(1L, cast(pos_$i % 32 AS int))"))
+        .join(broadcast(bloom.select($"word".as(s"word_$i"),
+          $"bits".as(s"bits_$i"))), Seq(s"word_$i"), "left_outer")
+        .withColumn(s"hit_$i",
+          coalesce($"bits_$i".bitwiseAND(col(s"mask_$i")) =!= 0L, lit(false)))
+    }
+    val flagged = probed
+      .withColumn("pass", (0 until 4).map(i => col(s"hit_$i")).reduce(_ && _))
+      // exact semi join, included to measure the filter's error
+      .join(broadcast(keys.withColumn("matched", lit(true))),
+        $"l_orderkey" === $"k", "left_outer")
+      .withColumn("matched", coalesce($"matched", lit(false)))
+    flagged.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"pass", 1L).otherwise(0L)).as("n_pass"),
+        sum(when($"matched", 1L).otherwise(0L)).as("n_match"),
+        sum(when($"pass" && !$"matched", 1L).otherwise(0L)).as("n_false_pos"),
+        (sum(when($"matched" && !$"pass", 1L).otherwise(0L)) === 0L)
+          .as("no_false_neg"))
+      .orderBy($"l_returnflag".asc)
+  }
+
+  /** Count-min-sketch heavy hitters — frequency estimation where the
+    * exact per-key count table itself is too hot to hold: d=4 hash rows ×
+    * w=2048 buckets of COUNTS (the sketch is ≤ 8192 rows regardless of
+    * corpus size), estimate = min over the key's 4 buckets. The key space
+    * is deliberately skewed (partkeys ≡ 0 mod 7 collapse to 5 hot keys ≈
+    * 8% of rows each) so "heavy hitter" means something.
+    *
+    * The exact side (for the oracle-checked error bound) is a group-count
+    * + global top-10 — fine HERE because post-aggregate cardinality is
+    * tiny; at 100 TB the exact table is what you DON'T build, and the
+    * sketch row's guarantee est ≥ exact ∧ est ≤ exact + 2N/w (both
+    * oracle-gated booleans would be vacuous — the values themselves are
+    * deterministic integers, so the oracle checks them exactly).
+    *
+    * One fact shuffle for the sketch (map-side partials collapse to ≤
+    * d·w rows), one for the exact counts; the estimate join broadcasts
+    * the 40-row exploded top-k against the sketch. */
+  def heavyHittersCms(spark: SparkSession, sfDir: String,
+      topK: Int = 10, w: Long = 2048L): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.read(spark, sfDir, "lineitem")
+      .select(when($"l_partkey" % 7 === 0, $"l_partkey" % 5)
+        .otherwise($"l_partkey").as("key"))
+    // d×w count table: explode each row into its 4 (row, bucket) cells;
+    // hash-aggregate partials collapse repeats map-side
+    val cms = fact
+      .select(explode(array((0 until 4).map(i => struct(
+        lit(i).as("j"), hashPos($"key", i, w).as("bucket"))): _*)).as("c"))
+      .groupBy($"c.j".as("j"), $"c.bucket".as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = fact.groupBy($"key").agg(count(lit(1)).as("exact_cnt"))
+    val top = totals
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"exact_cnt".desc, $"key".asc)))
+      .filter($"rnk" <= topK)
+    val n = fact.agg(count(lit(1)).as("n_total"))
+    val est = top
+      .select($"key", $"exact_cnt", $"rnk",
+        explode(array((0 until 4).map(i => struct(
+          lit(i).as("j"), hashPos($"key", i, w).as("bucket"))): _*)).as("c"))
+      .join(cms, $"c.j" === cms("j") && $"c.bucket" === cms("bucket"))
+      .groupBy($"key", $"exact_cnt", $"rnk")
+      .agg(min($"cnt").as("cms_est"))
+    est.crossJoin(broadcast(n))
+      .select($"rnk", $"key", $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overcount"),
+        ($"cms_est" >= $"exact_cnt" &&
+          $"cms_est" <= $"exact_cnt" + lit(2L) * $"n_total" / w)
+          .as("within_bound"))
+      .orderBy($"rnk".asc)
+  }
+}

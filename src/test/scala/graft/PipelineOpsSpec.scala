@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, Sketches}
+
+/** Semantic invariants of the round-4 pipeline operators, beyond the
+  * oracle hash gate: the probabilistic structures' one-sided error
+  * guarantees, CDC uniqueness, and merge-equals-recompute. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("bloom prune: no false negatives, few false positives") {
+    val rows = Sketches.bloomPrune(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("no_false_neg"),
+        s"${r.getString(0)}: bloom dropped a true match")
+      val nPass = r.getAs[Long]("n_pass")
+      val nMatch = r.getAs[Long]("n_match")
+      val nFp = r.getAs[Long]("n_false_pos")
+      assert(nPass == nMatch + nFp, "pass must decompose into match + fp")
+      // 16 bits/key, k=4 → fp rate ~0.15%; allow 10× slack on tiny data
+      val nonMatch = r.getAs[Long]("n_rows") - nMatch
+      assert(nFp <= math.max(5L, nonMatch / 50),
+        s"${r.getString(0)}: $nFp false positives of $nonMatch is too many")
+    }
+  }
+
+  test("cms heavy hitters: estimate never undercounts, stays in eps bound") {
+    val rows = Sketches.heavyHittersCms(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"key ${r.getAs[Long]("key")}: CMS undercounted — impossible")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"key ${r.getAs[Long]("key")}: overcount exceeds 2N/w")
+    }
+    // the skew construction must actually produce heavy hitters: the
+    // collapsed keys 0..4 are the top 5
+    assert(rows.take(5).map(_.getAs[Long]("key")).toSet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("cdc compact: one row per user, picks the max-(ts, event_id) record") {
+    val out = Events.cdcCompact(spark, sf)
+    val byUser = out.groupBy("user_id").count()
+      .filter(col("count") > 1).count()
+    assert(byUser == 0L, "compaction must emit exactly one row per key")
+    // version counts must sum back to the full log
+    val total = out.agg(sum("n_versions")).collect()(0).getLong(0)
+    assert(total == Tables.read(spark, sf, "events").count())
+  }
+
+  test("incremental agg: state+delta merge equals single-pass recompute") {
+    import spark.implicits._
+    val merged = Events.incrementalAgg(spark, sf)
+    val direct = Tables.read(spark, sf, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_total"),
+        round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
+          .as("total_value"))
+    assertSameRows(
+      merged.select($"user_id", $"n_total", $"total_value")
+        .orderBy($"user_id".asc),
+      direct.orderBy($"user_id".asc))
+  }
+
+  test("adaptive near-dup banding: pair recall against brute force at 0.4") {
+    import spark.implicits._
+    // every reported pair must be a genuine above-threshold pair (the
+    // banding can miss pairs, never invent them)
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.read(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val all = emb.as("a").crossJoin(emb.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", expr("round(cosine_sim(a.vec, b.vec), 6)"))
+      .filter($"cos" >= 0.4)
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
+    val banded = graft.operators.Similarity.cosineNearDup(spark, sf)
+      .select($"id_a", $"id_b")
+    val invented = banded.join(all, Seq("id_a", "id_b"), "left_anti").count()
+    assert(invented == 0L, "banding reported a below-threshold pair")
+  }
+}
