@@ -547,7 +547,11 @@ object SparkEntry {
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), planes AS (
       SELECT p, list_transform(generate_series(0, 63),
-               d -> ((p * 73856093 + d * 19349663) % 997) / 498.5 - 1.0)
+               d -> ((((((p * 1000003 + d) % 104729)
+                        * ((p * 1000003 + d) % 104729)) % 104729)
+                       * 2654435761
+                       + ((p * 1000003 + d) % 104729) * 40503) % 104729)
+                    / 52364.0 - 1.0)
                AS plane
       FROM generate_series(0, 15) t(p)
     ), sig AS (
@@ -596,7 +600,11 @@ object SparkEntry {
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), planes AS (
       SELECT p, list_transform(generate_series(0, 63),
-               d -> ((p * 73856093 + d * 19349663) % 997) / 498.5 - 1.0)
+               d -> ((((((p * 1000003 + d) % 104729)
+                        * ((p * 1000003 + d) % 104729)) % 104729)
+                       * 2654435761
+                       + ((p * 1000003 + d) % 104729) * 40503) % 104729)
+                    / 52364.0 - 1.0)
                AS plane
       FROM generate_series(0, 119) t(p), pb WHERE p < 4 * pb.bits
     ), bands AS (

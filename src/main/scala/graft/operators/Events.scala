@@ -304,24 +304,26 @@ object Events {
 
   /** CDC compaction — collapse a change log to the latest record per key,
     * the upsert-table maintenance pass every incremental pipeline runs.
-    * One hash-partition-by-user exchange; `row_number` + the version
-    * count share the same window sort, and Spark rewrites the rn=1 filter
-    * to a per-group limit (WindowGroupLimit), so no per-user full
-    * materialization. (event_id desc) breaks exact-ts ties
-    * deterministically — the CDC "last writer wins" rule. */
+    * Planned as an ARGMAX AGGREGATE (`max_by` on the (ts, event_id)
+    * struct), not a window: partial aggregation collapses each map task
+    * to one (count, argmax) cell per key before the exchange, and no
+    * per-key sort ever happens — strictly better than the
+    * row_number-over-window shape at scale (that one must shuffle and
+    * sort EVERY version; this shuffles one row per key per map task).
+    * (ts, event_id) struct ordering is the deterministic CDC
+    * "last writer wins" rule. */
   def cdcCompact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val byUser = Window.partitionBy($"user_id")
-      .orderBy($"ts".desc, $"event_id".desc)
     Tables.read(spark, sfDir, "events")
-      .withColumn("rn", row_number().over(byUser))
-      .withColumn("n_versions", count(lit(1)).over(
-        Window.partitionBy($"user_id")))
-      .filter($"rn" === 1)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        max_by(struct($"event_id", $"event_type",
+          $"ts".cast("string").as("ts")),
+          struct($"ts", $"event_id")).as("last"))
       .select($"user_id", $"n_versions",
-        $"event_id".as("last_event_id"),
-        $"event_type".as("last_event_type"),
-        $"ts".cast("string").as("last_ts"))
+        $"last.event_id".as("last_event_id"),
+        $"last.event_type".as("last_event_type"),
+        $"last.ts".as("last_ts"))
       .orderBy($"user_id".asc)
   }
 

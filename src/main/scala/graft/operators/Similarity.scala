@@ -66,9 +66,17 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
-    * pure integer arithmetic, reproducible anywhere. */
-  private def planeComponent(p: Int, d: Int): Double =
-    ((p.toLong * 73856093L + d.toLong * 19349663L) % 997L).toDouble / 498.5 - 1.0
+    * pure integer arithmetic, reproducible anywhere. QUADRATIC mixing
+    * matters: a linear formula like `(p·a + d·b) mod m` makes plane p+1 a
+    * shifted copy of plane p (a congruential lattice), the sign bits
+    * correlate, and signatures collapse into hot buckets — measured
+    * max-occupancy 1236 (15.3M candidate pairs) on 20k vectors vs 29
+    * (149k pairs) with this formula, which matches true Gaussian planes
+    * (28 / 159k) on the same data. */
+  private def planeComponent(p: Int, d: Int): Double = {
+    val v = (p.toLong * 1000003L + d.toLong) % 104729L
+    (((v * v) % 104729L) * 2654435761L + v * 40503L) % 104729L / 52364.0 - 1.0
+  }
 
   private val planes: Array[Array[Double]] =
     Array.tabulate(16, Dim)((p, d) => planeComponent(p, d))

@@ -123,4 +123,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_shipdate"),
       s"csv scan lost its typed pruned schema:\n$p")
   }
+
+  test("q_bloom_prune: fact side is probed by broadcast joins only") {
+    // the runtime-filter shape: the fact table must reach its final
+    // aggregate through BroadcastHashJoins — a hash exchange of the fact
+    // rows would defeat the filter's purpose. Allowed exchanges: the
+    // tiny bloom build (keyed on `word`) and the final per-flag agg.
+    val p = plan("q_bloom_prune")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 5, s"expected 4 probe joins + key join broadcast, got $bhj")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fact rows must not shuffle for a probe join:\n$p")
+  }
+
+  test("q_heavy_hitters_cms: sketch aggregates collapse map-side") {
+    // partial_count before the exchange = the map-side combine that keeps
+    // the d×w sketch shuffle tiny at any corpus size
+    val p = plan("q_heavy_hitters_cms")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no partial aggregation before the sketch exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), "estimate join went cartesian")
+  }
+
+  test("ev_cdc_compact: argmax aggregate, no window sort, partial combine") {
+    val p = plan("ev_cdc_compact")
+    assert(!p.contains("Window"), s"compaction must not window-sort:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial_count"),
+      s"no map-side partial aggregation before the exchange:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges")
+  }
 }

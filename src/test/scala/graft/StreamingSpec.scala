@@ -151,4 +151,61 @@ class StreamingSpec extends SparkSpec {
         s"first session should close in-batch; got ${closed.mkString(", ")}")
     } finally q.stop()
   }
+
+  test("latestPerKey re-emits the upsert row as later versions arrive") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Cdc]
+    val q = StreamingOps.latestPerKey(input.toDS()).writeStream
+      .outputMode(OutputMode.Update).format("memory")
+      .queryName("cdc_out").start()
+    try {
+      input.addData(
+        StreamingOps.Cdc(1L, 10L, ts("2024-01-01 10:00:00"), "click"),
+        StreamingOps.Cdc(1L, 11L, ts("2024-01-01 10:05:00"), "view"))
+      q.processAllAvailable()
+      // older ts arrives late: version count bumps, latest does NOT change
+      input.addData(
+        StreamingOps.Cdc(1L, 9L, ts("2024-01-01 09:00:00"), "signup"))
+      q.processAllAvailable()
+      val rows = spark.table("cdc_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+          r.getAs[String]("last_event_type"), r.getAs[Long]("n_versions")))
+      // Update mode emits one row per batch the key changed in;
+      // the final state is the last emission
+      assert(rows.last == ((1L, 11L, "view", 3L)),
+        s"late old version must bump count only; got ${rows.mkString(", ")}")
+      assert(rows.head == ((1L, 11L, "view", 2L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch generational merge equals a from-scratch aggregate") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incr_state").toString
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = StreamingOps.incrementalAggSink(df, root)
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.5),
+        (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      input.addData(
+        (1L, ts("2024-01-01 11:00:00"), 3.25),
+        (3L, ts("2024-01-01 11:01:00"), 4.0))
+      q.processAllAvailable()
+      val latest = new java.io.File(root).listFiles()
+        .map(_.getName).filter(_.startsWith("state_v"))
+        .map(_.stripPrefix("state_v").toLong).max
+      val state = spark.read.parquet(s"$root/state_v$latest")
+        .select($"user_id", $"n",
+          $"s".cast("double").as("total"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(state == Set((1L, 2L, 4.75), (2L, 1L, 2.0), (3L, 1L, 4.0)),
+        s"merged state wrong: $state")
+    } finally q.stop()
+  }
 }
