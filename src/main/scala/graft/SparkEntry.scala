@@ -121,6 +121,7 @@ object SparkEntry {
     "q_heavy_hitters_cms" -> ((s, d) => Sketches.heavyHittersCms(s, d)),
     "q_rollup" -> ((s, d) => RefQueries.qRollup(s, d)),
     "q_cube" -> ((s, d) => RefQueries.qCube(s, d)),
+    "q_grouping_sets" -> ((s, d) => RefQueries.qGroupingSets(s, d)),
     "q_zorder_layout" -> ((s, d) => RefQueries.qZorderLayout(s, d)),
     "mm_props_json_typed" -> ((s, d) => Multimodal.propsJsonTyped(s, d)),
     "q_semi_anti_join" -> ((s, d) => RefQueries.qSemiAntiJoin(s, d)),
@@ -1316,6 +1317,15 @@ object SparkEntry {
              (grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT
                AS gid
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+               l_linestatus ASC NULLS FIRST""",
+    "q_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             round(sum(l_quantity), 4) AS qty,
+             (grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT
+               AS gid
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
                l_linestatus ASC NULLS FIRST""",
     "mm_binary_features" -> mmBinaryFeaturesOracle,

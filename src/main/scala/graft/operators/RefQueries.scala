@@ -800,6 +800,26 @@ object RefQueries {
       .orderBy($"gid".asc, $"year".asc_nulls_first, $"month".asc_nulls_first)
   }
 
+  /** GROUPING SETS with SIDEWAYS sets — ((returnflag), (linestatus)):
+    * two independent one-dimension breakdowns in ONE pass, a shape
+    * neither rollup nor cube expresses (cube would add the pair and the
+    * total). At 100 TB this halves the scan count vs running the two
+    * group-bys separately; Spark plans it as a single Expand (2 rows per
+    * input) + one hash aggregate, and partial aggregation still collapses
+    * map-side. Uses Spark 4's `Dataset.groupingSets` — same declarative
+    * style as the rollup/cube neighbors, no temp-view side effect. */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "lineitem")
+      .groupingSets(Seq(Seq($"l_returnflag"), Seq($"l_linestatus")),
+        $"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"l_quantity"), 4).as("qty"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"gid".asc, $"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first)
+  }
+
   /** Exact percentiles per group (median + p90 of extended price).
     * `percentile` is the exact sort-based aggregate — right up to the
     * scale where the per-group value set no longer fits a partition;

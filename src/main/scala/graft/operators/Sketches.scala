@@ -125,7 +125,9 @@ object Sketches {
       .withColumn("rnk", row_number().over(
         Window.orderBy($"exact_cnt".desc, $"key".asc)))
       .filter($"rnk" <= topK)
-    val n = fact.agg(count(lit(1)).as("n_total"))
+    // N = sum over any one hash row of the sketch (≤ w rows) — no third
+    // scan of the fact table for a number the sketch already carries
+    val n = cms.filter($"j" === 0).agg(sum($"cnt").as("n_total"))
     val est = top
       .select($"key", $"exact_cnt", $"rnk",
         explode(array((0 until 4).map(i => struct(

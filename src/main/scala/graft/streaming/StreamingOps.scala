@@ -145,9 +145,11 @@ object StreamingOps {
       rows.foreach { e =>
         cur = cur match {
           case Some(l) =>
-            val newer = e.ts.getTime > l.last_ts.getTime ||
-              (e.ts.getTime == l.last_ts.getTime &&
-                e.event_id > l.last_event_id)
+            // Timestamp.compareTo keeps sub-millisecond precision —
+            // getTime truncates to ms and would tie-break differently
+            // from the batch twin's full-precision (ts, event_id) order
+            val cmp = e.ts.compareTo(l.last_ts)
+            val newer = cmp > 0 || (cmp == 0 && e.event_id > l.last_event_id)
             val bumped =
               if (newer) Latest(userId, e.event_id, e.ts, e.event_type,
                 l.n_versions + 1)
@@ -186,11 +188,22 @@ object StreamingOps {
         val delta = batch.groupBy($"user_id")
           .agg(count(lit(1)).as("n"),
             sum($"value".cast("decimal(20,6)")).as("s"))
-        val prevPath = s"$stateRoot/state_v${batchId - 1}"
+        val prevPath = new org.apache.hadoop.fs.Path(
+          s"$stateRoot/state_v${batchId - 1}")
+        // Hadoop FS, not java.io.File: stateRoot may be hdfs://s3a://;
+        // and a MISSING predecessor for batchId > 0 must fail loudly —
+        // silently merging delta-only would reset the running totals,
+        // which is exactly the wrong-totals bug the generational design
+        // exists to prevent. (batchId 0 legitimately has no predecessor.)
+        val fs = prevPath.getFileSystem(
+          sp.sessionState.newHadoopConf())
         val merged =
-          if (batchId == 0L ||
-              !new java.io.File(prevPath).exists()) delta
-          else sp.read.parquet(prevPath).union(delta)
+          if (batchId == 0L) delta
+          else if (!fs.exists(prevPath))
+            throw new IllegalStateException(
+              s"incrementalAggSink: predecessor generation $prevPath " +
+                s"missing for batch $batchId — refusing to reset totals")
+          else sp.read.parquet(prevPath.toString).union(delta)
             .groupBy($"user_id")
             .agg(sum($"n").as("n"),
               sum($"s").cast("decimal(20,6)").as("s"))

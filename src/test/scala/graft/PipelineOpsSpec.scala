@@ -63,7 +63,7 @@ class PipelineOpsSpec extends SparkSpec {
       direct.orderBy($"user_id".asc))
   }
 
-  test("adaptive near-dup banding: pair recall against brute force at 0.4") {
+  test("adaptive near-dup banding: precision against brute force at 0.4") {
     import spark.implicits._
     // every reported pair must be a genuine above-threshold pair (the
     // banding can miss pairs, never invent them)
@@ -79,5 +79,40 @@ class PipelineOpsSpec extends SparkSpec {
       .select($"id_a", $"id_b")
     val invented = banded.join(all, Seq("id_a", "id_b"), "left_anti").count()
     assert(invented == 0L, "banding reported a below-threshold pair")
+  }
+
+  test("adaptive near-dup banding: recall floor on TRUE near-dups") {
+    // The fixture corpus has no true near neighbors (max cosine ~0.51 at
+    // threshold 0.4), so chance-level collisions can't pin recall there.
+    // Crafted corpus: 60 base vectors, each with a perturbed twin at
+    // cosine ≈ 0.95+ — the regime near-dup detection targets, where sign
+    // bits mostly agree and 4 bands must recover a large majority. This
+    // is the test that would catch a bits-loop / band-indexing bug that
+    // silently empties the buckets (precision alone cannot).
+    import spark.implicits._
+    val dim = graft.operators.Similarity.Dim
+    def base(i: Int, d: Int): Double =
+      (((i * 7919 + d * 104729) % 1009) - 504).toDouble / 504.0
+    val rows = (0 until 60).flatMap { i =>
+      val v = Array.tabulate(dim)(d => base(i, d))
+      // twin: flip a small deterministic slice by 10% — cosine stays ~0.99
+      val w = Array.tabulate(dim)(d =>
+        if ((d + i) % 8 == 0) v(d) * 0.7 else v(d))
+      Seq((i.toLong * 2, v.map(_.toFloat).toSeq),
+        (i.toLong * 2 + 1, w.map(_.toFloat).toSeq))
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_neardup_recall").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val found = graft.operators.Similarity
+      .cosineNearDup(spark, dir, threshold = 0.9)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = (0 until 60).map(i => (i.toLong * 2, i.toLong * 2 + 1))
+    val recall = truePairs.count(found.contains).toDouble / truePairs.size
+    assert(recall >= 0.8,
+      f"recall $recall%.2f below 0.8 floor on cosine≈0.99 twins " +
+        s"(found ${found.size} pairs)")
   }
 }
