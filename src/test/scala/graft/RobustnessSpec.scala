@@ -17,6 +17,17 @@ class RobustnessSpec extends SparkSpec {
     Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$dir/embeddings.parquet")
+    Seq.empty[(Long, Long, String, Double, java.sql.Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, Long, Long, Int, Double, Double, String)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
     dir
   }
 
@@ -52,6 +63,16 @@ class RobustnessSpec extends SparkSpec {
     assert(Similarity.topKIvfKmeans(spark, emptyDir).count() == 0)
     assert(Similarity.kmeansClusters(spark, emptyDir).count() == 0)
     assert(Similarity.cosineNearDup(spark, emptyDir).count() == 0)
+  }
+
+  test("sketch and event operators survive empty inputs") {
+    import graft.operators.{Events, Sketches}
+    // bloom: empty build side AND empty fact — no divide-by-zero in the
+    // bit sizing, no NPE on the all-null probe joins
+    assert(Sketches.bloomPrune(spark, emptyDir).count() == 0)
+    assert(Sketches.heavyHittersCms(spark, emptyDir).count() == 0)
+    assert(Events.cdcCompact(spark, emptyDir).count() == 0)
+    assert(Events.incrementalAgg(spark, emptyDir).count() == 0)
   }
 
   test("events have unique (user_id, event_type, ts) — asof oracle determinism") {
