@@ -533,7 +533,11 @@ object SparkEntry {
   // -------------------------------------------------------------------
   // LSH-family oracles. The random-hyperplane signature is a pure integer
   // formula (Similarity.planeComponent) both engines reproduce exactly:
-  // plane[p][d] = ((p*73856093 + d*19349663) % 997) / 498.5 - 1.0, and
+  // v = (p*1000003 + d) mod 104729;
+  // plane[p][d] = ((v² mod 104729)·2654435761 + v·40503) mod 104729
+  //               / 52364.0 − 1.0
+  // (quadratic mixing — a linear formula makes planes correlated shifted
+  // copies; see Similarity.planeComponent), and
   // the dot products are sequential left-folds — bit-identical IEEE
   // doubles in Spark codegen and DuckDB list_reduce. That makes the
   // "approximate" LSH/IVF operators fully deterministic and

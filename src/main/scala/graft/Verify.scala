@@ -21,6 +21,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        // fail, don't warn: a typo that silently writes nothing leaves
+        // stale parquet from a prior run to be compared instead
+        System.err.println(
+          s"[verify] unknown query name(s): ${unknown.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -174,14 +174,19 @@ object StreamingOps {
     * rewrites the same generation from the same predecessor instead of
     * double-counting — foreachBatch's at-least-once redelivery composes
     * to exactly-once because generation N is a pure function of
-    * (generation N-1, batch N). In production the state table is a
-    * MERGE INTO target; the generational parquet dir is the
-    * dependency-free equivalent. */
+    * (generation N-1, batch N). That composition REQUIRES durable batch
+    * ids, so the query checkpoints under `stateRoot/_checkpoint` (same
+    * durability domain as the state itself): a restarted query resumes
+    * its batch numbering instead of starting a fresh temp checkpoint at
+    * batch 0 — which would take the delta-only branch and silently reset
+    * the totals. In production the state table is a MERGE INTO target;
+    * the generational parquet dir is the dependency-free equivalent. */
   def incrementalAggSink(events: DataFrame, stateRoot: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.DataFrame
     events.writeStream
       .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$stateRoot/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         import sp.implicits._

@@ -14,6 +14,8 @@ import pyarrow.parquet as pq
 
 
 def dup4(table, idcol):
+    if table.num_rows == 0:
+        return table  # nothing to duplicate; pc.max would yield null
     maxid = pc.max(table[idcol]).as_py() + 1
     idx = table.schema.get_field_index(idcol)
     return pa.concat_tables(
