@@ -146,6 +146,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "estimate join went cartesian")
   }
 
+  test("q_grouping_sets: one Expand pass feeding one partial-combined agg") {
+    // two sideways breakdowns in a single scan: Expand duplicates each
+    // row once per set (2×), then ONE aggregate with map-side partials —
+    // two separate group-bys would scan and shuffle twice
+    val p = plan("q_grouping_sets")
+    assert("Expand".r.findAllIn(p).length >= 1 && p.contains("partial_count"),
+      s"expected Expand + partial aggregation:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one aggregate exchange, got $exchanges")
+  }
+
   test("ev_cdc_compact: argmax aggregate, no window sort, partial combine") {
     val p = plan("ev_cdc_compact")
     assert(!p.contains("Window"), s"compaction must not window-sort:\n$p")
