@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config(Tables.nanosConfKey, "true") // events TIMESTAMP(NANOS) decode
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // per-process private warehouse, deleted on exit (Etl.warehouseDir:
@@ -59,7 +60,19 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"etl":$etlSec,"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"etl":$etlSec,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the COMPLETE per-query map to a committed file: the
+    // round artifact only keeps a truncated stdout tail, which hid 34 of
+    // 97 per-query numbers in r3/r4 — regressions in the cut-off families
+    // were invisible to round-over-round diffing.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

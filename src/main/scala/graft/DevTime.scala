@@ -9,6 +9,7 @@ object DevTime {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosConfKey, "true") // events TIMESTAMP(NANOS) decode
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("DEV_SF_DIR", "/root/testdata/sf0.1")

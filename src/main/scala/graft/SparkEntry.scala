@@ -599,7 +599,11 @@ object SparkEntry {
     * the 4×30 max and filtered against the bits CTE. */
   private val embCosineNearDupOracle = s"""
     WITH pb AS (
-      SELECT min(b)::INT AS bits FROM generate_series(8, 30) t(b)
+      -- coalesce mirrors the Scala clamp (Similarity.cosineNearDup caps
+      -- bits at 30): beyond 2^32 vectors min(b) would go NULL instead of
+      -- saturating like the Scala while-loop does
+      SELECT coalesce(min(b), 30)::INT AS bits
+      FROM generate_series(8, 30) t(b)
       WHERE (1::BIGINT << b) * 4 >= (SELECT count(*) FROM embeddings)
     ), e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1241,7 +1245,11 @@ object SparkEntry {
         SELECT o_orderkey AS k FROM orders
         WHERE o_orderpriority = '1-URGENT'
       ), pb AS (
-        SELECT min(b)::INT AS mbits FROM generate_series(13, 27) t(b)
+        -- coalesce mirrors the Scala clamp (Sketches.bloomPrune caps mBits
+        -- at 27): past ~8.4M build keys no b in range satisfies the
+        -- predicate and a bare min(b) would go NULL instead of saturating
+        SELECT coalesce(min(b), 27)::INT AS mbits
+        FROM generate_series(13, 27) t(b)
         WHERE (1::BIGINT << b) >= 16 * (SELECT count(*) FROM keys)
       ), h(i, a, bb) AS (
         VALUES (0, 2654435761, 1), (1, 2246822519, 10008),

@@ -20,18 +20,27 @@ object Tables {
     if (name == "events") readEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default. Read nanos as long and floor-divide to
-    * micros — the same truncation DuckDB applies when it loads nanos into
-    * its microsecond timestamp type, so both engines see identical `ts`.
+  /** Session conf every graft entry point must set at SESSION CONSTRUCTION
+    * (`SparkSession.builder().config(nanosConfKey, "true")`): events.parquet
+    * stores `ts` as TIMESTAMP(NANOS), which Spark's parquet reader rejects
+    * by default; this decodes nanos as long (readEvents then floor-divides
+    * to micros). Set here as a constant — NOT mutated at read time — so
+    * reading a table never has a spooky shared-session side effect; a
+    * session built without it fails loudly on the first events read with
+    * Spark's own "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))". */
+  val nanosConfKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS). Under `nanosConfKey`
+    * (set at session construction — see above) it decodes as long; this
+    * floor-divides to micros — the same truncation DuckDB applies when it
+    * loads nanos into its microsecond timestamp type, so both engines see
+    * identical `ts`.
     *
-    * Notes: `nanosAsLong` is a session-wide conf (Spark offers no per-read
-    * flag); it only changes how TIMESTAMP(NANOS) columns decode — other
-    * tables here have micro timestamps and are unaffected. The pmod form
-    * is true floor division (a bare `div` truncates toward zero and would
-    * diverge from DuckDB by 1µs on pre-1970 nanos). The nanos handling
-    * is schema-driven: an events table whose `ts` decodes as a TIMESTAMP
-    * (micro/milli — any normal source) passes through untouched.
+    * Notes: the pmod form is true floor division (a bare `div` truncates
+    * toward zero and would diverge from DuckDB by 1µs on pre-1970 nanos).
+    * The nanos handling is schema-driven: an events table whose `ts`
+    * decodes as a TIMESTAMP (micro/milli — any normal source) passes
+    * through untouched.
     * CONTRACT for the LongType branch: a long-typed `ts` is interpreted
     * as epoch NANOS — that covers TIMESTAMP(NANOS) under `nanosAsLong`
     * (the fixture) but would misread a table storing raw BIGINT
@@ -39,7 +48,6 @@ object Tables {
     * (the logical-type annotation is gone by DataFrame level), so such
     * tables must convert upstream. */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -349,6 +349,13 @@ object Similarity {
     val n = emb0.count()
     var bits = 8
     while (bits < 30 && (1L << bits) * 4L < n) bits += 1
+    // The 30 cap is load-bearing on HyperplaneSignature's Int signature:
+    // at bits >= 31 `1 << p` overflows the int sign bit and cast("long")
+    // would produce negative bval while the oracle's BIGINT sum stays
+    // positive. Raising the cap requires widening the signature to Long
+    // (and the oracle's `1::BIGINT << b` range) first.
+    require(bits <= 30,
+      "cosineNearDup band width exceeds the Int signature width")
     // Per-pair cosine is the native codegen'd expression (one fused
     // loop), computed before the pair-dedup so `distinct` only shuffles
     // the few above-threshold pairs, not every candidate.

@@ -103,6 +103,9 @@ object Sketches {
     * sketch row's guarantee est ≥ exact ∧ est ≤ exact + 2N/w (both
     * oracle-gated booleans would be vacuous — the values themselves are
     * deterministic integers, so the oracle checks them exactly).
+    * `within_bound`'s 2N/w is a PROBABILISTIC guarantee (~1/16 failure
+    * odds per key for a correct sketch) that happens to hold on the
+    * deterministic fixtures; see PipelineOpsSpec for the flake note.
     *
     * One fact shuffle for the sketch (map-side partials collapse to ≤
     * d·w rows), one for the exact counts; the estimate join broadcasts

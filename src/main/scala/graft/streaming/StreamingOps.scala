@@ -190,9 +190,12 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         import sp.implicits._
+        // the sum's raw type is decimal(30,6); cast back so batch 0 (which
+        // writes the bare delta) has the same schema as every later
+        // generation — no drift across generation dirs
         val delta = batch.groupBy($"user_id")
           .agg(count(lit(1)).as("n"),
-            sum($"value".cast("decimal(20,6)")).as("s"))
+            sum($"value".cast("decimal(20,6)")).cast("decimal(20,6)").as("s"))
         val prevPath = new org.apache.hadoop.fs.Path(
           s"$stateRoot/state_v${batchId - 1}")
         // Hadoop FS, not java.io.File: stateRoot may be hdfs://s3a://;
@@ -214,6 +217,18 @@ object StreamingOps {
               sum($"s").cast("decimal(20,6)").as("s"))
         merged.write.mode("overwrite")
           .parquet(s"$stateRoot/state_v$batchId")
+        // Retention: a replay of batch N (at-least-once redelivery) reads
+        // only generation N-1, so once N is durably written every
+        // generation <= N-2 is dead — prune it or storage grows with
+        // batch count forever on a long-running query.
+        val root = new org.apache.hadoop.fs.Path(stateRoot)
+        if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("state_v") &&
+              nm.stripPrefix("state_v").forall(_.isDigit) &&
+              nm.stripPrefix("state_v").toLong <= batchId - 2)
+            fs.delete(st.getPath, true): Unit
+        }
       }
       .start()
   }

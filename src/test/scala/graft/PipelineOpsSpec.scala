@@ -31,6 +31,13 @@ class PipelineOpsSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getAs[Long]("overcount") >= 0L,
         s"key ${r.getAs[Long]("key")}: CMS undercounted — impossible")
+      // NB the 2N/w bound is PROBABILISTIC (Markov: each of the 4 rows
+      // exceeds N/w overcount with p <= 1/2, all four with p <= 1/16 per
+      // key) — it is empirically verified for the checked fixtures (whose
+      // hash placements are deterministic, so this cannot flake), but a
+      // NEW fixture or sf could legitimately exceed it without any
+      // implementation bug; if that happens loosen to a
+      // majority-of-keys check rather than "fixing" the sketch
       assert(r.getAs[Boolean]("within_bound"),
         s"key ${r.getAs[Long]("key")}: overcount exceeds 2N/w")
     }

@@ -12,6 +12,7 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosConfKey, "true") // events TIMESTAMP(NANOS) decode
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", graft.sources.Etl.warehouseDir)
       .getOrCreate()
