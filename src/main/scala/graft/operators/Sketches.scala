@@ -29,16 +29,24 @@ object Sketches {
 
   /** Bloom-filter semi-join pruning — the runtime-filter pattern Spark's
     * own InjectRuntimeFilter plans at scale: build a Bloom filter over the
-    * SELECTIVE dimension keys (urgent orders), broadcast it, and prune the
-    * fact scan before any join. The filter is (word → bits) rows, ≤ m/32
-    * of them, built with one tiny shuffle and broadcast into 4 hash-probe
-    * joins — the fact table itself never shuffles.
+    * SELECTIVE dimension keys (urgent orders) and prune the fact scan
+    * before any join. The bitmap is built with one tiny shuffle
+    * (set-bit positions → bit_or per word), collected as ONE packed
+    * long[] (≤ 16 MiB at the 2^27-bit cap — broadcast-join-build-side
+    * order), and probed by the native `bloom_might_contain` codegen
+    * expression: the fact table never shuffles AND never joins for the
+    * probe — 4 multiply-mod-shift-AND steps per row inside whole-stage
+    * codegen (the prior shape probed a (word → bits) row table through 4
+    * broadcast hash joins; see graft.functions.BloomMightContain).
     *
     * The bit count adapts to the build side exactly like the engine's
     * runtime filters size from build-side stats: smallest 2^b ≥ 16·n_keys
     * (k=4 hashes → ~0.15% false-positive rate at 16 bits/key); the probe
-    * count() is one pushed-down scan of the key column. 32-bit words in a
-    * BIGINT keep every shift positive on both engines.
+    * count() is one pushed-down scan of the key column. mBits caps at 27
+    * (a 16 MiB bitmap); past ~8.4M build keys the cap saturates and the
+    * FP rate degrades — that is WARNED, not silent, and at that
+    * cardinality a runtime filter should hand off to a shuffled semi
+    * join anyway.
     *
     * Output: per l_returnflag, total rows, bloom-pass rows, exact matches
     * (the semi join the bloom approximates — computed here only to
@@ -54,28 +62,28 @@ object Sketches {
     val nKeys = keys.count()
     var mBits = 13
     while (mBits < 27 && (1L << mBits) < 16L * nKeys) mBits += 1
+    if ((1L << mBits) < 16L * nKeys)
+      System.err.println(s"[graft] bloomPrune: mBits saturated at 27 for " +
+        s"$nKeys build keys — false-positive rate degrades above ~8.4M keys")
     val m = 1L << mBits
-    val bloom = keys
+    // distributed build: 4 set-bit positions per key, bit_or'd into
+    // 64-bit slots (global bit layout identical to the oracle's 32-bit
+    // words: word w bit b == global bit 32w+b), then ONE collect of the
+    // occupied slots into the dense bitmap — the fitted-model pattern
+    val slots = keys
       .select(explode(array((0 until 4).map(i =>
         hashPos($"k", i, m)): _*)).as("pos"))
-      .select(($"pos" / 32).cast("long").as("word"),
-        expr("shiftleft(1L, cast(pos % 32 AS int))").as("mask"))
-      .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
+      .select(($"pos" / 64).cast("int").as("slot"),
+        expr("shiftleft(1L, cast(pos % 64 AS int))").as("mask"))
+      .groupBy($"slot").agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+    val words = new Array[Long]((m / 64).toInt.max(1))
+    slots.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    graft.functions.BloomMightContain.register(spark, words, mBits)
     val fact0 = Tables.read(spark, sfDir, "lineitem")
       .select($"l_orderkey", $"l_returnflag")
-    // 4 broadcast probe joins (one per hash) — each a ≤ m/32-row build
-    val probed = (0 until 4).foldLeft(fact0) { (df, i) =>
-      df.withColumn(s"pos_$i", hashPos($"l_orderkey", i, m))
-        .withColumn(s"word_$i", ($"pos_$i" / 32).cast("long"))
-        .withColumn(s"mask_$i",
-          expr(s"shiftleft(1L, cast(pos_$i % 32 AS int))"))
-        .join(broadcast(bloom.select($"word".as(s"word_$i"),
-          $"bits".as(s"bits_$i"))), Seq(s"word_$i"), "left_outer")
-        .withColumn(s"hit_$i",
-          coalesce($"bits_$i".bitwiseAND(col(s"mask_$i")) =!= 0L, lit(false)))
-    }
-    val flagged = probed
-      .withColumn("pass", (0 until 4).map(i => col(s"hit_$i")).reduce(_ && _))
+    val flagged = fact0
+      .withColumn("pass", call_function("bloom_might_contain", $"l_orderkey"))
       // exact semi join, included to measure the filter's error
       .join(broadcast(keys.withColumn("matched", lit(true))),
         $"l_orderkey" === $"k", "left_outer")

@@ -124,16 +124,19 @@ class PlanSpec extends SparkSpec {
       s"csv scan lost its typed pruned schema:\n$p")
   }
 
-  test("q_bloom_prune: fact side is probed by broadcast joins only") {
-    // the runtime-filter shape: the fact table must reach its final
-    // aggregate through BroadcastHashJoins — a hash exchange of the fact
-    // rows would defeat the filter's purpose. Allowed exchanges: the
-    // tiny bloom build (keyed on `word`) and the final per-flag agg.
+  test("q_bloom_prune: packed-bitmap probe, no joins on the probe side") {
+    // the runtime-filter shape: the bloom probe is ONE codegen expression
+    // over the packed bitmap — zero joins; the only join left is the
+    // exact-measurement semi (broadcast), and the fact rows shuffle only
+    // for the final per-flag aggregate.
     val p = plan("q_bloom_prune")
+    assert(p.contains("bloom_might_contain"),
+      s"native bitmap probe expression not in plan:\n$p")
     val bhj = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(bhj >= 5, s"expected 4 probe joins + key join broadcast, got $bhj")
+    assert(bhj == 1,
+      s"expected exactly the measurement join (probe must not join), got $bhj")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"fact rows must not shuffle for a probe join:\n$p")
+      s"fact rows must not shuffle for a join:\n$p")
   }
 
   test("q_heavy_hitters_cms: sketch aggregates collapse map-side") {
