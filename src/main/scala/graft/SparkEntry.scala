@@ -22,6 +22,7 @@ object SparkEntry {
     // Q1 shape: union → substring year/month → group-count → window top-3
     "q1_topmonths" -> ((s, d) => RefQueries.q1TopMonths(s, d)),
     "q1_csv" -> ((s, d) => RefQueries.q1TopMonthsCsv(s, d)),
+    "q1_csv_schema" -> ((s, d) => RefQueries.q1TopMonthsCsvSchema(s, d)),
     "q1_orc" -> ((s, d) => RefQueries.q1TopMonthsOrc(s, d)),
     "q1_jsonl" -> ((s, d) => RefQueries.q1TopMonthsJsonl(s, d)),
     "q1_sql" -> ((s, d) => RefQueries.q1TopMonthsSql(s, d)),
@@ -116,6 +117,21 @@ object SparkEntry {
     "ev_partitioned_scan" -> ((s, d) => Events.partitionedScan(s, d)),
     "ev_cdc_compact" -> ((s, d) => Events.cdcCompact(s, d)),
     "ev_incremental_agg" -> ((s, d) => Events.incrementalAgg(s, d)),
+    // Structured Streaming pipelines run to completion over MemoryStream
+    // (graft.streaming.StreamingQueries) — the streaming tier under the
+    // same DuckDB oracle gate as the batch operators
+    "stream_window_tumbling" -> ((s, d) =>
+      graft.streaming.StreamingQueries.windowTumbling(s, d)),
+    "stream_dedup_redelivery" -> ((s, d) =>
+      graft.streaming.StreamingQueries.dedupRedelivery(s, d)),
+    "stream_enrich_agg" -> ((s, d) =>
+      graft.streaming.StreamingQueries.enrichAgg(s, d)),
+    "stream_sessionize" -> ((s, d) =>
+      graft.streaming.StreamingQueries.sessionizeToCompletion(s, d)),
+    "stream_cdc_upsert" -> ((s, d) =>
+      graft.streaming.StreamingQueries.cdcUpsert(s, d)),
+    "stream_incremental_sink" -> ((s, d) =>
+      graft.streaming.StreamingQueries.incrementalSink(s, d)),
     // Probabilistic filters (portable integer hash math — fully oracle-gated)
     "q_bloom_prune" -> ((s, d) => Sketches.bloomPrune(s, d)),
     "q_heavy_hitters_cms" -> ((s, d) => Sketches.heavyHittersCms(s, d)),
@@ -825,6 +841,20 @@ object SparkEntry {
            round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS total_value
     FROM s GROUP BY user_id ORDER BY user_id ASC"""
 
+  /** Shared by the batch compaction and the streaming upsert view — both
+    * must converge to the same "latest record per key" table. */
+  private val evCdcCompactOracle = """
+    SELECT user_id, n_versions, last_event_id, last_event_type, last_ts
+    FROM (
+      SELECT user_id, event_id AS last_event_id,
+             event_type AS last_event_type,
+             cast(ts AS varchar) AS last_ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_versions
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id ASC"""
+
   private val evAsofOracle = """
     WITH p AS (
       SELECT event_id, user_id, ts FROM events
@@ -845,6 +875,7 @@ object SparkEntry {
     "q1_sql" -> q1Oracle,
     "q1_typed" -> q1Oracle,
     "q1_csv" -> q1Oracle,
+    "q1_csv_schema" -> q1Oracle,
     "q1_orc" -> q1Oracle,
     "q1_jsonl" -> q1Oracle,
     "q2_buckets" -> q2Oracle,
@@ -1217,17 +1248,43 @@ object SparkEntry {
       FROM events
       WHERE cast(ts AS date) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       GROUP BY event_type ORDER BY event_type ASC""",
-    "ev_cdc_compact" -> """
-      SELECT user_id, n_versions, last_event_id, last_event_type, last_ts
-      FROM (
-        SELECT user_id, event_id AS last_event_id,
-               event_type AS last_event_type,
-               cast(ts AS varchar) AS last_ts,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts DESC, event_id DESC) AS rn,
-               count(*) OVER (PARTITION BY user_id) AS n_versions
+    "ev_cdc_compact" -> evCdcCompactOracle,
+    // streaming declared queries: the oracle is always the equivalent
+    // BATCH SQL — the stream must converge to exactly the batch answer
+    "stream_window_tumbling" -> evWindowOracle,
+    "stream_dedup_redelivery" -> """
+      SELECT event_type, count(*) AS cnt,
+             round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type ASC""",
+    "stream_enrich_agg" -> """
+      SELECT c_mktsegment, count(*) AS cnt,
+             round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS sum_value
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""",
+    "stream_sessionize" -> """
+      WITH x AS (
+        SELECT user_id, event_id, ts,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
         FROM events
-      ) WHERE rn = 1 ORDER BY user_id ASC""",
+      ), s AS (
+        SELECT user_id,
+               sum(CASE WHEN prev_us IS NULL
+                         OR epoch_us(ts) - prev_us > 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM x
+      )
+      SELECT user_id, max(session_id)::BIGINT AS n_sessions,
+             count(*) AS n_events
+      FROM s GROUP BY user_id ORDER BY user_id ASC""",
+    "stream_cdc_upsert" -> evCdcCompactOracle,
+    "stream_incremental_sink" -> """
+      SELECT user_id, count(*) AS n_total,
+             round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE
+               AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id ASC""",
     // the single-pass recompute: the oracle independently proves the
     // Spark side's state+delta partial-aggregate merge is exact
     "ev_incremental_agg" -> """

@@ -41,6 +41,22 @@ object RefQueries {
   def q1TopMonthsCsv(spark: SparkSession, sfDir: String): DataFrame =
     q1Shape(spark, readCsvTwin(spark, sfDir, "lineitem"))
 
+  /** Production-shape CSV twin: the schema is AUTHORED (the DDL below
+    * mirrors FIXTURES.md §B), so not even one inference parse ever runs —
+    * the counterpart `q1_csv` pays inference once per (path, JVM), which
+    * is the reference's own CSV-study cost lesson made explicit in the
+    * bench table. At 100 TB this is the only acceptable CSV ingest: an
+    * inference pass is a full extra read of the input. */
+  def q1TopMonthsCsvSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = graft.sources.Etl.csvFixture(spark, sfDir, "lineitem")
+    val ddl = "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+      "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+      "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
+      "l_linestatus STRING, l_shipdate TIMESTAMP"
+    q1Shape(spark,
+      spark.read.option("header", "true").schema(ddl).csv(path))
+  }
+
   /** CSV twin of a fixture table: cached conversion (atomic, staleness-
     * checked — Etl.csvFixture) read back with header + schema inference,
     * exactly the reference's CSV reader options. The inference pass (a

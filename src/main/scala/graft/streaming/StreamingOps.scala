@@ -26,7 +26,11 @@ object StreamingOps {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+      // decimal sum like the batch twin: a double sum's last ulp depends
+      // on merge order, which would break the oracle hash gate
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
+          .as("sum_value"))
       .select($"window.start".as("hour_start"), $"event_type", $"cnt",
         $"sum_value")
   }
@@ -71,18 +75,27 @@ object StreamingOps {
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(nEvents: Long, totalValue: Double,
-    lastEventMs: Long)
+    lastEventUs: Long)
   final case class SessionUpdate(user_id: Long, n_events: Long,
     total_value: Double, closed: Boolean)
+
+  /** Epoch MICROS of a Timestamp — `getTime` alone floors to millis and
+    * could merge sessions whose gap exceeds the threshold by < 1 ms,
+    * diverging from the batch twin's `unix_micros` comparison. */
+  private def micros(ts: java.sql.Timestamp): Long =
+    (ts.getTime - ts.getNanos / 1000000) * 1000L + ts.getNanos / 1000
 
   /** Event-time sessionization with a gap timeout via
     * `flatMapGroupsWithState` — the streaming counterpart of the batch
     * lag+running-sum sessionizer (`Events.sessionize`). Emits a closed
-    * session when the event-time watermark passes lastEvent+gap. */
+    * session when the event-time watermark passes lastEvent+gap. Gap
+    * comparisons are in MICROS, matching the batch twin exactly; only
+    * the timeout timestamp (an eviction trigger, not a session-boundary
+    * decision) rounds up to the engine's millisecond clock. */
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30)
       : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
 
     def update(userId: Long, rows: Iterator[Ev],
         state: GroupState[SessionState]): Iterator[SessionUpdate] = {
@@ -91,27 +104,29 @@ object StreamingOps {
         state.remove()
         Iterator(SessionUpdate(userId, s.nEvents, s.totalValue, closed = true))
       } else {
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        val sorted = rows.toSeq.sortBy(e => micros(e.ts))
         var emitted = List.empty[SessionUpdate]
         var cur = state.getOption
         sorted.foreach { ev =>
-          val t = ev.ts.getTime
+          val t = micros(ev.ts)
           cur match {
-            case Some(s) if t - s.lastEventMs > gapMs =>
+            case Some(s) if t - s.lastEventUs > gapUs =>
               // gap exceeded inside the batch: close the old session
               emitted ::= SessionUpdate(userId, s.nEvents, s.totalValue,
                 closed = true)
               cur = Some(SessionState(1L, ev.value, t))
             case Some(s) =>
               cur = Some(SessionState(s.nEvents + 1, s.totalValue + ev.value,
-                math.max(s.lastEventMs, t)))
+                math.max(s.lastEventUs, t)))
             case None =>
               cur = Some(SessionState(1L, ev.value, t))
           }
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastEventMs + gapMs)
+          // ceil to ms: firing a fraction of a ms late never closes a
+          // session early; truncating could fire before lastEvent+gap
+          state.setTimeoutTimestamp((s.lastEventUs + gapUs + 999L) / 1000L)
         }
         emitted.reverseIterator
       }
