@@ -1398,6 +1398,9 @@ object SparkEntry {
       ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
                l_linestatus ASC NULLS FIRST""",
     "mm_binary_features" -> mmBinaryFeaturesOracle,
+    // replays the decoded P6 frames: each frame is a 16-pixel text row,
+    // each gray sample replicated into R=G=B — hence the (i-1)//3 over
+    // 48 channel bytes (the hash covers the full decoded channel data)
     "mm_frame_sample" -> """
       WITH d AS (
         SELECT doc_id, text, (length(text) // 16) AS n_frames
@@ -1409,21 +1412,37 @@ object SparkEntry {
       )
       SELECT doc_id, frame_idx, n_frames,
              list_reduce(list_prepend(0::BIGINT,
-               list_transform(generate_series(1, 16),
-                 i -> ascii(substr(text, frame_idx::int * 16 + i, 1)))),
+               list_transform(generate_series(1, 48),
+                 i -> ascii(substr(text,
+                   frame_idx::int * 16 + ((i - 1) // 3) + 1, 1)))),
                (a, x) -> (a * 31 + x) % 1000000007) AS frame_hash
       FROM idx ORDER BY doc_id ASC, frame_idx ASC""",
+    // replays the 2x2 box filter over the decoded 16-wide gray image:
+    // pixel (y,x) of the output = integer mean of rows {2y, min(2y+1,
+    // in_h-1)} (edge-replicate) x cols {2x, 2x+1}, text byte (r*16+c)
     "mm_resize" -> """
-      SELECT doc_id,
-             length(text)::BIGINT AS n_bytes,
-             ((length(text) + 1) // 2)::BIGINT AS resized_bytes,
-             CASE WHEN length(text) = 0 THEN 0
-                  ELSE list_reduce(list_prepend(0::BIGINT,
-                    list_transform(
-                      generate_series(1, length(text), 2),
-                      i -> ascii(substr(text, i, 1)))),
-                    (a, x) -> (a * 31 + x) % 1000000007) END AS resized_hash
-      FROM documents ORDER BY doc_id ASC""",
+      WITH d AS (
+        SELECT doc_id, text, (length(text) // 16)::BIGINT AS in_h
+        FROM documents
+      ), s AS (
+        SELECT doc_id, text, in_h, ((in_h + 1) // 2)::BIGINT AS out_h
+        FROM d WHERE in_h >= 1
+      )
+      SELECT doc_id, 16::BIGINT AS in_w, in_h, 8::BIGINT AS out_w, out_h,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(0, (out_h * 8 - 1)::int),
+                 i -> (ascii(substr(text,
+                         ((2*(i//8))*16 + 2*(i%8))::int + 1, 1)) +
+                       ascii(substr(text,
+                         ((2*(i//8))*16 + 2*(i%8) + 1)::int + 1, 1)) +
+                       ascii(substr(text,
+                         (least(2*(i//8)+1, in_h-1)*16 + 2*(i%8))::int + 1,
+                         1)) +
+                       ascii(substr(text,
+                         (least(2*(i//8)+1, in_h-1)*16 + 2*(i%8) + 1)::int
+                           + 1, 1))) // 4)),
+               (a, x) -> (a * 31 + x) % 1000000007) AS out_hash
+      FROM s ORDER BY doc_id ASC""",
     "mm_crossmodal_join" -> """
       WITH v AS (
         SELECT vec_id AS doc_id,

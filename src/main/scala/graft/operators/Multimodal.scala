@@ -6,8 +6,10 @@ import graft.Tables
 
 /** Multimodal-column plumbing: opaque binary payloads with typed metadata,
   * plus JSON property extraction — the shape of an image/audio ingest
-  * pipeline with the actual codec stubbed (no media libraries in this
-  * container; see `FakeDecoder`).
+  * pipeline. The image ops decode a REAL format: a pure-JVM binary-PPM
+  * (P6) parser (`graft.functions.PpmCodec` — implemented, not imported;
+  * no media libraries in this container), so resize and frame sampling
+  * compute genuine pixel math over decoded channel data.
   *
   * Scale stance: the binary column never explodes — decode runs
   * per-partition (batched iterator, the Scala analog of `mapInPandas`),
@@ -76,14 +78,11 @@ object Multimodal {
       .orderBy($"lang".asc)
   }
 
-  /** STUB decoder for the binary payload. A real pipeline would decode
-    * image/audio bytes here (resize, frame-sample, feature-extract); this
-    * container has no media libs, so the "features" are a deterministic
-    * function of the bytes: payload size, first byte, and a polynomial
-    * hash of the first 8 bytes standing in for an embedding. The Spark
-    * plumbing around it — binary column, per-partition batched iteration,
-    * typed output schema — is the real, tested part. */
-  object FakeDecoder {
+  /** Byte-level feature extractor for an opaque binary payload — the
+    * codec-free tier of the pipeline (size, lead byte, an 8-byte content
+    * hash): what you compute when the payload's FORMAT is unknown or
+    * untrusted, before routing it to a real decoder like `PpmCodec`. */
+  object ByteFeatures {
     final case class Decoded(doc_id: Long, n_bytes: Int, first_byte: Int,
       feat_hash: Long)
 
@@ -98,69 +97,103 @@ object Multimodal {
       }
   }
 
-  /** Resize stub: decimate the payload by `factor` (every factor-th byte)
-    * — the shape of an image downsample with the real resampler stubbed.
-    * Runs in the same per-partition batched iterator as the decoder;
-    * output is the resized size + a native hash of the resized bytes so
-    * the oracle can reproduce it from the text. NB the oracle folds
-    * per-character ascii() — equal to the byte fold only for ASCII
-    * payloads, which the fixtures guarantee (asserted in
-    * RobustnessSpec). */
-  def resize(spark: SparkSession, sfDir: String, factor: Int = 2): DataFrame = {
+  /** The testdata has no true media column, so each document's payload is
+    * CONSTRUCTED deterministically — a 16-pixel-wide grayscale P6 image
+    * whose samples are the text's bytes (full rows only: height =
+    * len/16) — and then genuinely round-tripped through the `PpmCodec`
+    * P6 parser. The construction stands in for the stored payload; the
+    * decode, pixel math, and per-partition batched iteration are the
+    * real pipeline. The DuckDB oracle replays the pixel math straight
+    * from the text (ASCII fixtures, asserted in RobustnessSpec), which
+    * keeps real-codec outputs hash-gated. */
+  private def grayImage(text: String): Option[graft.functions.PpmCodec.Image] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = bytes.length / 16
+    if (h < 1) None
+    else Some(graft.functions.PpmCodec.decode(graft.functions.PpmCodec
+      .encode(java.util.Arrays.copyOf(bytes, h * 16), 16, h)))
+  }
+
+  /** Real image downsample: decode the P6 payload, then a 2×2 box filter
+    * (integer mean of each 2×2 block, edge rows replicated — standard
+    * resampler behavior) over the decoded pixels. Output carries the
+    * real decoded dimensions and a rolling hash of the resized pixels so
+    * the oracle verifies every output sample. Runs per-partition
+    * (batched iterator, the Scala analog of `mapInPandas`); no shuffle
+    * until the order-for-compare. */
+  def resize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val payload = Tables.read(spark, sfDir, "documents")
-      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-    payload.mapPartitions { rows =>
-      rows.map { case (id, bytes) =>
-        val resized = Array.tabulate(
-          (bytes.length + factor - 1) / factor)(i => bytes(i * factor))
-        var h = 0L
-        resized.foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
-        (id, bytes.length, resized.length, h)
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+    docs.mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        grayImage(text).map { img =>
+          val outH = (img.h + 1) / 2
+          def g(r: Int, c: Int): Int = img.rgb((r * img.w + c) * 3) & 0xff
+          var hash = 0L
+          var y = 0
+          while (y < outH) {
+            val r1 = 2 * y
+            val r2 = math.min(2 * y + 1, img.h - 1) // edge-replicate
+            var x = 0
+            while (x < 8) {
+              val avg = (g(r1, 2 * x) + g(r1, 2 * x + 1) +
+                g(r2, 2 * x) + g(r2, 2 * x + 1)) / 4
+              hash = (hash * 31 + avg) % 1000000007L
+              x += 1
+            }
+            y += 1
+          }
+          (id, img.w.toLong, img.h.toLong, 8L, outH.toLong, hash)
+        }
       }
     }
-      .toDF("doc_id", "n_bytes", "resized_bytes", "resized_hash")
-      .select($"doc_id", $"n_bytes".cast("long").as("n_bytes"),
-        $"resized_bytes".cast("long").as("resized_bytes"), $"resized_hash")
+      .toDF("doc_id", "in_w", "in_h", "out_w", "out_h", "out_hash")
       .orderBy($"doc_id".asc)
   }
 
-  /** Frame-sampling stub: treat the payload as a "video" of fixed 16-byte
-    * frames and sample every 4th frame, emitting a per-frame feature hash
-    * (stand-in for a per-frame embedding — no codecs in this container).
-    * The Spark shape is the real part: explode a strided index sequence,
-    * slice the payload per frame, hash natively (`poly_hash`), no UDFs.
-    * Scale: fan-out is n_frames/stride rows per doc, produced inside
-    * codegen; no shuffle until the final order-for-compare. */
+  /** Real frame sampling: decode the P6 payload, treat each pixel row as
+    * a video frame, sample every `stride`-th frame, and hash the frame's
+    * decoded RGB bytes (48 per frame — the hash covers the full decoded
+    * channel data, so a decoder that mangled the replication would be
+    * caught). Fan-out is n_frames/stride rows per doc, produced inside
+    * one per-partition pass; no shuffle until the order-for-compare. */
   def frameSample(spark: SparkSession, sfDir: String,
-      frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+      stride: Int = 4): DataFrame = {
     import spark.implicits._
-    graft.functions.PolyHash.register(spark)
-    Tables.read(spark, sfDir, "documents")
-      .withColumn("n_frames",
-        floor(length($"text") / frameBytes).cast("long"))
-      .filter($"n_frames" >= 1)
-      .withColumn("frame_idx",
-        explode(expr(s"sequence(0, cast(n_frames AS int) - 1, $stride)")))
-      .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
-        $"n_frames",
-        expr(s"poly_hash(substr(text, frame_idx * $frameBytes + 1, " +
-          s"$frameBytes), $frameBytes)").as("frame_hash"))
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+    docs.mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        grayImage(text).iterator.flatMap { img =>
+          (0 until img.h by stride).iterator.map { f =>
+            var hash = 0L
+            var i = f * img.w * 3
+            val end = i + img.w * 3
+            while (i < end) {
+              hash = (hash * 31 + (img.rgb(i) & 0xff)) % 1000000007L
+              i += 1
+            }
+            (id, f.toLong, img.h.toLong, hash)
+          }
+        }
+      }
+    }
+      .toDF("doc_id", "frame_idx", "n_frames", "frame_hash")
       .orderBy($"doc_id".asc, $"frame_idx".asc)
   }
 
   /** Binary-column feature extraction: text → utf-8 bytes as the stand-in
     * payload (the testdata has no true media column), then the per-
-    * partition decode stub. Output is deliberately arithmetic so the
-    * DuckDB oracle can reproduce it from the text itself. */
+    * partition byte-level extractor. Output is deliberately arithmetic so
+    * the DuckDB oracle can reproduce it from the text itself. */
   def binaryFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val payload = Tables.read(spark, sfDir, "documents")
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
     payload
-      .mapPartitions(FakeDecoder.decodeBatch)
+      .mapPartitions(ByteFeatures.decodeBatch)
       .toDF()
       .select($"doc_id", $"n_bytes", $"first_byte", $"feat_hash")
       .orderBy($"doc_id".asc)
