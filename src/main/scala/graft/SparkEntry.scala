@@ -87,6 +87,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_clusters_star" -> ((s, d) => Dedup.dedupClustersStar(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simHash(s, d)),
     // Similarity search (embeddings)
     "sim_topk_bruteforce" -> ((s, d) => Similarity.topKBruteForce(s, d)),
@@ -1159,6 +1160,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_minhash_lsh" -> dedupMinhashOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_clusters_star" -> dedupClustersOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "sim_topk_bruteforce" -> simTopKOracle,
     "sim_topk_native" -> simTopKOracle,

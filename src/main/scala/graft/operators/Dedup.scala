@@ -349,6 +349,104 @@ object Dedup {
       .orderBy($"doc_id".asc)
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * the HUB-SKEW-HARDENED cluster resolver. Same fixpoint as
+    * `dedupClusters` (every node labeled with its component's min id,
+    * same recursive-CTE oracle), different per-iteration shape:
+    *
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its neighborhood; small-star: attaches its smaller
+    *    neighbors (and itself) to that minimum.
+    *  - each round is a groupBy-min (PARTIAL-AGGREGABLE: a hub key's
+    *    millions of edge rows collapse to one min per map task before
+    *    the exchange) plus an edges⋈mins equi-join whose probe side
+    *    streams — AQE's skew-join splitting applies. The pointer-jump
+    *    loop's label self-join offers neither relief: a hub label's
+    *    rows must meet on one reducer.
+    *  - large-star provably cuts hub degree (larger neighbors re-attach
+    *    to the min, turning a degree-d hub into ~d/2 stars), so the
+    *    edge multiset shrinks geometrically — the spec asserts the
+    *    per-iteration edge counts (= shuffle row counts) decrease
+    *    monotonically on a hub-heavy graph. O(log n) rounds.
+    *
+    * Self-loops are dropped each round; edges are kept canonical
+    * (small, large) and deduplicated, so the iterate is a set.
+    * Convergence = the canonical edge set reaches its fixpoint (exact
+    * `exceptAll` emptiness check — two extra tiny aggregates per round,
+    * not a probabilistic signature). Iterates are localCheckpoint'ed
+    * like the pointer-jump loop (constant-size plans). */
+  private[graft] def connectedComponentsStar(pairs: DataFrame)
+      : (DataFrame, Seq[Long]) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // canonical undirected edge set, no self-loops
+    var edges = pairs.toDF("a", "b")
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select($"a".as("doc_id"))
+      .union(edges.select($"b".as("doc_id"))).distinct()
+      .localCheckpoint(true)
+    def bothDirs(e: DataFrame): DataFrame =
+      e.select($"a".as("u"), $"b".as("v"))
+        .union(e.select($"b".as("u"), $"a".as("v")))
+    // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = bothDirs(e)
+      val mins = nbrs.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      nbrs.join(mins, Seq("u"))
+        .filter($"v" > $"u")
+        .select(least($"v", $"m").as("a"), greatest($"v", $"m").as("b"))
+        .filter($"a" =!= $"b").distinct()
+    }
+    // small-star: m(u) = min over smaller neighbors; emit (v, m) for the
+    // other smaller neighbors and (u, m) for u itself
+    def smallStar(e: DataFrame): DataFrame = {
+      val smaller = bothDirs(e).filter($"v" < $"u")
+      val mins = smaller.groupBy($"u").agg(min($"v").as("m"))
+      val reattach = smaller.join(mins, Seq("u"))
+        .filter($"v" =!= $"m")
+        .select($"m".as("a"), $"v".as("b"))
+      val self = mins.select($"m".as("a"), $"u".as("b"))
+      reattach.union(self).distinct()
+    }
+    var counts = List(edges.count())
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 64) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // exact fixpoint test on canonical sets (both sides deduplicated)
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      counts ::= edges.count()
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $iter iterations")
+    // fixpoint edges form stars rooted at each component's min
+    val labels = nodes
+      .join(edges.select($"b".as("doc_id"), $"a".as("label")),
+        Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("label"))
+    (labels, counts.reverse)
+  }
+
+  /** `dedupClusters` twin resolved by the large-star/small-star rounds —
+    * identical output and oracle, hub-skew-safe iterations (see
+    * `connectedComponentsStar`). */
+  def dedupClustersStar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minHashLsh(spark, sfDir).select($"doc_a", $"doc_b")
+    val (labels, _) = connectedComponentsStar(pairs)
+    labels
+      .select($"doc_id", $"label".as("cluster_id"),
+        ($"doc_id" === $"label").as("is_keeper"))
+      .orderBy($"doc_id".asc)
+  }
+
   /** SimHash near-dup: 64-bit signature from per-token bit votes computed
     * in a typed mapPartitions (the per-bit vote loop is genuinely
     * imperative — mapPartitions is the documented last-resort tier and

@@ -191,4 +191,37 @@ class DedupSpec extends SparkSpec {
     ("the quick brown fox jumps over the lazy dog and then " +
       "runs far away into the deep green forest to hide from hunters")
       .getBytes("UTF-8").length
+
+  test("star CC: hub-skewed graph resolves correctly, shuffle rows bounded") {
+    import spark.implicits._
+    // the dup-graph shape pointer jumping handles worst: one document
+    // near-dup to a thousand others (hub), plus a diameter-64 chain and
+    // a bridged double-star — three components with known minima
+    val hub = (1001L to 2000L).map(v => (1000L, v))
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val doubleStar = (5001L to 5100L).map(v => (5000L, v)) ++
+      (6001L to 6100L).map(v => (6000L, v)) :+ (5050L, 6050L)
+    val edges = (hub ++ chain ++ doubleStar).toDF("doc_a", "doc_b")
+    val (labels, counts) = Dedup.connectedComponentsStar(edges)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1000L to 2000L).foreach(v => assert(got(v) == 1000L, s"hub node $v"))
+    (0L to 63L).foreach(v => assert(got(v) == 0L, s"chain node $v"))
+    (Seq(5000L, 6000L) ++ (5001L to 5100L) ++ (6001L to 6100L))
+      .foreach(v => assert(got(v) == 5000L, s"double-star node $v"))
+    // per-iteration edge counts are the shuffle row counts: they must
+    // never grow (large-star cuts hub degree, never inflates the set)
+    // and must land at exactly nodes - components (the final stars)
+    counts.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next <= prev, s"edge set grew: $counts")
+    }
+    val nNodes = 1001 + 64 + 202
+    assert(counts.last == nNodes - 3, s"not a star forest: $counts")
+    assert(counts.length <= 12, s"too many rounds for log-n: $counts")
+  }
+
+  test("star CC matches pointer-jumping labels on the fixture corpus") {
+    assertSameRows(
+      operators.Dedup.dedupClustersStar(spark, sf),
+      operators.Dedup.dedupClusters(spark, sf))
+  }
 }
