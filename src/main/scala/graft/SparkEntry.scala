@@ -131,6 +131,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.sessionizeToCompletion(s, d)),
     "stream_cdc_upsert" -> ((s, d) =>
       graft.streaming.StreamingQueries.cdcUpsert(s, d)),
+    "stream_stream_join" -> ((s, d) =>
+      graft.streaming.StreamingQueries.streamStreamJoin(s, d)),
     "stream_incremental_sink" -> ((s, d) =>
       graft.streaming.StreamingQueries.incrementalSink(s, d)),
     // Probabilistic filters (portable integer hash math — fully oracle-gated)
@@ -1282,6 +1284,13 @@ object SparkEntry {
              count(*) AS n_events
       FROM s GROUP BY user_id ORDER BY user_id ASC""",
     "stream_cdc_upsert" -> evCdcCompactOracle,
+    "stream_stream_join" -> """
+      SELECT p.user_id, count(*) AS n_pairs
+      FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      GROUP BY p.user_id ORDER BY p.user_id ASC""",
     "stream_incremental_sink" -> """
       SELECT user_id, count(*) AS n_total,
              round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE

@@ -44,7 +44,16 @@ object StreamingQueries {
     * becomes (at least) one micro-batch, the memory sink is read back as
     * a DataFrame. The sink name is deterministic per query key (and the
     * previous run's view is dropped) so repeated invocations — bench
-    * warm-up + timed pass — can't accumulate sinks or collide. */
+    * warm-up + timed pass — can't accumulate sinks or collide.
+    *
+    * The stream's state layout is pinned to 8 partitions for the
+    * query's lifetime (scoped save/restore around `start()` — the conf
+    * is captured at query start, so concurrent batch plans on the
+    * session are unaffected): stateful operators run one state store
+    * per shuffle partition (FOUR for a stream-stream join) and the
+    * per-micro-batch commit overhead of 32 mostly-empty stores, not the
+    * data, dominates at harness scale. At production scale this knob is
+    * sized to the cluster. */
   private def runStream[T: Encoder](spark: SparkSession, key: String,
       batches: Seq[Seq[T]], mode: OutputMode)(
       pipeline: Dataset[T] => DataFrame): DataFrame = {
@@ -52,8 +61,13 @@ object StreamingQueries {
     val name = s"graft_sink_$key"
     spark.catalog.dropTempView(name)
     val src = MemoryStream[T]
-    val q = pipeline(src.toDS()).writeStream.format("memory")
-      .queryName(name).outputMode(mode).start()
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        pipeline(src.toDS()).writeStream.format("memory")
+          .queryName(name).outputMode(mode).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     try batches.foreach { b => src.addData(b); q.processAllAvailable() }
     finally q.stop()
     spark.table(name)
@@ -156,6 +170,52 @@ object StreamingQueries {
     }
     out.select($"user_id", $"n_versions", $"last_event_id",
       $"last_event_type", $"last_ts".cast("string").as("last_ts"))
+      .orderBy($"user_id".asc)
+  }
+
+  /** Watermarked stream-stream join: the purchases stream joined to the
+    * clicks stream (same user, click within the preceding 30 minutes),
+    * both sides fed from the fixture and run through the real
+    * symmetric-hash join with per-side watermarks; the sink (one row per
+    * qualifying pair) rolls up to pairs-per-user. Oracle = the batch
+    * inequality join. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = eventRows(spark, sfDir)
+    val clicks = rows.filter(_.event_type == "click")
+      .map(r => (r.user_id, r.ts, r.event_id))
+    val purchases = rows.filter(_.event_type == "purchase")
+      .map(r => (r.user_id, r.ts, r.event_id))
+    val name = "graft_sink_stream_join"
+    spark.catalog.dropTempView(name)
+    val cs = MemoryStream[(Long, Timestamp, Long)]
+    val ps = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamingOps.clickAttribution(
+      cs.toDF().toDF("c_user", "c_ts", "c_id"),
+      ps.toDF().toDF("p_user", "p_ts", "p_id"))
+    // A stream-stream join runs FOUR state stores per shuffle partition
+    // (two per side); their per-micro-batch commit overhead, not the
+    // data, dominates at harness scale — pin the stream's state layout
+    // to 8 partitions (scoped save/restore: the conf is captured at
+    // query start, so batch queries on this session are unaffected).
+    // At production scale this knob is sized to the cluster, not here.
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        joined.writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    try {
+      cs.addData(clicks)
+      ps.addData(purchases)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .groupBy($"p_user")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"p_user".as("user_id"), $"n_pairs")
       .orderBy($"user_id".asc)
   }
 
