@@ -103,6 +103,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
     "mm_crossmodal_join" -> ((s, d) => Multimodal.crossModalJoin(s, d)),
+    "mm_audio_features" -> ((s, d) => Multimodal.audioFeatures(s, d)),
     // Event windowing / sessionization (batch twins of graft.streaming)
     "ev_window_tumbling" -> ((s, d) => Events.tumblingWindow(s, d)),
     "ev_window_sliding" -> ((s, d) => Events.slidingWindow(s, d)),
@@ -1409,6 +1410,33 @@ object SparkEntry {
       ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
                l_linestatus ASC NULLS FIRST""",
     "mm_binary_features" -> mmBinaryFeaturesOracle,
+    // replays the decoded 8-bit PCM: sample i = ascii(text[i]), centered
+    // at the unsigned-PCM midpoint 128; energies are exact integers
+    "mm_audio_features" -> """
+      WITH d AS (
+        SELECT doc_id, text, length(text)::BIGINT AS n
+        FROM documents WHERE length(text) > 0
+      ), e AS (
+        SELECT doc_id, n,
+               list_transform(generate_series(1, n::int),
+                 i -> ((ascii(substr(text, i, 1)) - 128)
+                       * (ascii(substr(text, i, 1)) - 128))::BIGINT) AS sq,
+               list_transform(generate_series(1, n::int),
+                 i -> abs(ascii(substr(text, i, 1)) - 128)::BIGINT) AS am
+        FROM d
+      )
+      SELECT doc_id, 8000::INT AS sample_rate, n AS n_samples,
+             list_sum(sq)::BIGINT AS total_energy,
+             list_max(am)::BIGINT AS peak_amp,
+             (n // 80)::BIGINT AS n_windows,
+             CASE WHEN n // 80 = 0 THEN 0::BIGINT
+                  ELSE list_reduce(list_prepend(0::BIGINT,
+                    list_transform(generate_series(0, (n // 80 - 1)::int),
+                      w -> list_sum(
+                        sq[(w*80 + 1)::int : (w*80 + 80)::int])::BIGINT)),
+                    (a, x) -> (a * 31 + x) % 1000000007) END
+               AS win_energy_hash
+      FROM e ORDER BY doc_id ASC""",
     // replays the decoded P6 frames: each frame is a 16-pixel text row,
     // each gray sample replicated into R=G=B — hence the (i-1)//3 over
     // 48 channel bytes (the hash covers the full decoded channel data)

@@ -183,6 +183,62 @@ object Multimodal {
       .orderBy($"doc_id".asc, $"frame_idx".asc)
   }
 
+  /** Real audio feature extraction: each document's payload is an 8-bit
+    * mono PCM WAV (samples = the text's bytes — same stand-in-payload
+    * contract as the image ops), genuinely round-tripped through the
+    * `WavCodec` RIFF parser, then windowed-energy features over the
+    * DECODED samples: total energy Σ(s−128)², peak amplitude, and a
+    * rolling hash of per-window (80 samples = 10 ms @ 8 kHz) energies —
+    * the standard VAD/loudness front-end shape. All integers, so the
+    * oracle replays every value from the text. Per-partition batched
+    * iteration; no shuffle until the order-for-compare. */
+  def audioFeatures(spark: SparkSession, sfDir: String,
+      windowSamples: Int = 80): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+    docs.mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (bytes.isEmpty) None
+        else {
+          val audio = graft.functions.WavCodec
+            .decode(graft.functions.WavCodec.encode(bytes))
+          val s = audio.samples
+          var energy = 0L
+          var peak = 0L
+          var i = 0
+          while (i < s.length) {
+            val c = (s(i) & 0xff) - 128L
+            energy += c * c
+            if (math.abs(c) > peak) peak = math.abs(c)
+            i += 1
+          }
+          val nWin = s.length / windowSamples
+          var hash = 0L
+          var w = 0
+          while (w < nWin) {
+            var e = 0L
+            var j = w * windowSamples
+            val end = j + windowSamples
+            while (j < end) {
+              val c = (s(j) & 0xff) - 128L
+              e += c * c
+              j += 1
+            }
+            hash = (hash * 31 + e) % 1000000007L
+            w += 1
+          }
+          Some((id, audio.sampleRate, s.length.toLong, energy, peak,
+            nWin.toLong, hash))
+        }
+      }
+    }
+      .toDF("doc_id", "sample_rate", "n_samples", "total_energy",
+        "peak_amp", "n_windows", "win_energy_hash")
+      .orderBy($"doc_id".asc)
+  }
+
   /** Binary-column feature extraction: text → utf-8 bytes as the stand-in
     * payload (the testdata has no true media column), then the per-
     * partition byte-level extractor. Output is deliberately arithmetic so
