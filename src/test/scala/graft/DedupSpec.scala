@@ -224,4 +224,43 @@ class DedupSpec extends SparkSpec {
       operators.Dedup.dedupClustersStar(spark, sf),
       operators.Dedup.dedupClusters(spark, sf))
   }
+
+  test("star CC matches union-find on randomized graphs") {
+    import spark.implicits._
+    // deterministic LCG sweep over random graph shapes — the structures
+    // the hub/chain fixture can't cover (multi-hub, dense blobs, many
+    // small components); reference labels from a plain union-find
+    def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(v => v -> find(v)).toMap
+    }
+    var lcg = 20260813L
+    def next(bound: Int): Int = {
+      lcg = (lcg * 6364136223846793005L + 1442695040888963407L)
+      (((lcg >>> 33) % bound) + bound).toInt % bound
+    }
+    (1 to 6).foreach { trial =>
+      val n = 10 + next(50)
+      val m = 5 + next(70)
+      val edges = Seq.fill(m)((next(n).toLong, next(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val expect = unionFind(n, edges)
+        val (labels, _) = operators.Dedup
+          .connectedComponentsStar(edges.toDF("doc_a", "doc_b"))
+        val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == expect,
+          s"trial $trial (n=$n, m=${edges.size}): labels diverge from union-find")
+      }
+    }
+  }
 }

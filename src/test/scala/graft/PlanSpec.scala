@@ -160,6 +160,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected one aggregate exchange, got $exchanges")
   }
 
+  test("media ops: scan pruned to (doc_id, text), decode is map-only") {
+    // the real-codec rewrite must not have cost the columnar pruning or
+    // introduced a shuffle — decode runs per-partition, one narrow stage
+    Seq("mm_resize", "mm_frame_sample", "mm_audio_features").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+        s"$q scan not pruned to (doc_id, text):\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q decode stage must not shuffle:\n$p")
+    }
+  }
+
   test("ev_cdc_compact: argmax aggregate, no window sort, partial combine") {
     val p = plan("ev_cdc_compact")
     assert(!p.contains("Window"), s"compaction must not window-sort:\n$p")

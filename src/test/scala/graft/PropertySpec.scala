@@ -34,6 +34,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PPM codec round-trips arbitrary pixel buffers at arbitrary dims") {
+    val dims = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+    } yield (w, h)
+    val byteGen = Gen.choose(0, 255).map(_.toByte)
+    check(Prop.forAll(dims, Gen.long) { case ((w, h), seed) =>
+      val rnd = new scala.util.Random(seed)
+      val gray = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val img = graft.functions.PpmCodec.decode(
+        graft.functions.PpmCodec.encode(gray, w, h))
+      img.w == w && img.h == h &&
+        gray.indices.forall(i => img.rgb(3 * i) == gray(i) &&
+          img.rgb(3 * i + 1) == gray(i) && img.rgb(3 * i + 2) == gray(i))
+    })
+  }
+
+  test("WAV codec round-trips arbitrary sample buffers and rates") {
+    val rate = Gen.choose(1, 192000)
+    val n = Gen.choose(1, 500)
+    check(Prop.forAll(n, rate, Gen.long) { (len, sr, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val samples = Array.fill(len)(rnd.nextInt(256).toByte)
+      val audio = graft.functions.WavCodec.decode(
+        graft.functions.WavCodec.encode(samples, sr))
+      audio.sampleRate == sr && audio.samples.sameElements(samples)
+    })
+  }
+
   test("decimal(20,6)-quantized sums are partition-order independent; double sums are not guaranteed") {
     // The correctness-gate invariant behind the r3 decimal-sum migration:
     // quantizing each double to micro-units (exactly Spark's cast to
