@@ -372,10 +372,17 @@ object Dedup {
     *
     * Self-loops are dropped each round; edges are kept canonical
     * (small, large) and deduplicated, so the iterate is a set.
-    * Convergence = the canonical edge set reaches its fixpoint (exact
-    * `exceptAll` emptiness check — two extra tiny aggregates per round,
-    * not a probabilistic signature). Iterates are localCheckpoint'ed
-    * like the pointer-jump loop (constant-size plans). */
+    * Convergence is detected in two tiers: per round, ONE aggregate
+    * computes the (count, Σ(a+b) as decimal) signature — both MONOTONE
+    * NON-INCREASING under the star operations (each emitted edge
+    * replaces an endpoint with a neighborhood minimum ≤ it; distinct
+    * only removes rows with positive endpoint sums), so a changed set
+    * implies a changed signature and the cheap check never misses
+    * progress. Only when the signature is unchanged does the exact
+    * `exceptAll` emptiness test run (≈ once per invocation) to CONFIRM
+    * the fixpoint rather than trust the monotonicity argument.
+    * Iterates are localCheckpoint'ed like the pointer-jump loop
+    * (constant-size plans). */
   private[graft] def connectedComponentsStar(pairs: DataFrame)
       : (DataFrame, Seq[Long]) = {
     val spark = pairs.sparkSession
@@ -412,15 +419,28 @@ object Dedup {
       val self = mins.select($"m".as("a"), $"u".as("b"))
       reattach.union(self).distinct()
     }
-    var counts = List(edges.count())
+    // one aggregate per round: edge count + decimal endpoint sum (ids
+    // up to 2^63 × 10^11 edges overflow a long sum; decimal(38,0) holds)
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(($"a" + $"b").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var sig = signature(edges)
+    var counts = List(sig._1)
     var converged = false
     var iter = 0
     while (!converged && iter < 64) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // exact fixpoint test on canonical sets (both sides deduplicated)
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val nextSig = signature(next)
+      // exact fixpoint test runs only at the signature's fixpoint —
+      // on canonical deduplicated sets, exceptAll both ways is equality
+      converged = sig == nextSig &&
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      sig = nextSig
       edges = next
-      counts ::= edges.count()
+      counts ::= sig._1
       iter += 1
     }
     if (!converged)
