@@ -244,9 +244,20 @@ object StreamingQueries {
       src.addData(delta)
       q.processAllAvailable()
     } finally q.stop()
-    spark.read.parquet(s"$stateRoot/state_v1")
+    // materialize the final generation (one row per user — tiny), then
+    // delete the temp state dir: returning a lazy reader over it would
+    // leak one dir per invocation across bench warm+timed runs
+    val result = spark.read.parquet(s"$stateRoot/state_v1")
       .select($"user_id", $"n".as("n_total"),
         round($"s", 4).cast("double").as("total_value"))
       .orderBy($"user_id".asc)
+    val resultRows = result.collectAsList()
+    val schema = result.schema
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(stateRoot))
+    spark.createDataFrame(resultRows, schema)
   }
 }
