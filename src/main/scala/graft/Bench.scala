@@ -66,8 +66,10 @@ object Bench {
     // round artifact only keeps a truncated stdout tail, which hid 34 of
     // 97 per-query numbers in r3/r4 — regressions in the cut-off families
     // were invisible to round-over-round diffing.
+    // default lands next to the code: sbt runs main classes in-process,
+    // so user.dir is the project root of whatever checkout ran the bench
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LOCAL.json")
+      s"${sys.props("user.dir")}/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       json + "\n")
     catch { case e: Throwable =>

@@ -1324,7 +1324,7 @@ object SparkEntry {
         VALUES (0, 2654435761, 1), (1, 2246822519, 10008),
                (2, 3266489917, 20015), (3, 668265263, 30022)
       ), bpos AS (
-        SELECT (((k % 1000000007) * a + bb) % 1000000007)
+        SELECT (((k % 1000000007 + 1000000007) % 1000000007 * a + bb) % 1000000007)
                  % (1::BIGINT << pb.mbits) AS pos
         FROM keys, pb, h
       ), bloom AS (
@@ -1335,7 +1335,7 @@ object SparkEntry {
       ), fhit AS (
         SELECT l_orderkey, count(*) = 4 AS pass FROM (
           SELECT f.l_orderkey, h.i,
-                 (((f.l_orderkey % 1000000007) * h.a + h.bb) % 1000000007)
+                 (((f.l_orderkey % 1000000007 + 1000000007) % 1000000007 * h.a + h.bb) % 1000000007)
                    % (1::BIGINT << pb.mbits) AS pos
           FROM fkeys f, pb, h
         ) p JOIN bloom b ON p.pos // 32 = b.word
@@ -1364,7 +1364,7 @@ object SparkEntry {
         VALUES (0, 2654435761, 1), (1, 2246822519, 10008),
                (2, 3266489917, 20015), (3, 668265263, 30022)
       ), cms AS (
-        SELECT j, (((key % 1000000007) * a + bb) % 1000000007) % 2048
+        SELECT j, (((key % 1000000007 + 1000000007) % 1000000007 * a + bb) % 1000000007) % 2048
                  AS bucket,
                count(*) AS cnt
         FROM fact, h GROUP BY 1, 2
@@ -1377,7 +1377,7 @@ object SparkEntry {
         SELECT t.key, t.exact_cnt, t.rnk, min(c.cnt) AS cms_est
         FROM top t, h
         JOIN cms c ON c.j = h.j
-          AND c.bucket = (((t.key % 1000000007) * h.a + h.bb) % 1000000007)
+          AND c.bucket = (((t.key % 1000000007 + 1000000007) % 1000000007 * h.a + h.bb) % 1000000007)
                            % 2048
         GROUP BY 1, 2, 3
       ), n AS (SELECT count(*) AS n_total FROM fact)

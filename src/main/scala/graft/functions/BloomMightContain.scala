@@ -49,7 +49,11 @@ case class BloomMightContain(child: Expression, words: Array[Long],
   private val m = 1L << mBits
 
   override def nullSafeEval(key: Any): Any = {
-    val k = key.asInstanceOf[Long] % BloomMightContain.P
+    // pmod, not %: a signed remainder on a negative key would drive pos
+    // negative and the word index out of bounds (fixture keys are
+    // nonnegative, but the function is registered session-wide)
+    val k = (key.asInstanceOf[Long] % BloomMightContain.P +
+      BloomMightContain.P) % BloomMightContain.P
     var i = 0
     while (i < 4) {
       val pos = (k * BloomMightContain.A(i) + BloomMightContain.B(i)) %
@@ -72,7 +76,8 @@ case class BloomMightContain(child: Expression, words: Array[Long],
       val a = ctx.addReferenceObj("bloomA", BloomMightContain.A, "long[]")
       val b = ctx.addReferenceObj("bloomB", BloomMightContain.B, "long[]")
       s"""
-        long $k = $key % ${BloomMightContain.P}L;
+        long $k = ($key % ${BloomMightContain.P}L + ${BloomMightContain.P}L)
+          % ${BloomMightContain.P}L;
         boolean $hit = true;
         for (int $i = 0; $i < 4 && $hit; $i++) {
           long $pos = ($k * $a[$i] + $b[$i]) % ${BloomMightContain.P}L % ${m}L;

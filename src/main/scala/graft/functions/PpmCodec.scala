@@ -70,8 +70,13 @@ object PpmCodec {
     require(p3 < bytes.length && isSpace(bytes(p3)),
       "PPM: missing header/payload separator")
     val start = p3 + 1
-    require(bytes.length - start == w * h * 3,
-      s"PPM: payload ${bytes.length - start} bytes, want ${w * h * 3}")
+    // validate in LONG: w and h are individually capped at 2^24 but
+    // w·h·3 can overflow Int, and a wrapped product would let a crafted
+    // header pass the length check with a short payload
+    val want = w.toLong * h * 3
+    require(want <= Int.MaxValue, s"PPM: image too large ($w x $h)")
+    require(bytes.length - start == want,
+      s"PPM: payload ${bytes.length - start} bytes, want $want")
     Image(w, h, java.util.Arrays.copyOfRange(bytes, start, bytes.length))
   }
 }

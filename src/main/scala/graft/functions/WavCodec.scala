@@ -51,16 +51,18 @@ object WavCodec {
   def decode(bytes: Array[Byte]): Audio = {
     require(tag(bytes, 0) == "RIFF", "WAV: bad RIFF magic")
     val riffLen = readLe32(bytes, 4)
-    require(riffLen >= 4 && 8 + riffLen <= bytes.length,
+    // compare in LONG: a near-Int.MaxValue declared size would wrap
+    // `8 + riffLen` negative and slip past a signed int comparison
+    require(riffLen >= 4 && 8L + riffLen <= bytes.length,
       "WAV: RIFF size out of bounds")
     require(tag(bytes, 8) == "WAVE", "WAV: not a WAVE form")
     var p = 12
     var sampleRate = -1
     var samples: Array[Byte] = null
-    while (p + 8 <= 8 + riffLen) {
+    while (p + 8L <= 8L + riffLen) {
       val id = tag(bytes, p)
       val size = readLe32(bytes, p + 4)
-      require(size >= 0 && p + 8 + size <= 8 + riffLen,
+      require(size >= 0 && p + 8L + size <= 8L + riffLen,
         s"WAV: chunk '$id' overruns the RIFF body")
       id match {
         case "fmt " =>

@@ -21,11 +21,13 @@ object Sketches {
   private val A = Array(2654435761L, 2246822519L, 3266489917L, 668265263L)
   private def B(i: Int): Long = 10007L * i + 1L
 
-  /** i-th hash of `key`, reduced into [0, m). Key is pre-reduced mod P so
-    * the multiply stays < 2^63 for any BIGINT key (1e9 · 3.3e9 < 9.2e18);
-    * DuckDB evaluates the identical expression. */
+  /** i-th hash of `key`, reduced into [0, m). Key is pre-reduced with
+    * pmod (a signed % on a negative key would make the position negative
+    * — out-of-range bitmap words, negative sketch buckets) so the
+    * multiply stays < 2^63 for any BIGINT key (1e9 · 3.3e9 < 9.2e18);
+    * DuckDB evaluates the identical (k % P + P) % P expression. */
   private def hashPos(key: Column, i: Int, m: Long): Column =
-    (((key % P) * A(i) + B(i)) % P) % m
+    ((pmod(key, lit(P)) * A(i) + B(i)) % P) % m
 
   /** Bloom-filter semi-join pruning — the runtime-filter pattern Spark's
     * own InjectRuntimeFilter plans at scale: build a Bloom filter over the

@@ -81,8 +81,10 @@ object StreamingOps {
 
   /** Epoch MICROS of a Timestamp — `getTime` alone floors to millis and
     * could merge sessions whose gap exceeds the threshold by < 1 ms,
-    * diverging from the batch twin's `unix_micros` comparison. */
-  private def micros(ts: java.sql.Timestamp): Long =
+    * diverging from the batch twin's `unix_micros` comparison. Shared
+    * with StreamingQueries' sentinel/cutoff arithmetic — one formula,
+    * not two copies to drift apart. */
+  private[streaming] def micros(ts: java.sql.Timestamp): Long =
     (ts.getTime - ts.getNanos / 1000000) * 1000L + ts.getNanos / 1000
 
   /** Event-time sessionization with a gap timeout via

@@ -37,8 +37,7 @@ object StreamingQueries {
       .as[EvRow].collect().toSeq
   }
 
-  private def micros(ts: Timestamp): Long =
-    (ts.getTime - ts.getNanos / 1000000) * 1000L + ts.getNanos / 1000
+  private def micros(ts: Timestamp): Long = StreamingOps.micros(ts)
 
   /** Run one streaming query to completion: each element of `batches`
     * becomes (at least) one micro-batch, the memory sink is read back as
@@ -54,20 +53,27 @@ object StreamingQueries {
     * per-micro-batch commit overhead of 32 mostly-empty stores, not the
     * data, dominates at harness scale. At production scale this knob is
     * sized to the cluster. */
-  private def runStream[T: Encoder](spark: SparkSession, key: String,
-      batches: Seq[Seq[T]], mode: OutputMode)(
-      pipeline: Dataset[T] => DataFrame): DataFrame = {
-    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private def startToSink(spark: SparkSession, key: String,
+      mode: OutputMode, df: DataFrame)
+      : (String, org.apache.spark.sql.streaming.StreamingQuery) = {
     val name = s"graft_sink_$key"
     spark.catalog.dropTempView(name)
-    val src = MemoryStream[T]
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
     val q =
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        pipeline(src.toDS()).writeStream.format("memory")
-          .queryName(name).outputMode(mode).start()
+        df.writeStream.format("memory").queryName(name)
+          .outputMode(mode).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    (name, q)
+  }
+
+  private def runStream[T: Encoder](spark: SparkSession, key: String,
+      batches: Seq[Seq[T]], mode: OutputMode)(
+      pipeline: Dataset[T] => DataFrame): DataFrame = {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[T]
+    val (name, q) = startToSink(spark, key, mode, pipeline(src.toDS()))
     try batches.foreach { b => src.addData(b); q.processAllAvailable() }
     finally q.stop()
     spark.table(name)
@@ -187,26 +193,17 @@ object StreamingQueries {
       .map(r => (r.user_id, r.ts, r.event_id))
     val purchases = rows.filter(_.event_type == "purchase")
       .map(r => (r.user_id, r.ts, r.event_id))
-    val name = "graft_sink_stream_join"
-    spark.catalog.dropTempView(name)
     val cs = MemoryStream[(Long, Timestamp, Long)]
     val ps = MemoryStream[(Long, Timestamp, Long)]
     val joined = StreamingOps.clickAttribution(
       cs.toDF().toDF("c_user", "c_ts", "c_id"),
       ps.toDF().toDF("p_user", "p_ts", "p_id"))
-    // A stream-stream join runs FOUR state stores per shuffle partition
-    // (two per side); their per-micro-batch commit overhead, not the
-    // data, dominates at harness scale — pin the stream's state layout
-    // to 8 partitions (scoped save/restore: the conf is captured at
-    // query start, so batch queries on this session are unaffected).
-    // At production scale this knob is sized to the cluster, not here.
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        joined.writeStream.format("memory").queryName(name)
-          .outputMode(OutputMode.Append()).start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    // two sources, so the single-source runStream doesn't fit — but the
+    // pinned-layout start/sink scaffolding is shared (a stream-stream
+    // join runs FOUR state stores per shuffle partition, the case the
+    // 8-partition pin exists for)
+    val (name, q) = startToSink(spark, "stream_join",
+      OutputMode.Append(), joined)
     try {
       cs.addData(clicks)
       ps.addData(purchases)

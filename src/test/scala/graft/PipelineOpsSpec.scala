@@ -25,6 +25,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom probe expression: no false negatives on negative keys (pmod)") {
+    import spark.implicits._
+    // a signed % would drive the bit position negative and the word
+    // index out of bounds — pmod keeps any BIGINT key well-defined
+    val keys = Seq(-1L, -1000000007L, Long.MinValue + 1, -42L, 7L)
+    val mBits = 13
+    val m = 1L << mBits
+    val P = 1000000007L
+    val A = Array(2654435761L, 2246822519L, 3266489917L, 668265263L)
+    val words = new Array[Long]((m / 64).toInt)
+    keys.foreach { k =>
+      val kk = (k % P + P) % P
+      (0 until 4).foreach { i =>
+        val pos = (kk * A(i) + (10007L * i + 1L)) % P % m
+        words((pos >>> 6).toInt) |= (1L << (pos & 63L).toInt)
+      }
+    }
+    graft.functions.BloomMightContain.register(spark, words, mBits,
+      "bloom_probe_negtest")
+    val got = keys.toDF("k")
+      .selectExpr("k", "bloom_probe_negtest(k) AS hit")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    keys.foreach(k => assert(got(k), s"inserted key $k not found"))
+  }
+
   test("cms heavy hitters: estimate never undercounts, stays in eps bound") {
     val rows = Sketches.heavyHittersCms(spark, sf).collect()
     assert(rows.length == 10)

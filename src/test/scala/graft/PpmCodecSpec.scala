@@ -46,6 +46,11 @@ class PpmCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       PpmCodec.decode(ppm("P6\n0 1\n255\n", Array.empty[Byte]))
     }
+    // w*h*3 overflowing Int must be rejected, not wrap past the
+    // payload-length check (16777216 * 256 * 3 = 3 * 2^32 ≡ 0 mod 2^32)
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode(ppm("P6\n16777216 256\n255\n", Array.empty[Byte]))
+    }
   }
 
   test("wav: encode/decode round-trips samples and rate") {
