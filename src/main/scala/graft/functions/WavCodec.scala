@@ -27,7 +27,14 @@ object WavCodec {
     val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
       le16(1) ++ le16(1) ++ le32(sampleRate) ++ le32(sampleRate) ++
       le16(1) ++ le16(8)
-    val data = "data".getBytes("US-ASCII") ++ le32(samples.length) ++ samples
+    // RIFF chunks are word-aligned: an odd-size data chunk carries one
+    // trailing pad byte (not counted in the declared size) — omitting it
+    // would make a spec-conforming consumer's `size + (size & 1)` walk
+    // read past the RIFF body
+    val pad = if ((samples.length & 1) == 1) Array(0.toByte)
+      else Array.empty[Byte]
+    val data = "data".getBytes("US-ASCII") ++ le32(samples.length) ++
+      samples ++ pad
     val riffBody = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
     "RIFF".getBytes("US-ASCII") ++ le32(riffBody.length) ++ riffBody
   }

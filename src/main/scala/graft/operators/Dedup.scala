@@ -20,6 +20,18 @@ object Dedup {
 
   private def normText: Column = graft.functions.TextNorm.normCol
 
+  /** Release the storage blocks behind an eager `localCheckpoint` once a
+    * later iterate has materialized — without this, an iterative loop
+    * pins EVERY generation's full data for the operator's lifetime
+    * (checkpointed blocks are non-evictable: lineage is cut, so eviction
+    * would fail the job rather than recompute). `Dataset.unpersist` is a
+    * no-op for checkpoints (they are not CacheManager entries); the
+    * handle lives on the plan's `LogicalRDD`. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false): Unit)
+
   /** Exact dedup: group on (xxhash64(norm), norm), keep the smallest
     * doc_id. Grouping on the hash alone would silently merge 64-bit
     * collisions (~n²/2^65 expected at 10^10 docs — a few real ones);
@@ -337,6 +349,10 @@ object Dedup {
         .localCheckpoint(true)
       prevSum = curSum
       curSum = labelSum(next)
+      // `next` is materialized; the superseded iterate and the stepped
+      // intermediate are dead — release their pinned checkpoint blocks
+      dropCheckpoint(stepped)
+      dropCheckpoint(labels)
       labels = next
       iter += 1
     } finally edges.unpersist() // also on non-convergence / mid-loop failure
@@ -420,11 +436,13 @@ object Dedup {
       reattach.union(self).distinct()
     }
     // one aggregate per round: edge count + decimal endpoint sum (ids
-    // up to 2^63 × 10^11 edges overflow a long sum; decimal(38,0) holds)
+    // up to 2^63 × 10^11 edges overflow a long sum; decimal(38,0) holds
+    // — each endpoint casts BEFORE the add, or the LongType a+b itself
+    // overflows on >2^62 ids ahead of any decimal widening)
     def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
-        coalesce(sum(($"a" + $"b").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)"))).head
+        coalesce(sum($"a".cast("decimal(38,0)") +
+          $"b".cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))).head
       (r.getLong(0), r.getDecimal(1))
     }
     var sig = signature(edges)
@@ -438,6 +456,9 @@ object Dedup {
       // on canonical deduplicated sets, exceptAll both ways is equality
       converged = sig == nextSig &&
         next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // the superseded iterate's checkpoint blocks are dead once `next`
+      // is materialized and the fixpoint test above has read it
+      dropCheckpoint(edges)
       sig = nextSig
       edges = next
       counts ::= sig._1

@@ -225,6 +225,19 @@ class DedupSpec extends SparkSpec {
       operators.Dedup.dedupClusters(spark, sf))
   }
 
+  test("CC loops release superseded checkpoint iterates") {
+    // without the dropCheckpoint calls every generation's localCheckpoint
+    // blocks stay pinned (non-evictable) for the operator's lifetime —
+    // the retained-RDD delta would grow with iteration count, not stay
+    // at the handful of live iterates
+    val before = spark.sparkContext.getPersistentRDDs.size
+    operators.Dedup.dedupClustersStar(spark, sf).count()
+    operators.Dedup.dedupClusters(spark, sf).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 8,
+      s"checkpoint blocks accumulating: $before -> $after persistent RDDs")
+  }
+
   test("star CC matches union-find on randomized graphs") {
     import spark.implicits._
     // deterministic LCG sweep over random graph shapes — the structures
