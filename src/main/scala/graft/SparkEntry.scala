@@ -94,6 +94,7 @@ object SparkEntry {
     "sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
     "sim_topk_ivf" -> ((s, d) => Similarity.topKIvf(s, d)),
     "sim_topk_ivf_kmeans" -> ((s, d) => Similarity.topKIvfKmeans(s, d)),
+    "sim_topk_pq" -> ((s, d) => Similarity.topKPq(s, d)),
     "embed_kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "embed_cosine_neardup" -> ((s, d) => Similarity.cosineNearDup(s, d)),
     "embed_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
@@ -1170,6 +1171,50 @@ object SparkEntry {
     "sim_topk_lsh" -> simTopKLshOracle,
     "sim_topk_ivf" -> simTopKIvfOracle,
     "sim_topk_ivf_kmeans" -> simTopKIvfKmeansOracle,
+    // PQ/ADC replay: same codebook seeding, same sequential L2 folds,
+    // same subspace-ordered distance accumulation as the Scala side
+    "sim_topk_pq" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), cb AS (
+        SELECT s, c.vec_id::INT AS code,
+               list_transform(generate_series(1, 8), i -> c.v[s*8 + i]) AS cv
+        FROM e c CROSS JOIN generate_series(0, 7) t(s)
+        WHERE c.vec_id < 16
+      ), enc AS (
+        SELECT vec_id, s, code FROM (
+          SELECT ev.vec_id, cb.s, cb.code,
+                 row_number() OVER (PARTITION BY ev.vec_id, cb.s ORDER BY
+                   list_reduce(list_prepend(0.0,
+                     list_transform(generate_series(1, 8),
+                       i -> (ev.v[cb.s*8 + i] - cb.cv[i])
+                            * (ev.v[cb.s*8 + i] - cb.cv[i]))),
+                     (a, x) -> a + x) ASC,
+                   cb.code ASC) AS r
+          FROM e ev CROSS JOIN cb
+        ) WHERE r = 1
+      ), qt AS (
+        SELECT q.vec_id AS q_id, cb.s, cb.code,
+               list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, 8),
+                   i -> (q.v[cb.s*8 + i] - cb.cv[i])
+                        * (q.v[cb.s*8 + i] - cb.cv[i]))),
+                 (a, x) -> a + x) AS l2q
+        FROM e q CROSS JOIN cb WHERE q.vec_id < 3
+      ), est AS (
+        SELECT qt.q_id, enc.vec_id,
+               list_reduce(list_prepend(0.0, list(qt.l2q ORDER BY qt.s)),
+                 (a, x) -> a + x) AS dist
+        FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.code
+        GROUP BY qt.q_id, enc.vec_id
+      ), r AS (
+        SELECT q_id, vec_id, dist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dist ASC, vec_id ASC) AS rnk
+        FROM est WHERE vec_id != q_id
+      )
+      SELECT q_id, vec_id, round(dist, 6) AS pq_dist, rnk::INTEGER AS rnk
+      FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC""",
     "embed_kmeans_clusters" -> embedKmeansClustersOracle,
     "text_repetition" -> """
       WITH d AS (

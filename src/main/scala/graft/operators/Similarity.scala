@@ -288,6 +288,73 @@ object Similarity {
       .orderBy($"cell_id".asc)
   }
 
+  /** Product-quantization ANN (PQ + asymmetric distance, the FAISS
+    * `IVF,PQ` second stage): the 64-dim vector splits into 8 subvectors
+    * of 8 dims; each subspace has a 16-entry codebook (seeded with the
+    * first 16 corpus vectors' subvectors, like `topKIvf`'s centroids),
+    * so a corpus vector compresses to 8 four-bit codes — 256 bytes of
+    * floats → 4 bytes, the representation that keeps a 100 TB embedding
+    * corpus IN MEMORY. Queries never decode: ADC precomputes the 8×16
+    * table of query-subvector→centroid squared distances and scores a
+    * candidate by summing 8 table lookups.
+    *
+    * Scale shape: encoding is one broadcast-codebook pass with a
+    * partial-aggregable per-(vec, subspace) argmin (`min_by` — map-side
+    * combine, no window sort); scoring joins the 8·16-row broadcast ADC
+    * table and folds the 8 lookups in subspace order (sequential IEEE
+    * adds — bit-identical in DuckDB's list_reduce, so the whole
+    * approximate pipeline is hash-gated like the LSH/IVF tiers). */
+  def topKPq(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 3, nSub: Int = 8, nCodes: Int = 16): DataFrame = {
+    import spark.implicits._
+    val subDim = Dim / nSub
+    val emb = corpus(spark, sfDir)
+    // codebook: (subspace, code, centroid subvector) — fitted model size
+    // nSub × nCodes × subDim doubles (8·16·8 here), collected like the
+    // k-means centroids
+    val codebook = broadcast(
+      emb.filter($"vec_id" < nCodes)
+        .select($"vec_id".cast("int").as("code"), $"vec")
+        .as[(Int, Seq[Double])].collect()
+        .flatMap { case (code, v) =>
+          (0 until nSub).map(s =>
+            (s, code, v.slice(s * subDim, (s + 1) * subDim)))
+        }.toSeq.toDF("s", "code", "cvec"))
+    // squared L2 between a vector's s-th subvector and a codebook entry:
+    // sequential fold over the subDim dims (deterministic IEEE order)
+    def subL2(vecCol: String): Column = expr(
+      s"""aggregate(zip_with(slice($vecCol, s * $subDim + 1, $subDim), cvec,
+                             (x, c) -> (x - c) * (x - c)),
+                    0.0D, (a, x) -> a + x)""")
+    // encode: per (vec, subspace) the nearest code — min_by partial-
+    // combines map-side; the struct(l2, code) ordering is the
+    // deterministic tie-break
+    val codes = emb.crossJoin(codebook)
+      .withColumn("l2", subL2("vec"))
+      .groupBy($"vec_id", $"s")
+      .agg(min_by($"code", struct($"l2", $"code")).as("code"))
+    // ADC table: per (query, subspace, code) the squared distance
+    val qtable = broadcast(
+      emb.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("q_id"), $"vec".as("q_vec"))
+        .crossJoin(codebook)
+        .withColumn("l2q", subL2("q_vec"))
+        .select($"q_id", $"s", $"code", $"l2q"))
+    // score: 8 table lookups per (query, candidate), folded in subspace
+    // order so the double sum is order-independent across engines
+    val est = codes.join(qtable, Seq("s", "code"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(sort_array(collect_list(struct($"s", $"l2q"))).as("parts"))
+      .withColumn("dist",
+        expr("aggregate(parts, 0.0D, (a, x) -> a + x.l2q)"))
+      .filter($"vec_id" =!= $"q_id")
+    val w = Window.partitionBy($"q_id").orderBy($"dist".asc, $"vec_id".asc)
+    est.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"dist", 6).as("pq_dist"), $"rnk")
+      .orderBy($"q_id".asc, $"rnk".asc)
+  }
+
   /** Symmetric int8 quantization of embeddings — the storage/bandwidth
     * path for vectors at scale (float32 → int8 is 4× smaller; at 100 TB
     * of embeddings that is the difference between fitting in cluster

@@ -176,7 +176,7 @@ class DedupSpec extends SparkSpec {
     assert(fp(0L) != fp(3L))
   }
 
-  test("binary features stub: deterministic arithmetic on payload bytes") {
+  test("binary features: deterministic arithmetic on payload bytes") {
     val r = Multimodal.binaryFeatures(spark, fixtureDir).collect()
       .map(x => (x.getLong(0), (x.getInt(1), x.getInt(2), x.getLong(3)))).toMap
     val bytes = "the quick".getBytes("UTF-8")

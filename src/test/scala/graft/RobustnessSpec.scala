@@ -103,7 +103,7 @@ class RobustnessSpec extends SparkSpec {
 
   test("testdata documents are ASCII (mm/text oracles equate bytes and chars)") {
     // The mm_* oracles fold DuckDB ascii() code points while the Scala
-    // stubs fold UTF-8 bytes; equivalent only for ASCII text. The
+    // ops fold UTF-8 bytes; equivalent only for ASCII text. The
     // generator guarantees it — this guard makes the assumption fail
     // loudly if the fixtures ever change.
     import org.apache.spark.sql.functions._
@@ -131,7 +131,7 @@ class RobustnessSpec extends SparkSpec {
     assert(orig == rt)
   }
 
-  test("multimodal stubs return empty on an empty corpus") {
+  test("multimodal ops return empty on an empty corpus") {
     assert(Multimodal.binaryFeatures(spark, emptyDir).count() == 0)
     assert(Multimodal.frameSample(spark, emptyDir).count() == 0)
     assert(Multimodal.resize(spark, emptyDir).count() == 0)

@@ -73,6 +73,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, f"k-means IVF recall@5 $recall%.2f below floor")
   }
 
+  test("PQ/ADC: compressed-domain top-5 recall vs exact baseline") {
+    val brute = Similarity.topKBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.topKPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & brute).size.toDouble / brute.size
+    info(f"PQ recall@5 = $recall%.2f")
+    // 8 subspaces × 16 codes on a no-true-neighbors synthetic corpus is
+    // the HARD regime for PQ (quantization error ~ the cosine spread);
+    // the floor guards against an encode/ADC-table indexing bug (which
+    // drives recall to ~chance ≈ 5/500), not against quantization loss
+    assert(recall >= 0.2, f"PQ recall@5 $recall%.2f below floor")
+  }
+
   test("near-dup pairs are canonicalized and above threshold") {
     val rows = Similarity.cosineNearDup(spark, sf).collect()
     rows.foreach { r =>
