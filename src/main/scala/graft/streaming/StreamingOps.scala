@@ -241,9 +241,12 @@ object StreamingOps {
         val root = new org.apache.hadoop.fs.Path(stateRoot)
         if (fs.exists(root)) fs.listStatus(root).foreach { st =>
           val nm = st.getPath.getName
-          if (nm.startsWith("state_v") &&
-              nm.stripPrefix("state_v").forall(_.isDigit) &&
-              nm.stripPrefix("state_v").toLong <= batchId - 2)
+          val suffix = nm.stripPrefix("state_v")
+          // nonEmpty guard: a dir named exactly "state_v" would pass
+          // forall(_.isDigit) vacuously and then "".toLong would throw
+          // inside the micro-batch
+          if (nm.startsWith("state_v") && suffix.nonEmpty &&
+              suffix.forall(_.isDigit) && suffix.toLong <= batchId - 2)
             fs.delete(st.getPath, true): Unit
         }
       }

@@ -1,49 +1,61 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.Tables
 
 /** Declared-query wrappers around the `StreamingOps` pipelines: each runs
-  * the REAL Structured Streaming query (MemoryStream source → transform →
+  * the REAL Structured Streaming query (file-stream source → transform →
   * sink, micro-batches, watermarks, state store) over the events fixture
   * and returns the sink as a batch DataFrame, with the equivalent batch
   * SQL as its DuckDB oracle. This is what puts the streaming tier under
   * the same hard correctness gate as every batch operator — the
   * batch/stream equivalence StreamingSpec asserts on toy fixtures, the
-  * driver now hash-verifies on the full fixture.
+  * driver hash-verifies on the full fixture.
   *
-  * Scale stance: MemoryStream is the documented local harness (no Kafka
-  * in this environment) and is driver-resident BY DEFINITION — the
-  * driver-side collect feeding it is harness cost, not operator cost; in
-  * production the source swaps to `readStream.format("kafka")` and every
-  * pipeline here is already partitioned/watermarked for unbounded input
-  * (state is O(active keys or windows), never O(stream length)). Sinks
-  * are kept small by aggregating in (or right after) the stream, so the
-  * memory sink never holds more than the aggregate's cardinality except
-  * for the dedup pass-through, which is fixture-sized by design. */
+  * Source stance (r6): the declared queries feed via Spark's FILE-STREAM
+  * source (`readStream.schema(...).parquet(dir)`) — each delivery is a
+  * distributed parquet write into the monitored directory, drained with
+  * `processAllAvailable()` so batch boundaries are deterministic. Nothing
+  * data-sized ever touches the driver (the r5 MemoryStream feed collected
+  * the fixture driver-side; MemoryStream now lives only in StreamingSpec's
+  * toy fixtures). In production the source swaps to
+  * `readStream.format("kafka")` one line per query; every pipeline here is
+  * already partitioned/watermarked for unbounded input (state is O(active
+  * keys or windows), never O(stream length)). Sinks are kept small by
+  * aggregating in (or right after) the stream, so the memory sink never
+  * holds more than the aggregate's cardinality except for the dedup
+  * pass-through, which is fixture-sized by design. */
 object StreamingQueries {
 
-  final case class EvRow(event_id: Long, user_id: Long, ts: Timestamp,
-    event_type: String, value: Double)
-
-  private def eventRows(spark: SparkSession, sfDir: String): Seq[EvRow] = {
+  private def eventsDf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.read(spark, sfDir, "events")
       .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
-      .as[EvRow].collect().toSeq
   }
 
-  private def micros(ts: Timestamp): Long = StreamingOps.micros(ts)
+  /** One micro-batch worth of input: a distributed parquet append into the
+    * monitored directory. The file source tracks files by PATH (part
+    * files are UUID-named, `_SUCCESS` markers are filtered as hidden), so
+    * every append is new input — including a byte-identical redelivery. */
+  private def deliver(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").parquet(dir)
 
-  /** Run one streaming query to completion: each element of `batches`
-    * becomes (at least) one micro-batch, the memory sink is read back as
-    * a DataFrame. The sink name is deterministic per query key (and the
-    * previous run's view is dropped) so repeated invocations — bench
-    * warm-up + timed pass — can't accumulate sinks or collide.
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
+  /** Run one streaming query to completion over the file-stream source:
+    * each element of `batches` is delivered as (at least) one micro-batch
+    * — written to the monitored dir, then drained — and the memory sink is
+    * read back as a DataFrame. The sink name is deterministic per query
+    * key (and the previous run's view is dropped) so repeated invocations
+    * — bench warm-up + timed pass — can't accumulate sinks or collide;
+    * the temp source dir is deleted before returning (the memory sink
+    * holds the results, so the source files are dead weight).
     *
     * The stream's state layout is pinned to 8 partitions for the
     * query's lifetime (scoped save/restore around `start()` — the conf
@@ -68,15 +80,24 @@ object StreamingQueries {
     (name, q)
   }
 
-  private def runStream[T: Encoder](spark: SparkSession, key: String,
-      batches: Seq[Seq[T]], mode: OutputMode)(
-      pipeline: Dataset[T] => DataFrame): DataFrame = {
-    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val src = MemoryStream[T]
-    val (name, q) = startToSink(spark, key, mode, pipeline(src.toDS()))
-    try batches.foreach { b => src.addData(b); q.processAllAvailable() }
-    finally q.stop()
-    spark.table(name)
+  private def runFileStream(spark: SparkSession, key: String,
+      batches: Seq[DataFrame], mode: OutputMode)(
+      pipeline: DataFrame => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_stream_$key")
+    try {
+      val srcDir = root.resolve("src").toString
+      deliver(batches.head, srcDir)
+      val src = spark.readStream.schema(batches.head.schema).parquet(srcDir)
+      val (name, q) = startToSink(spark, key, mode, pipeline(src))
+      try {
+        q.processAllAvailable()
+        batches.tail.foreach { b =>
+          deliver(b, srcDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name)
+    } finally rmTree(root.toFile)
   }
 
   /** Watermarked tumbling-window aggregation, run as a stream (complete
@@ -85,9 +106,9 @@ object StreamingQueries {
     * the batch tumbling-window SQL (`ev_window_tumbling`'s). */
   def windowTumbling(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val out = runStream(spark, "window_tumbling",
-      Seq(eventRows(spark, sfDir)), OutputMode.Complete()) { ds =>
-      StreamingOps.windowedCounts(ds.toDF())
+    val out = runFileStream(spark, "window_tumbling",
+      Seq(eventsDf(spark, sfDir)), OutputMode.Complete()) { df =>
+      StreamingOps.windowedCounts(df)
     }
     out.select($"hour_start".cast("string").as("hour_start"),
       $"event_type", $"cnt", $"sum_value")
@@ -102,10 +123,10 @@ object StreamingQueries {
     * batch aggregate over the UN-duplicated fixture. */
   def dedupRedelivery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = eventRows(spark, sfDir)
-    val out = runStream(spark, "dedup", Seq(rows, rows),
-      OutputMode.Append()) { ds =>
-      StreamingOps.dedupStream(ds.toDF())
+    val ev = eventsDf(spark, sfDir)
+    val out = runFileStream(spark, "dedup", Seq(ev, ev),
+      OutputMode.Append()) { df =>
+      StreamingOps.dedupStream(df)
     }
     out.groupBy($"event_type")
       .agg(count(lit(1)).as("cnt"),
@@ -122,9 +143,9 @@ object StreamingQueries {
     import spark.implicits._
     val dim = Tables.read(spark, sfDir, "customer")
       .select($"c_custkey", $"c_mktsegment")
-    val out = runStream(spark, "enrich",
-      Seq(eventRows(spark, sfDir)), OutputMode.Complete()) { ds =>
-      StreamingOps.enrichWithDim(ds.toDF(), dim)
+    val out = runFileStream(spark, "enrich",
+      Seq(eventsDf(spark, sfDir)), OutputMode.Complete()) { df =>
+      StreamingOps.enrichWithDim(df, dim)
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("cnt"),
           round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
@@ -144,17 +165,19 @@ object StreamingQueries {
   def sessionizeToCompletion(spark: SparkSession, sfDir: String)
       : DataFrame = {
     import spark.implicits._
-    val rows = eventRows(spark, sfDir)
-    require(rows.nonEmpty, "events fixture is empty")
-    val maxUs = rows.iterator.map(r => micros(r.ts)).max
-    def sentinel(plusMin: Long) = StreamingOps.Ev(-1L,
-      new Timestamp(maxUs / 1000L + plusMin * 60000L), 0.0)
-    val evs = rows.map(r => StreamingOps.Ev(r.user_id, r.ts, r.value))
+    val evs = eventsDf(spark, sfDir)
+      .select($"user_id", $"ts", $"value")
+    // one-row fitted bound (max event time), not a data collect: the
+    // sentinel timestamps must clear every lastEvent+gap(30)+watermark(10)
+    // horizon in the fixture
+    val maxUs = evs.agg(max(unix_micros($"ts"))).head().getLong(0)
+    def sentinel(plusMin: Long): DataFrame =
+      Seq((-1L, new Timestamp(maxUs / 1000L + plusMin * 60000L), 0.0))
+        .toDF("user_id", "ts", "value")
     // +41 min: past every lastEvent+gap(30)+watermark(10) horizon
-    val out = runStream(spark, "sessionize",
-      Seq(evs, Seq(sentinel(41)), Seq(sentinel(120))),
-      OutputMode.Append()) { ds =>
-      StreamingOps.sessionize(ds, gapMinutes = 30).toDF()
+    val out = runFileStream(spark, "sessionize",
+      Seq(evs, sentinel(41), sentinel(120)), OutputMode.Append()) { df =>
+      StreamingOps.sessionize(df.as[StreamingOps.Ev], gapMinutes = 30).toDF()
     }
     out.filter($"closed" && $"user_id" >= 0)
       .groupBy($"user_id")
@@ -169,10 +192,11 @@ object StreamingQueries {
     * `ev_cdc_compact` argmax aggregate. */
   def cdcUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cdc = eventRows(spark, sfDir)
-      .map(r => StreamingOps.Cdc(r.user_id, r.event_id, r.ts, r.event_type))
-    val out = runStream(spark, "cdc", Seq(cdc), OutputMode.Update()) { ds =>
-      StreamingOps.latestPerKey(ds).toDF()
+    val cdc = eventsDf(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+    val out = runFileStream(spark, "cdc", Seq(cdc),
+      OutputMode.Update()) { df =>
+      StreamingOps.latestPerKey(df.as[StreamingOps.Cdc]).toDF()
     }
     out.select($"user_id", $"n_versions", $"last_event_id",
       $"last_event_type", $"last_ts".cast("string").as("last_ts"))
@@ -181,35 +205,39 @@ object StreamingQueries {
 
   /** Watermarked stream-stream join: the purchases stream joined to the
     * clicks stream (same user, click within the preceding 30 minutes),
-    * both sides fed from the fixture and run through the real
-    * symmetric-hash join with per-side watermarks; the sink (one row per
-    * qualifying pair) rolls up to pairs-per-user. Oracle = the batch
+    * both sides fed from their own file-stream source and run through the
+    * real symmetric-hash join with per-side watermarks; the sink (one row
+    * per qualifying pair) rolls up to pairs-per-user. Oracle = the batch
     * inequality join. */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = eventRows(spark, sfDir)
-    val clicks = rows.filter(_.event_type == "click")
-      .map(r => (r.user_id, r.ts, r.event_id))
-    val purchases = rows.filter(_.event_type == "purchase")
-      .map(r => (r.user_id, r.ts, r.event_id))
-    val cs = MemoryStream[(Long, Timestamp, Long)]
-    val ps = MemoryStream[(Long, Timestamp, Long)]
-    val joined = StreamingOps.clickAttribution(
-      cs.toDF().toDF("c_user", "c_ts", "c_id"),
-      ps.toDF().toDF("p_user", "p_ts", "p_id"))
-    // two sources, so the single-source runStream doesn't fit — but the
-    // pinned-layout start/sink scaffolding is shared (a stream-stream
-    // join runs FOUR state stores per shuffle partition, the case the
-    // 8-partition pin exists for)
-    val (name, q) = startToSink(spark, "stream_join",
-      OutputMode.Append(), joined)
-    try {
-      cs.addData(clicks)
-      ps.addData(purchases)
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(name)
+    val ev = eventsDf(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        $"event_id".as("c_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"event_id".as("p_id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_join")
+    val result =
+      try {
+        val cDir = root.resolve("clicks").toString
+        val pDir = root.resolve("purchases").toString
+        deliver(clicks, cDir)
+        deliver(purchases, pDir)
+        val cs = spark.readStream.schema(clicks.schema).parquet(cDir)
+        val ps = spark.readStream.schema(purchases.schema).parquet(pDir)
+        val joined = StreamingOps.clickAttribution(cs, ps)
+        // two sources, so the single-source runFileStream doesn't fit —
+        // but the pinned-layout start/sink scaffolding is shared (a
+        // stream-stream join runs FOUR state stores per shuffle
+        // partition, the case the 8-partition pin exists for)
+        val (name, q) = startToSink(spark, "stream_join",
+          OutputMode.Append(), joined)
+        try q.processAllAvailable() finally q.stop()
+        spark.table(name)
+      } finally rmTree(root.toFile)
+    result
       .groupBy($"p_user")
       .agg(count(lit(1)).as("n_pairs"))
       .select($"p_user".as("user_id"), $"n_pairs")
@@ -219,42 +247,55 @@ object StreamingQueries {
   /** The `foreachBatch` generational incremental-agg sink, driven with
     * the same before/after-cutoff split as the batch `ev_incremental_agg`
     * (batch 0 = history, batch 1 = the delta): after both commits the
-    * LAST generation is read back as the result. The oracle is the
-    * from-scratch single-pass recompute — proving state_v1 = merge(
-    * state_v0, delta) is exact. */
+    * LAST surviving generation is read back as the result — by listing
+    * `state_vN` dirs and taking the highest N, not a hardcoded
+    * generation number, so the result stays correct even if the engine
+    * ever splits a delivery into extra micro-batches. The oracle is the
+    * from-scratch single-pass recompute — proving state_vN = merge(
+    * state_vN-1, delta) is exact. */
   def incrementalSink(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val cutUs = java.time.Instant.parse("2024-01-20T00:00:00Z")
       .getEpochSecond * 1000000L
-    val rows = eventRows(spark, sfDir)
-    val (hist, delta) = rows.partition(r => micros(r.ts) < cutUs)
-    require(hist.nonEmpty && delta.nonEmpty,
-      "cutoff must split the fixture into two non-empty batches")
-    val stateRoot = java.nio.file.Files
-      .createTempDirectory("graft_stream_inc").toString
-    val src = MemoryStream[EvRow]
-    val q = StreamingOps.incrementalAggSink(src.toDF(), stateRoot)
+    val ev = eventsDf(spark, sfDir)
+    val hist = ev.filter(unix_micros($"ts") < cutUs)
+    val delta = ev.filter(unix_micros($"ts") >= cutUs)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_inc")
     try {
-      src.addData(hist)
-      q.processAllAvailable()
-      src.addData(delta)
-      q.processAllAvailable()
-    } finally q.stop()
-    // materialize the final generation (one row per user — tiny), then
-    // delete the temp state dir: returning a lazy reader over it would
-    // leak one dir per invocation across bench warm+timed runs
-    val result = spark.read.parquet(s"$stateRoot/state_v1")
-      .select($"user_id", $"n".as("n_total"),
-        round($"s", 4).cast("double").as("total_value"))
-      .orderBy($"user_id".asc)
-    val resultRows = result.collectAsList()
-    val schema = result.schema
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(new java.io.File(stateRoot))
-    spark.createDataFrame(resultRows, schema)
+      val srcDir = root.resolve("src").toString
+      val stateRoot = root.resolve("state").toString
+      deliver(hist, srcDir)
+      val src = spark.readStream.schema(ev.schema).parquet(srcDir)
+      val q = StreamingOps.incrementalAggSink(src, stateRoot)
+      try {
+        q.processAllAvailable()
+        deliver(delta, srcDir)
+        q.processAllAvailable()
+      } finally q.stop()
+      // locate the last surviving generation (older ones are pruned by
+      // the sink's retention pass)
+      val statePath = new org.apache.hadoop.fs.Path(stateRoot)
+      val fs = statePath.getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val gens = fs.listStatus(statePath).toSeq
+        .map(_.getPath.getName)
+        .collect { case nm if nm.startsWith("state_v") &&
+            nm.stripPrefix("state_v").nonEmpty &&
+            nm.stripPrefix("state_v").forall(_.isDigit) =>
+          nm.stripPrefix("state_v").toLong }
+      require(gens.nonEmpty, s"no state generations under $stateRoot")
+      require(gens.max >= 1L,
+        "cutoff must split the fixture into two non-empty batches")
+      val result = spark.read.parquet(s"$stateRoot/state_v${gens.max}")
+        .select($"user_id", $"n".as("n_total"),
+          round($"s", 4).cast("double").as("total_value"))
+      // materialize on the EXECUTORS (localCheckpoint, not a driver
+      // collect — one row per user, but the principle holds at any
+      // cardinality), then delete the temp dirs: returning a lazy
+      // reader over them would leak one dir per invocation across
+      // bench warm+timed runs
+      val snap = result.localCheckpoint(true)
+      snap.orderBy($"user_id".asc)
+    } finally rmTree(root.toFile)
   }
 }
