@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_star" -> ((s, d) => Dedup.dedupClustersStar(s, d)),
+    "dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simHash(s, d)),
     // Similarity search (embeddings)
     "sim_topk_bruteforce" -> ((s, d) => Similarity.topKBruteForce(s, d)),
@@ -1165,6 +1166,41 @@ object SparkEntry {
     "dedup_minhash_lsh" -> dedupMinhashOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_star" -> dedupClustersOracle,
+    // end-to-end pipeline: the cluster oracle's min-reachable walk feeds
+    // a per-lang survival rollup — kept docs are everything outside the
+    // pair graph plus each component's min doc_id
+    "dedup_pipeline" -> s"""
+      WITH RECURSIVE pr AS ($dedupMinhashOracle),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pr
+        UNION ALL
+        SELECT doc_b, doc_a FROM pr
+      ),
+      nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+      walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON w.doc_id = e.b
+      ),
+      lab AS (
+        SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id
+      ),
+      dup AS (SELECT doc_id FROM lab WHERE cluster_id <> doc_id),
+      d AS (
+        SELECT doc_id, lang,
+               len(string_split(regexp_replace(lower(trim(text)),
+                 '\\s+', ' ', 'g'), ' '))::BIGINT AS n_toks,
+               doc_id IN (SELECT doc_id FROM dup) AS removed
+        FROM documents
+      )
+      SELECT lang, count(*) AS n_docs,
+             sum(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+             sum(CASE WHEN NOT removed THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             sum(CASE WHEN NOT removed THEN n_toks ELSE 0 END)::BIGINT
+               AS n_tokens_kept,
+             round(avg(CASE WHEN NOT removed THEN n_toks END), 4)
+               AS avg_tokens_kept
+      FROM d GROUP BY lang ORDER BY lang ASC""",
     "dedup_simhash" -> dedupSimhashOracle,
     "sim_topk_bruteforce" -> simTopKOracle,
     "sim_topk_native" -> simTopKOracle,

@@ -68,6 +68,19 @@ class DedupSpec extends SparkSpec {
     assert(rows(2L) == ((0L, false)))
   }
 
+  test("pipeline: per-lang stats drop exactly the non-keeper cluster members") {
+    // component {0,1,2} keeps doc 0 → 2 removed; docs 3 and 4 survive
+    // untouched (never in the pair graph)
+    val rows = Dedup.dedupPipeline(spark, fixtureDir).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("en"))
+    val (nDocs, nRemoved, nKept) = rows("en")
+    assert(nDocs == 5L)
+    assert(nRemoved == 2L, "exactly the two non-keeper members of {0,1,2}")
+    assert(nKept == 3L)
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val rows = Dedup.simHash(spark, fixtureDir, maxHamming = 10)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
