@@ -56,17 +56,25 @@ object Sketches {
     * directly-counted false positives, and the no-false-negative
     * invariant as a hard oracle-checked boolean. All integers →
     * hash-exact despite the operator being "approximate". */
-  def bloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val keys = Tables.read(spark, sfDir, "orders")
-      .filter($"o_orderpriority" === "1-URGENT")
-      .select($"o_orderkey".as("k")) // o_orderkey is unique — no distinct
+  /** Fitted-bitmap build, factored out so the saturation path is
+    * independently testable with a small cap override: adaptive sizing
+    * (smallest 2^b ≥ 16·n_keys), distributed set-bit build, ONE collect
+    * of the occupied slots. Returns (packed words, mBits, saturated);
+    * saturation — the build side outgrowing the cap — WARNS on
+    * `Console.err` (capturable by specs) because past it the FP rate
+    * degrades and a runtime filter should hand off to a shuffled semi
+    * join. */
+  private[graft] def buildBloomBitmap(keys: DataFrame, capBits: Int = 27)
+      : (Array[Long], Int, Boolean) = {
+    import keys.sparkSession.implicits._
     val nKeys = keys.count()
-    var mBits = 13
-    while (mBits < 27 && (1L << mBits) < 16L * nKeys) mBits += 1
-    if ((1L << mBits) < 16L * nKeys)
-      System.err.println(s"[graft] bloomPrune: mBits saturated at 27 for " +
-        s"$nKeys build keys — false-positive rate degrades above ~8.4M keys")
+    var mBits = math.min(13, capBits)
+    while (mBits < capBits && (1L << mBits) < 16L * nKeys) mBits += 1
+    val saturated = (1L << mBits) < 16L * nKeys
+    if (saturated)
+      Console.err.println(s"[graft] bloomPrune: mBits saturated at " +
+        s"$capBits for $nKeys build keys — false-positive rate degrades " +
+        s"above ~${(1L << capBits) / 16L} keys")
     val m = 1L << mBits
     // distributed build: 4 set-bit positions per key, bit_or'd into
     // 64-bit slots (global bit layout identical to the oracle's 32-bit
@@ -81,6 +89,15 @@ object Sketches {
       .collect()
     val words = new Array[Long]((m / 64).toInt.max(1))
     slots.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    (words, mBits, saturated)
+  }
+
+  def bloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.read(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey".as("k")) // o_orderkey is unique — no distinct
+    val (words, mBits, _) = buildBloomBitmap(keys)
     graft.functions.BloomMightContain.register(spark, words, mBits)
     val fact0 = Tables.read(spark, sfDir, "lineitem")
       .select($"l_orderkey", $"l_returnflag")

@@ -50,6 +50,32 @@ class PipelineOpsSpec extends SparkSpec {
     keys.foreach(k => assert(got(k), s"inserted key $k not found"))
   }
 
+  test("bloom saturation: cap warns, no-false-negative invariant survives") {
+    import spark.implicits._
+    // 1000 keys against a 2^8-bit cap: 16·n far exceeds m, the adaptive
+    // sizing pins at the cap — the degraded-FP regime the mBits=27
+    // warning guards in production, reproduced with a small override
+    val keys = (1L to 1000L).map(_ * 37L)
+    val keysDf = keys.toDF("k")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val (words, mBits, saturated) = Console.withErr(errBuf) {
+      graft.operators.Sketches.buildBloomBitmap(keysDf, capBits = 8)
+    }
+    assert(saturated, "1000 keys must saturate a 256-bit cap")
+    assert(mBits == 8, "sizing must pin at the cap, not exceed it")
+    assert(errBuf.toString.contains("saturated"),
+      "the saturation warning must fire")
+    // saturation degrades false POSITIVES only — every inserted key must
+    // still probe true (the invariant that makes the filter a safe prune)
+    graft.functions.BloomMightContain.register(spark, words, mBits,
+      "bloom_probe_sattest")
+    val misses = keysDf
+      .selectExpr("k", "bloom_probe_sattest(k) AS hit")
+      .filter(!col("hit")).count()
+    assert(misses == 0L, s"$misses inserted keys probed false " +
+      "— saturation must never cost a true match")
+  }
+
   test("cms heavy hitters: estimate never undercounts, stays in eps bound") {
     val rows = Sketches.heavyHittersCms(spark, sf).collect()
     assert(rows.length == 10)
