@@ -1,9 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Per-task counters summed (peak: maxed) over whatever ran between two
+    * listener-bus drains — the per-query physical cost the 100 TB design
+    * claims are graded on. */
+  private final class MetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    val peakMem = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      Option(t.taskMetrics).foreach { m =>
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        peakMem.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _)): Unit
+      }
+    def reset(): Unit = {
+      shuffleWrite.set(0); spillMem.set(0); spillDisk.set(0); peakMem.set(0)
+    }
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // N>=3 timed passes: a single-pass number is hostage to machine-load
+    // variance (the r5 artifact disagreed with a re-run by 1.6-2.9x on
+    // one query family) — the committed per-query number is the MEDIAN,
+    // with [min,max] spread kept alongside so variance is visible instead
+    // of silently baked in.
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,6 +54,11 @@ object Bench {
       .config("spark.sql.warehouse.dir", graft.sources.Etl.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def drain(): Unit =
+      try org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      catch { case _: java.util.concurrent.TimeoutException => () }
     // fixture conversions (CSV/ORC/JSON twins, partitioned events copy,
     // bucketed tables) are one-time ETL, not query cost: build them up
     // front and report the time as a separate metric so the per-query
@@ -45,36 +86,88 @@ object Bench {
       }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // untimed warm-up pass: JIT + codegen compilation are per-query
-    // one-time costs; the timed pass below measures steady-state
+    // one-time costs; the timed passes below measure steady-state
     // throughput (disable with SPARK_GRAFT_WARMUP=0).
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
       ordered.foreach { case (name, fn) => run(name, fn) }
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = run(name, fn)
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -1.0, ok)
+    // timed passes; physical metrics are attributed per query on the
+    // LAST pass (drain -> reset -> run -> drain -> snapshot), when the
+    // JVM is warmest — shuffle/spill volumes are plan properties, stable
+    // across passes, so one attributed pass suffices.
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val failedNames = scala.collection.mutable.Set.empty[String]
+    val metrics = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
+    for (pass <- 1 to passes) {
+      val last = pass == passes
+      ordered.foreach { case (name, fn) =>
+        if (last) { drain(); listener.reset() }
+        val t0 = System.nanoTime()
+        val ok = run(name, fn)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) samples(name) = sec :: samples(name)
+        else failedNames += name
+        if (last) {
+          drain()
+          metrics(name) = (listener.shuffleWrite.get, listener.spillMem.get,
+            listener.spillDisk.get, listener.peakMem.get)
+        }
+      }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val results = ordered.map { case (name, _) =>
+      val xs = samples(name)
+      if (xs.isEmpty) (name, -1.0, -1.0, -1.0)
+      else (name, median(xs), xs.min, xs.max)
+    }
+    def fmt(v: Double, dp: Int): String =
+      if (v < 0) "-1" else s"%.${dp}f".format(v)
+    val failed = failedNames.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"etl":$etlSec,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist the COMPLETE per-query map to a committed file: the
-    // round artifact only keeps a truncated stdout tail, which hid 34 of
-    // 97 per-query numbers in r3/r4 — regressions in the cut-off families
-    // were invisible to round-over-round diffing.
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    // The COMPLETE artifact: full-precision medians, per-pass spread, and
+    // the per-query physical-cost map {shuffleWrite, spillMem, spillDisk,
+    // peakMem} (bytes) — the numbers behind every 100 TB design claim,
+    // diffable round-over-round.
+    val spread = results.map { case (k, _, lo, hi) =>
+      "\"" + k + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val met = results.map { case (k, _, _, _) =>
+      val (sw, sm, sd, pk) = metrics.getOrElse(k, (-1L, -1L, -1L, -1L))
+      s""""$k":{"shuffleWrite":$sw,"spillMem":$sm,"spillDisk":$sd,"peakMem":$pk}"""
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"etl":$etlSec,"failed":$failed,"sf":"$sfDir","queries":$qsFull,"spread":$spread,"taskMetrics":$met}"""
     // default lands next to the code: sbt runs main classes in-process,
     // so user.dir is the project root of whatever checkout ran the bench
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"${sys.props("user.dir")}/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      json + "\n")
+      full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // stdout line must PARSE inside the driver's bounded (2000-char)
+    // stdout tail — the r4/r5 full-map lines overflowed it and the round
+    // artifact recorded parsed=null. Emit a summary that fits: totals,
+    // headline medians, and the sha256 of the complete artifact written
+    // above, so the committed BENCH_LOCAL.json is the single
+    // authoritative map and the round artifact binds to it
+    // tamper-evidently.
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((full + "\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val headlineKeys = Seq("q1_topmonths", "q1_typed", "q2_sql",
+      "q3_joinchain", "q3_hint_replicate_nl_join1", "q4_distance",
+      "q4_distance_broadcast", "dedup_exact_twopass", "dedup_minhash_lsh",
+      "dedup_clusters_star", "dedup_pipeline", "sim_topk_native",
+      "text_curation_funnel", "ev_window_tumbling", "stream_stream_join",
+      "q_bloom_prune")
+    val headlines = results
+      .filter { case (k, _, _, _) => headlineKeys.contains(k) }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v, 3) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","passes":$passes,"etl":${fmt(etlSec, 1)},"failed":$failed,"sf":"$sfDir","queries":$headlines,"artifact":"${new java.io.File(outFile).getName}","artifact_sha256":"$sha"}""")
     spark.stop()
   }
 }
