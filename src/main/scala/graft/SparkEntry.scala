@@ -96,6 +96,7 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s, d) => Similarity.topKIvf(s, d)),
     "sim_topk_ivf_kmeans" -> ((s, d) => Similarity.topKIvfKmeans(s, d)),
     "sim_topk_pq" -> ((s, d) => Similarity.topKPq(s, d)),
+    "sim_topk_binary" -> ((s, d) => Similarity.topKBinary(s, d)),
     "embed_kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "embed_cosine_neardup" -> ((s, d) => Similarity.cosineNearDup(s, d)),
     "embed_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
@@ -1207,6 +1208,42 @@ object SparkEntry {
     "sim_topk_lsh" -> simTopKLshOracle,
     "sim_topk_ivf" -> simTopKIvfOracle,
     "sim_topk_ivf_kmeans" -> simTopKIvfKmeansOracle,
+    // binary-quantized ANN replay: identical sign-bit packing (two
+    // 32-bit words — bit 63 is the BIGINT sign bit on both engines),
+    // integer hamming prefilter, exact-cosine rerank with the same
+    // tie-breaks
+    "sim_topk_binary" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), s AS (
+        SELECT vec_id, v,
+               list_sum(list_transform(generate_series(1, 32),
+                 d -> CASE WHEN v[d] > 0 THEN (1::BIGINT << (d - 1))
+                      ELSE 0 END))::BIGINT AS w0,
+               list_sum(list_transform(generate_series(33, 64),
+                 d -> CASE WHEN v[d] > 0 THEN (1::BIGINT << (d - 33))
+                      ELSE 0 END))::BIGINT AS w1
+        FROM e
+      ), q AS (
+        SELECT vec_id AS q_id, v AS q_vec, w0 AS qw0, w1 AS qw1
+        FROM s WHERE vec_id < 3
+      ), cand AS (
+        SELECT q_id, s.vec_id,
+               (bit_count(xor(s.w0, qw0))
+                + bit_count(xor(s.w1, qw1)))::INTEGER AS hamming,
+               s.v, q_vec
+        FROM s, q WHERE s.vec_id <> q_id
+      ), r AS (
+        SELECT q_id, vec_id, hamming,
+               list_cosine_similarity(v, q_vec) AS c,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY list_cosine_similarity(v, q_vec) DESC,
+                          vec_id ASC) AS rnk
+        FROM cand WHERE hamming <= 26
+      )
+      SELECT q_id, vec_id, hamming, round(c, 6) AS cos_sim,
+             rnk::INTEGER AS rnk
+      FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC""",
     // PQ/ADC replay: same codebook seeding, same sequential L2 folds,
     // same subspace-ordered distance accumulation as the Scala side
     "sim_topk_pq" -> """

@@ -355,6 +355,53 @@ object Similarity {
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
+  /** Binary (sign-bit) quantized ANN — the 32× compression tier below
+    * PQ: each 64-float vector becomes two 32-bit sign words (bit d of
+    * word w = sign of component 32w+d; two words, not one 64-bit pack,
+    * because bit 63 is the BIGINT sign bit and neither engine can hold
+    * it in non-negative integer math). Candidate generation is a
+    * hamming prefilter — `bit_count(xor)` per word, pure codegen
+    * arithmetic against the broadcast query signatures, the corpus
+    * never shuffles — and only survivors (hamming ≤ maxHamming, the
+    * angle proxy: E[hamming] = 64·θ/π for random hyperplane-free sign
+    * bits) pay the exact cosine rerank.
+    *
+    * Scale shape: at 100 TB of embeddings the sign words are 16 bytes
+    * per row (vs 256 for float32, 64 for int8) — the prefilter pass is
+    * scan-bound over a column 16× narrower than the raw vectors, and
+    * the rerank touches only the hamming-ball fraction (binomial tail:
+    * ~3% of the corpus at H=26, d=64). Deterministic end-to-end (sign
+    * bits, integer hamming, fixed tie-breaks), so the whole
+    * "approximate" pipeline is hash-gated by a DuckDB replay like the
+    * LSH/IVF/PQ tiers. */
+  def topKBinary(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 3, maxHamming: Int = 26): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = corpus(spark, sfDir)
+    def word(w: Int): Column = expr(
+      s"""aggregate(sequence(0, 31), 0L,
+          (a, d) -> a + IF(element_at(vec, ${32 * w} + d + 1) > 0.0D,
+                           shiftleft(1L, d), 0L))""")
+    val sigs = emb.withColumn("w0", word(0)).withColumn("w1", word(1))
+    val queries = broadcast(sigs.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"vec".as("q_vec"),
+        $"w0".as("qw0"), $"w1".as("qw1")))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    sigs.crossJoin(queries)
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("hamming",
+        (expr("bit_count(w0 ^ qw0)") + expr("bit_count(w1 ^ qw1)"))
+          .cast("int"))
+      .filter($"hamming" <= maxHamming)
+      .withColumn("cos", expr("cosine_sim(vec, q_vec)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", $"hamming",
+        round($"cos", 6).as("cos_sim"), $"rnk")
+      .orderBy($"q_id".asc, $"rnk".asc)
+  }
+
   /** Symmetric int8 quantization of embeddings — the storage/bandwidth
     * path for vectors at scale (float32 → int8 is 4× smaller; at 100 TB
     * of embeddings that is the difference between fitting in cluster

@@ -87,6 +87,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, f"PQ recall@5 $recall%.2f below floor")
   }
 
+  test("binary-quantized ANN: hamming tracks angle, recall vs exact baseline") {
+    val brute = Similarity.topKBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.topKBinary(spark, sf).collect()
+    // sign-bit hamming is an angle proxy: every emitted candidate passed
+    // the H<=26 ball, and the rerank is exact cosine — ordering within
+    // the survivors must agree with the cosine ordering
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b },
+        "rerank must order by exact cosine, descending")
+    }
+    val bin = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bin & brute).size.toDouble / brute.size
+    info(f"binary recall@5 = $recall%.2f")
+    // same HARD regime as PQ (no true near neighbors in the synthetic
+    // corpus, max off-diagonal cosine ~0.5): the floor guards against a
+    // bit-packing/hamming bug (recall ~ chance), not quantization loss
+    assert(recall >= 0.2, f"binary recall@5 $recall%.2f below floor")
+  }
+
   test("near-dup pairs are canonicalized and above threshold") {
     val rows = Similarity.cosineNearDup(spark, sf).collect()
     rows.foreach { r =>
