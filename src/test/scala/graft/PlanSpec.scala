@@ -139,6 +139,33 @@ class PlanSpec extends SparkSpec {
       s"fact rows must not shuffle for a join:\n$p")
   }
 
+  test("sim_topk_binary: corpus never shuffles for candidates") {
+    // the compression-tier shape: sign words + hamming prefilter are
+    // per-row codegen against the BROADCAST query signatures — the only
+    // allowed exchange is the final per-query top-k window over the
+    // hamming-ball survivors
+    val p = plan("sim_topk_binary")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query signatures must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle for a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"only the survivor top-k window may exchange, found $exchanges")
+  }
+
+  test("dedup_pipeline: corpus pays one join and one low-card aggregate") {
+    // the end-to-end curation query: everything upstream of the label
+    // join operates on the pair graph (duplicated minority); the full
+    // corpus appears exactly once, left-outer joined to the label table,
+    // then collapses map-side into the per-lang rollup
+    val p = plan("dedup_pipeline")
+    assert(p.contains("LeftOuter"),
+      s"keeper filter must be the left-outer label join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-lang rollup must partial-aggregate map-side:\n$p")
+  }
+
   test("q_heavy_hitters_cms: sketch aggregates collapse map-side") {
     // partial_count before the exchange = the map-side combine that keeps
     // the d×w sketch shuffle tiny at any corpus size ("HashAggregate"
