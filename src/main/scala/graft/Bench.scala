@@ -56,9 +56,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
-    def drain(): Unit =
-      try org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
-      catch { case _: java.util.concurrent.TimeoutException => () }
+    // returns false on timeout: queued events from the PREVIOUS query may
+    // then drain after reset and pollute the next snapshot — the caller
+    // must mark the affected metrics invalid, never record them silently
+    def drain(): Boolean =
+      try {
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        true
+      } catch { case _: java.util.concurrent.TimeoutException => false }
     // fixture conversions (CSV/ORC/JSON twins, partitioned events copy,
     // bucketed tables) are one-time ETL, not query cost: build them up
     // front and report the time as a separate metric so the per-query
@@ -101,26 +106,40 @@ object Bench {
     for (pass <- 1 to passes) {
       val last = pass == passes
       ordered.foreach { case (name, fn) =>
-        if (last) { drain(); listener.reset() }
+        val preClean = if (last) { val d = drain(); listener.reset(); d }
+          else true
         val t0 = System.nanoTime()
         val ok = run(name, fn)
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) samples(name) = sec :: samples(name)
         else failedNames += name
         if (last) {
-          drain()
-          metrics(name) = (listener.shuffleWrite.get, listener.spillMem.get,
-            listener.spillDisk.get, listener.peakMem.get)
+          val postClean = drain()
+          // attribution is only trustworthy if the query succeeded AND
+          // both bounding drains completed — otherwise record the -1
+          // failure convention, never a silently-polluted snapshot
+          metrics(name) =
+            if (ok && preClean && postClean)
+              (listener.shuffleWrite.get, listener.spillMem.get,
+                listener.spillDisk.get, listener.peakMem.get)
+            else (-1L, -1L, -1L, -1L)
         }
       }
     }
     val results = ordered.map { case (name, _) =>
+      // a query that failed on ANY pass reports -1 (the established
+      // failure convention) — a fewer-sample median alongside a "failed"
+      // entry would make the artifact disagree with itself
       val xs = samples(name)
-      if (xs.isEmpty) (name, -1.0, -1.0, -1.0)
+      if (xs.isEmpty || failedNames.contains(name)) (name, -1.0, -1.0, -1.0)
       else (name, median(xs), xs.min, xs.max)
     }
+    // Locale.ROOT: a decimal-comma default FORMAT locale would emit
+    // invalid JSON — the exact parsed=null failure this line exists to fix
     def fmt(v: Double, dp: Int): String =
-      if (v < 0) "-1" else s"%.${dp}f".format(v)
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, s"%.${dp}f",
+        Double.box(v))
     val failed = failedNames.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum

@@ -1167,24 +1167,13 @@ object SparkEntry {
     "dedup_minhash_lsh" -> dedupMinhashOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_star" -> dedupClustersOracle,
-    // end-to-end pipeline: the cluster oracle's min-reachable walk feeds
-    // a per-lang survival rollup — kept docs are everything outside the
-    // pair graph plus each component's min doc_id
+    // end-to-end pipeline: the SHARED cluster oracle (one definition —
+    // a second inlined copy of the recursive walk could silently drift)
+    // feeds a per-lang survival rollup — kept docs are everything
+    // outside the pair graph plus each component's min doc_id
     "dedup_pipeline" -> s"""
-      WITH RECURSIVE pr AS ($dedupMinhashOracle),
-      edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pr
-        UNION ALL
-        SELECT doc_b, doc_a FROM pr
-      ),
-      nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
-      walk(doc_id, label) AS (
-        SELECT doc_id, doc_id FROM nodes
-        UNION
-        SELECT e.a, w.label FROM edges e JOIN walk w ON w.doc_id = e.b
-      ),
-      lab AS (
-        SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id
+      WITH lab AS (
+        SELECT doc_id, cluster_id FROM ($dedupClustersOracle)
       ),
       dup AS (SELECT doc_id FROM lab WHERE cluster_id <> doc_id),
       d AS (

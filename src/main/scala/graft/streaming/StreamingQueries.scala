@@ -170,7 +170,9 @@ object StreamingQueries {
     // one-row fitted bound (max event time), not a data collect: the
     // sentinel timestamps must clear every lastEvent+gap(30)+watermark(10)
     // horizon in the fixture
-    val maxUs = evs.agg(max(unix_micros($"ts"))).head().getLong(0)
+    val maxRow = evs.agg(max(unix_micros($"ts"))).head()
+    require(!maxRow.isNullAt(0), "events fixture is empty")
+    val maxUs = maxRow.getLong(0)
     def sentinel(plusMin: Long): DataFrame =
       Seq((-1L, new Timestamp(maxUs / 1000L + plusMin * 60000L), 0.0))
         .toDF("user_id", "ts", "value")
@@ -260,6 +262,12 @@ object StreamingQueries {
     val ev = eventsDf(spark, sfDir)
     val hist = ev.filter(unix_micros($"ts") < cutUs)
     val delta = ev.filter(unix_micros($"ts") >= cutUs)
+    // a one-sided split would still write a metadata-only parquet file,
+    // fire an empty micro-batch, and leave state_v1 in place — the
+    // merge-equals-recompute proof would pass VACUOUSLY; fail loudly
+    // instead (limit-1 existence probes, not counts)
+    require(!hist.isEmpty && !delta.isEmpty,
+      "cutoff must split the fixture into two non-empty batches")
     val root = java.nio.file.Files.createTempDirectory("graft_stream_inc")
     try {
       val srcDir = root.resolve("src").toString
