@@ -208,4 +208,23 @@ class StreamingSpec extends SparkSpec {
         s"merged state wrong: $state")
     } finally q.stop()
   }
+
+  test("file-stream harness: redelivery through real file appends dedups exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the declared-query harness end-to-end (parquet appends into a
+    // monitored dir, two deliveries of the same fixture, file-source
+    // micro-batches) — the sink aggregate must equal the batch aggregate
+    // over the UN-duplicated fixture, proving the second delivery was
+    // fully absorbed by dropDuplicatesWithinWatermark through the FILE
+    // source, not just through MemoryStream
+    val got = graft.streaming.StreamingQueries.dedupRedelivery(spark, sf)
+    val want = Tables.read(spark, sf, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
+          .as("sum_value"))
+      .orderBy($"event_type".asc)
+    assertSameRows(got, want)
+  }
 }
