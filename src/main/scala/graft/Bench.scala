@@ -115,11 +115,13 @@ object Bench {
         else failedNames += name
         if (last) {
           val postClean = drain()
-          // attribution is only trustworthy if the query succeeded AND
-          // both bounding drains completed — otherwise record the -1
-          // failure convention, never a silently-polluted snapshot
+          // attribution is only trustworthy if the query succeeded on
+          // EVERY pass (a failed entry with live-looking metrics would
+          // contradict the failed[] list) AND both bounding drains
+          // completed — otherwise record the -1 failure convention,
+          // never a silently-polluted snapshot
           metrics(name) =
-            if (ok && preClean && postClean)
+            if (ok && !failedNames.contains(name) && preClean && postClean)
               (listener.shuffleWrite.get, listener.spillMem.get,
                 listener.spillDisk.get, listener.peakMem.get)
             else (-1L, -1L, -1L, -1L)
@@ -142,6 +144,17 @@ object Bench {
         Double.box(v))
     val failed = failedNames.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    // stdout variant is BOUNDED: a mass failure (bad fixture dir) would
+    // otherwise push ~2.3KB of quoted names past the driver's 2000-char
+    // stdout tail — losing the parse exactly when the failure signal
+    // matters most; the full list lives in the written artifact
+    val failedBounded = {
+      val names = failedNames.toSeq.sorted
+      val shown = names.take(8).map("\"" + _ + "\"")
+      (if (names.length > 8)
+        shown :+ s""""+${names.length - 8} more""""
+      else shown).mkString("[", ",", "]")
+    }
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     // The COMPLETE artifact: full-precision medians, per-pass spread, and
     // the per-query physical-cost map {shuffleWrite, spillMem, spillDisk,
@@ -186,7 +199,7 @@ object Bench {
       .filter { case (k, _, _, _) => headlineKeys.contains(k) }
       .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","passes":$passes,"etl":${fmt(etlSec, 1)},"failed":$failed,"sf":"$sfDir","queries":$headlines,"artifact":"${new java.io.File(outFile).getName}","artifact_sha256":"$sha"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","passes":$passes,"etl":${fmt(etlSec, 1)},"failedCount":${failedNames.size},"failed":$failedBounded,"sf":"$sfDir","queries":$headlines,"artifact":"${new java.io.File(outFile).getName}","artifact_sha256":"$sha"}""")
     spark.stop()
   }
 }

@@ -198,6 +198,20 @@ object StreamingOps {
     * batch 0 — which would take the delta-only branch and silently reset
     * the totals. In production the state table is a MERGE INTO target;
     * the generational parquet dir is the dependency-free equivalent. */
+  /** `state_v<N>` directory-name parse, shared by the retention pruner
+    * below and StreamingQueries' generation reader — ONE definition of
+    * "which directories are generations", so a future change (e.g.
+    * overflow-safe parse) cannot leave the reader and the pruner
+    * disagreeing. The nonEmpty guard matters: a dir named exactly
+    * "state_v" passes forall(_.isDigit) vacuously and "".toLong throws. */
+  private[streaming] def parseGeneration(name: String): Option[Long] = {
+    val suffix = name.stripPrefix("state_v")
+    if (name.startsWith("state_v") && suffix.nonEmpty &&
+        suffix.forall(_.isDigit) && suffix.length <= 18)
+      Some(suffix.toLong)
+    else None
+  }
+
   def incrementalAggSink(events: DataFrame, stateRoot: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.DataFrame
@@ -240,13 +254,7 @@ object StreamingOps {
         // batch count forever on a long-running query.
         val root = new org.apache.hadoop.fs.Path(stateRoot)
         if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-          val nm = st.getPath.getName
-          val suffix = nm.stripPrefix("state_v")
-          // nonEmpty guard: a dir named exactly "state_v" would pass
-          // forall(_.isDigit) vacuously and then "".toLong would throw
-          // inside the micro-batch
-          if (nm.startsWith("state_v") && suffix.nonEmpty &&
-              suffix.forall(_.isDigit) && suffix.toLong <= batchId - 2)
+          if (parseGeneration(st.getPath.getName).exists(_ <= batchId - 2))
             fs.delete(st.getPath, true): Unit
         }
       }

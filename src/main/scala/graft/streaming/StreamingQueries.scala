@@ -286,11 +286,7 @@ object StreamingQueries {
       val fs = statePath.getFileSystem(
         spark.sessionState.newHadoopConf())
       val gens = fs.listStatus(statePath).toSeq
-        .map(_.getPath.getName)
-        .collect { case nm if nm.startsWith("state_v") &&
-            nm.stripPrefix("state_v").nonEmpty &&
-            nm.stripPrefix("state_v").forall(_.isDigit) =>
-          nm.stripPrefix("state_v").toLong }
+        .flatMap(st => StreamingOps.parseGeneration(st.getPath.getName))
       require(gens.nonEmpty, s"no state generations under $stateRoot")
       require(gens.max >= 1L,
         "cutoff must split the fixture into two non-empty batches")

@@ -9,8 +9,10 @@ appeared/disappeared. Exit code 1 if any shared query regressed by more
 than `threshold` (default 1.5x) — usable as a round-over-round gate.
 
 Spread-aware: a "regression" whose candidate median still lies inside
-the baseline's [min,max] spread (or vice versa) is flagged as variance,
-not a regression — the r5 lesson that single-run deltas lie.
+the baseline's [min,max] spread is flagged as variance, not a
+regression — the r5 lesson that single-run deltas lie. (One-directional
+on purpose: a symmetric or interval-overlap test is maskable by a wide
+candidate spread that merely touches the baseline range.)
 """
 import json
 import sys
@@ -30,27 +32,38 @@ def main(base_path, cand_path, threshold=1.5):
     rows = []
     for k in shared:
         b, c = bq[k], cq[k]
-        if b <= 0 or c <= 0:
+        if c <= 0:
+            # candidate failure always gates
             rows.append((float("inf"), k, b, c, "FAILED"))
+            continue
+        if b <= 0:
+            # baseline had failed, candidate now passes: an improvement,
+            # not a gate — a stale failed baseline must not wedge the
+            # gate closed forever
+            rows.append((0.0, k, b, c, "fixed (baseline had failed)"))
             continue
         ratio = c / b
         note = ""
         if ratio > threshold:
             blo, bhi = bs.get(k, [b, b])
-            clo, chi = cs.get(k, [c, c])
-            # overlap of spreads => the medians are not distinguishable
-            note = ("variance (spreads overlap)"
-                    if clo <= bhi and blo <= chi else "REGRESSION")
+            # variance only if the CANDIDATE MEDIAN lies inside the
+            # baseline's observed spread — one-directional on purpose:
+            # both interval overlap and the symmetric median test are
+            # maskable by a wide candidate spread that merely touches
+            # the baseline range
+            variance = blo <= c <= bhi
+            note = ("variance (candidate median within baseline spread)"
+                    if variance else "REGRESSION")
         rows.append((ratio, k, b, c, note))
     rows.sort(reverse=True)
     width = max((len(k) for k in shared), default=10)
     for ratio, k, b, c, note in rows:
-        r = f"{ratio:6.2f}x" if ratio != float("inf") else "  FAIL "
+        r = f"{ratio:6.2f}x" if 0 < ratio != float("inf") else "   --  "
         print(f"{k:{width}s} {b:8.3f} -> {c:8.3f}  {r}  {note}")
     bt, ct = base.get("value", -1), cand.get("value", -1)
     print(f"\ntotal: {bt:.1f} -> {ct:.1f} s "
           f"({ct / bt:.2f}x)" if bt > 0 and ct > 0 else "\ntotal: n/a")
-    finite = [r for r, *_ in rows if r != float("inf")]
+    finite = [r for r, *_ in rows if 0 < r != float("inf")]
     if finite:
         mid = sorted(finite)[len(finite) // 2]
         print(f"median per-query ratio: {mid:.2f}x over {len(finite)} queries")
