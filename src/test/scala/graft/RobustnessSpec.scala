@@ -38,6 +38,9 @@ class RobustnessSpec extends SparkSpec {
     assert(Dedup.minHashLsh(spark, emptyDir).count() == 0)
     assert(Dedup.simHash(spark, emptyDir).count() == 0)
     assert(Dedup.dedupClusters(spark, emptyDir).count() == 0)
+    assert(Dedup.dedupClustersStar(spark, emptyDir).count() == 0)
+    // the pipeline rollup groups by lang — zero docs, zero groups
+    assert(Dedup.dedupPipeline(spark, emptyDir).count() == 0)
   }
 
   test("text operators return empty on an empty corpus") {
@@ -63,6 +66,8 @@ class RobustnessSpec extends SparkSpec {
     assert(Similarity.topKIvfKmeans(spark, emptyDir).count() == 0)
     assert(Similarity.kmeansClusters(spark, emptyDir).count() == 0)
     assert(Similarity.cosineNearDup(spark, emptyDir).count() == 0)
+    assert(Similarity.topKPq(spark, emptyDir).count() == 0)
+    assert(Similarity.topKBinary(spark, emptyDir).count() == 0)
   }
 
   test("sketch and event operators survive empty inputs") {
