@@ -105,6 +105,7 @@ object SparkEntry {
     "mm_binary_features" -> ((s, d) => Multimodal.binaryFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
+    "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
     "mm_crossmodal_join" -> ((s, d) => Multimodal.crossModalJoin(s, d)),
     "mm_audio_features" -> ((s, d) => Multimodal.audioFeatures(s, d)),
     // Event windowing / sessionization (batch twins of graft.streaming)
@@ -1589,6 +1590,48 @@ object SparkEntry {
                            + 1, 1))) // 4)),
                (a, x) -> (a * 31 + x) % 1000000007) AS out_hash
       FROM s ORDER BY doc_id ASC""",
+    // replays the aHash grid from the text bytes: grid cell (i,j) =
+    // decoded gray pixel (i*h/8, 2j) = text byte at (i*h/8)*16 + 2j;
+    // bit = 64*g > grid sum (strict, integer-exact); two 32-bit words,
+    // 4x16-bit band buckets, bit_count(xor) hamming <= 10
+    "mm_phash_dedup" -> """
+      WITH d AS (
+        SELECT doc_id, text, (length(text) // 16) AS h
+        FROM documents WHERE (length(text) // 16) >= 8
+      ), grid AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                 k -> ascii(substr(text,
+                   ((((k // 8) * h) // 8) * 16 + 2 * (k % 8) + 1)::int,
+                   1))::BIGINT) AS g
+        FROM d
+      ), sums AS (
+        SELECT doc_id, g, list_sum(g) AS s FROM grid
+      ), sig AS (
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(1, 32),
+                 k -> CASE WHEN 64 * g[k] > s THEN (1::BIGINT << (k - 1))
+                      ELSE 0 END))::BIGINT AS w0,
+               list_sum(list_transform(generate_series(33, 64),
+                 k -> CASE WHEN 64 * g[k] > s THEN (1::BIGINT << (k - 33))
+                      ELSE 0 END))::BIGINT AS w1
+        FROM sums
+      ), banded AS (
+        SELECT doc_id, w0, w1, band,
+               CASE WHEN band = 0 THEN w0 & 65535
+                    WHEN band = 1 THEN (w0 >> 16) & 65535
+                    WHEN band = 2 THEN w1 & 65535
+                    ELSE (w1 >> 16) & 65535 END AS bsig
+        FROM sig CROSS JOIN generate_series(0, 3) t(band)
+      ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               (bit_count(xor(a.w0, b.w0))
+                + bit_count(xor(a.w1, b.w1)))::INTEGER AS hamming
+        FROM banded a JOIN banded b USING (band, bsig)
+        WHERE a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 10
+      ORDER BY doc_a ASC, doc_b ASC""",
     "mm_crossmodal_join" -> """
       WITH v AS (
         SELECT vec_id AS doc_id,

@@ -183,6 +183,79 @@ object Multimodal {
       .orderBy($"doc_id".asc, $"frame_idx".asc)
   }
 
+  /** Perceptual-hash image near-dup — the MULTIMODAL dedup tier: decode
+    * the P6 payload, average-hash the decoded pixels (8×8 sample grid:
+    * rows i·h/8, every other column; bit = pixel strictly above the
+    * grid mean, packed into two 32-bit words — the sign-bit-safe pack),
+    * then candidate pairs via 4×16-bit band buckets and
+    * `bit_count(xor)` hamming ≤ `maxHamming` — the image twin of
+    * `dedup_simhash`'s text pipeline, and the standard near-dup-image
+    * design (aHash + banded hamming) at corpus scale: candidates come
+    * from band buckets, never an all-pairs join, and the decoded pixels
+    * never leave their scan partition (only the 16-byte signature
+    * shuffles).
+    *
+    * Deterministic integer math end-to-end (decode → grid → mean
+    * comparison → hamming), so the DuckDB oracle replays every bit from
+    * the text bytes like the other mm_* ops. Images shorter than 8 rows
+    * (< 128 payload bytes) have no stable 8×8 grid and drop out, like
+    * `grayImage`'s own < 1-row guard. */
+  def phashDedup(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 10): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+    val sigs = docs.mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        grayImage(text).filter(_.h >= 8).map { img =>
+          def g(r: Int, c: Int): Int = img.rgb((r * img.w + c) * 3) & 0xff
+          val grid = new Array[Int](64)
+          var i = 0
+          while (i < 8) {
+            val r = i * img.h / 8
+            var j = 0
+            while (j < 8) { grid(i * 8 + j) = g(r, 2 * j); j += 1 }
+            i += 1
+          }
+          val sum = grid.sum
+          var w0 = 0L
+          var w1 = 0L
+          var k = 0
+          while (k < 64) {
+            // strict 64·g > Σ: integer-exact "above the mean", no
+            // division rounding for the oracle to mismatch
+            if (64L * grid(k) > sum) {
+              if (k < 32) w0 |= (1L << k) else w1 |= (1L << (k - 32))
+            }
+            k += 1
+          }
+          (id, w0, w1)
+        }
+      }
+    }.toDF("doc_id", "w0", "w1")
+    val banded = sigs.select($"doc_id", $"w0", $"w1",
+      explode(array((0 until 4).map { b =>
+        val word = if (b < 2) $"w0" else $"w1"
+        struct(lit(b).as("band"),
+          shiftrightunsigned(word, 16 * (b % 2))
+            .bitwiseAND(lit(0xffffL)).as("bsig"))
+      }: _*)).as("bb"))
+      .select($"doc_id", $"w0", $"w1", $"bb.band", $"bb.bsig")
+    val l = banded.select($"doc_id".as("doc_a"), $"w0".as("a0"),
+      $"w1".as("a1"), $"band", $"bsig")
+    val r = banded.select($"doc_id".as("doc_b"), $"w0".as("b0"),
+      $"w1".as("b1"), $"band", $"bsig")
+    l.join(r, Seq("band", "bsig"))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("hamming",
+        (expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)"))
+          .cast("int"))
+      .filter($"hamming" <= maxHamming)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .distinct()
+      .orderBy($"doc_a".asc, $"doc_b".asc)
+  }
+
   /** Real audio feature extraction: each document's payload is an 8-bit
     * mono PCM WAV (samples = the text's bytes — same stand-in-payload
     * contract as the image ops), genuinely round-tripped through the

@@ -81,6 +81,27 @@ class DedupSpec extends SparkSpec {
     assert(nKept == 3L)
   }
 
+  test("image phash: identical payloads at hamming 0, unrelated images unpaired") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-phash").toString
+    // >= 128 bytes so the decoded image has the 8 rows the 8x8 grid needs
+    val imgText = (0 until 40).map(i => s"px$i").mkString(" ")
+    val other = (0 until 40).map(i => s"zz${(i * 7) % 13}q$i").mkString(" ")
+    Seq(
+      (10L, imgText, "en", "s", 0L),
+      (11L, imgText, "en", "s", 0L), // byte-identical payload
+      (12L, other, "en", "s", 0L),
+      (13L, "tiny", "en", "s", 0L)   // < 8 rows: drops out of the grid
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Multimodal.phashDedup(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(rows.get((10L, 11L)).contains(0),
+      "byte-identical images must pair at hamming 0")
+    assert(!rows.keySet.exists(p => p._1 == 13L || p._2 == 13L),
+      "sub-grid image must drop out, not crash or pair")
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val rows = Dedup.simHash(spark, fixtureDir, maxHamming = 10)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
