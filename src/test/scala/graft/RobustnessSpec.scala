@@ -41,6 +41,7 @@ class RobustnessSpec extends SparkSpec {
     assert(Dedup.dedupClustersStar(spark, emptyDir).count() == 0)
     // the pipeline rollup groups by lang — zero docs, zero groups
     assert(Dedup.dedupPipeline(spark, emptyDir).count() == 0)
+    assert(Multimodal.phashDedup(spark, emptyDir).count() == 0)
   }
 
   test("text operators return empty on an empty corpus") {
