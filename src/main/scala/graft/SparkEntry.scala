@@ -99,6 +99,7 @@ object SparkEntry {
     "sim_topk_binary" -> ((s, d) => Similarity.topKBinary(s, d)),
     "embed_kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "embed_cosine_neardup" -> ((s, d) => Similarity.cosineNearDup(s, d)),
+    "dedup_semantic" -> ((s, d) => Similarity.dedupSemantic(s, d)),
     "embed_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     // Multimodal columns
     "mm_props_json" -> ((s, d) => Multimodal.propsJson(s, d)),
@@ -1279,6 +1280,42 @@ object SparkEntry {
       SELECT q_id, vec_id, round(dist, 6) AS pq_dist, rnk::INTEGER AS rnk
       FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC""",
     "embed_kmeans_clusters" -> embedKmeansClustersOracle,
+    // SemDeDup replay: the shared unrolled-Lloyd assignment, within-cell
+    // round-6 cosine pairs, the recursive min-reachable walk, per-class
+    // survival rollup (RECURSIVE prefixed onto the shared CTE chain —
+    // DuckDB requires it once for the whole WITH list)
+    "dedup_semantic" -> s"""
+      ${kmeansCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, sp AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a
+        JOIN assigned b USING (cell_id)
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+      ), ed AS (
+        SELECT id_a AS x, id_b AS y FROM sp
+        UNION ALL
+        SELECT id_b, id_a FROM sp
+      ), nd AS (SELECT DISTINCT x AS vec_id FROM ed),
+      walk(vec_id, lbl) AS (
+        SELECT vec_id, vec_id FROM nd
+        UNION
+        SELECT ed.x, w.lbl FROM ed JOIN walk w ON w.vec_id = ed.y
+      ),
+      lab AS (
+        SELECT vec_id, min(lbl) AS cluster_id FROM walk GROUP BY vec_id
+      ),
+      dup AS (SELECT vec_id FROM lab WHERE cluster_id <> vec_id),
+      allv AS (
+        SELECT vec_id, label,
+               vec_id IN (SELECT vec_id FROM dup) AS removed
+        FROM embeddings
+      )
+      SELECT label, count(*) AS n_vecs,
+             sum(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+             sum(CASE WHEN NOT removed THEN 1 ELSE 0 END)::BIGINT AS n_kept
+      FROM allv GROUP BY label ORDER BY label ASC""",
     "text_repetition" -> """
       WITH d AS (
         SELECT doc_id,

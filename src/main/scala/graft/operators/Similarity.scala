@@ -402,6 +402,62 @@ object Similarity {
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023 — public
+    * arXiv): k-means-CLUSTER-SCOPED near-duplicate removal over the
+    * embedding space. Vectors are assigned to their deterministic-Lloyd
+    * cell (the `kmeansCentroids` fitted model, broadcast); candidate
+    * pairs are WITHIN-CELL only (`round(cosine, 6) ≥ threshold`); the
+    * pair graph resolves through the hub-safe star CC and the keeper
+    * filter rolls up survival per class label — the embedding twin of
+    * the text `dedupPipeline`.
+    *
+    * Scale stance: assignment is one broadcast-centroids pass; the
+    * within-cell self-join's fan-out is bounded by cell occupancy
+    * (≈ n/k), the quadratic-in-cell-size cost SemDeDup accepts by
+    * design — on a corpus where cells outgrow memory the in-cell
+    * candidate step swaps to the banded `cosineNearDup` (both are
+    * declared, so the trade is measured, not asserted). Deterministic
+    * end-to-end (integer-quantized Lloyd, round-6 threshold, CC
+    * fixpoint), so DuckDB replays the full pipeline. */
+  def dedupSemantic(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, nCells: Int = 16): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = corpus(spark, sfDir)
+    val cents = kmeansCentroids(spark, sfDir, nCells)
+    val centroids = broadcast(
+      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("cell_id", "centroid"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"cell_cos".desc, $"cell_id".asc)
+    val assigned = emb.crossJoin(centroids)
+      .withColumn("cell_cos", expr("cosine_sim(vec, centroid)"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter($"r" === 1)
+      .select($"cell_id", $"vec_id", $"vec")
+    val lhs = assigned
+      .select($"cell_id", $"vec_id".as("id_a"), $"vec".as("vec_a"))
+    val rhs = assigned
+      .select($"cell_id", $"vec_id".as("id_b"), $"vec".as("vec_b"))
+    val pairs = lhs.join(rhs, Seq("cell_id"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("cos_sim", round(expr("cosine_sim(vec_a, vec_b)"), 6))
+      .filter($"cos_sim" >= threshold)
+      .select($"id_a", $"id_b")
+    val (ccLabels, _) = Dedup.connectedComponentsStar(pairs)
+    val dupFlag = ccLabels
+      .select($"doc_id".as("vec_id"), ($"label" =!= $"doc_id").as("dup"))
+    Tables.read(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label")
+      .join(dupFlag, Seq("vec_id"), "left_outer")
+      .withColumn("removed", coalesce($"dup", lit(false)))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!$"removed", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"label".asc)
+  }
+
   /** Symmetric int8 quantization of embeddings — the storage/bandwidth
     * path for vectors at scale (float32 → int8 is 4× smaller; at 100 TB
     * of embeddings that is the difference between fitting in cluster

@@ -69,6 +69,7 @@ class RobustnessSpec extends SparkSpec {
     assert(Similarity.cosineNearDup(spark, emptyDir).count() == 0)
     assert(Similarity.topKPq(spark, emptyDir).count() == 0)
     assert(Similarity.topKBinary(spark, emptyDir).count() == 0)
+    assert(Similarity.dedupSemantic(spark, emptyDir).count() == 0)
   }
 
   test("sketch and event operators survive empty inputs") {

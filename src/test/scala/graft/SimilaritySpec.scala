@@ -108,6 +108,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, f"binary recall@5 $recall%.2f below floor")
   }
 
+  test("semantic dedup: per-label rollup partitions the corpus exactly") {
+    val rows = Similarity.dedupSemantic(spark, sf).collect()
+    val corpus = Tables.read(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == corpus,
+      "per-label counts must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"label ${r.get(0)}: removed + kept must equal total")
+    }
+  }
+
   test("near-dup pairs are canonicalized and above threshold") {
     val rows = Similarity.cosineNearDup(spark, sf).collect()
     rows.foreach { r =>
