@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Probabilistic-filter operators — the runtime-filter / heavy-hitter
@@ -151,10 +150,21 @@ object Sketches {
       .groupBy($"c.j".as("j"), $"c.bucket".as("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val totals = fact.groupBy($"key").agg(count(lit(1)).as("exact_cnt"))
-    val top = totals
-      .withColumn("rnk", row_number().over(
-        Window.orderBy($"exact_cnt".desc, $"key".asc)))
-      .filter($"rnk" <= topK)
+    // top-k via orderBy+limit → TakeOrderedAndProject: each upstream
+    // partition forwards only its own top-k, never a global-window funnel
+    // (row_number over an unpartitioned Window would move every post-agg
+    // key into one task and log "No Partition Defined"). Rank is then
+    // recomputed over just the ≤ topK survivors by counting rows strictly
+    // ahead in the same sort order — a k×k broadcast loop join, ≤ 100
+    // pairs at any corpus size, window-free
+    val topRows = totals.orderBy($"exact_cnt".desc, $"key".asc).limit(topK)
+    val top = topRows.as("a")
+      .join(broadcast(topRows.as("b")),
+        $"b.exact_cnt" > $"a.exact_cnt" ||
+          ($"b.exact_cnt" === $"a.exact_cnt" && $"b.key" < $"a.key"),
+        "left_outer")
+      .groupBy($"a.key".as("key"), $"a.exact_cnt".as("exact_cnt"))
+      .agg((count($"b.key") + 1L).cast("int").as("rnk"))
     // N = sum over any one hash row of the sketch (≤ w rows) — no third
     // scan of the fact table for a number the sketch already carries
     val n = cms.filter($"j" === 0).agg(sum($"cnt").as("n_total"))

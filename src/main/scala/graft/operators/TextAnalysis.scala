@@ -381,9 +381,10 @@ object TextAnalysis {
     * (docs starting in each bin, token mass) a packing job would write.
     *
     * The global running token count is a DISTRIBUTED prefix sum: docs
-    * are grouped into coarse doc_id ranges, per-range token sums are
-    * cumsum'd in a tiny single-partition window (#ranges rows, not
-    * #docs), offsets join back broadcast, and the per-doc running sum is
+    * are grouped into coarse doc_id ranges, per-range token offsets come
+    * from a tiny triangular self-join over the range table (#ranges²
+    * bounded pairs, not #docs), offsets join back broadcast, and the
+    * per-doc running sum is
     * a window partitioned BY RANGE — fully parallel. A naive
     * `Window.orderBy(doc_id)` with no partitioning funnels 100 TB
     * through ONE task; this shape never materializes more than a range
@@ -411,12 +412,17 @@ object TextAnalysis {
       .withColumn("rng", expr(s"doc_id div $width"))
     val rangeTotals = docs.groupBy($"rng")
       .agg(sum($"n_tokens").as("rng_tokens"))
-    // tiny window: one row per range
-    val wRng = Window.orderBy($"rng".asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val rangeOffsets = rangeTotals
-      .withColumn("rng_offset", coalesce(sum($"rng_tokens").over(wRng), lit(0L)))
-      .select($"rng", $"rng_offset")
+    // range-level prefix sum as a triangular broadcast join: offset(r) =
+    // Σ tokens of strictly-earlier ranges. The range table is ≤ 8192 rows
+    // BY CONSTRUCTION (width is sized from the corpus count), so the
+    // nested-loop pair count is bounded at ~67M cheap comparisons spread
+    // across the cluster — and the plan stays window-free (an
+    // unpartitioned running-sum window, even over 8192 rows, plans as a
+    // single-partition WindowExec and logs a misleading scale warning)
+    val rangeOffsets = rangeTotals.as("a")
+      .join(broadcast(rangeTotals.as("b")), $"b.rng" < $"a.rng", "left_outer")
+      .groupBy($"a.rng".as("rng"))
+      .agg(coalesce(sum($"b.rng_tokens"), lit(0L)).as("rng_offset"))
     val wDoc = Window.partitionBy($"rng").orderBy($"doc_id".asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.join(broadcast(rangeOffsets), Seq("rng"))

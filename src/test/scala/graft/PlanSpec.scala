@@ -174,6 +174,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       s"no partial_count before the sketch exchange:\n$p")
     assert(!p.contains("CartesianProduct"), "estimate join went cartesian")
+    // exact-side top-k must be TakeOrderedAndProject (each partition
+    // forwards only its own k rows) — never an unpartitioned global
+    // window funnelling every post-agg key into one task
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact top-k must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window"),
+      s"no window operator belongs in this plan:\n$p")
   }
 
   test("q_grouping_sets: one Expand pass feeding one partial-combined agg") {
