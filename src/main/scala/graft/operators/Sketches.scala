@@ -44,10 +44,10 @@ object Sketches {
     * runtime filters size from build-side stats: smallest 2^b ≥ 16·n_keys
     * (k=4 hashes → ~0.15% false-positive rate at 16 bits/key); the probe
     * count() is one pushed-down scan of the key column. mBits caps at 27
-    * (a 16 MiB bitmap); past ~8.4M build keys the cap saturates and the
-    * FP rate degrades — that is WARNED, not silent, and at that
-    * cardinality a runtime filter should hand off to a shuffled semi
-    * join anyway.
+    * (a 16 MiB bitmap); past ~8.4M build keys the cap saturates, the FP
+    * guarantee is gone, and the operator HANDS OFF: instead of building
+    * a degraded bitmap it plans the exact shuffled hash join the filter
+    * was approximating (see the saturated branch in `bloomPrune`).
     *
     * Output: per l_returnflag, total rows, bloom-pass rows, exact matches
     * (the semi join the bloom approximates — computed here only to
@@ -55,21 +55,32 @@ object Sketches {
     * directly-counted false positives, and the no-false-negative
     * invariant as a hard oracle-checked boolean. All integers →
     * hash-exact despite the operator being "approximate". */
+  /** Adaptive sizing shared by the bitmap build and the handoff
+    * decision: smallest 2^b ≥ 16·n_keys (k=4 hashes → ~0.15% FP at 16
+    * bits/key), capped at capBits. Saturated = the build side outgrew
+    * the cap, i.e. the FP guarantee is gone. */
+  private[graft] def bloomSizing(nKeys: Long, capBits: Int = 27)
+      : (Int, Boolean) = {
+    var mBits = math.min(13, capBits)
+    while (mBits < capBits && (1L << mBits) < 16L * nKeys) mBits += 1
+    (mBits, (1L << mBits) < 16L * nKeys)
+  }
+
   /** Fitted-bitmap build, factored out so the saturation path is
     * independently testable with a small cap override: adaptive sizing
     * (smallest 2^b ≥ 16·n_keys), distributed set-bit build, ONE collect
     * of the occupied slots. Returns (packed words, mBits, saturated);
     * saturation — the build side outgrowing the cap — WARNS on
-    * `Console.err` (capturable by specs) because past it the FP rate
-    * degrades and a runtime filter should hand off to a shuffled semi
-    * join. */
-  private[graft] def buildBloomBitmap(keys: DataFrame, capBits: Int = 27)
-      : (Array[Long], Int, Boolean) = {
+    * `Console.err` (capturable by specs); `bloomPrune` never reaches
+    * this degraded regime — it checks `bloomSizing` first and hands off
+    * to the shuffled exact join instead of building a saturated bitmap
+    * (this direct path keeps the degraded bitmap's no-false-negative
+    * invariant spec-testable on its own). */
+  private[graft] def buildBloomBitmap(keys: DataFrame, capBits: Int = 27,
+      knownKeys: Long = -1L): (Array[Long], Int, Boolean) = {
     import keys.sparkSession.implicits._
-    val nKeys = keys.count()
-    var mBits = math.min(13, capBits)
-    while (mBits < capBits && (1L << mBits) < 16L * nKeys) mBits += 1
-    val saturated = (1L << mBits) < 16L * nKeys
+    val nKeys = if (knownKeys >= 0L) knownKeys else keys.count()
+    val (mBits, saturated) = bloomSizing(nKeys, capBits)
     if (saturated)
       Console.err.println(s"[graft] bloomPrune: mBits saturated at " +
         s"$capBits for $nKeys build keys — false-positive rate degrades " +
@@ -91,21 +102,40 @@ object Sketches {
     (words, mBits, saturated)
   }
 
-  def bloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+  def bloomPrune(spark: SparkSession, sfDir: String, capBits: Int = 27)
+      : DataFrame = {
     import spark.implicits._
     val keys = Tables.read(spark, sfDir, "orders")
       .filter($"o_orderpriority" === "1-URGENT")
       .select($"o_orderkey".as("k")) // o_orderkey is unique — no distinct
-    val (words, mBits, _) = buildBloomBitmap(keys)
-    graft.functions.BloomMightContain.register(spark, words, mBits)
+    val nKeys = keys.count() // pushed-down single-column scan
+    val (_, saturated) = bloomSizing(nKeys, capBits)
     val fact0 = Tables.read(spark, sfDir, "lineitem")
       .select($"l_orderkey", $"l_returnflag")
-    val flagged = fact0
-      .withColumn("pass", call_function("bloom_might_contain", $"l_orderkey"))
-      // exact semi join, included to measure the filter's error
-      .join(broadcast(keys.withColumn("matched", lit(true))),
-        $"l_orderkey" === $"k", "left_outer")
-      .withColumn("matched", coalesce($"matched", lit(false)))
+    val flagged = if (saturated) {
+      // SATURATION HANDOFF: past ~16·2^cap build keys the bitmap's FP
+      // guarantee is gone, and at that cardinality the build side can
+      // outgrow a broadcast too — so skip the bitmap build entirely and
+      // take membership from ONE shuffled hash join (build side hashed
+      // per partition, fact side never sorted). pass == matched by
+      // construction: the handoff is the EXACT filter — zero false
+      // positives, zero false negatives.
+      fact0
+        .join(keys.withColumn("matched", lit(true)).hint("shuffle_hash"),
+          $"l_orderkey" === $"k", "left_outer")
+        .withColumn("matched", coalesce($"matched", lit(false)))
+        .withColumn("pass", $"matched")
+    } else {
+      val (words, mBits, _) = buildBloomBitmap(keys, capBits, nKeys)
+      graft.functions.BloomMightContain.register(spark, words, mBits)
+      fact0
+        .withColumn("pass",
+          call_function("bloom_might_contain", $"l_orderkey"))
+        // exact semi join, included to measure the filter's error
+        .join(broadcast(keys.withColumn("matched", lit(true))),
+          $"l_orderkey" === $"k", "left_outer")
+        .withColumn("matched", coalesce($"matched", lit(false)))
+    }
     flagged.groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
         sum(when($"pass", 1L).otherwise(0L)).as("n_pass"),

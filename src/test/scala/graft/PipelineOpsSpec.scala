@@ -76,6 +76,36 @@ class PipelineOpsSpec extends SparkSpec {
       "— saturation must never cost a true match")
   }
 
+  test("bloom saturation handoff: probe swapped for the shuffled join") {
+    // with a cap the build side exceeds (sf0.01 has ~3k urgent orders vs
+    // a 2^8-bit cap), bloomPrune must NOT probe a degraded bitmap: the
+    // plan swaps to the exact shuffled hash join, never broadcasting a
+    // build side that (in production) outgrew a 16 MiB bitmap
+    val dfSat = Sketches.bloomPrune(spark, sf, capBits = 8)
+    val pSat = dfSat.queryExecution.executedPlan.toString
+    assert(!pSat.contains("bloom_might_contain"),
+      s"saturated plan must not probe a bitmap:\n$pSat")
+    assert(pSat.contains("ShuffledHashJoin"),
+      s"handoff must plan the shuffled hash join:\n$pSat")
+    assert(!pSat.contains("BroadcastHashJoin"),
+      s"a saturated build side must not be broadcast:\n$pSat")
+    // the handoff is the EXACT filter: pass decomposes to matches only,
+    // and the data-truth columns agree with the unsaturated default run
+    val sat = dfSat.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val dflt = Sketches.bloomPrune(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(sat.keySet == dflt.keySet)
+    sat.foreach { case (flag, (nRows, nPass, nMatch, nFp, noFn)) =>
+      assert(nFp == 0L, s"$flag: exact handoff produced false positives")
+      assert(nPass == nMatch, s"$flag: pass must equal exact matches")
+      assert(noFn, s"$flag: handoff dropped a true match")
+      assert((nRows, nMatch) == dflt(flag),
+        s"$flag: handoff disagrees with the default run's exact columns")
+    }
+  }
+
   test("cms heavy hitters: estimate never undercounts, stays in eps bound") {
     val rows = Sketches.heavyHittersCms(spark, sf).collect()
     assert(rows.length == 10)
