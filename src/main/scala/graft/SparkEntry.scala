@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_clusters_star" -> ((s, d) => Dedup.dedupClustersStar(s, d)),
     "dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simHash(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
     // Similarity search (embeddings)
     "sim_topk_bruteforce" -> ((s, d) => Similarity.topKBruteForce(s, d)),
     "sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
@@ -1194,6 +1195,60 @@ object SparkEntry {
                AS avg_tokens_kept
       FROM d GROUP BY lang ORDER BY lang ASC""",
     "dedup_simhash" -> dedupSimhashOracle,
+    // substring dedup: replay the poly-hash shingle stream WITH positions,
+    // count occurrences corpus-wide, then the same gaps-and-islands span
+    // merge (a join is fine at oracle scale; the Spark side must not)
+    "dedup_substring" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+      ), occ AS (
+        SELECT doc_id, len(toks)::BIGINT AS n_toks, i - 1 AS pos,
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(generate_series(1, length(s)),
+              j -> ascii(substr(s, j, 1))::BIGINT)),
+            (a, x) -> (a * 31 + x) % 1000000007) AS shash
+        FROM (SELECT doc_id, toks, i, array_to_string(toks[i:i+2], ' ') AS s
+              FROM d, unnest(generate_series(1, greatest(len(toks) - 2, 0)))
+                t(i))
+      ), cnt AS (
+        SELECT shash, count(*) AS total FROM occ GROUP BY shash
+      ), dup AS (
+        SELECT o.doc_id, o.pos
+        FROM occ o JOIN cnt c USING (shash) WHERE c.total >= 2
+      ), isl AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos > coalesce(max(pos + 3) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+            THEN 1 ELSE 0 END AS new_span
+        FROM dup
+      ), sp AS (
+        SELECT doc_id, pos,
+          sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM isl
+      ), spans AS (
+        SELECT doc_id, span_id,
+          max(pos) + 3 - min(pos) AS span_len, count(*) AS n_starts
+        FROM sp GROUP BY doc_id, span_id
+      ), agg AS (
+        SELECT doc_id, count(*) AS n_spans, sum(span_len) AS dup_tokens,
+          max(span_len) AS max_span, sum(n_starts) AS n_dup_starts
+        FROM spans GROUP BY doc_id
+      ), base AS (
+        SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM d
+      )
+      SELECT b.doc_id, b.n_tokens,
+        greatest(b.n_tokens - 2, 0)::BIGINT AS n_shingles,
+        coalesce(a.n_dup_starts, 0)::BIGINT AS n_dup_starts,
+        coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+        coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+        coalesce(a.max_span, 0)::BIGINT AS max_span,
+        round(coalesce(a.dup_tokens, 0)::DOUBLE /
+          greatest(b.n_tokens, 1), 4) AS dup_fraction
+      FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+      ORDER BY b.doc_id ASC""",
     "sim_topk_bruteforce" -> simTopKOracle,
     "sim_topk_native" -> simTopKOracle,
     "sim_topk_lsh" -> simTopKLshOracle,

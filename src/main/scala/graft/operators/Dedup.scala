@@ -594,4 +594,99 @@ object Dedup {
       .distinct()
       .orderBy($"doc_a".asc, $"doc_b".asc)
   }
+
+  /** Substring-level dedup — the Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better", public arXiv) curation step the
+    * doc-level operators can't express: find token n-gram SPANS that are
+    * repeated anywhere in the corpus (across documents or within one) and
+    * report, per document, the merged duplicated spans — count, total
+    * duplicated-token coverage, longest span, and duplicated fraction.
+    * Docs with no duplicated span stay in the output at zero (dropping
+    * rows silently is the rawkey lesson).
+    *
+    * Shape at scale — the corpus pays AGGREGATES ONLY, no self-join:
+    * unlike `decontaminate`, where the membership side is a fixed eval
+    * suite that broadcasts, the "benchmark" here is the corpus's own
+    * duplicated shingles — corpus-sized, so neither broadcastable nor
+    * joinable without shuffling the positioned stream twice. Instead the
+    * corpus-wide occurrence count lands on each position IN PLACE via a
+    * window aggregate over the shash partitioning: ONE shuffle of the
+    * (doc, pos, shash) stream, no join, no per-shingle array
+    * materialization (the window buffer is spillable; a groupBy +
+    * collect_list of sites would build the hottest boilerplate shingle's
+    * full site list in one task's heap). Span merging is the classic
+    * gaps-and-islands pass, partitioned BY DOCUMENT — fully parallel —
+    * and clean docs enter by UNION of zero-rows, not a join, so the
+    * whole plan is scan → window → window → aggregate.
+    *
+    * Positions travel as poly-hash longs + int offsets (~20 bytes/row);
+    * the known skew point is a degenerate corpus-dominant shingle whose
+    * occurrence rows all land in one (spillable) window partition — the
+    * standard hardening at 100 TB is dropping top-DF shingles into a
+    * salted pre-count, which changes no output row here because any
+    * shingle that hot is duplicated by definition.
+    *
+    * Oracle: DuckDB replays the identical poly-hash, count, and
+    * gaps-and-islands logic (joins are fine at oracle scale). */
+  def substringDedup(spark: SparkSession, sfDir: String, n: Int = 3)
+      : DataFrame = {
+    import spark.implicits._
+    require(n >= 2, s"span shingle width must be >= 2, got $n")
+    graft.functions.PolyHash.register(spark)
+    val docs = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", normText)
+      .select($"doc_id", split($"norm", " ").as("toks"))
+      .withColumn("n_toks", size($"toks").cast("long"))
+    val toks = docs
+      .select($"doc_id", $"n_toks", posexplode($"toks").as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    val withLeads = (1 until n).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"t$i", lead($"tok", i).over(wDoc))
+    }
+    val starts = withLeads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select($"doc_id", $"n_toks", $"pos",
+        call_function("poly_hash", concat_ws(" ",
+          ($"tok" +: (1 until n).map(i => col(s"t$i"))): _*),
+          lit(1 << 20)).as("shash"))
+    // corpus-wide occurrence count per shingle, landed in place by a
+    // whole-partition window aggregate — the no-join membership test
+    val dup = starts
+      .withColumn("total", count(lit(1)).over(Window.partitionBy($"shash")))
+      .filter($"total" >= 2)
+      .select($"doc_id", $"n_toks", $"pos")
+    // gaps-and-islands: a start opens a new span iff it clears every
+    // earlier start's coverage end (touching spans merge: pos == prev_end
+    // means [.., pos) + [pos, pos+n) are contiguous duplicated text)
+    val wPos = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    val spans = dup
+      .withColumn("prev_end",
+        max($"pos" + n).over(wPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when($"prev_end".isNull || $"pos" > $"prev_end", 1L).otherwise(0L))
+      .withColumn("span_id", sum($"new_span").over(wPos))
+      .groupBy($"doc_id", $"span_id")
+      .agg(max($"n_toks").as("n_toks"),
+        (max($"pos") + n - min($"pos")).cast("long").as("span_len"),
+        count(lit(1)).as("n_starts"))
+    // clean docs join the report by union, not join: one zero-row per doc
+    val zeros = Tables.read(spark, sfDir, "documents")
+      .withColumn("n_toks", size(split(normText, " ")).cast("long"))
+      .select($"doc_id", $"n_toks",
+        lit(null).cast("long").as("span_len"), lit(0L).as("n_starts"))
+    spans.select($"doc_id", $"n_toks", $"span_len", $"n_starts")
+      .union(zeros)
+      .groupBy($"doc_id")
+      .agg(max($"n_toks").as("n_tokens"),
+        count($"span_len").as("n_spans"),
+        coalesce(sum($"span_len"), lit(0L)).as("dup_tokens"),
+        coalesce(max($"span_len"), lit(0L)).as("max_span"),
+        sum($"n_starts").as("n_dup_starts"))
+      .select($"doc_id", $"n_tokens",
+        greatest($"n_tokens" - (n - 1), lit(0L)).as("n_shingles"),
+        $"n_dup_starts", $"n_spans", $"dup_tokens", $"max_span",
+        round($"dup_tokens".cast("double") / greatest($"n_tokens", lit(1L)), 4)
+          .as("dup_fraction"))
+      .orderBy($"doc_id".asc)
+  }
 }

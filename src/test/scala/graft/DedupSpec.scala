@@ -81,6 +81,46 @@ class DedupSpec extends SparkSpec {
     assert(nKept == 3L)
   }
 
+  test("substring dedup: corpus-repeated spans merge; clean docs stay at zero") {
+    // cols: doc_id, n_tokens, n_shingles, n_dup_starts, n_spans,
+    //       dup_tokens, max_span, dup_fraction
+    val rows = Dedup.substringDedup(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L),
+      "every document must appear, duplicated or not")
+    // docs 0 and 1 are exact normalized duplicates: all 21 trigram starts
+    // are corpus-duplicated and merge into ONE span covering all 23 tokens
+    for (id <- Seq(0L, 1L))
+      assert(rows(id) == ((23L, 21L, 21L, 1L, 23L, 23L, 1.0)),
+        s"doc $id: ${rows(id)}")
+    // doc 2 differs from 0/1 only in its last word: the 20 shared starts
+    // merge to one span covering every token but the changed final one
+    assert(rows(2L) == ((23L, 21L, 20L, 1L, 22L, 22L, 0.9565)),
+      s"doc 2: ${rows(2L)}")
+    // unrelated content and sub-shingle docs report zeros, not absence
+    assert(rows(3L)._4 == 0L && rows(3L)._7 == 0.0)
+    assert(rows(4L) == ((2L, 0L, 0L, 0L, 0L, 0L, 0.0)),
+      "a 2-token doc has no shingles and all-zero span stats")
+  }
+
+  test("substring dedup: within-doc repetition alone marks a span") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-substr").toString
+    // doc 20 repeats its own opening trigram later; no other doc shares it
+    Seq(
+      (20L, "alpha beta gamma delta alpha beta gamma", "en", "s", 0L),
+      (21L, "wholly unrelated words in this one here", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.substringDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getDouble(7)))).toMap
+    // "alpha beta gamma" occurs at pos 0 and pos 4 -> two 3-token spans
+    assert(rows(20L) == ((2L, 2L, 6L, 0.8571)), s"doc 20: ${rows(20L)}")
+    assert(rows(21L) == ((0L, 0L, 0L, 0.0)))
+  }
+
   test("image phash: identical payloads at hamming 0, unrelated images unpaired") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-phash").toString

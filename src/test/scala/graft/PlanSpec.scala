@@ -166,6 +166,19 @@ class PlanSpec extends SparkSpec {
       s"per-lang rollup must partial-aggregate map-side:\n$p")
   }
 
+  test("dedup_substring: corpus pays aggregates only — join-free plan") {
+    // the dup-shingle set is corpus-sized (can't broadcast) and the
+    // prescribed shape computes membership IN PLACE via a window over
+    // the shingle-hash partitioning — any Join node here means the
+    // positioned stream started shuffling twice for a membership test
+    val p = plan("dedup_substring")
+    assert(!p.contains("Join"), s"substring dedup must not join:\n$p")
+    assert(p.contains("windowspecdefinition(shash"),
+      s"dup membership must be the shash-partitioned window count:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_count"),
+      s"span/doc rollups must partial-aggregate map-side:\n$p")
+  }
+
   test("q_heavy_hitters_cms: sketch aggregates collapse map-side") {
     // partial_count before the exchange = the map-side combine that keeps
     // the d×w sketch shuffle tiny at any corpus size ("HashAggregate"
