@@ -704,12 +704,24 @@ object SparkEntry {
     * update (Similarity.kmeansCentroids) is bit-reproducible, so DuckDB
     * replays the 2 iterations — assign (cosine argmax) → per-(cell,dim)
     * integer sums → truncated-mean centroids (empty cells keep the
-    * previous centroid) — ending with the final corpus assignment. */
-  private val kmeansCtes = """
-    WITH e AS (
+    * previous centroid) — ending with the final corpus assignment.
+    * `kBody` is the SELECT defining the cell count k: a literal for the
+    * fixed-k operators (IVF, cluster summary), the corpus-derived
+    * formula for dedup_semantic (it must re-derive k from the same
+    * count the Scala side uses, or the two models diverge). */
+  /** dedup_semantic's adaptive cell count, re-derived from the corpus:
+    * must stay formula-identical to Similarity.semanticCellCount. */
+  private val semanticKSql =
+    "SELECT greatest(16, least(65536, (count(*) + 255) // 256)) AS k " +
+      "FROM embeddings"
+
+  private def kmeansCtes(kBody: String) = s"""
+    WITH kp AS ($kBody
+    ), e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), c0 AS (
-      SELECT vec_id::INTEGER AS cell_id, v AS cv FROM e WHERE vec_id < 16
+      SELECT vec_id::INTEGER AS cell_id, v AS cv FROM e
+      WHERE vec_id < (SELECT k FROM kp)
     ), a1 AS (
       SELECT vec_id, cell_id, v FROM (
         SELECT ev.vec_id, c.cell_id, ev.v,
@@ -763,7 +775,7 @@ object SparkEntry {
     )"""
 
   private val simTopKIvfKmeansOracle = s"""
-    $kmeansCtes, probes AS (
+    ${kmeansCtes("SELECT 16 AS k")}, probes AS (
       SELECT q_id, cell_id FROM (
         SELECT ev.vec_id AS q_id, c.cell_id,
                row_number() OVER (PARTITION BY ev.vec_id
@@ -791,7 +803,7 @@ object SparkEntry {
   /** Clustering-summary oracle: same unrolled Lloyd replay; the centroid
     * norm is a sequential fold, bit-identical to the Scala loop. */
   private val embedKmeansClustersOracle = s"""
-    $kmeansCtes, counts AS (
+    ${kmeansCtes("SELECT 16 AS k")}, counts AS (
       SELECT cell_id, count(*) AS n_vecs FROM assigned GROUP BY cell_id
     )
     SELECT c2.cell_id, coalesce(counts.n_vecs, 0) AS n_vecs,
@@ -1340,7 +1352,7 @@ object SparkEntry {
     // survival rollup (RECURSIVE prefixed onto the shared CTE chain —
     // DuckDB requires it once for the whole WITH list)
     "dedup_semantic" -> s"""
-      ${kmeansCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, sp AS (
+      ${kmeansCtes(semanticKSql).replaceFirst("WITH ", "WITH RECURSIVE ")}, sp AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM assigned a
         JOIN assigned b USING (cell_id)

@@ -414,17 +414,30 @@ object Similarity {
     * Scale stance: assignment is one broadcast-centroids pass; the
     * within-cell self-join's fan-out is bounded by cell occupancy
     * (≈ n/k), the quadratic-in-cell-size cost SemDeDup accepts by
-    * design — on a corpus where cells outgrow memory the in-cell
-    * candidate step swaps to the banded `cosineNearDup` (both are
-    * declared, so the trade is measured, not asserted). Deterministic
-    * end-to-end (integer-quantized Lloyd, round-6 threshold, CC
-    * fixpoint), so DuckDB replays the full pipeline. */
+    * design. The cell count therefore ADAPTS to the corpus
+    * (`semanticCellCount`: ceil(n/256) clamped to [16, 65536], the same
+    * derive-from-count pattern as `cosineNearDup`'s band width and
+    * `packSequences`' range sizing), keeping expected occupancy — and so
+    * per-cell pair cost — CONSTANT as the corpus grows; a fixed k would
+    * make within-cell pairs quadratic in n. The count probe is
+    * metadata-cheap (parquet footer). Past the 65536-cap the centroid
+    * model (65536×64 doubles ≈ 34 MB) is at the edge of a comfortable
+    * broadcast — beyond it, the in-cell candidate step swaps to the
+    * banded `cosineNearDup` (both are declared, so the trade is
+    * measured, not asserted). Deterministic end-to-end
+    * (integer-quantized Lloyd, round-6 threshold, CC fixpoint), so
+    * DuckDB replays the full pipeline, re-deriving k from the same
+    * count. */
+  private[graft] def semanticCellCount(n: Long): Int =
+    math.max(16L, math.min(65536L, (n + 255L) / 256L)).toInt
+
   def dedupSemantic(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.4, nCells: Int = 16): DataFrame = {
+      threshold: Double = 0.4, nCells: Int = 0): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
     val emb = corpus(spark, sfDir)
-    val cents = kmeansCentroids(spark, sfDir, nCells)
+    val k = if (nCells > 0) nCells else semanticCellCount(emb.count())
+    val cents = kmeansCentroids(spark, sfDir, k)
     val centroids = broadcast(
       cents.toSeq.map { case (id, v) => (id, v.toSeq) }
         .toDF("cell_id", "centroid"))

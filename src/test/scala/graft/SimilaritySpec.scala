@@ -119,6 +119,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup cell count: constant target occupancy, clamped") {
+    // ceil(n/256) in [16, 65536] — k must GROW with the corpus so the
+    // within-cell pair cost stays O(n); both clamps exact
+    assert(Similarity.semanticCellCount(0L) == 16)
+    assert(Similarity.semanticCellCount(4096L) == 16)
+    assert(Similarity.semanticCellCount(4097L) == 17)
+    assert(Similarity.semanticCellCount(20000L) == 79)
+    assert(Similarity.semanticCellCount(1000000L) == 3907)
+    assert(Similarity.semanticCellCount(Long.MaxValue / 4) == 65536)
+  }
+
+  test("semantic dedup: adaptive k keeps max cell occupancy bounded") {
+    import spark.implicits._
+    // 6000 deterministic pseudo-random vectors -> derived k = 24 (> the
+    // 16 floor: the transition the fixed-k variant never crossed); the
+    // Lloyd cells must then hold occupancy near the 256 target — the
+    // guard is against centroid collapse (everything in one cell), which
+    // would silently restore the quadratic within-cell blow-up
+    val dir = java.nio.file.Files.createTempDirectory("graft-semk").toString
+    val n = 6000
+    (0 until n).map { i =>
+      val vec = Array.tabulate(Similarity.Dim) { d =>
+        ((i.toLong * 2654435761L + d * 40503L + 7L) % 2001L - 1000L) / 1000.0
+      }
+      (i.toLong, vec, s"l${i % 3}")
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(2).write.parquet(s"$dir/embeddings.parquet")
+    val k = Similarity.semanticCellCount(n.toLong)
+    assert(k == 24)
+    val occ = Similarity.kmeansClusters(spark, dir, k).collect()
+      .map(r => r.getLong(1))
+    assert(occ.length == k)
+    assert(occ.sum == n.toLong)
+    assert(occ.max <= 4L * 256L,
+      s"hottest cell ${occ.max} exceeds 4x the 256 occupancy target")
+  }
+
   test("near-dup pairs are canonicalized and above threshold") {
     val rows = Similarity.cosineNearDup(spark, sf).collect()
     rows.foreach { r =>
