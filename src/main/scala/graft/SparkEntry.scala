@@ -78,6 +78,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
+    "text_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
@@ -1448,6 +1449,28 @@ object SparkEntry {
                             THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
                AS actual_rate
       FROM x GROUP BY lang ORDER BY lang ASC""",
+    // split assignment: replay the salted affine bucket (salt 42 ->
+    // saltMix precomputed exactly as the Scala side does) and the
+    // 90/5/5 thresholds; doc_id sum/min/max gate exact membership
+    "text_split_assign" -> s"""
+      WITH x AS (
+        SELECT doc_id, lang,
+               ((doc_id % 1000000007 + 1000000007) % 1000000007
+                 * 2654435761 + ${(42L * 2246822519L + 10007L) % 1000000007L})
+                 % 1000000007 % 100 AS bucket
+        FROM documents
+      ), s AS (
+        SELECT doc_id, lang,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM x
+      )
+      SELECT split, lang, count(*) AS n_docs,
+             sum(doc_id)::DECIMAL(38,0) AS docid_sum,
+             min(doc_id)::BIGINT AS docid_min,
+             max(doc_id)::BIGINT AS docid_max
+      FROM s GROUP BY split, lang ORDER BY split ASC, lang ASC""",
     "ev_retention" -> """
       WITH e AS (
         SELECT user_id, cast(ts AS date) AS day FROM events

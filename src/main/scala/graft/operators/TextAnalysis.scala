@@ -484,6 +484,46 @@ object TextAnalysis {
       .orderBy($"doc_id".asc)
   }
 
+  /** Deterministic train/valid/test split — the assignment step every
+    * training pipeline runs before anything touches a model. Each doc's
+    * bucket is a SALTED hash of its stable id (`((doc_id mod P)·A1 +
+    * saltMix) mod P mod 100` with P = 1e9+7 and saltMix a salt-keyed
+    * constant — the portable-integer stand-in for xxhash64(id, salt);
+    * the production swap is one expression), thresholded into
+    * train/valid/test at 90/5/5. The split is therefore: DISJOINT and
+    * COMPLETE by construction (every doc gets exactly one label),
+    * reproducible across runs/engines/cluster layouts, stable under
+    * corpus growth (a doc's split never changes when neighbors arrive —
+    * the property a rand() or row_number split lacks), and re-keyable
+    * by salt.
+    *
+    * Output: per (split, lang) — count plus doc_id sum/min/max as exact
+    * membership checksums, so the oracle confirms the ASSIGNMENT, not
+    * just the rates. The sum is decimal(38,0): a long sum overflows ANSI
+    * arithmetic on large ids (ids near 2^63 are legal), a decimal never
+    * does at any corpus this library targets. One scan, one
+    * low-cardinality aggregate (≤ 3×langs rows), map-side combined:
+    * scan-speed at any corpus size. */
+  def splitAssign(spark: SparkSession, sfDir: String, salt: Long = 42L)
+      : DataFrame = {
+    import spark.implicits._
+    val P = 1000000007L
+    val saltMix = (((salt % P) + P) % P * 2246822519L + 10007L) % P
+    Tables.read(spark, sfDir, "documents")
+      .withColumn("bucket",
+        (pmod($"doc_id", lit(P)) * 2654435761L + saltMix) % P % 100)
+      .withColumn("split",
+        when($"bucket" < 90, "train")
+          .when($"bucket" < 95, "valid")
+          .otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id".cast("decimal(38,0)")).as("docid_sum"),
+        min($"doc_id").as("docid_min"),
+        max($"doc_id").as("docid_max"))
+      .orderBy($"split".asc, $"lang".asc)
+  }
+
   /** Document fingerprinting: polynomial rolling hash (base 31, mod 1e9+7)
     * over the ascii codes of the first 1024 chars of whitespace-normalized
     * text. Prefix-capped so the per-row cost is O(1024) regardless of

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Events, Sketches}
+import graft.operators.{Events, Sketches, TextAnalysis}
 
 /** Semantic invariants of the round-4 pipeline operators, beyond the
   * oracle hash gate: the probabilistic structures' one-sided error
@@ -104,6 +104,45 @@ class PipelineOpsSpec extends SparkSpec {
       assert((nRows, nMatch) == dflt(flag),
         s"$flag: handoff disagrees with the default run's exact columns")
     }
+  }
+
+  test("split assign: complete disjoint partition, deterministic, salt-keyed") {
+    val run1 = TextAnalysis.splitAssign(spark, sf).collect()
+    val run2 = TextAnalysis.splitAssign(spark, sf).collect()
+    assert(run1.map(_.toString).sameElements(run2.map(_.toString)),
+      "same salt must reproduce the identical assignment")
+    // each doc gets exactly one label by construction, so the per-split
+    // counts must partition the corpus exactly
+    val total = Tables.read(spark, sf, "documents").count()
+    assert(run1.map(_.getLong(2)).sum == total)
+    val bySplit = run1.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "valid", "test")))
+    // 90/5/5 thresholds: binomial noise at corpus size, generous margin
+    val trainRate = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(math.abs(trainRate - 0.9) < 0.06,
+      s"train share $trainRate strays from the 0.9 target")
+    // a new salt re-keys the assignment but still partitions the corpus
+    val salted = TextAnalysis.splitAssign(spark, sf, salt = 7L).collect()
+    assert(salted.map(_.getLong(2)).sum == total)
+    assert(!salted.map(_.toString).sameElements(run1.map(_.toString)),
+      "salt change must produce a different assignment")
+  }
+
+  test("split assign: overflow-safe at extreme doc_ids") {
+    import spark.implicits._
+    // ids near Long.MaxValue would overflow a raw doc_id * prime; the
+    // pmod pre-reduction must keep every bucket in [0, 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    val ids = Seq(0L, 1L, Long.MaxValue, Long.MaxValue - 1,
+      999999937L, 4294967296L) ++ (0 until 200).map(i => i * 7919L)
+    ids.distinct.map(id => (id, s"text $id", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.splitAssign(spark, dir).collect()
+    assert(rows.map(_.getLong(2)).sum == ids.distinct.length.toLong,
+      "every extreme id must land in exactly one split")
+    assert(rows.forall(r => Set("train", "valid", "test")(r.getString(0))))
   }
 
   test("cms heavy hitters: estimate never undercounts, stays in eps bound") {
