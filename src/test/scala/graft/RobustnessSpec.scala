@@ -60,6 +60,40 @@ class RobustnessSpec extends SparkSpec {
     assert(funnel.length == 4 && funnel.forall(_.getLong(1) == 0L))
   }
 
+  test("pack sequences: bin layout is invariant to the range decomposition") {
+    import spark.implicits._
+    // the distributed prefix sum decomposes doc order into coarse ranges;
+    // its correctness claim is that the decomposition is INVISIBLE — one
+    // giant range (the naive single cumsum), the corpus-derived default,
+    // and degenerate tiny ranges must all emit the identical layout.
+    // Randomized corpora: skewed token counts, sparse/duplicate-free ids
+    // with gaps, three seeds.
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 3) {
+      val dir = Files.createTempDirectory(s"graft-pack$trial").toString
+      val nDocs = 50 + rnd.nextInt(150)
+      var id = 0L
+      val docs = (0 until nDocs).map { _ =>
+        id += 1L + rnd.nextInt(97) // gappy, increasing ids
+        val nTok = 1 + (if (rnd.nextBoolean()) rnd.nextInt(8)
+                        else rnd.nextInt(400)) // skewed lengths
+        (id, (0 until nTok).map(t => s"w$t").mkString(" "), "en", "s", 0L)
+      }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(5).write.parquet(s"$dir/documents.parquet")
+      def layout(rangeSize: Long) =
+        TextAnalysis.packSequences(spark, dir, rangeSize = rangeSize)
+          .collect().map(_.toString).toSeq
+      val oneRange = layout(Long.MaxValue / 4) // single range: naive cumsum
+      val default = layout(0L)                 // corpus-derived width
+      val tiny = layout(3L)                    // ~one range per few docs
+      assert(default == oneRange,
+        s"trial $trial: corpus-derived ranges diverge from the naive cumsum")
+      assert(tiny == oneRange,
+        s"trial $trial: degenerate tiny ranges diverge from the naive cumsum")
+    }
+  }
+
   test("similarity operators return empty on an empty embeddings table") {
     assert(Similarity.topKBruteForce(spark, emptyDir).count() == 0)
     assert(Similarity.topKLsh(spark, emptyDir).count() == 0)
