@@ -147,14 +147,15 @@ object Bench {
     // stdout variant is BOUNDED: a mass failure (bad fixture dir) would
     // otherwise push ~2.3KB of quoted names past the driver's 2000-char
     // stdout tail — losing the parse exactly when the failure signal
-    // matters most; the full list lives in the written artifact
-    val failedBounded = {
-      val names = failedNames.toSeq.sorted
-      val shown = names.take(8).map("\"" + _ + "\"")
-      (if (names.length > 8)
-        shown :+ s""""+${names.length - 8} more""""
-      else shown).mkString("[", ",", "]")
-    }
+    // matters most; the full list lives in the written artifact. The
+    // array holds REAL query names only — truncation is signalled by the
+    // separate failedTruncated flag (an in-array "+N more" marker would
+    // read as a query name to any consumer parsing the list), and
+    // failedCount always carries the true total.
+    val failedShown = failedNames.toSeq.sorted.take(8)
+    val failedBounded = failedShown.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val failedTruncated = failedNames.size > failedShown.length
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     // The COMPLETE artifact: full-precision medians, per-pass spread, and
     // the per-query physical-cost map {shuffleWrite, spillMem, spillDisk,
@@ -199,7 +200,7 @@ object Bench {
       .filter { case (k, _, _, _) => headlineKeys.contains(k) }
       .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","passes":$passes,"etl":${fmt(etlSec, 1)},"failedCount":${failedNames.size},"failed":$failedBounded,"sf":"$sfDir","queries":$headlines,"artifact":"${new java.io.File(outFile).getName}","artifact_sha256":"$sha"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","passes":$passes,"etl":${fmt(etlSec, 1)},"failedCount":${failedNames.size},"failed":$failedBounded,"failedTruncated":$failedTruncated,"sf":"$sfDir","queries":$headlines,"artifact":"${new java.io.File(outFile).getName}","artifact_sha256":"$sha"}""")
     spark.stop()
   }
 }

@@ -124,8 +124,21 @@ object StreamingQueries {
   def dedupRedelivery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = eventsDf(spark, sfDir)
-    val out = runFileStream(spark, "dedup", Seq(ev, ev),
-      OutputMode.Append()) { df =>
+    // The redelivery is the slice strictly INSIDE the dedup horizon
+    // (ts > max − 9 min vs the 10-min watermark): after the first
+    // delivery drains, the watermark sits at max(ts) − 10 min, so a
+    // full-fixture redelivery would mostly be discarded as LATE data
+    // before ever consulting dedup state. This slice arrives on-time —
+    // every row reaches dropDuplicatesWithinWatermark and MUST be
+    // absorbed by dedup state itself; a dedup failure double-counts it
+    // in the aggregate. One-row fitted bound, the same pattern as
+    // sessionizeToCompletion's sentinel sizing.
+    val maxRow = ev.agg(max(unix_micros($"ts"))).head()
+    require(!maxRow.isNullAt(0), "events fixture is empty")
+    val bound =
+      new Timestamp(maxRow.getLong(0) / 1000L - 9L * 60000L)
+    val out = runFileStream(spark, "dedup",
+      Seq(ev, ev.filter($"ts" > lit(bound))), OutputMode.Append()) { df =>
       StreamingOps.dedupStream(df)
     }
     out.groupBy($"event_type")

@@ -213,11 +213,13 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     // the declared-query harness end-to-end (parquet appends into a
-    // monitored dir, two deliveries of the same fixture, file-source
-    // micro-batches) — the sink aggregate must equal the batch aggregate
-    // over the UN-duplicated fixture, proving the second delivery was
-    // fully absorbed by dropDuplicatesWithinWatermark through the FILE
-    // source, not just through MemoryStream
+    // monitored dir, redelivery of the inside-the-watermark slice,
+    // file-source micro-batches) — the sink aggregate must equal the
+    // batch aggregate over the UN-duplicated fixture. The redelivered
+    // rows arrive ON-TIME by construction (ts > max − 9 min vs the
+    // 10-min watermark), so they are absorbed by
+    // dropDuplicatesWithinWatermark's dedup state itself, not by
+    // late-row dropping — a dedup failure would double-count them here
     val got = graft.streaming.StreamingQueries.dedupRedelivery(spark, sf)
     val want = Tables.read(spark, sf, "events")
       .groupBy($"event_type")

@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
 """Diff two Bench artifacts (BENCH_LOCAL.json / BENCH_10X.json schema).
 
-Usage: python3 tools/benchdiff.py <baseline.json> <candidate.json> [threshold]
+Usage: python3 tools/benchdiff.py <baseline.json> <candidate.json> \
+           [threshold] [--allow-gone=q1,q2]
 
 Prints per-query candidate/baseline time ratios (medians), sorted worst
 first, plus total/median summary lines and any queries that failed or
 appeared/disappeared. Exit code 1 if any shared query regressed by more
-than `threshold` (default 1.5x) — usable as a round-over-round gate.
+than `threshold` (default 1.5x), OR if a baseline query is MISSING from
+the candidate — a silently dropped query is the exact disappearance the
+gate exists to catch. Intentional removals must be named explicitly via
+--allow-gone.
 
 Spread-aware: a "regression" whose candidate median still lies inside
 the baseline's [min,max] spread is flagged as variance, not a
@@ -23,7 +27,7 @@ def load(path):
         return json.load(f)
 
 
-def main(base_path, cand_path, threshold=1.5):
+def main(base_path, cand_path, threshold=1.5, allow_gone=()):
     base, cand = load(base_path), load(cand_path)
     bq, cq = base["queries"], cand["queries"]
     bs, cs = base.get("spread", {}), cand.get("spread", {})
@@ -69,9 +73,13 @@ def main(base_path, cand_path, threshold=1.5):
         print(f"median per-query ratio: {mid:.2f}x over {len(finite)} queries")
     if gone:
         print("missing from candidate:", ", ".join(gone))
+        allowed = [k for k in gone if k in allow_gone]
+        if allowed:
+            print("  allowed removals:", ", ".join(allowed))
     if new:
         print("new in candidate:", ", ".join(new))
     bad = [k for _, k, _, _, note in rows if note in ("REGRESSION", "FAILED")]
+    bad += [k for k in gone if k not in allow_gone]
     if bad:
         print(f"\n{len(bad)} regression(s)/failure(s): {', '.join(bad)}")
         return 1
@@ -79,8 +87,13 @@ def main(base_path, cand_path, threshold=1.5):
 
 
 if __name__ == "__main__":
-    if len(sys.argv) < 3:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    allow = ()
+    for a in sys.argv[1:]:
+        if a.startswith("--allow-gone="):
+            allow = tuple(x for x in a.split("=", 1)[1].split(",") if x)
+    if len(args) < 2:
         print(__doc__)
         sys.exit(2)
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    sys.exit(main(sys.argv[1], sys.argv[2], thr))
+    thr = float(args[2]) if len(args) > 2 else 1.5
+    sys.exit(main(args[0], args[1], thr, allow))
