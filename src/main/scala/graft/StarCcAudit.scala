@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Numeric gate for the star-CC resolver's 100 TB claim: the
+  * alternating large-star/small-star rounds must shrink GEOMETRICALLY —
+  * not just in asserted edge counts, but in measured shuffle bytes.
+  * This main runs the resolver over the real LSH pair graph at bench
+  * scale, brackets every round with a listener drain to attribute its
+  * shuffle write exactly, prints one JSON line, writes
+  * STARCC_ROUNDS.json, and exits 1 if a non-final round shuffles more
+  * than `tolerance`× its predecessor (the final round is excluded: the
+  * convergence check deliberately pays two exceptAll passes on an
+  * already-tiny edge set).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.StarCcAudit [mode [n]]
+  * mode `lsh` (default) audits the real MinHash-LSH pair graph of the
+  * bench corpus; mode `hub` audits a deterministic adversarial graph
+  * (one n-node chain — the worst case for label propagation depth —
+  * plus an n/2-degree hub) where the geometric shrink actually has
+  * rounds to show itself: the bench corpus's pair graph is already
+  * near-star-shaped and converges immediately.
+  */
+object StarCcAudit {
+
+  private final class ShuffleListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      Option(t.taskMetrics).foreach { m =>
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+      }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val tolerance = 1.10
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config(Tables.nanosConfKey, "true")
+      .appName("starcc-audit").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new ShuffleListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val mode = args.headOption.getOrElse("lsh")
+    // materialize the pair graph FIRST so its construction shuffles
+    // never bleed into round 1's attribution
+    import spark.implicits._
+    val pairs = (mode match {
+      case "hub" =>
+        val n = if (args.length > 1) args(1).toLong else 200000L
+        val chain = spark.range(1L, n)
+          .select(($"id" - 1L).as("doc_a"), $"id".as("doc_b"))
+        val hub = spark.range(0L, n / 2)
+          .select(lit(2L * n).as("doc_a"), ($"id" + n).as("doc_b"))
+        chain.union(hub)
+      case _ =>
+        operators.Dedup.minHashLsh(spark, sfDir).select("doc_a", "doc_b")
+    }).localCheckpoint(true)
+    def drain(): Unit =
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+    drain()
+    var last = listener.bytes.get()
+    val rounds = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long)]
+    val (labels, _) = operators.Dedup.connectedComponentsStar(pairs,
+      onRound = (iter, edges) => {
+        drain()
+        val now = listener.bytes.get()
+        rounds += ((iter, edges, now - last))
+        last = now
+      })
+    val nLabels = labels.count()
+
+    val roundsJson = rounds.map { case (i, e, b) =>
+      s"""{"round":$i,"edges":$e,"shuffleWrite":$b}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"mode":"$mode","sf":"$sfDir","nodes":$nLabels,"rounds":$roundsJson,"tolerance":$tolerance}"""
+    val suffix = if (mode == "lsh") "" else s"_${mode.toUpperCase}"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_STARCC_OUT",
+      s"${sys.props("user.dir")}/STARCC_ROUNDS$suffix.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      json + "\n")
+    println(json)
+
+    // the gate: every non-final round's shuffle must stay within
+    // tolerance of its predecessor (monotone shrink modulo jitter on
+    // already-small rounds), and edge counts must never grow
+    val bad = rounds.toList.sliding(2).flatMap {
+      case List((i1, e1, b1), (i2, e2, b2)) =>
+        val finalRound = i2 == rounds.last._1
+        val byteViolation =
+          !finalRound && b1 > 0 && b2 > b1 * tolerance
+        val edgeViolation = e2 > e1
+        if (byteViolation || edgeViolation)
+          Some(s"round $i1->$i2: edges $e1->$e2 bytes $b1->$b2")
+        else None
+      case _ => None
+    }.toList
+    spark.stop()
+    if (bad.nonEmpty) {
+      System.err.println(
+        s"[starcc-audit] monotonicity violated:\n  ${bad.mkString("\n  ")}")
+      sys.exit(1)
+    }
+  }
+}

@@ -399,7 +399,8 @@ object Dedup {
     * the fixpoint rather than trust the monotonicity argument.
     * Iterates are localCheckpoint'ed like the pointer-jump loop
     * (constant-size plans). */
-  private[graft] def connectedComponentsStar(pairs: DataFrame)
+  private[graft] def connectedComponentsStar(pairs: DataFrame,
+      onRound: (Int, Long) => Unit = (_, _) => ())
       : (DataFrame, Seq[Long]) = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -463,6 +464,11 @@ object Dedup {
       edges = next
       counts ::= sig._1
       iter += 1
+      // round boundary for external audits (StarCcAudit brackets each
+      // call with a listener drain to attribute per-round shuffle bytes);
+      // `next` is materialized (eager checkpoint), so all of this round's
+      // work has executed by the time the hook fires
+      onRound(iter, sig._1)
     }
     if (!converged)
       throw new IllegalStateException(
