@@ -79,6 +79,7 @@ object SparkEntry {
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "text_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
+    "text_token_rarity" -> ((s, d) => TextAnalysis.tokenRarity(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
@@ -1449,6 +1450,32 @@ object SparkEntry {
                             THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
                AS actual_rate
       FROM x GROUP BY lang ORDER BY lang ASC""",
+    // token rarity: replay vocabulary counts, the one-division corpus
+    // mean, and the per-doc decimal frequency sums
+    "text_token_rarity" -> """
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+      ), v AS (
+        SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+      ), m AS (
+        SELECT sum(cnt)::DOUBLE / count(*) AS mean_freq FROM v
+      ), j AS (
+        SELECT t.doc_id, v.cnt, m.mean_freq
+        FROM t JOIN v USING (tok) CROSS JOIN m
+      ), a AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               sum(cnt)::DECIMAL(38,0) AS freq_sum,
+               sum(CASE WHEN cnt::DOUBLE < mean_freq THEN 1 ELSE 0 END)
+                 ::BIGINT AS n_below_mean
+        FROM j GROUP BY doc_id
+      )
+      SELECT doc_id, n_tokens, freq_sum,
+             round(freq_sum::DOUBLE / n_tokens, 4) AS avg_freq,
+             n_below_mean,
+             round(n_below_mean::DOUBLE / n_tokens, 4) AS rare_fraction
+      FROM a ORDER BY doc_id ASC""",
     // split assignment: replay the salted affine bucket (salt 42 ->
     // saltMix precomputed exactly as the Scala side does) and the
     // 90/5/5 thresholds; doc_id sum/min/max gate exact membership

@@ -484,6 +484,54 @@ object TextAnalysis {
       .orderBy($"doc_id".asc)
   }
 
+  /** Corpus-relative token-frequency scoring — the LM-free quality
+    * proxy (the CCNet-shape signal): documents dominated by tokens that
+    * are RARE relative to the whole corpus are surprise-heavy
+    * (misparses, boilerplate fragments, wrong-language slices); docs of
+    * only ultra-common tokens are low-information. Per document: token
+    * count, summed corpus frequency of its tokens, average frequency,
+    * and the count/fraction of below-corpus-mean-frequency tokens. All
+    * thresholds are corpus-RELATIVE (mean frequency = N/V), so the
+    * operator is scale-free — no magic absolute cutoffs.
+    *
+    * Shape at scale — the JOIN variant of the corpus-membership problem
+    * (`dedup_substring` shows the window variant): the vocabulary is
+    * corpus-derived, so first collapse the token stream to (tok, cnt)
+    * with one MAP-SIDE COMBINED aggregate (repeats collapse before the
+    * wire — the win over a window, which must shuffle every occurrence
+    * row), then join frequencies back onto the stream with NO hint: AQE
+    * broadcasts a small vocabulary, shuffle-joins (and skew-splits the
+    * "the"-token partitions of) a web-scale one. Corpus totals ride as
+    * a one-row broadcast. Integer/decimal arithmetic throughout — the
+    * only doubles are single divisions, deterministic on both engines. */
+  def tokenRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", explode(split(graft.functions.TextNorm.normCol, " "))
+        .as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    // mean corpus frequency N/V as ONE double division (a cnt·V < N
+    // integer product would overflow both engines' 64-bit range at
+    // web scale; one IEEE division is deterministic and identical)
+    val totals = vocab.agg(
+      sum($"cnt".cast("decimal(38,0)")).as("n_total"),
+      count(lit(1)).as("vocab"))
+      .select(($"n_total".cast("double") / $"vocab").as("mean_freq"))
+    toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"cnt".cast("decimal(38,0)")).as("freq_sum"),
+        sum(when($"cnt".cast("double") < $"mean_freq", 1L).otherwise(0L))
+          .as("n_below_mean"))
+      .select($"doc_id", $"n_tokens", $"freq_sum",
+        round($"freq_sum".cast("double") / $"n_tokens", 4).as("avg_freq"),
+        $"n_below_mean",
+        round($"n_below_mean".cast("double") / $"n_tokens", 4)
+          .as("rare_fraction"))
+      .orderBy($"doc_id".asc)
+  }
+
   /** Deterministic train/valid/test split — the assignment step every
     * training pipeline runs before anything touches a model. Each doc's
     * bucket is a SALTED hash of its stable id (`((doc_id mod P)·A1 +

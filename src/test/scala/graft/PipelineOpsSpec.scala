@@ -145,6 +145,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(r => Set("train", "valid", "test")(r.getString(0))))
   }
 
+  test("token rarity: corpus-relative frequencies, exact on a crafted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rare").toString
+    // counts: aa=5, zz=qq=ww=1 -> N=8, V=4, mean=2; below-mean = cnt<2
+    Seq((0L, "aa aa aa aa", "en", "s", 1L),
+        (1L, "aa zz", "en", "s", 1L),
+        (2L, "qq ww", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.tokenRarity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getDecimal(2).longValueExact(), r.getDouble(3), r.getLong(4),
+        r.getDouble(5)))).toMap
+    assert(rows(0L) == ((4L, 20L, 5.0, 0L, 0.0)), s"doc 0: ${rows(0L)}")
+    assert(rows(1L) == ((2L, 6L, 3.0, 1L, 0.5)), s"doc 1: ${rows(1L)}")
+    assert(rows(2L) == ((2L, 2L, 1.0, 2L, 1.0)), s"doc 2: ${rows(2L)}")
+  }
+
   test("cms heavy hitters: estimate never undercounts, stays in eps bound") {
     val rows = Sketches.heavyHittersCms(spark, sf).collect()
     assert(rows.length == 10)

@@ -55,6 +55,9 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAnalysis.mixtureSample(spark, emptyDir).count() == 0)
     assert(TextAnalysis.decontaminate(spark, emptyDir).count() == 0)
     assert(TextAnalysis.packSequences(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.splitAssign(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.tokenRarity(spark, emptyDir).count() == 0)
+    assert(Dedup.substringDedup(spark, emptyDir).count() == 0)
     // the funnel REPORT exists even for an empty corpus: 4 stages, all 0
     val funnel = TextAnalysis.curationFunnel(spark, emptyDir).collect()
     assert(funnel.length == 4 && funnel.forall(_.getLong(1) == 0L))
