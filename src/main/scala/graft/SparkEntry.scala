@@ -1575,10 +1575,15 @@ object SparkEntry {
       WITH keys AS (
         SELECT o_orderkey AS k FROM orders
         WHERE o_orderpriority = '1-URGENT'
+      ), sat AS (
+        -- the saturation handoff mirror: past the 2^27 cap the Scala
+        -- operator never probes a bitmap — it swaps to the exact
+        -- shuffled join, so pass == matched by construction
+        SELECT (16 * count(*)) > (1::BIGINT << 27) AS saturated FROM keys
       ), pb AS (
-        -- coalesce mirrors the Scala clamp (Sketches.bloomPrune caps mBits
-        -- at 27): past ~8.4M build keys no b in range satisfies the
-        -- predicate and a bare min(b) would go NULL instead of saturating
+        -- coalesce mirrors the Scala clamp (Sketches.bloomSizing caps
+        -- mBits at 27): past ~8.4M build keys no b in range satisfies
+        -- the predicate and a bare min(b) would go NULL
         SELECT coalesce(min(b), 27)::INT AS mbits
         FROM generate_series(13, 27) t(b)
         WHERE (1::BIGINT << b) >= 16 * (SELECT count(*) FROM keys)
@@ -1605,13 +1610,21 @@ object SparkEntry {
         GROUP BY l_orderkey
       )
       SELECT l.l_returnflag, count(*) AS n_rows,
-             sum(CASE WHEN coalesce(fh.pass, false)
+             sum(CASE WHEN (CASE WHEN (SELECT saturated FROM sat)
+                            THEN kk.k IS NOT NULL
+                            ELSE coalesce(fh.pass, false) END)
                  THEN 1 ELSE 0 END)::BIGINT AS n_pass,
              sum(CASE WHEN kk.k IS NOT NULL
                  THEN 1 ELSE 0 END)::BIGINT AS n_match,
-             sum(CASE WHEN coalesce(fh.pass, false) AND kk.k IS NULL
+             sum(CASE WHEN (CASE WHEN (SELECT saturated FROM sat)
+                            THEN false
+                            ELSE coalesce(fh.pass, false) AND kk.k IS NULL
+                            END)
                  THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
-             (sum(CASE WHEN kk.k IS NOT NULL AND NOT coalesce(fh.pass, false)
+             (sum(CASE WHEN kk.k IS NOT NULL AND NOT
+                       (CASE WHEN (SELECT saturated FROM sat)
+                        THEN kk.k IS NOT NULL
+                        ELSE coalesce(fh.pass, false) END)
                   THEN 1 ELSE 0 END) = 0) AS no_false_neg
       FROM lineitem l
       LEFT JOIN fhit fh ON l.l_orderkey = fh.l_orderkey

@@ -61,8 +61,15 @@ object StarCcAudit {
         val hub = spark.range(0L, n / 2)
           .select(lit(2L * n).as("doc_a"), ($"id" + n).as("doc_b"))
         chain.union(hub)
-      case _ =>
+      case "lsh" =>
         operators.Dedup.minHashLsh(spark, sfDir).select("doc_a", "doc_b")
+      case other =>
+        // an unknown mode must not silently audit the wrong graph and
+        // stamp a passing-looking artifact with a bogus mode name
+        System.err.println(s"[starcc-audit] unknown mode '$other' " +
+          "(expected 'lsh' or 'hub')")
+        spark.stop()
+        sys.exit(2)
     }).localCheckpoint(true)
     def drain(): Unit =
       org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
@@ -92,12 +99,15 @@ object StarCcAudit {
 
     // the gate: every non-final round's shuffle must stay within
     // tolerance of its predecessor (monotone shrink modulo jitter on
-    // already-small rounds), and edge counts must never grow
+    // already-small rounds), and edge counts must never grow. Round 0
+    // is the resolver's SETUP (canonicalization distinct, node set,
+    // initial signature) — attributed separately so it can't pad round
+    // 1's baseline, and exempt from the byte comparison
     val bad = rounds.toList.sliding(2).flatMap {
       case List((i1, e1, b1), (i2, e2, b2)) =>
         val finalRound = i2 == rounds.last._1
         val byteViolation =
-          !finalRound && b1 > 0 && b2 > b1 * tolerance
+          i1 >= 1 && !finalRound && b1 > 0 && b2 > b1 * tolerance
         val edgeViolation = e2 > e1
         if (byteViolation || edgeViolation)
           Some(s"round $i1->$i2: edges $e1->$e2 bytes $b1->$b2")

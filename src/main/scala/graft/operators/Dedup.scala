@@ -450,6 +450,10 @@ object Dedup {
     var counts = List(sig._1)
     var converged = false
     var iter = 0
+    // round 0 = setup (canonicalization distinct, node set, initial
+    // signature): fires BEFORE the first star round so an auditing
+    // caller can keep setup shuffle out of round 1's attribution
+    onRound(0, sig._1)
     while (!converged && iter < 64) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = signature(next)
@@ -643,15 +647,19 @@ object Dedup {
       .withColumn("norm", normText)
       .select($"doc_id", split($"norm", " ").as("toks"))
       .withColumn("n_toks", size($"toks").cast("long"))
+    // the positioned stream carries ONLY (doc_id, pos, shash) — ~20
+    // bytes/row across the two corpus-scale shuffles; n_toks is
+    // re-attached at the end from the zeros branch (max ignores the
+    // span rows' null), never shipped per position
     val toks = docs
-      .select($"doc_id", $"n_toks", posexplode($"toks").as(Seq("pos", "tok")))
+      .select($"doc_id", posexplode($"toks").as(Seq("pos", "tok")))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"pos".asc)
     val withLeads = (1 until n).foldLeft(toks) { (df, i) =>
       df.withColumn(s"t$i", lead($"tok", i).over(wDoc))
     }
     val starts = withLeads
       .filter(col(s"t${n - 1}").isNotNull)
-      .select($"doc_id", $"n_toks", $"pos",
+      .select($"doc_id", $"pos",
         call_function("poly_hash", concat_ws(" ",
           ($"tok" +: (1 until n).map(i => col(s"t$i"))): _*),
           lit(1 << 20)).as("shash"))
@@ -660,7 +668,7 @@ object Dedup {
     val dup = starts
       .withColumn("total", count(lit(1)).over(Window.partitionBy($"shash")))
       .filter($"total" >= 2)
-      .select($"doc_id", $"n_toks", $"pos")
+      .select($"doc_id", $"pos")
     // gaps-and-islands: a start opens a new span iff it clears every
     // earlier start's coverage end (touching spans merge: pos == prev_end
     // means [.., pos) + [pos, pos+n) are contiguous duplicated text)
@@ -672,15 +680,14 @@ object Dedup {
         when($"prev_end".isNull || $"pos" > $"prev_end", 1L).otherwise(0L))
       .withColumn("span_id", sum($"new_span").over(wPos))
       .groupBy($"doc_id", $"span_id")
-      .agg(max($"n_toks").as("n_toks"),
-        (max($"pos") + n - min($"pos")).cast("long").as("span_len"),
+      .agg((max($"pos") + n - min($"pos")).cast("long").as("span_len"),
         count(lit(1)).as("n_starts"))
-    // clean docs join the report by union, not join: one zero-row per doc
-    val zeros = Tables.read(spark, sfDir, "documents")
-      .withColumn("n_toks", size(split(normText, " ")).cast("long"))
-      .select($"doc_id", $"n_toks",
-        lit(null).cast("long").as("span_len"), lit(0L).as("n_starts"))
-    spans.select($"doc_id", $"n_toks", $"span_len", $"n_starts")
+    // clean docs join the report by union, not join: one zero-row per
+    // doc, reusing `docs` so the tokenization is defined exactly once
+    val zeros = docs.select($"doc_id", $"n_toks",
+      lit(null).cast("long").as("span_len"), lit(0L).as("n_starts"))
+    spans.select($"doc_id", lit(null).cast("long").as("n_toks"),
+        $"span_len", $"n_starts")
       .union(zeros)
       .groupBy($"doc_id")
       .agg(max($"n_toks").as("n_tokens"),
