@@ -1451,11 +1451,13 @@ object SparkEntry {
                AS actual_rate
       FROM x GROUP BY lang ORDER BY lang ASC""",
     // token rarity: replay vocabulary counts, the one-division corpus
-    // mean, and the per-doc decimal frequency sums
-    "text_token_rarity" -> """
+    // mean, and the per-doc mod-prime frequency checksums (exported as
+    // BIGINT residues — the prime is TextAnalysis.ChecksumP on both
+    // sides, so operator and oracle cannot disagree on the modulus)
+    "text_token_rarity" -> s"""
       WITH t AS (
         SELECT doc_id, unnest(string_split(
-          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
         FROM documents
       ), v AS (
         SELECT tok, count(*) AS cnt FROM t GROUP BY tok
@@ -1466,24 +1468,29 @@ object SparkEntry {
         FROM t JOIN v USING (tok) CROSS JOIN m
       ), a AS (
         SELECT doc_id, count(*) AS n_tokens,
-               sum(cnt)::DECIMAL(38,0) AS freq_sum,
+               sum(cnt)::DECIMAL(38,0) AS freq_total,
+               (sum(cnt % ${TextAnalysis.ChecksumP})
+                 % ${TextAnalysis.ChecksumP})::BIGINT AS freq_sum,
                sum(CASE WHEN cnt::DOUBLE < mean_freq THEN 1 ELSE 0 END)
                  ::BIGINT AS n_below_mean
         FROM j GROUP BY doc_id
       )
       SELECT doc_id, n_tokens, freq_sum,
-             round(freq_sum::DOUBLE / n_tokens, 4) AS avg_freq,
+             round(freq_total::DOUBLE / n_tokens, 4) AS avg_freq,
              n_below_mean,
              round(n_below_mean::DOUBLE / n_tokens, 4) AS rare_fraction
       FROM a ORDER BY doc_id ASC""",
-    // split assignment: replay the salted affine bucket (salt 42 ->
-    // saltMix precomputed exactly as the Scala side does) and the
-    // 90/5/5 thresholds; doc_id sum/min/max gate exact membership
+    // split assignment: replay the salted affine bucket (saltMix is
+    // derived HERE from TextAnalysis.SplitSalt — the same constant the
+    // operator defaults to, so the two cannot silently diverge) and the
+    // 90/5/5 thresholds; the mod-prime doc_id checksum + min/max gate
+    // exact membership
     "text_split_assign" -> s"""
       WITH x AS (
         SELECT doc_id, lang,
                ((doc_id % 1000000007 + 1000000007) % 1000000007
-                 * 2654435761 + ${(42L * 2246822519L + 10007L) % 1000000007L})
+                 * 2654435761 + ${(TextAnalysis.SplitSalt % 1000000007L
+                   * 2246822519L + 10007L) % 1000000007L})
                  % 1000000007 % 100 AS bucket
         FROM documents
       ), s AS (
@@ -1494,7 +1501,9 @@ object SparkEntry {
         FROM x
       )
       SELECT split, lang, count(*) AS n_docs,
-             sum(doc_id)::DECIMAL(38,0) AS docid_sum,
+             (sum(((doc_id % ${TextAnalysis.ChecksumP})
+                   + ${TextAnalysis.ChecksumP}) % ${TextAnalysis.ChecksumP})
+               % ${TextAnalysis.ChecksumP})::BIGINT AS docid_sum,
              min(doc_id)::BIGINT AS docid_min,
              max(doc_id)::BIGINT AS docid_max
       FROM s GROUP BY split, lang ORDER BY split ASC, lang ASC""",
@@ -1571,21 +1580,22 @@ object SparkEntry {
              round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE
                AS total_value
       FROM events GROUP BY user_id ORDER BY user_id ASC""",
-    "q_bloom_prune" -> """
+    "q_bloom_prune" -> s"""
       WITH keys AS (
         SELECT o_orderkey AS k FROM orders
         WHERE o_orderpriority = '1-URGENT'
       ), sat AS (
-        -- the saturation handoff mirror: past the 2^27 cap the Scala
-        -- operator never probes a bitmap — it swaps to the exact
+        -- the saturation handoff mirror: past the 2^capBits cap the
+        -- Scala operator never probes a bitmap — it swaps to the exact
         -- shuffled join, so pass == matched by construction
-        SELECT (16 * count(*)) > (1::BIGINT << 27) AS saturated FROM keys
+        SELECT (16 * count(*)) > (1::BIGINT << ${Sketches.BloomCapBits})
+          AS saturated FROM keys
       ), pb AS (
         -- coalesce mirrors the Scala clamp (Sketches.bloomSizing caps
-        -- mBits at 27): past ~8.4M build keys no b in range satisfies
+        -- mBits at BloomCapBits): past ~8.4M build keys none satisfies
         -- the predicate and a bare min(b) would go NULL
-        SELECT coalesce(min(b), 27)::INT AS mbits
-        FROM generate_series(13, 27) t(b)
+        SELECT coalesce(min(b), ${Sketches.BloomCapBits})::INT AS mbits
+        FROM generate_series(13, ${Sketches.BloomCapBits}) t(b)
         WHERE (1::BIGINT << b) >= 16 * (SELECT count(*) FROM keys)
       ), h(i, a, bb) AS (
         VALUES (0, 2654435761, 1), (1, 2246822519, 10008),

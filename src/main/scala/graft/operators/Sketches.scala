@@ -55,11 +55,17 @@ object Sketches {
     * directly-counted false positives, and the no-false-negative
     * invariant as a hard oracle-checked boolean. All integers →
     * hash-exact despite the operator being "approximate". */
+  /** Default mBits cap (2^27 bits = a 16 MiB bitmap). Shared with the
+    * DuckDB oracle in SparkEntry (interpolated into the SQL), so the
+    * operator's cap and the oracle's replay of it cannot silently
+    * diverge when this default changes. */
+  private[graft] val BloomCapBits = 27
+
   /** Adaptive sizing shared by the bitmap build and the handoff
     * decision: smallest 2^b ≥ 16·n_keys (k=4 hashes → ~0.15% FP at 16
     * bits/key), capped at capBits. Saturated = the build side outgrew
     * the cap, i.e. the FP guarantee is gone. */
-  private[graft] def bloomSizing(nKeys: Long, capBits: Int = 27)
+  private[graft] def bloomSizing(nKeys: Long, capBits: Int = BloomCapBits)
       : (Int, Boolean) = {
     var mBits = math.min(13, capBits)
     while (mBits < capBits && (1L << mBits) < 16L * nKeys) mBits += 1
@@ -76,7 +82,8 @@ object Sketches {
     * to the shuffled exact join instead of building a saturated bitmap
     * (this direct path keeps the degraded bitmap's no-false-negative
     * invariant spec-testable on its own). */
-  private[graft] def buildBloomBitmap(keys: DataFrame, capBits: Int = 27,
+  private[graft] def buildBloomBitmap(keys: DataFrame,
+      capBits: Int = BloomCapBits,
       knownKeys: Long = -1L): (Array[Long], Int, Boolean) = {
     import keys.sparkSession.implicits._
     val nKeys = if (knownKeys >= 0L) knownKeys else keys.count()
@@ -102,7 +109,8 @@ object Sketches {
     (words, mBits, saturated)
   }
 
-  def bloomPrune(spark: SparkSession, sfDir: String, capBits: Int = 27)
+  def bloomPrune(spark: SparkSession, sfDir: String,
+      capBits: Int = BloomCapBits)
       : DataFrame = {
     import spark.implicits._
     val keys = Tables.read(spark, sfDir, "orders")

@@ -17,6 +17,21 @@ import graft.functions.TextNorm
   */
 object TextAnalysis {
 
+  /** Prime modulus for exported membership/frequency checksums
+    * (`docid_sum`, `freq_sum`): sums are accumulated as decimal
+    * internally (overflow-proof at any corpus size) but exported as
+    * the <P residue in a plain BIGINT — a type every engine hashes
+    * identically, unlike a raw DECIMAL(38,0). Referenced by the
+    * DuckDB oracles in SparkEntry so operator and oracle can never
+    * disagree on the modulus. */
+  private[graft] val ChecksumP = 1000000007L
+
+  /** Default salt for [[splitAssign]] — shared with the DuckDB oracle
+    * in SparkEntry (which inlines the derived saltMix from this same
+    * constant), so changing the default cannot silently desynchronize
+    * operator and oracle. */
+  private[graft] val SplitSalt = 42L
+
   /** Tokens of whitespace-normalized text. BPE-ish refinement: also splits
     * off punctuation runs as their own tokens (a cheap proxy for subword
     * boundaries that stays regex-expressible on both engines). The outer
@@ -489,7 +504,8 @@ object TextAnalysis {
     * are RARE relative to the whole corpus are surprise-heavy
     * (misparses, boilerplate fragments, wrong-language slices); docs of
     * only ultra-common tokens are low-information. Per document: token
-    * count, summed corpus frequency of its tokens, average frequency,
+    * count, a mod-[[ChecksumP]] BIGINT checksum of its tokens' corpus
+    * frequencies (decimal-accumulated internally), average frequency,
     * and the count/fraction of below-corpus-mean-frequency tokens. All
     * thresholds are corpus-RELATIVE (mean frequency = N/V), so the
     * operator is scale-free — no magic absolute cutoffs.
@@ -521,11 +537,19 @@ object TextAnalysis {
       .crossJoin(broadcast(totals))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        sum($"cnt".cast("decimal(38,0)")).as("freq_sum"),
+        sum($"cnt".cast("decimal(38,0)")).as("freq_total"),
+        sum(pmod($"cnt", lit(ChecksumP)).cast("decimal(38,0)"))
+          .as("freq_mod_acc"),
         sum(when($"cnt".cast("double") < $"mean_freq", 1L).otherwise(0L))
           .as("n_below_mean"))
-      .select($"doc_id", $"n_tokens", $"freq_sum",
-        round($"freq_sum".cast("double") / $"n_tokens", 4).as("avg_freq"),
+      // the exported checksum is mod-prime BIGINT, not the raw decimal:
+      // value-identical replay on any engine without exposing a 38-digit
+      // decimal in the output schema (internal sums stay decimal, so the
+      // overflow-safety story is unchanged)
+      .select($"doc_id", $"n_tokens",
+        pmod($"freq_mod_acc", lit(ChecksumP).cast("decimal(38,0)"))
+          .cast("long").as("freq_sum"),
+        round($"freq_total".cast("double") / $"n_tokens", 4).as("avg_freq"),
         $"n_below_mean",
         round($"n_below_mean".cast("double") / $"n_tokens", 4)
           .as("rare_fraction"))
@@ -545,15 +569,16 @@ object TextAnalysis {
     * the property a rand() or row_number split lacks), and re-keyable
     * by salt.
     *
-    * Output: per (split, lang) — count plus doc_id sum/min/max as exact
-    * membership checksums, so the oracle confirms the ASSIGNMENT, not
-    * just the rates. The sum is decimal(38,0): a long sum overflows ANSI
-    * arithmetic on large ids (ids near 2^63 are legal), a decimal never
-    * does at any corpus this library targets. One scan, one
+    * Output: per (split, lang) — count plus a mod-[[ChecksumP]] doc_id
+    * checksum and min/max, so the oracle confirms the ASSIGNMENT, not
+    * just the rates. The checksum accumulates as decimal internally (a
+    * long sum overflows on ids near 2^63, which are legal) but exports
+    * only the <P residue as BIGINT — exactly replayable on any engine
+    * and free of raw wide-decimal output columns. One scan, one
     * low-cardinality aggregate (≤ 3×langs rows), map-side combined:
     * scan-speed at any corpus size. */
-  def splitAssign(spark: SparkSession, sfDir: String, salt: Long = 42L)
-      : DataFrame = {
+  def splitAssign(spark: SparkSession, sfDir: String,
+      salt: Long = SplitSalt): DataFrame = {
     import spark.implicits._
     val P = 1000000007L
     val saltMix = (((salt % P) + P) % P * 2246822519L + 10007L) % P
@@ -566,7 +591,11 @@ object TextAnalysis {
           .otherwise("test"))
       .groupBy($"split", $"lang")
       .agg(count(lit(1)).as("n_docs"),
-        sum($"doc_id".cast("decimal(38,0)")).as("docid_sum"),
+        // mod-prime BIGINT membership checksum (internal sum stays
+        // decimal so no 64-bit overflow at any corpus size; only the
+        // final <P residue is exported)
+        pmod(sum(pmod($"doc_id", lit(ChecksumP)).cast("decimal(38,0)")),
+          lit(ChecksumP).cast("decimal(38,0)")).cast("long").as("docid_sum"),
         min($"doc_id").as("docid_min"),
         max($"doc_id").as("docid_max"))
       .orderBy($"split".asc, $"lang".asc)
