@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses graft.Bench's one-line JSON summary from a
+// bounded stdout TAIL. Under fork, sbt's default LoggedOutput captures
+// the forked JVM's stdout and prefixes every line with "[info] " —
+// which is exactly why BENCH_r6/r7 recorded parsed=null with the line
+// present. StdoutOutput hands the forked process sbt's own stdout/
+// stderr unfiltered: the summary line reaches the driver bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

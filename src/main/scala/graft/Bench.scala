@@ -200,7 +200,14 @@ object Bench {
       .filter { case (k, _, _, _) => headlineKeys.contains(k) }
       .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","passes":$passes,"etl":${fmt(etlSec, 1)},"failedCount":${failedNames.size},"failed":$failedBounded,"failedTruncated":$failedTruncated,"sf":"$sfDir","queries":$headlines,"artifact":"${new java.io.File(outFile).getName}","artifact_sha256":"$sha"}""")
+    val summary = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","passes":$passes,"etl":${fmt(etlSec, 1)},"failedCount":${failedNames.size},"failed":$failedBounded,"failedTruncated":$failedTruncated,"sf":"$sfDir","queries":$headlines,"artifact":"${new java.io.File(outFile).getName}","artifact_sha256":"$sha"}"""
+    // The driver parses this line from a bounded stdout TAIL. It must
+    // arrive bare: `run` is forked, and sbt's default LoggedOutput
+    // would re-log the forked stdout with an "[info] " prefix (the
+    // r6/r7 parsed=null bug) — build.sbt sets
+    // `run / outputStrategy := StdoutOutput` so the forked JVM writes
+    // sbt's own stdout directly, unfiltered.
+    println(summary)
     spark.stop()
   }
 }

@@ -79,6 +79,7 @@ object SparkEntry {
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "text_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
+    "text_shuffle_pack" -> ((s, d) => TextAnalysis.shufflePack(s, d)),
     "text_token_rarity" -> ((s, d) => TextAnalysis.tokenRarity(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
@@ -1507,6 +1508,34 @@ object SparkEntry {
              min(doc_id)::BIGINT AS docid_min,
              max(doc_id)::BIGINT AS docid_max
       FROM s GROUP BY split, lang ORDER BY split ASC, lang ASC""",
+    // deterministic shuffle + pack: the oracle replays the salted
+    // affine order key (saltMix derived from TextAnalysis.SplitSalt,
+    // same constant the operator defaults to) and computes position /
+    // running tokens with the NAIVE global window — affordable at
+    // oracle scale, and independently validating the operator's
+    // range-decomposed prefix sum
+    "text_shuffle_pack" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               len(string_split(regexp_replace(lower(trim(text)),
+                 '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens,
+               ((doc_id % 1000000007 + 1000000007) % 1000000007
+                 * 2654435761 + ${(TextAnalysis.SplitSalt % 1000000007L
+                   * 2246822519L + 10007L) % 1000000007L})
+                 % 1000000007 AS shuffle_key
+        FROM documents
+      ), o AS (
+        SELECT doc_id, shuffle_key, n_tokens,
+               (row_number() OVER (ORDER BY shuffle_key, doc_id) - 1)
+                 ::BIGINT AS pos,
+               coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM t
+      )
+      SELECT doc_id, shuffle_key, pos, n_tokens,
+             (cum_before // 512)::BIGINT AS bin_id
+      FROM o ORDER BY pos ASC""",
     "ev_retention" -> """
       WITH e AS (
         SELECT user_id, cast(ts AS date) AS day FROM events

@@ -4,8 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Numeric gate for the star-CC resolver's 100 TB claim: the
-  * alternating large-star/small-star rounds must shrink GEOMETRICALLY —
-  * not just in asserted edge counts, but in measured shuffle bytes.
+  * alternating large-star/small-star rounds must never GROW — per-round
+  * shuffle bytes are bounded by the input, verified in measured bytes,
+  * not just asserted edge counts. (The SHAPE of convergence is
+  * graph-dependent: near-star graphs shrink the edge multiset
+  * geometrically and finish in ~3 rounds; path-like graphs keep edge
+  * counts ~flat and instead halve component depth per double-round —
+  * O(log n) rounds at constant bytes. The gate enforces the invariant
+  * both shapes share: no round amplifies its predecessor's shuffle.)
   * This main runs the resolver over the real LSH pair graph at bench
   * scale, brackets every round with a listener drain to attribute its
   * shuffle write exactly, prints one JSON line, writes
@@ -18,8 +24,8 @@ import org.apache.spark.sql.functions._
   * mode `lsh` (default) audits the real MinHash-LSH pair graph of the
   * bench corpus; mode `hub` audits a deterministic adversarial graph
   * (one n-node chain — the worst case for label propagation depth —
-  * plus an n/2-degree hub) where the geometric shrink actually has
-  * rounds to show itself: the bench corpus's pair graph is already
+  * plus an n/2-degree hub) where the round count actually has room to
+  * show the O(log n) bound: the bench corpus's pair graph is already
   * near-star-shaped and converges immediately.
   */
 object StarCcAudit {

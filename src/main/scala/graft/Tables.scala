@@ -30,23 +30,25 @@ object Tables {
     * Spark's own "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))". */
   val nanosConfKey = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS). Under `nanosConfKey`
-    * (set at session construction — see above) it decodes as long; this
-    * floor-divides to micros — the same truncation DuckDB applies when it
-    * loads nanos into its microsecond timestamp type, so both engines see
-    * identical `ts`.
+  /** Normalizes `ts` to a session-tz TIMESTAMP whatever the parquet
+    * writer chose, schema-driven per branch:
     *
-    * Notes: the pmod form is true floor division (a bare `div` truncates
-    * toward zero and would diverge from DuckDB by 1µs on pre-1970 nanos).
-    * The nanos handling is schema-driven: an events table whose `ts`
-    * decodes as a TIMESTAMP (micro/milli — any normal source) passes
-    * through untouched.
-    * CONTRACT for the LongType branch: a long-typed `ts` is interpreted
-    * as epoch NANOS — that covers TIMESTAMP(NANOS) under `nanosAsLong`
-    * (the fixture) but would misread a table storing raw BIGINT
-    * epoch-micros; Spark's decoded schema cannot distinguish the two
-    * (the logical-type annotation is gone by DataFrame level), so such
-    * tables must convert upstream. */
+    *  - TIMESTAMP(NANOS): under `nanosConfKey` (set at session
+    *    construction — see above) it decodes as long; floor-divided to
+    *    micros — the same truncation DuckDB applies loading nanos into
+    *    its microsecond type, so both engines see identical `ts`. (The
+    *    pmod form is true floor division; a bare `div` truncates toward
+    *    zero and would diverge from DuckDB by 1µs on pre-1970 nanos.)
+    *    CONTRACT: a long-typed `ts` is interpreted as epoch NANOS —
+    *    a table storing raw BIGINT epoch-micros must convert upstream
+    *    (the logical-type annotation is gone by DataFrame level, so the
+    *    two are indistinguishable here).
+    *  - TIMESTAMP_NTZ (tz-naive micro/milli — pyarrow's default
+    *    `timestamp[us]`, the current driver fixture): cast to
+    *    TIMESTAMP. Every graft session pins
+    *    `spark.sql.session.timeZone=UTC`, so the cast reinterprets the
+    *    naive value as the same UTC instant DuckDB reads — bit-exact.
+    *  - TIMESTAMP (tz-adjusted — any normal source): untouched. */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
@@ -55,6 +57,9 @@ object Tables {
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr(
               "(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -382,9 +382,18 @@ object Dedup {
     *    rows must meet on one reducer.
     *  - large-star provably cuts hub degree (larger neighbors re-attach
     *    to the min, turning a degree-d hub into ~d/2 stars), so the
-    *    edge multiset shrinks geometrically — the spec asserts the
-    *    per-iteration edge counts (= shuffle row counts) decrease
-    *    monotonically on a hub-heavy graph. O(log n) rounds.
+    *    edge multiset never grows and per-round shuffle bytes are
+    *    bounded by the input — the spec asserts the per-iteration edge
+    *    counts (= shuffle row counts) are non-increasing on a hub-heavy
+    *    graph, and the committed gate (`StarCcAudit`,
+    *    `STARCC_ROUNDS{,_HUB}.json`) enforces it numerically. The
+    *    SHAPE of convergence depends on the graph: near-star graphs
+    *    shrink the edge multiset geometrically (STARCC_ROUNDS.json:
+    *    3 rounds), while path-like graphs keep edge counts ~flat and
+    *    instead halve component DEPTH each double-round
+    *    (STARCC_ROUNDS_HUB.json: 299,999 edges flat across 19 rounds
+    *    on a 200k chain — the textbook O(log n) bound, paid in rounds
+    *    rather than bytes).
     *
     * Self-loops are dropped each round; edges are kept canonical
     * (small, large) and deduplicated, so the iterate is a set.
@@ -631,17 +640,27 @@ object Dedup {
     *
     * Positions travel as poly-hash longs + int offsets (~20 bytes/row);
     * the known skew point is a degenerate corpus-dominant shingle whose
-    * occurrence rows all land in one (spillable) window partition — the
-    * standard hardening at 100 TB is dropping top-DF shingles into a
-    * salted pre-count, which changes no output row here because any
-    * shingle that hot is duplicated by definition.
+    * occurrence rows all land in one (spillable) window partition. The
+    * HARDENING (r8): a salted pre-count — `groupBy(shash, salt)` with
+    * map-side combine (a hot shingle's millions of rows collapse to ≤
+    * 256 per map task BEFORE the exchange), rolled up to per-shingle
+    * totals — identifies shingles past `hotCap`; that set is tiny BY
+    * CONSTRUCTION (≤ positions/hotCap entries), is broadcast, and its
+    * rows BYPASS the window (any shingle past hotCap ≥ 2 is duplicated
+    * by definition, so the bypass changes no output row — spec-tested
+    * as an equivalence). Cold rows keep the window path, now with every
+    * partition bounded by hotCap. The plan gains one broadcast join
+    * and one aggregated pre-count exchange, never a corpus-stream
+    * shuffle join (plan-guarded: no SortMergeJoin/ShuffledHashJoin).
     *
     * Oracle: DuckDB replays the identical poly-hash, count, and
     * gaps-and-islands logic (joins are fine at oracle scale). */
-  def substringDedup(spark: SparkSession, sfDir: String, n: Int = 3)
-      : DataFrame = {
+  def substringDedup(spark: SparkSession, sfDir: String, n: Int = 3,
+      hotCap: Long = 1L << 22): DataFrame = {
     import spark.implicits._
     require(n >= 2, s"span shingle width must be >= 2, got $n")
+    require(hotCap >= 2L,
+      s"hotCap must be >= 2 (the bypass marks hot shingles dup), got $hotCap")
     graft.functions.PolyHash.register(spark)
     val docs = Tables.read(spark, sfDir, "documents")
       .withColumn("norm", normText)
@@ -663,12 +682,27 @@ object Dedup {
         call_function("poly_hash", concat_ws(" ",
           ($"tok" +: (1 until n).map(i => col(s"t$i"))): _*),
           lit(1 << 20)).as("shash"))
+    // hot-shingle pre-count: per-(shash, salt) partials collapse
+    // map-side (≤ 256 shuffle rows per shingle per map task no matter
+    // how hot), roll up to totals, keep only shingles past hotCap —
+    // a set bounded by positions/hotCap, hence broadcastable
+    val hot = starts
+      .groupBy($"shash", pmod($"doc_id" + $"pos", lit(256L)).as("salt"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"shash").agg(sum($"c").as("total"))
+      .filter($"total" >= hotCap)
+      .select($"shash", lit(true).as("is_hot"))
     // corpus-wide occurrence count per shingle, landed in place by a
     // whole-partition window aggregate — the no-join membership test
-    val dup = starts
+    // for every COLD shingle (partition size < hotCap by construction);
+    // hot rows bypass it: past hotCap >= 2 they are dup by definition
+    val flagged = starts
+      .join(broadcast(hot), Seq("shash"), "left_outer")
+    val dup = flagged.filter($"is_hot".isNull)
       .withColumn("total", count(lit(1)).over(Window.partitionBy($"shash")))
       .filter($"total" >= 2)
       .select($"doc_id", $"pos")
+      .union(flagged.filter($"is_hot").select($"doc_id", $"pos"))
     // gaps-and-islands: a start opens a new span iff it clears every
     // earlier start's coverage end (touching spans merge: pos == prev_end
     // means [.., pos) + [pos, pos+n) are contiguous duplicated text)

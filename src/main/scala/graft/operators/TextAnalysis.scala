@@ -601,6 +601,64 @@ object TextAnalysis {
       .orderBy($"split".asc, $"lang".asc)
   }
 
+  /** Deterministic corpus shuffle + packing layout — the middle step of
+    * the split → SHUFFLE → pack chain: a reproducible global training
+    * ORDER (so every re-run, resumption, and ablation sees the same
+    * token stream) plus each document's position and `seqLen`-token
+    * training-bin under that order.
+    *
+    * The order is `(shuffle_key, doc_id)` where `shuffle_key` is the
+    * same salted affine hash as [[splitAssign]] minus the bucket fold —
+    * uniform in [0, P), re-keyable by salt, independent of partition
+    * layout, and cheap on both engines (no rand(), whose evaluation
+    * order is nondeterministic under retries). `doc_id` breaks hash
+    * ties so the order is TOTAL — bitwise-identical on any cluster.
+    *
+    * Positions come from the same distributed prefix-sum shape as
+    * [[packSequences]], decomposed over the HASH domain instead of
+    * doc_id ranges (the shuffled order lives there): `ranges` equal
+    * hash slices → per-slice (doc count, token mass) → slice offsets
+    * via the triangular broadcast join (≤ `ranges`² cheap pairs, plan
+    * stays window-free at the slice level) → per-slice window
+    * partitioned BY SLICE for rank and running tokens. No global
+    * single-partition window anywhere; the hash is uniform, so slices
+    * are balanced BY CONSTRUCTION — no skew case at all, unlike
+    * doc_id ranges which inherit id clustering. The oracle replays the
+    * naive global window (affordable at oracle scale), independently
+    * validating the decomposition. */
+  def shufflePack(spark: SparkSession, sfDir: String,
+      salt: Long = SplitSalt, seqLen: Long = 512L,
+      ranges: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val P = 1000000007L
+    val saltMix = (((salt % P) + P) % P * 2246822519L + 10007L) % P
+    val width = (P + ranges - 1) / ranges
+    val docs = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", TextNorm.normCol)
+      .select($"doc_id",
+        size(split($"norm", " ")).cast("long").as("n_tokens"))
+      .withColumn("shuffle_key",
+        (pmod($"doc_id", lit(P)) * 2654435761L + saltMix) % P)
+      .withColumn("rng", expr(s"shuffle_key div $width"))
+    val sliceTotals = docs.groupBy($"rng")
+      .agg(count(lit(1)).as("rng_docs"), sum($"n_tokens").as("rng_tokens"))
+    val sliceOffsets = sliceTotals.as("a")
+      .join(broadcast(sliceTotals.as("b")), $"b.rng" < $"a.rng", "left_outer")
+      .groupBy($"a.rng".as("rng"))
+      .agg(coalesce(sum($"b.rng_docs"), lit(0L)).as("docs_offset"),
+        coalesce(sum($"b.rng_tokens"), lit(0L)).as("tokens_offset"))
+    val w = Window.partitionBy($"rng")
+      .orderBy($"shuffle_key".asc, $"doc_id".asc)
+    val wBefore = w.rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(sliceOffsets), Seq("rng"))
+      .withColumn("pos", $"docs_offset" + row_number().over(w) - 1L)
+      .withColumn("cum_before",
+        $"tokens_offset" + coalesce(sum($"n_tokens").over(wBefore), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_before div $seqLen"))
+      .select($"doc_id", $"shuffle_key", $"pos", $"n_tokens", $"bin_id")
+      .orderBy($"pos".asc)
+  }
+
   /** Document fingerprinting: polynomial rolling hash (base 31, mod 1e9+7)
     * over the ascii codes of the first 1024 chars of whitespace-normalized
     * text. Prefix-capped so the per-row cost is O(1024) regardless of

@@ -121,6 +121,36 @@ class DedupSpec extends SparkSpec {
     assert(rows(21L) == ((0L, 0L, 0L, 0.0)))
   }
 
+  test("substring dedup: hot-shingle bypass is output-invariant on a dominant shingle") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-substr-hot").toString
+    // a degenerate corpus: 400 docs all opening with the same
+    // boilerplate line (one shingle dominating the corpus — the skew
+    // case where the shash window partition concentrates), plus clean
+    // tails so per-doc stats differ
+    val docs = (0L until 400L).map { i =>
+      (i, s"the quick brown fox jumps over tail$i word$i end$i",
+        "en", "s", 0L)
+    } :+ ((400L, "totally unrelated and unique content here now", "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8).write.parquet(s"$dir/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // hotCap=16 forces the boilerplate shingles through the broadcast
+    // bypass; hotCap=Max forces everything through the window path —
+    // the outputs must be identical row for row
+    val hardened = Dedup.substringDedup(spark, dir, hotCap = 16L)
+      .collect().map(key).toMap
+    val windowOnly = Dedup.substringDedup(spark, dir, hotCap = Long.MaxValue)
+      .collect().map(key).toMap
+    assert(hardened == windowOnly,
+      "bypass must change no output row on a hot-shingle corpus")
+    // and the hot path actually fired: every boilerplate doc reports
+    // its shared opening span, the unique doc reports zero
+    assert(hardened(0L)._4 > 0L, "boilerplate span must be detected")
+    assert(hardened(400L)._4 == 0L, "unique doc must stay clean")
+  }
+
   test("image phash: identical payloads at hamming 0, unrelated images unpaired") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-phash").toString

@@ -145,6 +145,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(r => Set("train", "valid", "test")(r.getString(0))))
   }
 
+  test("shuffle pack: total deterministic order, invariant to partition layout") {
+    import spark.implicits._
+    val out = TextAnalysis.shufflePack(spark, sf).collect()
+    val n = out.length
+    // positions are exactly 0..n-1 (a permutation — no global window
+    // was used to produce them, so this checks the range decomposition)
+    assert(out.map(_.getAs[Long]("pos")).sorted.sameElements(0L until n),
+      "positions must be a permutation of 0..n-1")
+    // the order is (shuffle_key, doc_id)-sorted
+    val byPos = out.sortBy(_.getAs[Long]("pos"))
+      .map(r => (r.getAs[Long]("shuffle_key"), r.getAs[Long]("doc_id")))
+    assert(byPos.sameElements(byPos.sorted), "pos must follow (key, id) order")
+    // bin assignment equals the naive running-token cumsum
+    var cum = 0L
+    out.sortBy(_.getAs[Long]("pos")).foreach { r =>
+      assert(r.getAs[Long]("bin_id") == cum / 512L,
+        s"doc ${r.getAs[Long]("doc_id")}: bin mismatch at cum=$cum")
+      cum += r.getAs[Long]("n_tokens")
+    }
+    // partition-layout invariance: a differently-partitioned copy of the
+    // corpus yields the identical assignment (the property a rand() or
+    // monotonically_increasing_id shuffle lacks)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shuf").toString
+    Tables.read(spark, sf, "documents").repartition(7, $"lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val again = TextAnalysis.shufflePack(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("bin_id"))).sorted
+    val orig = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+      r.getAs[Long]("bin_id"))).sorted
+    assert(again.sameElements(orig), "order must not depend on layout")
+    // re-salting actually re-shuffles (salt is a real key, not dead)
+    val resalted = TextAnalysis.shufflePack(spark, sf, salt = 43L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    val posById = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    assert(posById.count { case (id, p) => resalted(id) != p } > n / 2,
+      "a different salt must produce a different order")
+  }
+
   test("token rarity: corpus-relative frequencies, exact on a crafted corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-rare").toString
@@ -156,7 +196,7 @@ class PipelineOpsSpec extends SparkSpec {
       .coalesce(1).write.parquet(s"$dir/documents.parquet")
     val rows = TextAnalysis.tokenRarity(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1),
-        r.getDecimal(2).longValueExact(), r.getDouble(3), r.getLong(4),
+        r.getLong(2), r.getDouble(3), r.getLong(4),
         r.getDouble(5)))).toMap
     assert(rows(0L) == ((4L, 20L, 5.0, 0L, 0.0)), s"doc 0: ${rows(0L)}")
     assert(rows(1L) == ((2L, 6L, 3.0, 1L, 0.5)), s"doc 1: ${rows(1L)}")

@@ -166,17 +166,40 @@ class PlanSpec extends SparkSpec {
       s"per-lang rollup must partial-aggregate map-side:\n$p")
   }
 
-  test("dedup_substring: corpus pays aggregates only — join-free plan") {
+  test("dedup_substring: corpus never shuffle-joins — broadcast-only plan") {
     // the dup-shingle set is corpus-sized (can't broadcast) and the
     // prescribed shape computes membership IN PLACE via a window over
-    // the shingle-hash partitioning — any Join node here means the
+    // the shingle-hash partitioning; the ONLY join allowed is the r8
+    // hot-shingle bypass — a BROADCAST join against the tiny past-
+    // hotCap set. A SortMergeJoin/ShuffledHashJoin here means the
     // positioned stream started shuffling twice for a membership test
     val p = plan("dedup_substring")
-    assert(!p.contains("Join"), s"substring dedup must not join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"substring dedup must not shuffle-join the corpus stream:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-shingle bypass must be a broadcast join:\n$p")
     assert(p.contains("windowspecdefinition(shash"),
-      s"dup membership must be the shash-partitioned window count:\n$p")
+      s"cold dup membership must be the shash-partitioned window count:\n$p")
     assert(p.contains("partial_max") || p.contains("partial_count"),
       s"span/doc rollups must partial-aggregate map-side:\n$p")
+  }
+
+  test("text_shuffle_pack: windows are slice-partitioned, never global") {
+    // the global training order must come from the range-decomposed
+    // prefix sum: every window spec partitions by the hash slice (rng).
+    // A windowspec leading with shuffle_key/doc_id is the naive global
+    // single-partition window — the 100 TB funnel this operator exists
+    // to avoid
+    val p = plan("text_shuffle_pack")
+    assert(p.contains("windowspecdefinition(rng"),
+      s"rank/cumsum windows must partition by the hash slice:\n$p")
+    assert(!p.contains("windowspecdefinition(shuffle_key")
+      && !p.contains("windowspecdefinition(doc_id"),
+      s"no global (unpartitioned) window allowed:\n$p")
+    // the slice-offset table joins back broadcast — the corpus stream
+    // must not shuffle-join for its offsets
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"slice offsets must broadcast, not shuffle-join:\n$p")
   }
 
   test("q_heavy_hitters_cms: sketch aggregates collapse map-side") {
