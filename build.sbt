@@ -35,3 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Regenerates STARCC_ROUNDS.json (real LSH pair graph) and
+// STARCC_ROUNDS_HUB.json (adversarial chain+hub graph) and exits
+// non-zero if any star-CC round amplifies its predecessor's shuffle —
+// run per round so the committed gate evidence tracks HEAD:
+//   sbt starccAudit
+addCommandAlias("starccAudit",
+  ";runMain graft.StarCcAudit lsh ;runMain graft.StarCcAudit hub")

@@ -388,12 +388,12 @@ object Dedup {
     *    graph, and the committed gate (`StarCcAudit`,
     *    `STARCC_ROUNDS{,_HUB}.json`) enforces it numerically. The
     *    SHAPE of convergence depends on the graph: near-star graphs
-    *    shrink the edge multiset geometrically (STARCC_ROUNDS.json:
-    *    3 rounds), while path-like graphs keep edge counts ~flat and
-    *    instead halve component DEPTH each double-round
-    *    (STARCC_ROUNDS_HUB.json: 299,999 edges flat across 19 rounds
-    *    on a 200k chain — the textbook O(log n) bound, paid in rounds
-    *    rather than bytes).
+    *    shrink the edge multiset fast (STARCC_ROUNDS.json: 957 → 429
+    *    edges in the first star round, converged by round 4), while
+    *    path-like graphs keep edge counts ~flat and instead halve
+    *    component DEPTH each double-round (STARCC_ROUNDS_HUB.json:
+    *    299,999 edges flat across 19 rounds on a 200k chain — the
+    *    textbook O(log n) bound, paid in rounds rather than bytes).
     *
     * Self-loops are dropped each round; edges are kept canonical
     * (small, large) and deduplicated, so the iterate is a set.
