@@ -1137,11 +1137,13 @@ object SparkEntry {
       ) ORDER BY stage ASC""",
     // naive single cumsum — independently validates the distributed
     // range-decomposed prefix sum the Spark side runs
-    "text_pack_sequences" -> """
+    // seqLen is TextAnalysis.PackSeqLen on both sides — one source of
+    // truth for operator default and oracle replay
+    "text_pack_sequences" -> s"""
       WITH t AS (
         SELECT doc_id,
                len(string_split(regexp_replace(lower(trim(text)),
-                 '\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+                 '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
         FROM documents
       ), c AS (
         SELECT doc_id, n_tokens,
@@ -1150,7 +1152,8 @@ object SparkEntry {
                  AS cum_before
         FROM t
       )
-      SELECT (cum_before // 512)::BIGINT AS bin_id, count(*) AS n_docs,
+      SELECT (cum_before // ${TextAnalysis.PackSeqLen})::BIGINT AS bin_id,
+             count(*) AS n_docs,
              sum(n_tokens)::BIGINT AS bin_tokens,
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY 1 ORDER BY 1 ASC""",
@@ -1534,7 +1537,7 @@ object SparkEntry {
         FROM t
       )
       SELECT doc_id, shuffle_key, pos, n_tokens,
-             (cum_before // 512)::BIGINT AS bin_id
+             (cum_before // ${TextAnalysis.PackSeqLen})::BIGINT AS bin_id
       FROM o ORDER BY pos ASC""",
     "ev_retention" -> """
       WITH e AS (

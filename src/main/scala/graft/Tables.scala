@@ -21,13 +21,16 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Session conf every graft entry point must set at SESSION CONSTRUCTION
-    * (`SparkSession.builder().config(nanosConfKey, "true")`): events.parquet
-    * stores `ts` as TIMESTAMP(NANOS), which Spark's parquet reader rejects
-    * by default; this decodes nanos as long (readEvents then floor-divides
-    * to micros). Set here as a constant — NOT mutated at read time — so
+    * (`SparkSession.builder().config(nanosConfKey, "true")`): the driver
+    * regenerates the events fixture each round and has shipped `ts` as
+    * TIMESTAMP(NANOS) (through r7), which Spark's parquet reader rejects
+    * by default; under this conf it decodes as long (readEvents then
+    * floor-divides to micros). Harmless when the fixture is micros (the
+    * r8 shape). Set here as a constant — NOT mutated at read time — so
     * reading a table never has a spooky shared-session side effect; a
-    * session built without it fails loudly on the first events read with
-    * Spark's own "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))". */
+    * session built without it fails loudly on the first nanos events
+    * read with Spark's own "Illegal Parquet type: INT64
+    * (TIMESTAMP(NANOS,...))". */
   val nanosConfKey = "spark.sql.legacy.parquet.nanosAsLong"
 
   /** Normalizes `ts` to a session-tz TIMESTAMP whatever the parquet

@@ -32,6 +32,12 @@ object TextAnalysis {
     * operator and oracle. */
   private[graft] val SplitSalt = 42L
 
+  /** Default training-sequence length for [[packSequences]] and
+    * [[shufflePack]] — interpolated into both DuckDB oracles in
+    * SparkEntry, so operator default and oracle replay share one
+    * source of truth. */
+  private[graft] val PackSeqLen = 512L
+
   /** Tokens of whitespace-normalized text. BPE-ish refinement: also splits
     * off punctuation runs as their own tokens (a cheap proxy for subword
     * boundaries that stays regex-expressible on both engines). The outer
@@ -413,7 +419,7 @@ object TextAnalysis {
     * single cumsum (DuckDB can afford it at oracle scale),
     * independently validating the decomposition. */
   def packSequences(spark: SparkSession, sfDir: String,
-      seqLen: Long = 512L, rangeSize: Long = 0L): DataFrame = {
+      seqLen: Long = PackSeqLen, rangeSize: Long = 0L): DataFrame = {
     import spark.implicits._
     val base = Tables.read(spark, sfDir, "documents")
     // parquet row-count is footer metadata — this is not a data scan
@@ -627,7 +633,7 @@ object TextAnalysis {
     * naive global window (affordable at oracle scale), independently
     * validating the decomposition. */
   def shufflePack(spark: SparkSession, sfDir: String,
-      salt: Long = SplitSalt, seqLen: Long = 512L,
+      salt: Long = SplitSalt, seqLen: Long = PackSeqLen,
       ranges: Int = 4096): DataFrame = {
     import spark.implicits._
     val P = 1000000007L
