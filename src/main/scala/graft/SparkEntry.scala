@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simHash(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containmentDedup(s, d)),
     // Similarity search (embeddings)
     "sim_topk_bruteforce" -> ((s, d) => Similarity.topKBruteForce(s, d)),
     "sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
@@ -1267,6 +1268,47 @@ object SparkEntry {
           greatest(b.n_tokens, 1), 4) AS dup_fraction
       FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
       ORDER BY b.doc_id ASC""",
+    // containment replay: identical shingling + poly-hash, identical
+    // DF cap (1000) and bottom-k (16) probe selection, exact hit
+    // counts — the estimator is approximate vs TRUE containment but
+    // exactly deterministic, so the oracle is bit-for-bit
+    "dedup_containment" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id,
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(generate_series(1, length(s)),
+              j -> ascii(substr(s, j, 1))::BIGINT)),
+            (a, x) -> (a * 31 + x) % 1000000007) AS shash
+        FROM (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+              FROM d, unnest(generate_series(1, greatest(len(toks) - 2, 0)))
+                t(i))
+      ), dfreq AS (
+        SELECT shash, count(*) AS df FROM sh GROUP BY shash
+      ), pr AS (
+        SELECT id_a, shash FROM (
+          SELECT s.doc_id AS id_a, s.shash,
+                 row_number() OVER (PARTITION BY s.doc_id
+                   ORDER BY s.shash ASC) AS rk
+          FROM sh s JOIN dfreq f USING (shash) WHERE f.df <= 1000)
+        WHERE rk <= 16
+      ), np AS (
+        SELECT id_a, count(*) AS n_probe FROM pr GROUP BY id_a
+      ), hits AS (
+        SELECT pr.id_a, s.doc_id AS id_b, count(*) AS hits
+        FROM pr JOIN sh s USING (shash)
+        WHERE s.doc_id <> pr.id_a
+        GROUP BY pr.id_a, s.doc_id
+      )
+      SELECT h.id_a AS doc_a, h.id_b AS doc_b,
+             n.n_probe::BIGINT AS n_probe, h.hits::BIGINT AS hits,
+             round(h.hits::DOUBLE / n.n_probe, 4) AS containment
+      FROM hits h JOIN np n USING (id_a)
+      WHERE round(h.hits::DOUBLE / n.n_probe, 4) >= 0.8
+      ORDER BY doc_a ASC, doc_b ASC""",
     "sim_topk_bruteforce" -> simTopKOracle,
     "sim_topk_native" -> simTopKOracle,
     "sim_topk_lsh" -> simTopKLshOracle,

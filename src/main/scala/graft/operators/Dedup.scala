@@ -736,4 +736,81 @@ object Dedup {
           .as("dup_fraction"))
       .orderBy($"doc_id".asc)
   }
+
+  /** Containment (doc-in-doc) dedup — the asymmetric mode the Jaccard
+    * family misses BY CONSTRUCTION: a 10-token license line quoted
+    * inside a 10k-token page has containment(A→B) = 1.0 but Jaccard
+    * ≈ 0.001, so no symmetric threshold finds it (the size-bucket
+    * blocking proof in [[ngramCandidates]] even formalizes why: Jaccard
+    * ≥ t forces |B| ≤ |A|/t). Containment is the right relation for
+    * boilerplate extraction, quote detection, and the "small doc is a
+    * slice of big doc" case of Lee et al. 2022's dedup taxonomy.
+    *
+    * Estimator (deterministic, oracle-replayed exactly): per document A,
+    * probe its `k` smallest token-trigram shingle hashes — bottom-k is
+    * the classic containment sketch (Broder's min-wise estimator on the
+    * CONTAINED side's set only, so the denominator is |P(A)| ≤ k, not
+    * the union) — against the corpus (doc, shash) index;
+    * containment-hat(A→B) = |P(A) ∩ S(B)| / |P(A)|. Shingles with
+    * document frequency > `maxDf` are excluded from probe sets BEFORE
+    * the bottom-k rank: a corpus-dominant boilerplate shingle is
+    * (a) useless as evidence of pairwise containment and (b) the one
+    * key whose probe join would fan out to DF ≈ corpus rows. With the
+    * cap, the candidate join's fan-out is ≤ maxDf per probe row —
+    * k·maxDf per document worst case, never quadratic, never all-pairs.
+    *
+    * Scale shape: one distinct over (doc, shash) (~16 B/row, map-side
+    * combined), one DF aggregate, one shash-keyed equi-join to rank
+    * probes, one shash-keyed probe join whose output collapses to
+    * (a, b) pair counts map-side, one id_a-keyed join for the
+    * denominator. Every shuffle is keyed; per-doc windows bound at the
+    * doc's own shingle count. Both directions are emitted independently
+    * (A-in-B and B-in-A are different facts). */
+  def containmentDedup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, k: Int = 16, maxDf: Long = 1000L)
+      : DataFrame = {
+    import spark.implicits._
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(k >= 1, s"probe count k must be >= 1, got $k")
+    require(maxDf >= 2L,
+      s"maxDf must be >= 2 (DF 1 shingles cannot witness a pair), got $maxDf")
+    graft.functions.PolyHash.register(spark)
+    val toks = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", normText)
+      .select($"doc_id", posexplode(split($"norm", " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    // distinct (doc, shash) — the corpus shingle-set index; the
+    // posexplode + lead stream is the measured-fast shingling path
+    // (see ngramCandidates' note on the HOF alternative)
+    val sh = toks
+      .withColumn("t1", lead($"tok", 1).over(w))
+      .withColumn("t2", lead($"tok", 2).over(w))
+      .filter($"t2".isNotNull)
+      .select($"doc_id",
+        call_function("poly_hash",
+          concat_ws(" ", $"tok", $"t1", $"t2"), lit(1 << 20)).as("shash"))
+      .distinct()
+    val df = sh.groupBy($"shash").agg(count(lit(1)).as("df"))
+    // probe set P(A): bottom-k DF-capped shingle hashes; (doc, shash)
+    // is distinct so the shash sort is a total order — deterministic
+    val wk = Window.partitionBy($"doc_id").orderBy($"shash".asc)
+    val probes = sh
+      .join(df.filter($"df" <= maxDf), Seq("shash"))
+      .withColumn("rk", row_number().over(wk))
+      .filter($"rk" <= k)
+      .select($"doc_id".as("id_a"), $"shash")
+    val nProbe = probes.groupBy($"id_a").agg(count(lit(1)).as("n_probe"))
+    val hits = probes
+      .join(sh.select($"doc_id".as("id_b"), $"shash"), Seq("shash"))
+      .filter($"id_a" =!= $"id_b")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("hits"))
+    hits.join(nProbe, Seq("id_a"))
+      .withColumn("containment",
+        round($"hits".cast("double") / $"n_probe", 4))
+      .filter($"containment" >= threshold)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
+        $"n_probe", $"hits", $"containment")
+      .orderBy($"doc_a".asc, $"doc_b".asc)
+  }
 }

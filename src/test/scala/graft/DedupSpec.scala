@@ -151,6 +151,35 @@ class DedupSpec extends SparkSpec {
     assert(hardened(400L)._4 == 0L, "unique doc must stay clean")
   }
 
+  test("containment: finds the doc-in-doc pair Jaccard misses, asymmetrically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-contain").toString
+    val big = (0 until 40).map(i => s"w$i").mkString(" ")       // 38 shingles
+    val slice = (10 until 20).map(i => s"w$i").mkString(" ")    // 8, all in big
+    val other = (0 until 12).map(i => s"z$i").mkString(" ")
+    Seq((30L, big, "en", "s", 0L), (31L, slice, "en", "s", 0L),
+        (32L, other, "en", "s", 0L),
+        (33L, other, "en", "s", 0L)) // 33 is an exact dup of 32
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.containmentDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // the slice is fully contained: all 8 of its shingles probe into big
+    assert(rows((31L, 30L)) == ((8L, 8L, 1.0)), s"slice-in-big: $rows")
+    // the reverse direction must NOT appear: big's bottom-16 probes land
+    // in the slice at most 8 times -> containment <= 0.5 < 0.8
+    assert(!rows.contains((30L, 31L)), "containment must stay asymmetric")
+    // exact dups contain each other -> BOTH directions emitted at 1.0
+    assert(rows((32L, 33L))._3 == 1.0 && rows((33L, 32L))._3 == 1.0)
+    // and the Jaccard family genuinely misses the slice pair at its
+    // default threshold (8 shared / 38 union ~ 0.21): the raison d'etre
+    val jac = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((30L, 31L)) && !jac.contains((31L, 30L)),
+      "jaccard at 0.5 should not find the asymmetric pair")
+  }
+
   test("image phash: identical payloads at hamming 0, unrelated images unpaired") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-phash").toString

@@ -184,6 +184,19 @@ class PlanSpec extends SparkSpec {
       s"span/doc rollups must partial-aggregate map-side:\n$p")
   }
 
+  test("dedup_containment: keyed joins only, pair counts collapse map-side") {
+    // the probe join fans out by shingle DF (capped at maxDf) — it must
+    // be a keyed shuffle join, never a cartesian/broadcast-nested-loop
+    // (all-pairs), and the (a, b) hit counts must partial-aggregate
+    // before the exchange so hot pairs collapse map-side
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must never go all-pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"hit counts must partial-aggregate map-side:\n$p")
+  }
+
   test("text_shuffle_pack: windows are slice-partitioned, never global") {
     // the global training order must come from the range-decomposed
     // prefix sum: every window spec partitions by the hash slice (rng).
