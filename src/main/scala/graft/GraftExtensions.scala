@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, PolyHash}
+import graft.functions.{CosineSimilarity, Mix64, PolyHash}
 
 /** Session extensions for the engine — registers the native functions so
   * any session created with
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       exprs => PolyHash(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("mix64"),
+      new ExpressionInfo(classOf[Mix64].getName, "mix64"),
+      exprs => Mix64(exprs(0))))
   }
 }

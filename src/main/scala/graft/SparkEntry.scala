@@ -164,6 +164,12 @@ object SparkEntry {
     "q_quantiles" -> ((s, d) => RefQueries.qQuantiles(s, d)),
     "q_quantiles_approx" -> ((s, d) => RefQueries.qQuantilesApprox(s, d)),
     "text_bigrams" -> ((s, d) => TextAnalysis.bigramStats(s, d)),
+    // Round 8: sequence mining, robust anomalies, portable HLL,
+    // quantized-surprisal quality scoring
+    "ev_transition_matrix" -> ((s, d) => Events.transitionMatrix(s, d)),
+    "ev_anomaly_mad" -> ((s, d) => Events.anomalyMad(s, d)),
+    "q_hll_distinct" -> ((s, d) => Sketches.hllDistinct(s, d)),
+    "text_surprisal" -> ((s, d) => TextAnalysis.surprisal(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2047,5 +2053,127 @@ object SparkEntry {
       SELECT doc_id, tok, tf, df, round(tfidf_raw, 6) AS tfidf,
              rnk::INTEGER AS rnk
       FROM ranked WHERE rnk <= 3 ORDER BY doc_id ASC, rnk ASC""",
+    // first-order Markov transitions: same (ts, event_id) total order
+    // per user; integer counts, one rounded division for the probability
+    "ev_transition_matrix" -> """
+      WITH p AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC)
+                 AS to_type
+        FROM events
+      ), c AS (
+        SELECT from_type, to_type, count(*) AS cnt
+        FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+      ), t AS (
+        SELECT from_type, sum(cnt) AS total FROM c GROUP BY 1
+      )
+      SELECT c.from_type, c.to_type, c.cnt,
+             round(c.cnt::DOUBLE / t.total, 4) AS prob
+      FROM c JOIN t USING (from_type)
+      ORDER BY from_type ASC, to_type ASC""",
+    // median + MAD replay: quantile_cont is the same linear interpolation
+    // as Spark's percentile (q_quantiles precedent); med/mad are rounded
+    // to 4 dp BEFORE thresholding on both sides so the outlier flag
+    // compares identical doubles
+    "ev_anomaly_mad" -> """
+      WITH ev AS (
+        SELECT event_type, value::DOUBLE AS v FROM events
+      ), med AS (
+        SELECT event_type, round(quantile_cont(v, 0.5), 4) AS med
+        FROM ev GROUP BY 1
+      ), d AS (
+        SELECT ev.event_type, v, med, abs(v - med) AS adev
+        FROM ev JOIN med USING (event_type)
+      ), mad AS (
+        SELECT event_type, round(quantile_cont(adev, 0.5), 4) AS mad
+        FROM d GROUP BY 1
+      )
+      SELECT d.event_type, count(*) AS cnt, min(d.med) AS med,
+             min(mad.mad) AS mad,
+             sum(CASE WHEN adev > mad.mad * 4.4478 THEN 1 ELSE 0 END)
+               ::BIGINT AS n_outliers,
+             round(sum(CASE WHEN adev > mad.mad * 4.4478
+                            THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+               AS outlier_rate
+      FROM d JOIN mad USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type ASC""",
+    // portable-HLL replay: re-derives every register from the same
+    // splitmix64 finalizer (graft.functions.Mix64) — Java's wrap-around
+    // long arithmetic IS mod-2^64, replayed here with UHUGEINT products
+    // (a 64×64-bit product needs all 128 unsigned bits; signed HUGEINT
+    // overflows); bin()-length rho and an exact-binary-fraction harmonic
+    // sum make even the double estimate hash-exact. Geometry constants
+    // interpolated from Sketches — one source of truth.
+    "q_hll_distinct" -> s"""
+      WITH z0 AS (
+        SELECT l_returnflag,
+               ((l_orderkey::UHUGEINT + 11400714819323198485)
+                 % 18446744073709551616)::UBIGINT AS z
+        FROM lineitem
+      ), z1 AS (
+        SELECT l_returnflag,
+               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                 % 18446744073709551616)::UBIGINT AS z FROM z0
+      ), z2 AS (
+        SELECT l_returnflag,
+               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                 % 18446744073709551616)::UBIGINT AS z FROM z1
+      ), h AS (
+        SELECT l_returnflag,
+               xor(z, z >> 31) % ${Sketches.HllM} AS bucket,
+               (xor(z, z >> 31) >> 10) % ${1L << Sketches.HllW} AS rest
+        FROM z2
+      ), r AS (
+        SELECT l_returnflag, bucket,
+               CASE WHEN rest = 0 THEN ${Sketches.HllW + 1}
+                    ELSE ${Sketches.HllW + 1} - length(bin(rest))
+               END AS rho
+        FROM h
+      ), reg AS (
+        SELECT l_returnflag, bucket, max(rho) AS r FROM r GROUP BY 1, 2
+      ), sk AS (
+        SELECT l_returnflag, count(*) AS buckets_used,
+               sum(power(2.0, -r)) + (${Sketches.HllM} - count(*)) AS s
+        FROM reg GROUP BY 1
+      ), ex AS (
+        SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders
+        FROM lineitem GROUP BY 1
+      ), est AS (
+        -- small-range branch: linear counting on the empty buckets
+        SELECT l_returnflag, buckets_used,
+               CASE WHEN ${Sketches.HllAlphaM2} / s < ${2.5 * Sketches.HllM}
+                         AND buckets_used < ${Sketches.HllM}
+                    THEN ${Sketches.HllM.toDouble}
+                         * ln(${Sketches.HllM.toDouble}
+                              / (${Sketches.HllM} - buckets_used))
+                    ELSE ${Sketches.HllAlphaM2} / s
+               END AS e
+        FROM sk
+      )
+      SELECT ex.l_returnflag, ex.exact_orders, est.buckets_used,
+             round(est.e, 4) AS hll_est,
+             abs(est.e / ex.exact_orders - 1.0) < 0.25 AS hll_ok
+      FROM ex JOIN est USING (l_returnflag)
+      ORDER BY l_returnflag ASC""",
+    // quantized unigram surprisal: bitlen(N) − bitlen(cnt) per token via
+    // bin() string length — pure integer replay, no libm log anywhere
+    "text_surprisal" -> """
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+      ), v AS (
+        SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+      ), n AS (
+        SELECT sum(cnt)::BIGINT AS n_total FROM v
+      ), j AS (
+        SELECT t.doc_id,
+               (length(bin(n.n_total)) - length(bin(v.cnt)))::BIGINT AS bits
+        FROM t JOIN v USING (tok) CROSS JOIN n
+      )
+      SELECT doc_id, count(*) AS n_tokens, sum(bits)::BIGINT AS bits_total,
+             round(sum(bits)::DOUBLE / count(*), 4) AS bits_per_token
+      FROM j GROUP BY doc_id ORDER BY doc_id ASC""",
   )
 }

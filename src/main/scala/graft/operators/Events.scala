@@ -360,4 +360,72 @@ object Events {
           .cast("double").as("total_value"))
       .orderBy($"user_id".asc)
   }
+
+  /** Event-type transition matrix — first-order Markov mining over each
+    * user's event stream: for every consecutive (event, next event) pair
+    * in (ts, event_id) order, the count and the row-normalized
+    * transition probability. The sequence-mining primitive behind
+    * session-flow analysis, next-event prediction features, and funnel
+    * discovery (ev_funnel checks ONE hand-picked path; this surfaces
+    * all of them).
+    *
+    * Scale: the only data-sized exchange is the per-user window (hash
+    * partition by user_id + in-partition sort); `lead(1)` keeps O(1)
+    * state per row. The pair stream then collapses map-side to at most
+    * |types|² rows, and the row-normalizing totals join is a
+    * few-row broadcast — the corpus never shuffles twice. Determinism:
+    * (ts, event_id) is a total order per user, counts are integers, and
+    * the probability is one double division rounded. */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val pairs = Tables.read(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .where($"to_type".isNotNull)
+      .select($"event_type".as("from_type"), $"to_type")
+    val counts = pairs.groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy($"from_type").agg(sum($"cnt").as("total"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select($"from_type", $"to_type", $"cnt",
+        round($"cnt".cast("double") / $"total", 4).as("prob"))
+      .orderBy($"from_type".asc, $"to_type".asc)
+  }
+
+  /** Robust anomaly counting per event type — median + MAD (median
+    * absolute deviation), the outlier rule that survives the outliers
+    * themselves (a mean/stddev z-score moves with every anomaly it is
+    * trying to flag; the median moves with none of them). An event is
+    * anomalous when |v − median| > 3·1.4826·MAD (1.4826 scales MAD to
+    * σ under normality — the standard consistency constant).
+    *
+    * Scale: two exact-percentile aggregations over the corpus (the same
+    * sort-based `percentile` as qQuantiles — per-group value sets up to
+    * a partition's worth; past that `approx_percentile` is the drop-in,
+    * measured in q_quantiles_approx) and two broadcast joins of the
+    * few-row stats — the fact table itself never shuffles for the
+    * stats. Determinism: med/MAD are rounded to 4 dp BEFORE
+    * thresholding so the flag compares identical doubles on both
+    * engines; the outlier count is an integer. */
+  def anomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.read(spark, sfDir, "events")
+      .select($"event_type", $"value".cast("double").as("v"))
+    val med = ev.groupBy($"event_type")
+      .agg(round(expr("percentile(v, 0.5)"), 4).as("med"))
+    val withMed = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs($"v" - $"med"))
+    val mad = withMed.groupBy($"event_type")
+      .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        min($"med").as("med"), min($"mad").as("mad"),
+        sum(when($"adev" > $"mad" * lit(4.4478), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select($"event_type", $"cnt", $"med", $"mad", $"n_outliers",
+        round($"n_outliers".cast("double") / $"cnt", 4).as("outlier_rate"))
+      .orderBy($"event_type".asc)
+  }
 }

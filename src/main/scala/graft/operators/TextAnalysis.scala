@@ -562,6 +562,45 @@ object TextAnalysis {
       .orderBy($"doc_id".asc)
   }
 
+  /** Quantized unigram-LM surprisal — the log-domain complement of
+    * [[tokenRarity]] and the hash-gateable stand-in for the perplexity
+    * filter every curation pipeline runs (CCNet shape: score each doc by
+    * how surprising its tokens are under a corpus LM, then keep/route by
+    * score). A real LM's −log p is a float sum whose partition order is
+    * not reproducible across engines; here surprisal is QUANTIZED to
+    * integer bits — surprise(tok) = bitlen(N) − bitlen(cnt) ≈
+    * ⌊log₂ N⌋ − ⌊log₂ cnt⌋, i.e. ⌊−log₂ p(tok)⌋ within 1 bit — so the
+    * per-doc sum is exact integer arithmetic and the oracle replays it
+    * bit-for-bit. Bit length via `bin()` string length: identical
+    * semantics on both engines, no libm log in sight.
+    *
+    * Same scale shape as [[tokenRarity]] (the join variant of corpus
+    * membership): one map-side-combined (tok, cnt) vocabulary aggregate,
+    * one hint-free frequency join back onto the token stream (AQE
+    * broadcasts a small vocab, skew-splits a hot token), corpus total as
+    * a one-row broadcast. Per-doc integer sums; the only double is the
+    * final rounded division. */
+  def surprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", explode(split(graft.functions.TextNorm.normCol, " "))
+        .as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum($"cnt".cast("decimal(38,0)")).cast("long")
+      .as("n_total"))
+    toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select($"doc_id",
+        (length(bin($"n_total")) - length(bin($"cnt"))).cast("long")
+          .as("bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"bits").as("bits_total"))
+      .select($"doc_id", $"n_tokens", $"bits_total",
+        round($"bits_total".cast("double") / $"n_tokens", 4)
+          .as("bits_per_token"))
+      .orderBy($"doc_id".asc)
+  }
+
   /** Deterministic train/valid/test split — the assignment step every
     * training pipeline runs before anything touches a model. Each doc's
     * bucket is a SALTED hash of its stable id (`((doc_id mod P)·A1 +

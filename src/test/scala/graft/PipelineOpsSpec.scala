@@ -300,4 +300,55 @@ class PipelineOpsSpec extends SparkSpec {
       f"recall $recall%.2f below 0.8 floor on cosine≈0.99 twins " +
         s"(found ${found.size} pairs)")
   }
+
+  test("transition matrix: rows normalize to 1, pairs total events−users") {
+    val tm = Events.transitionMatrix(spark, sf).collect()
+    tm.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val s = rows.map(_.getDouble(3)).sum
+      // each prob is rounded to 4 dp; |types| rounding errors ≤ 5e-4 each
+      assert(math.abs(s - 1.0) < 0.005, s"$src: probs sum to $s")
+    }
+    // every user's k-event stream yields exactly k−1 transitions
+    val ev = Tables.read(spark, sf, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(tm.map(_.getLong(2)).sum == expected)
+  }
+
+  test("anomaly MAD: flag count replays from the published med/mad") {
+    import spark.implicits._
+    val out = Events.anomalyMad(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(1))).toMap
+    val vals = Tables.read(spark, sf, "events")
+      .select($"event_type", $"value".cast("double")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    vals.foreach { case (t, vs) =>
+      val (med, mad, flagged, cnt) = out(t)
+      assert(cnt == vs.length.toLong)
+      val expected = vs.count(v => math.abs(v - med) > mad * 4.4478).toLong
+      assert(flagged == expected,
+        s"$t: operator flagged $flagged, reference flags $expected")
+    }
+  }
+
+  test("surprisal: bit-exact against an in-memory unigram reference") {
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    val toks = docs.map(r => r.getLong(0) ->
+      r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq)
+      .toMap
+    val cnt = toks.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = cnt.values.sum
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val out = TextAnalysis.surprisal(spark, sf).collect()
+    assert(out.length == docs.length)
+    out.foreach { r =>
+      val expected = toks(r.getLong(0))
+        .map(t => (bitlen(n) - bitlen(cnt(t))).toLong).sum
+      assert(r.getLong(2) == expected,
+        s"doc ${r.getLong(0)}: bits_total ${r.getLong(2)} != $expected")
+      assert(r.getLong(1) == toks(r.getLong(0)).length.toLong)
+    }
+  }
 }

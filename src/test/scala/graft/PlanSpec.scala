@@ -263,4 +263,26 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected exactly one exchange, got $exchanges")
   }
+
+  test("q_hll_distinct: registers collapse map-side, mix64 stays native") {
+    val p = plan("q_hll_distinct")
+    // partial_max before the exchange: the wire carries ≤ groups·m
+    // register partials, never raw key rows
+    assert(p.contains("partial_max"),
+      s"register max must partial-combine map-side:\n$p")
+    assert(p.contains("mix64"), s"hash must be the codegen'd mix64:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ev_transition_matrix: one data-sized window, broadcast normalizer") {
+    val p = plan("ev_transition_matrix")
+    // the corpus shuffles once (user_id window); pair counts collapse
+    // map-side; the per-source totals join back broadcast
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"lead() must partition by user_id:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts must partial-combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"row-normalizing totals must broadcast:\n$p")
+  }
 }

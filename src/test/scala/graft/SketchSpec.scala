@@ -38,4 +38,27 @@ class SketchSpec extends SparkSpec {
       graft.operators.Events.sessionize(spark, sf),
       graft.operators.Events.sessionizeTyped(spark, sf))
   }
+
+  test("mix64 matches independent splitmix64 reference vectors") {
+    // vectors computed outside the JVM (python arbitrary-precision mod
+    // 2^64) — guards the wrap-around semantics the codegen relies on
+    def u(s: String): Long = java.lang.Long.parseUnsignedLong(s)
+    assert(graft.functions.Mix64.mix(0L) == u("16294208416658607535"))
+    assert(graft.functions.Mix64.mix(42L) == u("13679457532755275413"))
+    assert(graft.functions.Mix64.mix(123456789L)
+      == u("2466975172287755897"))
+    assert(graft.functions.Mix64.mix(Long.MaxValue)
+      == u("3055647633038352039"))
+  }
+
+  test("portable HLL: estimate within 10% of exact per group") {
+    // m=1024 → relative error ~1.04/32 = 3.25%; 10% ≈ 3 sigma
+    graft.operators.Sketches.hllDistinct(spark, sf).collect().foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getDouble(3)
+      assert(r.getBoolean(4), s"${r.getString(0)}: hll_ok false")
+      assert(math.abs(est - exact) / exact < 0.10,
+        s"${r.getString(0)}: HLL est $est vs exact $exact")
+    }
+  }
 }
