@@ -170,6 +170,9 @@ object SparkEntry {
     "ev_anomaly_mad" -> ((s, d) => Events.anomalyMad(s, d)),
     "q_hll_distinct" -> ((s, d) => Sketches.hllDistinct(s, d)),
     "text_surprisal" -> ((s, d) => TextAnalysis.surprisal(s, d)),
+    "ev_scd2" -> ((s, d) => Events.scd2(s, d)),
+    "embed_random_project" -> ((s, d) => Similarity.randomProject(s, d)),
+    "text_cap_per_source" -> ((s, d) => TextAnalysis.capPerSource(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2175,5 +2178,88 @@ object SparkEntry {
       SELECT doc_id, count(*) AS n_tokens, sum(bits)::BIGINT AS bits_total,
              round(sum(bits)::DOUBLE / count(*), 4) AS bits_per_token
       FROM j GROUP BY doc_id ORDER BY doc_id ASC""",
+    // SCD2 gaps-and-islands replay: same (ts, event_id) total order,
+    // same running-sum island ids, valid_to stitched by lead()
+    "ev_scd2" -> """
+      WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      ), v AS (
+        SELECT user_id, event_type, ts,
+               sum(chg) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS version_no
+        FROM e
+      ), g AS (
+        SELECT user_id, version_no, min(event_type) AS event_type,
+               min(ts) AS from_ts, count(*) AS n_events
+        FROM v GROUP BY 1, 2
+      )
+      SELECT user_id, version_no::BIGINT AS version_no, event_type,
+             cast(from_ts AS varchar) AS valid_from,
+             cast(lead(from_ts) OVER w2 AS varchar) AS valid_to,
+             n_events,
+             (lead(from_ts) OVER w2 IS NULL) AS is_current
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY version_no ASC)
+      ORDER BY user_id ASC, version_no ASC""",
+    // JL projection replay: the oracle SQL is GENERATED from the same
+    // jlSign matrix the operator folds in, term-for-term in the same
+    // left-associative order — the double sums are bit-identical
+    "embed_random_project" -> {
+      val cols = (0 until Similarity.JlOutDim).map { j =>
+        val terms = (0 until Similarity.Dim).map { d =>
+          s"embedding[${d + 1}]::DOUBLE * (${Similarity.jlSign(j, d)})"
+        }.mkString(" + ")
+        s"round($terms, 6) AS p$j"
+      }.mkString(",\n             ")
+      s"""
+      SELECT vec_id,
+             $cols
+      FROM embeddings ORDER BY vec_id ASC"""
+    },
+    // per-source cap replay: the same splitmix64 chain as
+    // q_hll_distinct on doc_id, reinterpreted as SIGNED 64-bit for the
+    // ORDER BY (Spark sorts the signed long; subtracting 2^64 above
+    // the sign point is exactly that reinterpretation)
+    "text_cap_per_source" -> s"""
+      WITH z0 AS (
+        SELECT source, doc_id,
+               ((doc_id::UHUGEINT + 11400714819323198485)
+                 % 18446744073709551616)::UBIGINT AS z
+        FROM documents
+      ), z1 AS (
+        SELECT source, doc_id,
+               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                 % 18446744073709551616)::UBIGINT AS z FROM z0
+      ), z2 AS (
+        SELECT source, doc_id,
+               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                 % 18446744073709551616)::UBIGINT AS z FROM z1
+      ), s AS (
+        SELECT source, doc_id,
+               CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+                    THEN (xor(z, z >> 31)::HUGEINT
+                          - 18446744073709551616)::BIGINT
+                    ELSE xor(z, z >> 31)::BIGINT
+               END AS zs
+        FROM z2
+      ), r AS (
+        SELECT source, doc_id, row_number() OVER (
+                 PARTITION BY source ORDER BY zs ASC, doc_id ASC) AS rn
+        FROM s
+      ), k AS (
+        SELECT source, count(*) AS kept_docs,
+               (sum(doc_id % ${TextAnalysis.ChecksumP})
+                 % ${TextAnalysis.ChecksumP})::BIGINT AS kept_checksum
+        FROM r WHERE rn <= ${TextAnalysis.SourceCap} GROUP BY source
+      ), t AS (
+        SELECT source, count(*) AS total_docs FROM documents GROUP BY source
+      )
+      SELECT t.source, t.total_docs, k.kept_docs, k.kept_checksum
+      FROM t JOIN k USING (source) ORDER BY source ASC""",
   )
 }

@@ -361,6 +361,49 @@ object Events {
       .orderBy($"user_id".asc)
   }
 
+  /** SCD2 interval versioning — the type-2 slowly-changing-dimension
+    * build every warehouse runs on a change log: consecutive runs of
+    * the same event_type per user (in (ts, event_id) order) collapse
+    * into VERSION rows with [valid_from, valid_to) validity intervals,
+    * the last version open-ended (`is_current`). `ev_cdc_compact` keeps
+    * only the latest state; this keeps the full history as intervals —
+    * the point-in-time-joinable form.
+    *
+    * Classic gaps-and-islands: change flag from lag(), island id as
+    * the running sum of flags, one aggregate per island, then
+    * valid_to stitched from the NEXT island's start via lead() over
+    * the (already ≤ |islands|-sized) version rows. Scale: both
+    * windows and the aggregate partition by user_id — ONE data-sized
+    * exchange reused across all three (the window sort and the
+    * partial-combined island aggregate share it); nothing global.
+    * Determinism: (ts, event_id) totally orders each user's log;
+    * island numbering is a running count of integer flags; timestamps
+    * export as strings. */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byTs = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val versions = Tables.read(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(byTs).isNull ||
+          lag($"event_type", 1).over(byTs) =!= $"event_type", 1L)
+          .otherwise(0L))
+      .withColumn("version_no", sum($"chg").over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"version_no")
+      .agg(min($"event_type").as("event_type"), // constant per island
+        min($"ts").as("from_ts"), count(lit(1)).as("n_events"))
+    val byVer = Window.partitionBy($"user_id").orderBy($"version_no".asc)
+    versions
+      .withColumn("to_ts", lead($"from_ts", 1).over(byVer))
+      .select($"user_id", $"version_no", $"event_type",
+        $"from_ts".cast("string").as("valid_from"),
+        $"to_ts".cast("string").as("valid_to"),
+        $"n_events", $"to_ts".isNull.as("is_current"))
+      .orderBy($"user_id".asc, $"version_no".asc)
+  }
+
   /** Event-type transition matrix — first-order Markov mining over each
     * user's event stream: for every consecutive (event, next event) pair
     * in (ts, event_id) order, the count and the row-normalized

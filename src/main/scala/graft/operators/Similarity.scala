@@ -493,6 +493,43 @@ object Similarity {
       .orderBy($"vec_id".asc)
   }
 
+  /** JL projection geometry: 64 → 16 dims with a deterministic ±1 sign
+    * matrix (Achlioptas 2003 — database-friendly random projections:
+    * Rademacher entries achieve the Johnson-Lindenstrauss bound, no
+    * Gaussians needed). The sign is a pure integer formula both engines
+    * evaluate identically; SparkEntry interpolates it into the oracle. */
+  val JlOutDim = 16
+  def jlSign(j: Int, d: Int): Double =
+    if (((d.toLong * 2654435761L + j.toLong * 40503L + 7L)
+      % 1000000007L) % 2L == 0L) 1.0 else -1.0
+
+  /** Random-projection dimensionality reduction — the JL sketch a
+    * 100 TB embedding pipeline runs before ANN indexing or clustering:
+    * each 64-d vector drops to 16 dims as `p_j = Σ_d v_d · s(j,d)` with
+    * the deterministic ±1 [[jlSign]] matrix, preserving pairwise
+    * distances to JL tolerance at a quarter of the bytes.
+    *
+    * The projection is built as LITERAL column arithmetic — 16 columns
+    * of 64 codegen'd multiply-adds in a FIXED left-fold order, so the
+    * double sums are bit-identical on any partitioning and on both
+    * engines (the oracle regenerates the same expression from the same
+    * sign formula; no higher-order interpreted lambdas in the hot
+    * path, unlike an `aggregate(sequence(...))` fold). Scale: map-only
+    * — zero shuffles, the matrix is ~1 KB of plan constants, and the
+    * scan prunes to (vec_id, embedding). */
+  def randomProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val proj = (0 until JlOutDim).map { j =>
+      val s = (0 until Dim).map { d =>
+        element_at($"vec", d + 1) * lit(jlSign(j, d))
+      }.reduce(_ + _)
+      round(s, 6).as(s"p$j")
+    }
+    corpus(spark, sfDir)
+      .select($"vec_id" +: proj: _*)
+      .orderBy($"vec_id".asc)
+  }
+
   /** Per-band hyperplane signature: band `j` folds the `bits` planes with
     * GLOBAL indices `j*bits .. j*bits+bits-1` (the oracle regenerates the
     * same matrix from the global index and splits with `p // bits`,

@@ -38,6 +38,14 @@ object TextAnalysis {
     * source of truth. */
   private[graft] val PackSeqLen = 512L
 
+  /** Default per-source document cap for [[capPerSource]] —
+    * interpolated into the DuckDB oracle in SparkEntry, so operator
+    * default and oracle replay share one source of truth. 15 is below
+    * every fixture's docs-per-source (25 at sf0.001/sf0.01), so the
+    * eviction path is exercised — not just counted — at every scale
+    * the driver verifies. */
+  private[graft] val SourceCap = 15
+
   /** Tokens of whitespace-normalized text. BPE-ish refinement: also splits
     * off punctuation runs as their own tokens (a cheap proxy for subword
     * boundaries that stays regex-expressible on both engines). The outer
@@ -599,6 +607,46 @@ object TextAnalysis {
         round($"bits_total".cast("double") / $"n_tokens", 4)
           .as("bits_per_token"))
       .orderBy($"doc_id".asc)
+  }
+
+  /** Per-source document capping — the domain-balancing step of web
+    * corpus curation (cap any one domain's share so boilerplate-heavy
+    * hosts can't dominate the mixture): keep at most `cap` docs per
+    * source, chosen as the first `cap` in `(mix64(doc_id), doc_id)`
+    * order — a deterministic uniform sample (the splitmix64 finalizer
+    * is the portable stand-in for xxhash64(id); same id set → same
+    * survivors on any engine, any layout, any corpus growth ORDER —
+    * a doc is evicted only when enough smaller-hash docs exist, never
+    * because of arrival order).
+    *
+    * Scale: the `row_number ≤ cap` filter compiles to
+    * WindowGroupLimit (plan-guarded) — every map partition forwards at
+    * most `cap` rows PER SOURCE before the exchange, so a web-scale
+    * hot domain costs the shuffle ≤ cap·partitions rows, not its full
+    * membership; totals come from a separate map-side-combined count.
+    * Output per source: totals, kept count, and a mod-[[ChecksumP]]
+    * checksum of the kept doc_ids — the oracle confirms WHICH docs
+    * survive, not just how many. */
+  def capPerSource(spark: SparkSession, sfDir: String,
+      cap: Int = SourceCap): DataFrame = {
+    import spark.implicits._
+    graft.functions.Mix64.register(spark)
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"source", $"doc_id")
+    val w = Window.partitionBy($"source")
+      .orderBy(call_function("mix64", $"doc_id").asc, $"doc_id".asc)
+    val kept = docs
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= cap)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("kept_docs"),
+        pmod(sum(pmod($"doc_id", lit(ChecksumP)).cast("decimal(38,0)")),
+          lit(ChecksumP).cast("decimal(38,0)")).cast("long")
+          .as("kept_checksum"))
+    docs.groupBy($"source").agg(count(lit(1)).as("total_docs"))
+      .join(kept, Seq("source"))
+      .select($"source", $"total_docs", $"kept_docs", $"kept_checksum")
+      .orderBy($"source".asc)
   }
 
   /** Deterministic train/valid/test split — the assignment step every

@@ -331,6 +331,85 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2: versions partition the log, intervals chain, one current") {
+    import spark.implicits._
+    val out = Events.scd2(spark, sf).collect()
+    val ev = Tables.read(spark, sf, "events")
+    // version rows repartition the log exactly: every event is in
+    // exactly one island
+    assert(out.map(_.getLong(5)).sum == ev.count())
+    out.groupBy(_.getLong(0)).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // exactly one open-ended current version per user, and it's last
+      assert(rows.count(_.getBoolean(6)) == 1, s"user $u: != 1 current")
+      assert(sorted.last.getBoolean(6), s"user $u: current not last")
+      // consecutive versions change type (else they'd be one island)
+      // and intervals chain: valid_to(k) == valid_from(k+1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(2) != b.getString(2),
+            s"user $u: adjacent versions share type ${a.getString(2)}")
+          assert(a.getString(4) == b.getString(3),
+            s"user $u: interval gap ${a.getString(4)} -> ${b.getString(3)}")
+        case _ =>
+      }
+    }
+  }
+
+  test("random projection: bit-exact vs in-memory fold, JL distortion sane") {
+    import graft.operators.Similarity
+    val emb = Tables.read(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val out = Similarity.randomProject(spark, sf).collect()
+    assert(out.length == emb.size)
+    out.foreach { r =>
+      val v = emb(r.getLong(0))
+      (0 until Similarity.JlOutDim).foreach { j =>
+        // same left-fold order as the operator's reduce(_ + _)
+        val expect = (0 until Similarity.Dim)
+          .map(d => v(d) * Similarity.jlSign(j, d)).reduce(_ + _)
+        val got = r.getDouble(1 + j)
+        val rounded = BigDecimal(expect)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got == rounded,
+          s"vec ${r.getLong(0)} p$j: $got vs $rounded (raw $expect)")
+      }
+    }
+    // JL sanity: squared norms scale by ~k on average (E[|Rv|^2]=k|v|^2)
+    val ratios = out.take(50).map { r =>
+      val v = emb(r.getLong(0))
+      val pn = (0 until Similarity.JlOutDim)
+        .map(j => r.getDouble(1 + j)).map(x => x * x).sum
+      val vn = v.map(x => x * x).sum
+      pn / (Similarity.JlOutDim * vn)
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.5 && mean < 2.0,
+      s"mean norm-preservation ratio $mean outside [0.5, 2]")
+  }
+
+  test("cap per source: survivors are the mix64-smallest, checksum replays") {
+    import spark.implicits._
+    val docs = Tables.read(spark, sf, "documents")
+      .select($"source", $"doc_id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    val cap = 15
+    val out = TextAnalysis.capPerSource(spark, sf, cap).collect()
+    assert(out.map(_.getString(0)).toSet == docs.keySet)
+    out.foreach { r =>
+      val ids = docs(r.getString(0))
+      assert(r.getLong(1) == ids.length.toLong)
+      assert(r.getLong(2) == math.min(cap, ids.length).toLong)
+      val survivors = ids.sortBy(id => (graft.functions.Mix64.mix(id), id))
+        .take(cap)
+      val checksum = survivors.map(_ % 1000000007L).sum % 1000000007L
+      assert(r.getLong(3) == checksum,
+        s"${r.getString(0)}: checksum ${r.getLong(3)} != $checksum")
+    }
+  }
+
   test("surprisal: bit-exact against an in-memory unigram reference") {
     val docs = Tables.read(spark, sf, "documents")
       .select("doc_id", "text").collect()

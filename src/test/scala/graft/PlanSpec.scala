@@ -274,6 +274,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("text_cap_per_source: rank filter compiles to WindowGroupLimit") {
+    // every map partition forwards ≤ cap rows per source BEFORE the
+    // exchange — the property that makes a web-scale hot domain cost
+    // the shuffle ≤ cap·partitions rows instead of its full membership
+    val p = plan("text_cap_per_source")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn <= cap must push down as WindowGroupLimit:\n$p")
+    assert(p.contains("windowspecdefinition(source"),
+      s"row_number must partition by source:\n$p")
+  }
+
+  test("ev_scd2: every window partitions by user_id, nothing global") {
+    val p = plan("ev_scd2")
+    val specs = "windowspecdefinition\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(specs == Set("user_id"),
+      s"all window specs must lead with user_id, got $specs:\n$p")
+  }
+
   test("ev_transition_matrix: one data-sized window, broadcast normalizer") {
     val p = plan("ev_transition_matrix")
     // the corpus shuffles once (user_id window); pair counts collapse
