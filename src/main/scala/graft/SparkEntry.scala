@@ -173,6 +173,8 @@ object SparkEntry {
     "ev_scd2" -> ((s, d) => Events.scd2(s, d)),
     "embed_random_project" -> ((s, d) => Similarity.randomProject(s, d)),
     "text_cap_per_source" -> ((s, d) => TextAnalysis.capPerSource(s, d)),
+    "q_selfjoin_size_cms" -> ((s, d) => Sketches.selfJoinSizeCms(s, d)),
+    "q_preagg_rollup" -> ((s, d) => RefQueries.qPreaggRollup(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2261,5 +2263,50 @@ object SparkEntry {
       )
       SELECT t.source, t.total_docs, k.kept_docs, k.kept_checksum
       FROM t JOIN k USING (source) ORDER BY source ASC""",
+    // F2 / self-join-size replay: same skewed key domain and hash
+    // constants as q_heavy_hitters_cms; everything integer, so the
+    // sketch estimate itself is hash-gated
+    "q_selfjoin_size_cms" -> """
+      WITH fact AS (
+        SELECT l_returnflag,
+               CASE WHEN l_partkey % 7 = 0 THEN l_partkey % 5
+               ELSE l_partkey END AS key
+        FROM lineitem
+      ), h(j, a, bb) AS (
+        VALUES (0, 2654435761, 1), (1, 2246822519, 10008),
+               (2, 3266489917, 20015), (3, 668265263, 30022)
+      ), cms AS (
+        SELECT l_returnflag, j,
+               (((key % 1000000007 + 1000000007) % 1000000007 * a + bb)
+                 % 1000000007) % 2048 AS bucket,
+               count(*) AS cnt
+        FROM fact, h GROUP BY 1, 2, 3
+      ), est AS (
+        SELECT l_returnflag, min(est_j) AS f2_est FROM (
+          SELECT l_returnflag, j, sum(cnt * cnt) AS est_j
+          FROM cms GROUP BY 1, 2
+        ) GROUP BY 1
+      ), ex AS (
+        SELECT l_returnflag, sum(cnt * cnt) AS f2_exact,
+               sum(cnt) AS n_rows FROM (
+          SELECT l_returnflag, key, count(*) AS cnt FROM fact GROUP BY 1, 2
+        ) GROUP BY 1
+      )
+      SELECT ex.l_returnflag, ex.n_rows::BIGINT AS n_rows,
+             ex.f2_exact::BIGINT AS f2_exact, est.f2_est::BIGINT AS f2_est,
+             (est.f2_est - ex.f2_exact)::BIGINT AS overcount,
+             (est.f2_est >= ex.f2_exact) AS never_under,
+             (est.f2_est <= ex.f2_exact
+               + 2 * ex.n_rows * ex.n_rows / 2048) AS within_bound
+      FROM ex JOIN est USING (l_returnflag)
+      ORDER BY l_returnflag ASC""",
+    // hierarchical-rollup oracle: the DIRECT monthly aggregation from
+    // the fact table — proving the daily-preagg path is exact
+    "q_preagg_rollup" -> """
+      SELECT substr(cast(l_shipdate AS varchar), 1, 7) AS month,
+             l_returnflag, count(*) AS cnt,
+             round(sum(l_quantity), 4) AS qty
+      FROM lineitem GROUP BY 1, 2
+      ORDER BY month ASC, l_returnflag ASC""",
   )
 }

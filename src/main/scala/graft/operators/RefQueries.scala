@@ -775,6 +775,33 @@ object RefQueries {
         $"l_linestatus".asc_nulls_first)
   }
 
+  /** Hierarchical aggregate reuse — the materialized-view / aggregate-
+    * navigator pattern: the MONTHLY rollup is computed FROM the DAILY
+    * pre-aggregate, never from the fact table. (count, sum) partials
+    * re-aggregate associatively, so the answer is EXACT — which the
+    * oracle proves by computing the monthly numbers directly from
+    * lineitem. At 100 TB the daily aggregate IS the stored MV
+    * (~days×flags rows); every coarser time-grain query reads it
+    * instead of rescanning the corpus — the fact table pays exactly
+    * one aggregation shuffle at the finest grain, and each rollup
+    * level re-shuffles only the previous level's tiny output.
+    * (`ev_incremental_agg` proves the state+delta TIME split of the
+    * same partial-aggregate algebra; this is the GRAIN hierarchy.)
+    * Sums stay exact: l_quantity is integral, far inside the 2^53
+    * double-exact range at any SF (the decimal-sum rule applies to
+    * fractional doubles; see qSkewJoin). */
+  def qPreaggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.read(spark, sfDir, "lineitem")
+      .groupBy(substring($"l_shipdate".cast("string"), 1, 10).as("day"),
+        $"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum($"l_quantity").as("qty"))
+    daily
+      .groupBy(substring($"day", 1, 7).as("month"), $"l_returnflag")
+      .agg(sum($"cnt").as("cnt"), round(sum($"qty"), 4).as("qty"))
+      .orderBy($"month".asc, $"l_returnflag".asc)
+  }
+
   /** Semi/anti joins (EXISTS / NOT EXISTS): customers partitioned by
     * whether they have any event activity, rolled up per market segment.
     * Both joins build a hash table of just the distinct keys of the

@@ -222,6 +222,57 @@ object Sketches {
       .orderBy($"rnk".asc)
   }
 
+  /** Self-join-size (F2) estimation from a count-min sketch — the
+    * AMS-lineage cardinality estimate a query planner wants BEFORE
+    * running a join: |A ⋈ A| on a key = Σ_k c(k)², the second frequency
+    * moment, and a CMS row's bucket counts give the estimate
+    * Σ_b cms[j][b]² with min over the d rows (Alon-Matias-Szegedy 1996;
+    * Cormode-Muthukrishnan 2005 §4.2 inner-product estimation). At
+    * 100 TB the d×w sketch (≤ 8192 counts) is what you CAN afford to
+    * keep per table/column; the exact per-key count table is not.
+    *
+    * Same deliberately skewed key domain as [[heavyHittersCms]]
+    * (partkeys ≡ 0 mod 7 collapse to 5 hot keys) — F2 is exactly the
+    * statistic skew inflates, which is why a planner tracks it. The
+    * one-sided guarantee est ≥ exact is structural (collisions only
+    * ADD cross-terms) and oracle-gated hard; the additive bound
+    * 2N²/w per row is probabilistic, same convention as the CMS
+    * point-estimate bound. Everything is integer arithmetic — the
+    * "approximate" estimate is hash-exact on both engines.
+    *
+    * Scale: two map-side-combined aggregates (sketch cells ≤ d·w per
+    * group, exact side one (group, key) count), nothing else touches
+    * the fact table; the exact side exists to MEASURE the sketch and
+    * is what production drops. */
+  def selfJoinSizeCms(spark: SparkSession, sfDir: String,
+      w: Long = 2048L): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.read(spark, sfDir, "lineitem")
+      .select($"l_returnflag",
+        when($"l_partkey" % 7 === 0, $"l_partkey" % 5)
+          .otherwise($"l_partkey").as("key"))
+    val cms = fact
+      .select($"l_returnflag", explode(array((0 until 4).map(i => struct(
+        lit(i).as("j"), hashPos($"key", i, w).as("bucket"))): _*)).as("c"))
+      .groupBy($"l_returnflag", $"c.j".as("j"), $"c.bucket".as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = cms.groupBy($"l_returnflag", $"j")
+      .agg(sum($"cnt" * $"cnt").as("est_j"))
+      .groupBy($"l_returnflag")
+      .agg(min($"est_j").as("f2_est"))
+    val exact = fact.groupBy($"l_returnflag", $"key")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"cnt" * $"cnt").as("f2_exact"), sum($"cnt").as("n_rows"))
+    exact.join(broadcast(est), Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_rows", $"f2_exact", $"f2_est",
+        ($"f2_est" - $"f2_exact").as("overcount"),
+        ($"f2_est" >= $"f2_exact").as("never_under"),
+        ($"f2_est" <= $"f2_exact"
+          + lit(2L) * $"n_rows" * $"n_rows" / w).as("within_bound"))
+      .orderBy($"l_returnflag".asc)
+  }
+
   /** HyperLogLog geometry: m = 2^10 buckets from the mixed hash's low
     * 10 bits, rho from the next HllW = 20 bits. The hash is
     * `mix64` (splitmix64 — graft.functions.Mix64), NOT the repo's

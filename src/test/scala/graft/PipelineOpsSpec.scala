@@ -331,6 +331,17 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("preagg rollup: monthly-from-daily equals direct monthly") {
+    import spark.implicits._
+    import graft.operators.RefQueries
+    val direct = Tables.read(spark, sf, "lineitem")
+      .groupBy(substring($"l_shipdate".cast("string"), 1, 7).as("month"),
+        $"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 4).as("qty"))
+      .orderBy($"month".asc, $"l_returnflag".asc)
+    assertSameRows(RefQueries.qPreaggRollup(spark, sf), direct)
+  }
+
   test("scd2: versions partition the log, intervals chain, one current") {
     import spark.implicits._
     val out = Events.scd2(spark, sf).collect()

@@ -274,6 +274,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_preagg_rollup: monthly level re-shuffles only the daily output") {
+    // two chained aggregates: the fact table pays ONE shuffle at day
+    // grain; the month rollup's exchange carries only daily rows
+    val p = plan("q_preagg_rollup")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected day-grain + tiny month-grain exchanges, got $exchanges")
+    assert(p.contains("partial_count"),
+      s"daily aggregate must partial-combine map-side:\n$p")
+  }
+
   test("text_cap_per_source: rank filter compiles to WindowGroupLimit") {
     // every map partition forwards ≤ cap rows per source BEFORE the
     // exchange — the property that makes a web-scale hot domain cost

@@ -51,6 +51,15 @@ class SketchSpec extends SparkSpec {
       == u("3055647633038352039"))
   }
 
+  test("F2 self-join-size sketch: never under, inside the additive bound") {
+    graft.operators.Sketches.selfJoinSizeCms(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(5),
+        s"${r.getString(0)}: CMS F2 under exact — structurally impossible")
+      assert(r.getBoolean(6), s"${r.getString(0)}: F2 est out of 2N²/w bound")
+      assert(r.getLong(3) >= r.getLong(2))
+    }
+  }
+
   test("portable HLL: estimate within 10% of exact per group") {
     // m=1024 → relative error ~1.04/32 = 3.25%; 10% ≈ 3 sigma
     graft.operators.Sketches.hllDistinct(spark, sf).collect().foreach { r =>
