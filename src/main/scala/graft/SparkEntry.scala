@@ -175,6 +175,11 @@ object SparkEntry {
     "text_cap_per_source" -> ((s, d) => TextAnalysis.capPerSource(s, d)),
     "q_selfjoin_size_cms" -> ((s, d) => Sketches.selfJoinSizeCms(s, d)),
     "q_preagg_rollup" -> ((s, d) => RefQueries.qPreaggRollup(s, d)),
+    // Round 8 (cont.): iterative graph ranking, sketch-merge windows,
+    // distribution profiling
+    "text_textrank" -> ((s, d) => TextAnalysis.textRank(s, d)),
+    "ev_hll_sliding" -> ((s, d) => Sketches.hllSliding(s, d)),
+    "q_histogram" -> ((s, d) => RefQueries.qHistogram(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2308,5 +2313,139 @@ object SparkEntry {
              round(sum(l_quantity), 4) AS qty
       FROM lineitem GROUP BY 1, 2
       ORDER BY month ASC, l_returnflag ASC""",
+    // TextRank replay: the same three fixed-point iterations unrolled —
+    // all constants interpolated from TextAnalysis (one source of
+    // truth), all arithmetic integer floor division on positive
+    // operands (DuckDB `//` == Spark `div` there), so the ranking is
+    // bit-exact with no float tolerance
+    "text_textrank" -> {
+      val sc = TextAnalysis.TrScale
+      val dn = TextAnalysis.TrDampNum
+      val dd = TextAnalysis.TrDampDen
+      val base = sc - sc * dn / dd
+      def iter(prev: String, cur: String) = s"""$cur AS (
+        SELECT ed.dst AS tok,
+               ($base + sum(($dn * ed.w * $prev.score)
+                            // ($dd * ed.wdeg)))::BIGINT AS score
+        FROM ed JOIN $prev ON ed.src = $prev.tok GROUP BY ed.dst
+      )"""
+      s"""
+      WITH toks AS (
+        SELECT doc_id, l[ord] AS tok, ord FROM (
+          SELECT doc_id, l, unnest(generate_series(1, len(l))) AS ord
+          FROM (SELECT doc_id, string_split(
+                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+                FROM documents))
+      ), pr AS (
+        SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS t1
+        FROM toks
+      ), e0 AS (
+        SELECT tok AS src, t1 AS dst FROM pr
+        WHERE t1 IS NOT NULL AND tok <> t1
+      ), edges AS (
+        SELECT src, dst, count(*) AS w0 FROM (
+          SELECT src, dst FROM e0
+          UNION ALL SELECT dst AS src, src AS dst FROM e0
+        ) GROUP BY src, dst
+      ), eq AS (
+        SELECT src, dst,
+               (w0 // greatest(1, m.maxw // ${TextAnalysis.TrWCap}))::BIGINT
+                 AS w
+        FROM edges, (SELECT max(w0) AS maxw FROM edges) m
+      ), ew AS (
+        SELECT src, dst, w FROM eq WHERE w > 0
+      ), deg AS (
+        SELECT src, sum(w)::BIGINT AS wdeg FROM ew GROUP BY src
+      ), ed AS (
+        SELECT ew.src, ew.dst, ew.w, deg.wdeg
+        FROM ew JOIN deg USING (src)
+      ), s0 AS (
+        SELECT src AS tok, $sc::BIGINT AS score FROM deg
+      ), ${iter("s0", "s1")}, ${iter("s1", "s2")}, ${iter("s2", "s3")}
+      SELECT d.src AS tok, d.wdeg, s3.score
+      FROM s3 JOIN deg d ON d.src = s3.tok
+      ORDER BY s3.score DESC, tok ASC LIMIT 20"""
+    },
+    // sliding-HLL replay: the q_hll_distinct register chain per day,
+    // fanned winDays forward in sketch space, merged by per-bucket max
+    "ev_hll_sliding" -> s"""
+      WITH ev AS (
+        SELECT ts::DATE AS day, user_id FROM events
+      ), days AS (
+        SELECT DISTINCT day FROM ev
+      ), z0 AS (
+        SELECT day, ((user_id::UHUGEINT + 11400714819323198485)
+                 % 18446744073709551616)::UBIGINT AS z
+        FROM ev
+      ), z1 AS (
+        SELECT day, ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                 % 18446744073709551616)::UBIGINT AS z FROM z0
+      ), z2 AS (
+        SELECT day, ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                 % 18446744073709551616)::UBIGINT AS z FROM z1
+      ), h AS (
+        SELECT day, xor(z, z >> 31) % ${Sketches.HllM} AS bucket,
+               (xor(z, z >> 31) >> 10) % ${1L << Sketches.HllW} AS rest
+        FROM z2
+      ), reg AS (
+        SELECT day, bucket,
+               max(CASE WHEN rest = 0 THEN ${Sketches.HllW + 1}
+                        ELSE ${Sketches.HllW + 1} - length(bin(rest))
+                   END) AS r
+        FROM h GROUP BY 1, 2
+      ), fan AS (
+        SELECT (reg.day + t.i::INTEGER) AS wday, bucket, r
+        FROM reg CROSS JOIN generate_series(0, ${Sketches.HllWinDays - 1})
+          t(i)
+        WHERE (reg.day + t.i::INTEGER) IN (SELECT day FROM days)
+      ), merged AS (
+        SELECT wday, bucket, max(r) AS r FROM fan GROUP BY 1, 2
+      ), sk AS (
+        SELECT wday, count(*) AS buckets_used,
+               sum(power(2.0, -r)) + (${Sketches.HllM} - count(*)) AS s
+        FROM merged GROUP BY 1
+      ), exfan AS (
+        SELECT (p.day + t.i::INTEGER) AS wday, user_id
+        FROM (SELECT DISTINCT day, user_id FROM ev) p
+        CROSS JOIN generate_series(0, ${Sketches.HllWinDays - 1}) t(i)
+        WHERE (p.day + t.i::INTEGER) IN (SELECT day FROM days)
+      ), ex AS (
+        SELECT wday, count(DISTINCT user_id) AS exact_users
+        FROM exfan GROUP BY 1
+      ), est AS (
+        SELECT wday, buckets_used,
+               CASE WHEN ${Sketches.HllAlphaM2} / s < ${2.5 * Sketches.HllM}
+                         AND buckets_used < ${Sketches.HllM}
+                    THEN ${Sketches.HllM.toDouble}
+                         * ln(${Sketches.HllM.toDouble}
+                              / (${Sketches.HllM} - buckets_used))
+                    ELSE ${Sketches.HllAlphaM2} / s
+               END AS e
+        FROM sk
+      )
+      SELECT ex.wday::VARCHAR AS day, ex.exact_users, est.buckets_used,
+             round(est.e, 4) AS hll_est,
+             abs(est.e / ex.exact_users - 1.0) < 0.25 AS hll_ok
+      FROM ex JOIN est USING (wday)
+      ORDER BY day ASC""",
+    // equi-width histogram + CDF: integer counts, single rounded
+    // divisions; the oracle's running sum is a window (DuckDB replay
+    // only — the Spark side uses a triangular broadcast join)
+    "q_histogram" -> s"""
+      WITH h AS (
+        SELECT floor(l_extendedprice / ${RefQueries.HistWidth})::BIGINT
+                 AS bucket,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1
+      ), t AS (SELECT sum(cnt)::BIGINT AS total FROM h)
+      SELECT bucket, bucket * ${RefQueries.HistWidth} AS lo_edge,
+             cnt::BIGINT AS cnt,
+             sum(cnt) OVER (ORDER BY bucket ASC
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cume,
+             round(cnt::DOUBLE / total, 6) AS pct,
+             round(sum(cnt) OVER (ORDER BY bucket ASC
+                                  ROWS UNBOUNDED PRECEDING)::DOUBLE
+                   / total, 6) AS cdf
+      FROM h, t ORDER BY bucket ASC""",
   )
 }

@@ -1061,4 +1061,35 @@ object RefQueries {
         count(lit(1)).as("cnt"))
       .orderBy($"l_returnflag".asc)
   }
+
+  /** Equi-width histogram + CDF over `l_extendedprice` — the
+    * distribution-shape profile `qProfile`'s scalar stats can't show
+    * (and the zone-map / bucket-pruning statistic a layout op like
+    * qZorderLayout consumes). One map-side-combined aggregate collapses
+    * the corpus to ≤ range/width bucket rows; the cumulative column is
+    * a triangular broadcast self-join over that tiny bucket table, so
+    * the suite stays free of unpartitioned windows and the fact table
+    * is scanned exactly once (single pruned column). Counts are
+    * integers; pct/cdf are single integer divisions rounded on both
+    * engines — no accumulation-order float risk. */
+  /** Histogram bucket width — shared with the DuckDB oracle. */
+  val HistWidth = 5000L
+
+  def qHistogram(spark: SparkSession, sfDir: String,
+      width: Long = HistWidth): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, sfDir, "lineitem").select($"l_extendedprice")
+    val h = li.select(floor($"l_extendedprice" / width).cast("long")
+        .as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+    val tot = li.agg(count(lit(1)).as("total"))
+    val cume = h.as("a").join(broadcast(h.as("b")),
+        col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket")).agg(sum(col("b.cnt")).as("cume"))
+    h.join(cume, "bucket").crossJoin(broadcast(tot))
+      .select($"bucket", ($"bucket" * width).as("lo_edge"), $"cnt", $"cume",
+        round($"cnt".cast("double") / $"total", 6).as("pct"),
+        round($"cume".cast("double") / $"total", 6).as("cdf"))
+      .orderBy($"bucket".asc)
+  }
 }

@@ -353,4 +353,68 @@ object Sketches {
         (abs($"est" / $"exact_orders" - lit(1.0)) < 0.25).as("hll_ok"))
       .orderBy($"l_returnflag".asc)
   }
+
+  /** Sliding-window distinct users per day via HLL register MERGE — the
+    * reason mergeable sketches exist: the raw event stream is read ONCE
+    * and collapses map-side to ≤ m register rows per day; every 7-day
+    * window estimate is then computed purely in sketch space by taking
+    * per-bucket maxima across the window's days. count(DISTINCT) does
+    * not compose across overlapping windows — at 100 TB the exact path
+    * re-reads a week of raw data per day, while the sketch path stores
+    * ~8 KB/day forever and answers any window retroactively.
+    *
+    * The fan-out is SKETCH-side: each (day, bucket, rho) row serves the
+    * next `winDays` windows via an explode over ≤ days·m·winDays rows —
+    * corpus-size-independent, so the pattern survives any event volume.
+    * Same portable mix64 geometry as [[hllDistinct]] (registers and the
+    * harmonic sum are bit-replayed by the oracle; the exact twin exists
+    * only to measure the sketch). */
+  /** Sliding-window length in days — shared with the DuckDB oracle. */
+  val HllWinDays = 7
+
+  def hllSliding(spark: SparkSession, sfDir: String,
+      winDays: Int = HllWinDays): DataFrame = {
+    import spark.implicits._
+    graft.functions.Mix64.register(spark)
+    val ev = Tables.read(spark, sfDir, "events")
+      .select(to_date($"ts").as("day"), $"user_id")
+    val days = ev.select($"day").distinct()
+    val reg = ev
+      .select($"day", call_function("mix64", $"user_id").as("z"))
+      .select($"day",
+        $"z".bitwiseAND(lit(HllM - 1L)).as("bucket"),
+        shiftrightunsigned($"z", 10).bitwiseAND(lit((1L << HllW) - 1L))
+          .as("rest"))
+      .withColumn("rho", when($"rest" === 0L, lit(HllW + 1))
+        .otherwise(lit(HllW + 1) - length(bin($"rest"))))
+      .groupBy($"day", $"bucket").agg(max($"rho").as("r"))
+    val fan = reg
+      .withColumn("i", explode(sequence(lit(0), lit(winDays - 1))))
+      .select(expr("date_add(day, i)").as("wday"), $"bucket", $"r")
+      .join(days.withColumnRenamed("day", "wday"), Seq("wday"), "left_semi")
+    val sketch = fan.groupBy($"wday", $"bucket").agg(max($"r").as("r"))
+      .groupBy($"wday")
+      .agg(count(lit(1)).as("buckets_used"),
+        sum(pow(lit(2.0), -$"r")).as("s_nonempty"))
+      .select($"wday", $"buckets_used",
+        ($"s_nonempty" + (lit(HllM) - $"buckets_used")).as("s"))
+    // exact twin: distinct (day,user) pairs fan the same way — the
+    // measurement column, not the at-scale path
+    val exact = ev.distinct()
+      .withColumn("i", explode(sequence(lit(0), lit(winDays - 1))))
+      .select(expr("date_add(day, i)").as("wday"), $"user_id")
+      .join(days.withColumnRenamed("day", "wday"), Seq("wday"), "left_semi")
+      .groupBy($"wday").agg(countDistinct($"user_id").as("exact_users"))
+    exact.join(sketch, Seq("wday"))
+      .withColumn("est_raw", lit(HllAlphaM2) / $"s")
+      .withColumn("est",
+        when($"est_raw" < lit(2.5 * HllM) && $"buckets_used" < HllM,
+          lit(HllM.toDouble)
+            * log(lit(HllM.toDouble) / (lit(HllM) - $"buckets_used")))
+          .otherwise($"est_raw"))
+      .select($"wday".cast("string").as("day"), $"exact_users",
+        $"buckets_used", round($"est", 4).as("hll_est"),
+        (abs($"est" / $"exact_users" - lit(1.0)) < 0.25).as("hll_ok"))
+      .orderBy($"day".asc)
+  }
 }

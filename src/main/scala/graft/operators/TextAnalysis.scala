@@ -768,4 +768,83 @@ object TextAnalysis {
       .select($"doc_id", $"fp")
       .orderBy($"doc_id".asc)
   }
+
+  /** TextRank fixed-point constants — shared with the DuckDB oracle so
+    * operator and replay can never desynchronize. Scores are integers
+    * scaled by [[TrScale]] (1.0 == 1e6); the damping factor 0.85 is the
+    * exact rational [[TrDampNum]]/[[TrDampDen]]; edge weights are
+    * quantized to at most [[TrWCap]] (w div max(1, maxw div TrWCap)) so
+    * the per-term product 85·w·score stays far inside a signed 64-bit
+    * long (≤ 85 · 2^20 · vocab · 1e6 — safe to a ~10^5-token vocabulary,
+    * far above any whitespace-token vocab the normalizer produces). */
+  private[graft] val TrScale = 1000000L
+  private[graft] val TrDampNum = 85L
+  private[graft] val TrDampDen = 100L
+  private[graft] val TrWCap = 1L << 20
+
+  /** TextRank keyword ranking (Mihalcea & Tarau 2004): PageRank over the
+    * undirected token co-occurrence graph, where nodes are normalized
+    * tokens and an edge's weight counts how often the two tokens were
+    * ADJACENT anywhere in the corpus. The iterative-graph-ranking tier
+    * the curation suite lacked: `text_tfidf_topk` scores terms by
+    * document-local frequency, TextRank scores them by global graph
+    * centrality — the standard unsupervised keyword extractor.
+    *
+    * score(v) = (1−d) + d · Σ_{u∈N(v)} w(u,v)/wdeg(u) · score(u),
+    * 3 unrolled iterations from a uniform start. ALL arithmetic is
+    * fixed-point integer (scores scaled by TrScale, damping as an exact
+    * rational, floor division — both engines truncate identically on
+    * positive operands), so the hash gate needs no float tolerance: the
+    * oracle unrolls the same three iterations term-for-term.
+    *
+    * Scale: the corpus is touched once — the same windowed lead()
+    * shingle stream as `text_bigrams` (partitioned by doc, never
+    * global), collapsed map-side to ≤ vocab² weighted edges. Each
+    * iteration then joins the EDGE table (vocab-sized, corpus-size-
+    * independent) against the score vector and re-aggregates: 3 tiny
+    * shuffles that cost the same at sf0.01 and at 100 TB. The edge
+    * table is localCheckpoint'ed so iterations don't replay the corpus
+    * scan, and the final top-k is an ordered limit
+    * (TakeOrderedAndProject), not a global window. */
+  def textRank(spark: SparkSession, sfDir: String,
+      iters: Int = 3, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", expr(TextNorm.normSql))
+      .select($"doc_id", posexplode(split($"norm", " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    val pairs = toks.withColumn("t1", lead($"tok", 1).over(w))
+      .filter($"t1".isNotNull && $"tok" =!= $"t1")
+      .select($"tok".as("src"), $"t1".as("dst"))
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w0"))
+    val maxw = edges.agg(max($"w0").as("maxw"))
+    // quantize weights so 85·w·score can't overflow at any corpus size;
+    // zero-weight edges (negligible rarities under a huge max) drop out
+    // deterministically on both engines
+    val eds0 = edges.crossJoin(broadcast(maxw))
+      .withColumn("w", expr(s"w0 div greatest(1, maxw div $TrWCap)"))
+      .filter($"w" > 0)
+    val deg0 = eds0.groupBy($"src").agg(sum($"w").as("wdeg"))
+    val eds = eds0.join(deg0, "src")
+      .select($"src", $"dst", $"w", $"wdeg")
+      .localCheckpoint() // vocab²-bounded; cuts the corpus scan out of the loop
+    // degrees re-read FROM the checkpoint so the seed vector and the
+    // final join never replay the corpus lineage (plan-guarded)
+    val deg = eds.select($"src", $"wdeg").distinct()
+    val base = TrScale - TrScale * TrDampNum / TrDampDen
+    var s = deg.select($"src".as("tok"), lit(TrScale).as("score"))
+    for (_ <- 1 to iters) {
+      s = eds.join(s.withColumnRenamed("tok", "src"), "src")
+        .select($"dst",
+          expr(s"($TrDampNum * w * score) div ($TrDampDen * wdeg)").as("c"))
+        .groupBy($"dst")
+        .agg((lit(base) + sum($"c")).as("score"))
+        .withColumnRenamed("dst", "tok")
+    }
+    s.join(deg.withColumnRenamed("src", "tok"), "tok")
+      .select($"tok", $"wdeg", $"score")
+      .orderBy($"score".desc, $"tok".asc)
+      .limit(k)
+  }
 }

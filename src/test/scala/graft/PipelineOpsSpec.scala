@@ -421,6 +421,37 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("textrank: bit-exact against an in-memory fixed-point reference") {
+    import TextAnalysis.{TrScale, TrDampNum, TrDampDen, TrWCap}
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    val pairs = docs.flatMap { r =>
+      val t = r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+        .split(" ")
+      t.zip(t.drop(1)).filter { case (a, b) => a != b }
+    }
+    val w0 = (pairs ++ pairs.map(_.swap)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val wdiv = math.max(1L, w0.values.max / TrWCap)
+    val w = w0.view.mapValues(_ / wdiv).filter(_._2 > 0).toMap
+    val wdeg = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val base = TrScale - TrScale * TrDampNum / TrDampDen
+    var s = wdeg.keys.map(_ -> TrScale).toMap
+    for (_ <- 1 to 3) {
+      val in = w.toSeq.groupBy(_._1._2).view.mapValues { es =>
+        base + es.map { case ((u, _), wt) =>
+          TrDampNum * wt * s(u) / (TrDampDen * wdeg(u))
+        }.sum
+      }.toMap
+      s = in
+    }
+    val expect = s.toSeq.map { case (t, sc) => (t, wdeg(t), sc) }
+      .sortBy { case (t, _, sc) => (-sc, t) }.take(20)
+    val got = TextAnalysis.textRank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"textrank mismatch:\n got=$got\n exp=$expect")
+  }
+
   test("surprisal: bit-exact against an in-memory unigram reference") {
     val docs = Tables.read(spark, sf, "documents")
       .select("doc_id", "text").collect()

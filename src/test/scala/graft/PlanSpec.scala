@@ -315,4 +315,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       s"row-normalizing totals must broadcast:\n$p")
   }
+
+  test("text_textrank: ordered-limit top-k, no global window downstream") {
+    // the corpus-touching window (lead per doc) runs inside the eager
+    // localCheckpoint that freezes the edge table; the iteration plan
+    // itself must be window-free with a TakeOrderedAndProject top-k
+    val p = plan("text_textrank")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as ordered limit, not sort-all:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"iteration plan must not re-window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ev_hll_sliding: window-free sketch merge, map-side register max") {
+    val p = plan("ev_hll_sliding")
+    assert(!p.contains("windowspecdefinition"),
+      s"sliding merge must be sketch-side fan-out, not a window:\n$p")
+    assert(p.contains("partial_max"),
+      s"register max must partial-combine map-side:\n$p")
+    assert(p.contains("mix64"), s"hash must be the codegen'd mix64:\n$p")
+  }
+
+  test("q_histogram: window-free CDF, map-side bucket counts") {
+    val p = plan("q_histogram")
+    assert(!p.contains("windowspecdefinition"),
+      s"CDF must come from the triangular broadcast join, not a window:\n$p")
+    assert(p.contains("partial_count"),
+      s"bucket counts must partial-combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"triangular cume join must broadcast the tiny bucket table:\n$p")
+  }
 }

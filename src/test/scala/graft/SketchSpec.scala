@@ -60,6 +60,27 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sliding HLL: exact column replays in-memory, estimate in bound") {
+    val pairs = graft.Tables.read(spark, sf, "events")
+      .selectExpr("cast(to_date(ts) as string) AS day", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).distinct
+    val days = pairs.map(_._1).distinct.sorted
+    def plusDays(d: String, i: Int): String =
+      java.time.LocalDate.parse(d).plusDays(i.toLong).toString
+    val out = graft.operators.Sketches.hllSliding(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq == days.toSeq)
+    out.foreach { r =>
+      val day = r.getString(0)
+      // users whose activity day falls in the trailing 7-day window
+      val win = (0 until graft.operators.Sketches.HllWinDays)
+        .map(i => plusDays(day, -i)).toSet
+      val exact = pairs.filter(p => win.contains(p._1)).map(_._2).distinct.size
+      assert(r.getLong(1) == exact.toLong,
+        s"$day: exact_users ${r.getLong(1)} != $exact")
+      assert(r.getBoolean(4), s"$day: hll_ok false")
+    }
+  }
+
   test("portable HLL: estimate within 10% of exact per group") {
     // m=1024 → relative error ~1.04/32 = 3.25%; 10% ≈ 3 sigma
     graft.operators.Sketches.hllDistinct(spark, sf).collect().foreach { r =>
