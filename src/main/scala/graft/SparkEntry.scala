@@ -180,6 +180,13 @@ object SparkEntry {
     "text_textrank" -> ((s, d) => TextAnalysis.textRank(s, d)),
     "ev_hll_sliding" -> ((s, d) => Sketches.hllSliding(s, d)),
     "q_histogram" -> ((s, d) => RefQueries.qHistogram(s, d)),
+    // Round 8 (cont. 2): collocations, winnowing fingerprints,
+    // last-touch attribution, streaming sketch maintenance
+    "text_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
+    "text_winnowing" -> ((s, d) => Dedup.winnowing(s, d)),
+    "ev_attribution" -> ((s, d) => Events.attribution(s, d)),
+    "stream_hll_distinct" -> ((s, d) =>
+      graft.streaming.StreamingQueries.hllDistinct(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2427,6 +2434,149 @@ object SparkEntry {
              round(est.e, 4) AS hll_est,
              abs(est.e / ex.exact_users - 1.0) < 0.25 AS hll_ok
       FROM ex JOIN est USING (wday)
+      ORDER BY day ASC""",
+    // quantized-PMI collocations: log2 via bit length on both engines —
+    // no products, no libm; marginals derive from the pair table
+    "text_pmi_bigrams" -> s"""
+      WITH toks AS (
+        SELECT doc_id, l[ord] AS tok, ord FROM (
+          SELECT doc_id, l, unnest(generate_series(1, len(l))) AS ord
+          FROM (SELECT doc_id, string_split(
+                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+                FROM documents))
+      ), pr AS (
+        SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS t1
+        FROM toks
+      ), cab AS (
+        SELECT tok AS a, t1 AS b, count(*) AS cab FROM pr
+        WHERE t1 IS NOT NULL GROUP BY 1, 2
+      ), ca AS (SELECT a, sum(cab)::BIGINT AS ca FROM cab GROUP BY a),
+      cb AS (SELECT b, sum(cab)::BIGINT AS cb FROM cab GROUP BY b),
+      n AS (SELECT sum(cab)::BIGINT AS n_pairs FROM cab)
+      SELECT a || ' ' || b AS bigram, cab::BIGINT AS cnt, ca, cb,
+             ((length(bin(n_pairs)) + length(bin(cab)))
+              - (length(bin(ca)) + length(bin(cb))))::BIGINT AS pmi_bits
+      FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN n
+      WHERE cab >= ${TextAnalysis.PmiMinCount}
+      ORDER BY pmi_bits DESC, cnt DESC, bigram ASC LIMIT 20""",
+    // winnowing replay: identical trigram poly-hash stream, identical
+    // (hash·2^31 + pos) packed tie-break, full windows only
+    "text_winnowing" -> s"""
+      WITH d AS (
+        SELECT doc_id, string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+      ), occ AS (
+        SELECT doc_id, i - 1 AS pos,
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(generate_series(1, length(s)),
+              j -> ascii(substr(s, j, 1))::BIGINT)),
+            (a, x) -> (a * 31 + x) % 1000000007) AS shash
+        FROM (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS s
+              FROM d, unnest(generate_series(1, greatest(len(toks) - 2, 0)))
+                t(i))
+      ), win AS (
+        SELECT doc_id,
+               min(shash * 2147483648 + pos) OVER w AS mhp,
+               count(*) OVER w AS nw
+        FROM occ
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos ASC
+                     ROWS BETWEEN CURRENT ROW AND
+                     ${Dedup.WinnowW - 1} FOLLOWING)
+      ), fp AS (
+        SELECT DISTINCT doc_id, mhp FROM win WHERE nw = ${Dedup.WinnowW}
+      ), agg AS (
+        SELECT doc_id, count(*) AS n_fingerprints,
+               (sum((mhp // 2147483648) % 1000000007)
+                 % 1000000007)::BIGINT AS fp_checksum
+        FROM fp GROUP BY doc_id
+      ), base AS (
+        SELECT doc_id, greatest(len(toks) - 2, 0)::BIGINT AS n_shingles
+        FROM d
+      )
+      SELECT b.doc_id, b.n_shingles,
+             coalesce(a.n_fingerprints, 0)::BIGINT AS n_fingerprints,
+             round(coalesce(a.n_fingerprints, 0)::DOUBLE
+                   / greatest(b.n_shingles, 1), 4) AS fp_density,
+             coalesce(a.fp_checksum, 0)::BIGINT AS fp_checksum
+      FROM base b LEFT JOIN agg a USING (doc_id)
+      ORDER BY b.doc_id ASC""",
+    // last-touch attribution replay: same (ts, event_id) total order,
+    // IGNORE NULLS carry-forward, horizon from the shared constant
+    "ev_attribution" -> s"""
+      WITH e AS (
+        SELECT user_id, ts, event_id, event_type, value FROM events
+        WHERE event_type IN ('click', 'purchase')
+      ), lc AS (
+        SELECT ts, event_type, value,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN epoch_us(ts) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_click
+        FROM e
+      ), conv AS (
+        SELECT ts, value,
+               (last_click IS NOT NULL AND
+                epoch_us(ts) - last_click
+                  <= ${Events.AttribHorizonMin * 60000000L}) AS attributed
+        FROM lc WHERE event_type = 'purchase'
+      )
+      SELECT ts::DATE::VARCHAR AS day, count(*) AS n_conversions,
+             sum(CASE WHEN attributed THEN 1 ELSE 0 END)::BIGINT
+               AS n_attributed,
+             round(sum(CASE WHEN attributed
+                            THEN CAST(value AS DECIMAL(20,6))
+                            ELSE 0 END), 4)::DOUBLE AS attributed_value
+      FROM conv GROUP BY 1 ORDER BY day ASC""",
+    // streaming-HLL replay: registers from the WHOLE fixture at once —
+    // register max is merge-invariant, so the incrementally-maintained
+    // streaming state must land on identical bits
+    "stream_hll_distinct" -> s"""
+      WITH ev AS (
+        SELECT ts::DATE AS day, user_id FROM events
+      ), z0 AS (
+        SELECT day, ((user_id::UHUGEINT + 11400714819323198485)
+                 % 18446744073709551616)::UBIGINT AS z
+        FROM ev
+      ), z1 AS (
+        SELECT day, ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                 % 18446744073709551616)::UBIGINT AS z FROM z0
+      ), z2 AS (
+        SELECT day, ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                 % 18446744073709551616)::UBIGINT AS z FROM z1
+      ), h AS (
+        SELECT day, xor(z, z >> 31) % ${Sketches.HllM} AS bucket,
+               (xor(z, z >> 31) >> 10) % ${1L << Sketches.HllW} AS rest
+        FROM z2
+      ), reg AS (
+        SELECT day, bucket,
+               max(CASE WHEN rest = 0 THEN ${Sketches.HllW + 1}
+                        ELSE ${Sketches.HllW + 1} - length(bin(rest))
+                   END) AS r
+        FROM h GROUP BY 1, 2
+      ), sk AS (
+        SELECT day, count(*) AS buckets_used,
+               sum(power(2.0, -r)) + (${Sketches.HllM} - count(*)) AS s
+        FROM reg GROUP BY 1
+      ), ex AS (
+        SELECT day, count(DISTINCT user_id) AS exact_users
+        FROM ev GROUP BY 1
+      ), est AS (
+        SELECT day, buckets_used,
+               CASE WHEN ${Sketches.HllAlphaM2} / s < ${2.5 * Sketches.HllM}
+                         AND buckets_used < ${Sketches.HllM}
+                    THEN ${Sketches.HllM.toDouble}
+                         * ln(${Sketches.HllM.toDouble}
+                              / (${Sketches.HllM} - buckets_used))
+                    ELSE ${Sketches.HllAlphaM2} / s
+               END AS e
+        FROM sk
+      )
+      SELECT ex.day::VARCHAR AS day, ex.exact_users, est.buckets_used,
+             round(est.e, 4) AS hll_est,
+             abs(est.e / ex.exact_users - 1.0) < 0.25 AS hll_ok
+      FROM ex JOIN est USING (day)
       ORDER BY day ASC""",
     // equi-width histogram + CDF: integer counts, single rounded
     // divisions; the oracle's running sum is a window (DuckDB replay

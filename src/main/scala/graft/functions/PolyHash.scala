@@ -73,4 +73,17 @@ object PolyHash {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs(0), exprs(1)), "built-in")
+
+  /** Pure JVM twin of the expression — for in-memory differential specs. */
+  def hash(s: String, prefixLen: Int): Long = {
+    val bytes = s.getBytes("UTF-8")
+    val limit = math.min(prefixLen, bytes.length)
+    var acc = 0L
+    var i = 0
+    while (i < limit) {
+      acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
 }

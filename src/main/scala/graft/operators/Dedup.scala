@@ -813,4 +813,74 @@ object Dedup {
         $"n_probe", $"hits", $"containment")
       .orderBy($"doc_a".asc, $"doc_b".asc)
   }
+
+  /** Winnowing window width (shingle positions) — shared with the
+    * oracle. Guarantee: every run of [[WinnowW]] consecutive shingles
+    * contributes at least one fingerprint. */
+  private[graft] val WinnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): from the per-position token
+    * n-gram hash stream, each window of [[WinnowW]] consecutive hashes
+    * selects its minimum; the distinct selected (hash, pos) pairs are
+    * the document's fingerprints. The guarantee the full-hash-set
+    * schemes lack: ANY shared substring of ≥ w+n−1 tokens produces at
+    * least one IDENTICAL fingerprint in both documents, at an expected
+    * 2/(w+1) sampling density — position-robust substring evidence at a
+    * fraction of `dedup_substring`'s full shingle index.
+    *
+    * Ties break on (hash, pos) lexicographic min, encoded as the single
+    * long hash·2^31 + pos (poly_hash < 2^30, so the packing is exact
+    * and order-preserving) — both engines take the same winner without
+    * a rightmost-min recursion. Only FULL windows select (count == w),
+    * matching the paper; docs shorter than w+n−1 tokens emit zero
+    * fingerprints and surface with n_fingerprints = 0.
+    *
+    * Scale: one corpus scan; both windows partition by doc_id (never
+    * global); output is one row per document with a mod-prime checksum
+    * of its fingerprint set, so the oracle confirms WHICH fingerprints
+    * survive, not just how many. */
+  def winnowing(spark: SparkSession, sfDir: String,
+      n: Int = 3, w: Int = WinnowW): DataFrame = {
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    val docs = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", normText)
+      .select($"doc_id", split($"norm", " ").as("toks"))
+    val toks = docs
+      .select($"doc_id", posexplode($"toks").as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    val withLeads = (1 until n).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"t$i", lead($"tok", i).over(wDoc))
+    }
+    val starts = withLeads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select($"doc_id", $"pos",
+        call_function("poly_hash", concat_ws(" ",
+          ($"tok" +: (1 until n).map(i => col(s"t$i"))): _*),
+          lit(1 << 20)).as("shash"))
+    val wWin = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+      .rowsBetween(0, w - 1)
+    val fps = starts
+      .select($"doc_id", $"pos",
+        ($"shash" * lit(1L << 31) + $"pos").as("hp"))
+      .withColumn("mhp", min($"hp").over(wWin))
+      .withColumn("nw", count(lit(1)).over(wWin))
+      .filter($"nw" === w)
+      .select($"doc_id", $"mhp").distinct()
+    val agg = fps.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        pmod(sum(pmod(shiftright($"mhp", 31), lit(TextAnalysis.ChecksumP))),
+          lit(TextAnalysis.ChecksumP))
+          .as("fp_checksum"))
+    val base = docs.select($"doc_id",
+      greatest(size($"toks") - (n - 1), lit(0)).cast("long").as("n_shingles"))
+    base.join(agg, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_fingerprints", lit(0L)).as("n_fingerprints"),
+        round(coalesce($"n_fingerprints", lit(0L)).cast("double")
+          / greatest($"n_shingles", lit(1L)), 4).as("fp_density"),
+        coalesce($"fp_checksum", lit(0L)).as("fp_checksum"))
+      .orderBy($"doc_id".asc)
+  }
 }

@@ -471,4 +471,45 @@ object Events {
         round($"n_outliers".cast("double") / $"cnt", 4).as("outlier_rate"))
       .orderBy($"event_type".asc)
   }
+
+  /** Attribution horizon in minutes — shared with the DuckDB oracle. */
+  val AttribHorizonMin = 60L
+
+  /** Last-touch conversion attribution: each purchase is credited to the
+    * user's most recent click STRICTLY before it, and counts as
+    * attributed only when that click falls within [[AttribHorizonMin]].
+    * The batch twin of the streaming `clickAttribution` join, with the
+    * semantics marketing rollups actually use — last-touch, horizon-
+    * bounded, exactly one credit per conversion (a plain interval join
+    * credits every click in the window).
+    *
+    * Scale: ONE shuffle of the events table (the per-user window that
+    * carries the last-click timestamp forward via last(ignoreNulls) —
+    * the same O(1)-state forward scan as the as-of join); the daily
+    * rollup partial-aggregates map-side to ≤ days rows. Deterministic:
+    * (ts, event_id) total order; money sums in decimal. */
+  def attribution(spark: SparkSession, sfDir: String,
+      horizonMin: Long = AttribHorizonMin): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.read(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .filter($"event_type".isin("click", "purchase"))
+    val wU = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val conv = ev
+      .withColumn("click_t",
+        when($"event_type" === "click", unix_micros($"ts")))
+      .withColumn("last_click", last($"click_t", ignoreNulls = true).over(wU))
+      .filter($"event_type" === "purchase")
+      .withColumn("attributed",
+        $"last_click".isNotNull &&
+          (unix_micros($"ts") - $"last_click") <= horizonMin * 60000000L)
+    conv.groupBy(to_date($"ts").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(when($"attributed", 1L).otherwise(0L)).as("n_attributed"),
+        round(sum(when($"attributed", $"value").otherwise(lit(0.0))
+          .cast("decimal(20,6)")), 4).cast("double").as("attributed_value"))
+      .orderBy($"day".asc)
+  }
 }

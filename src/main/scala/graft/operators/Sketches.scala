@@ -372,22 +372,60 @@ object Sketches {
   /** Sliding-window length in days — shared with the DuckDB oracle. */
   val HllWinDays = 7
 
+  /** Per-day HLL register build (day, bucket, r) from an events frame —
+    * shared by [[hllSliding]] and the STREAMING register maintainer
+    * (`stream_hll_distinct`): the groupBy-max is exactly the
+    * incremental state update a Complete-mode streaming aggregation
+    * keeps, because register max is merge-order-invariant. Caller must
+    * have registered `mix64` on the session. */
+  private[graft] def hllDayRegisters(ev: DataFrame): DataFrame = {
+    ev.select(to_date(col("ts")).as("day"),
+        call_function("mix64", col("user_id")).as("z"))
+      .select(col("day"),
+        col("z").bitwiseAND(lit(HllM - 1L)).as("bucket"),
+        shiftrightunsigned(col("z"), 10)
+          .bitwiseAND(lit((1L << HllW) - 1L)).as("rest"))
+      .withColumn("rho", when(col("rest") === 0L, lit(HllW + 1))
+        .otherwise(lit(HllW + 1) - length(bin(col("rest")))))
+      .groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("r"))
+  }
+
+  /** Estimate + exact-twin finalize over a (day, bucket, r) register
+    * table — the batch tail shared by the streaming register maintainer
+    * (whose registers it must reproduce bit-for-bit) and any batch
+    * builder. */
+  private[graft] def hllFinalizeDaily(spark: SparkSession, sfDir: String,
+      reg: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sketch = reg.groupBy($"day")
+      .agg(count(lit(1)).as("buckets_used"),
+        sum(pow(lit(2.0), -$"r")).as("s_nonempty"))
+      .select($"day", $"buckets_used",
+        ($"s_nonempty" + (lit(HllM) - $"buckets_used")).as("s"))
+    val exact = Tables.read(spark, sfDir, "events")
+      .select(to_date($"ts").as("day"), $"user_id")
+      .groupBy($"day").agg(countDistinct($"user_id").as("exact_users"))
+    exact.join(sketch, Seq("day"))
+      .withColumn("est_raw", lit(HllAlphaM2) / $"s")
+      .withColumn("est",
+        when($"est_raw" < lit(2.5 * HllM) && $"buckets_used" < HllM,
+          lit(HllM.toDouble)
+            * log(lit(HllM.toDouble) / (lit(HllM) - $"buckets_used")))
+          .otherwise($"est_raw"))
+      .select($"day".cast("string").as("day"), $"exact_users",
+        $"buckets_used", round($"est", 4).as("hll_est"),
+        (abs($"est" / $"exact_users" - lit(1.0)) < 0.25).as("hll_ok"))
+      .orderBy($"day".asc)
+  }
+
   def hllSliding(spark: SparkSession, sfDir: String,
       winDays: Int = HllWinDays): DataFrame = {
     import spark.implicits._
     graft.functions.Mix64.register(spark)
     val ev = Tables.read(spark, sfDir, "events")
-      .select(to_date($"ts").as("day"), $"user_id")
-    val days = ev.select($"day").distinct()
-    val reg = ev
-      .select($"day", call_function("mix64", $"user_id").as("z"))
-      .select($"day",
-        $"z".bitwiseAND(lit(HllM - 1L)).as("bucket"),
-        shiftrightunsigned($"z", 10).bitwiseAND(lit((1L << HllW) - 1L))
-          .as("rest"))
-      .withColumn("rho", when($"rest" === 0L, lit(HllW + 1))
-        .otherwise(lit(HllW + 1) - length(bin($"rest"))))
-      .groupBy($"day", $"bucket").agg(max($"rho").as("r"))
+      .select($"ts", $"user_id")
+    val days = ev.select(to_date($"ts").as("day")).distinct()
+    val reg = hllDayRegisters(ev)
     val fan = reg
       .withColumn("i", explode(sequence(lit(0), lit(winDays - 1))))
       .select(expr("date_add(day, i)").as("wday"), $"bucket", $"r")
@@ -400,7 +438,7 @@ object Sketches {
         ($"s_nonempty" + (lit(HllM) - $"buckets_used")).as("s"))
     // exact twin: distinct (day,user) pairs fan the same way — the
     // measurement column, not the at-scale path
-    val exact = ev.distinct()
+    val exact = ev.select(to_date($"ts").as("day"), $"user_id").distinct()
       .withColumn("i", explode(sequence(lit(0), lit(winDays - 1))))
       .select(expr("date_add(day, i)").as("wday"), $"user_id")
       .join(days.withColumnRenamed("day", "wday"), Seq("wday"), "left_semi")

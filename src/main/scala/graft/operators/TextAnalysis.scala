@@ -847,4 +847,50 @@ object TextAnalysis {
       .orderBy($"score".desc, $"tok".asc)
       .limit(k)
   }
+
+  /** Minimum pair count for a PMI collocation — shared with the oracle
+    * (rare pairs make PMI degenerate: a 1-count pair of two 1-count
+    * tokens scores maximal PMI on zero evidence). */
+  private[graft] val PmiMinCount = 3L
+
+  /** Collocation mining via quantized pointwise mutual information —
+    * PMI(a,b) = log2(N·c(ab) / (c(a·)·c(·b))) over ADJACENT token pairs,
+    * the association score that separates "strong collocation" from
+    * "both words are merely frequent" (raw bigram counts, text_bigrams,
+    * rank frequent-frequent pairs first; PMI ranks surprising pairs).
+    *
+    * Quantization (same trick as text_surprisal): log2 via bit length —
+    * pmi_bits = (bitlen(N) + bitlen(c_ab)) − (bitlen(c_a) + bitlen(c_b)),
+    * a ±2-bit integer approximation with NO products (each bitlen is of
+    * a count ≤ N, so nothing can overflow at any corpus size) and no
+    * libm in the gate — both engines compute identical integers.
+    *
+    * Scale: marginals derive from the pair-count table (vocab²-bounded),
+    * NOT from a second corpus pass — the corpus is scanned once,
+    * collapsed map-side to c(a,b) partials; everything downstream is
+    * vocab-sized. Top-k is an ordered limit (TakeOrderedAndProject). */
+  def pmiBigrams(spark: SparkSession, sfDir: String, k: Int = 20)
+      : DataFrame = {
+    import spark.implicits._
+    val toks = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", expr(TextNorm.normSql))
+      .select($"doc_id", posexplode(split($"norm", " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    val cab = toks.withColumn("t1", lead($"tok", 1).over(w))
+      .filter($"t1".isNotNull)
+      .groupBy($"tok".as("a"), $"t1".as("b"))
+      .agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy($"a").agg(sum($"cab").as("ca"))
+    val cb = cab.groupBy($"b").agg(sum($"cab").as("cb"))
+    val n = cab.agg(sum($"cab").as("n_pairs"))
+    cab.join(ca, "a").join(cb, "b").crossJoin(broadcast(n))
+      .filter($"cab" >= PmiMinCount)
+      .select(concat_ws(" ", $"a", $"b").as("bigram"),
+        $"cab".as("cnt"), $"ca", $"cb",
+        ((length(bin($"n_pairs")) + length(bin($"cab")))
+          - (length(bin($"ca")) + length(bin($"cb"))))
+          .cast("long").as("pmi_bits"))
+      .orderBy($"pmi_bits".desc, $"cnt".desc, $"bigram".asc)
+      .limit(k)
+  }
 }

@@ -167,6 +167,30 @@ object StreamingQueries {
     out.orderBy($"c_mktsegment".asc)
   }
 
+  /** STREAMING sketch maintenance — the portable per-day HLL registers
+    * (graft.operators.Sketches geometry) kept as Complete-mode streaming
+    * aggregation state: register max is merge-order-invariant, so the
+    * stream maintains an exact-same-bits sketch incrementally, whatever
+    * the micro-batch slicing. Proven here by delivering the fixture in
+    * two halves (even/odd event_id — BOTH halves touch every day, so
+    * every day's registers are genuinely merged across batches, not
+    * appended) and finalizing the sink's registers through the shared
+    * batch estimator: the oracle replays the registers from the whole
+    * fixture at once. This is the 100 TB streaming-analytics shape —
+    * per-key distinct counts maintained forever in O(m·days) state with
+    * no raw retention, readable at any time. */
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.Mix64.register(spark)
+    val ev = eventsDf(spark, sfDir)
+    val out = runFileStream(spark, "hll_registers",
+      Seq(ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1)),
+      OutputMode.Complete()) { df =>
+      graft.operators.Sketches.hllDayRegisters(df)
+    }
+    graft.operators.Sketches.hllFinalizeDaily(spark, sfDir, out)
+  }
+
   /** `flatMapGroupsWithState` sessionization run to event-time-timeout
     * completion: after the fixture batch, two far-future sentinel events
     * (user −1) advance the watermark so every real session closes and

@@ -409,4 +409,36 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("winnowing: bit-exact vs in-memory reference; windows covered") {
+    val w = 4
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    val out = operators.Dedup.winnowing(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(out.size == docs.length)
+    docs.foreach { d =>
+      val toks = d.getString(1).trim.toLowerCase
+        .replaceAll("\\s+", " ").split(" ")
+      val hp = toks.sliding(3).filter(_.length == 3).zipWithIndex
+        .map { case (g, p) =>
+          functions.PolyHash.hash(g.mkString(" "), 1 << 20) * (1L << 31) + p
+        }.toArray
+      val sel =
+        (0 to hp.length - w).map(s => hp.slice(s, s + w).min).distinct
+      val (nSh, nFp, ck) = out(d.getLong(0))
+      assert(nSh == math.max(toks.length - 2, 0).toLong)
+      assert(nFp == sel.length.toLong,
+        s"doc ${d.getLong(0)}: $nFp fingerprints vs ${sel.length}")
+      val checksum = sel.map(x => (x >> 31) % 1000000007L).sum % 1000000007L
+      assert(ck == checksum, s"doc ${d.getLong(0)}: checksum mismatch")
+      // the winnowing guarantee: every full window holds >= 1 selection
+      val posSet = sel.map(x => (x % (1L << 31)).toInt).toSet
+      (0 to hp.length - w).foreach { s =>
+        assert((s until s + w).exists(posSet.contains),
+          s"doc ${d.getLong(0)}: window at $s uncovered")
+      }
+    }
+  }
 }

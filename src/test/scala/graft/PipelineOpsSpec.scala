@@ -452,6 +452,70 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expect, s"textrank mismatch:\n got=$got\n exp=$expect")
   }
 
+  test("pmi collocations: bit-exact against an in-memory reference") {
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    val pairs = docs.toSeq.flatMap { r =>
+      val t = r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+        .split(" ")
+      t.zip(t.drop(1))
+    }
+    val cab = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ca = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cb = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = pairs.size.toLong
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val expect = cab.toSeq
+      .filter(_._2 >= TextAnalysis.PmiMinCount)
+      .map { case ((a, b), c) =>
+        (s"$a $b", c, ca(a), cb(b),
+          bitlen(n) + bitlen(c) - bitlen(ca(a)) - bitlen(cb(b)))
+      }
+      .sortBy { case (bg, c, _, _, bits) => (-bits, -c, bg) }.take(20)
+    val got = TextAnalysis.pmiBigrams(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"pmi mismatch:\n got=$got\n exp=$expect")
+  }
+
+  test("attribution: last-touch credits replay in-memory") {
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val evs = Tables.read(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .filter(r => Set("click", "purchase").contains(r.getString(3)))
+    val horizon = Events.AttribHorizonMin * 60000000L
+    case class Conv(day: String, attributed: Boolean, value: Double)
+    val convs = evs.groupBy(_.getLong(0)).values.toSeq.flatMap { rows =>
+      var lastClick: Option[Long] = None
+      rows.sortBy(r => (micros(r.getTimestamp(1)), r.getLong(2))).flatMap {
+        r =>
+          val m = micros(r.getTimestamp(1))
+          if (r.getString(3) == "click") { lastClick = Some(m); None }
+          else {
+            val day = r.getTimestamp(1).toInstant
+              .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+            Some(Conv(day, lastClick.exists(c => m - c <= horizon),
+              r.getDouble(4)))
+          }
+      }
+    }
+    val expect = convs.groupBy(_.day).view.mapValues { cs =>
+      val attr = cs.filter(_.attributed)
+      val v = attr.map(c => BigDecimal(c.value)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (cs.size.toLong, attr.size.toLong, v)
+    }.toMap
+    val got = Events.attribution(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect, s"attribution mismatch:\n got=$got\n exp=$expect")
+  }
+
   test("surprisal: bit-exact against an in-memory unigram reference") {
     val docs = Tables.read(spark, sf, "documents")
       .select("doc_id", "text").collect()

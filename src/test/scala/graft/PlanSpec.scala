@@ -337,6 +337,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("mix64"), s"hash must be the codegen'd mix64:\n$p")
   }
 
+  test("text_pmi_bigrams: marginals from the pair table, ordered-limit") {
+    val p = plan("text_pmi_bigrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as ordered limit:\n$p")
+    // the only corpus-sized window is the per-doc lead(); marginals must
+    // come from re-aggregating the pair table, not a second corpus pass
+    val specs = "windowspecdefinition\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(specs == Set("doc_id"),
+      s"only the per-doc lead window may exist, got $specs:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts must partial-combine map-side:\n$p")
+  }
+
+  test("text_winnowing: every window partitions by doc_id") {
+    val p = plan("text_winnowing")
+    val specs = "windowspecdefinition\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(specs == Set("doc_id"),
+      s"all windows must partition by doc_id, got $specs:\n$p")
+    assert(p.toLowerCase.contains("polyhash"),
+      s"shingle hash must be the codegen'd poly_hash:\n$p")
+  }
+
+  test("ev_attribution: per-user carry-forward, map-side daily rollup") {
+    val p = plan("ev_attribution")
+    val specs = "windowspecdefinition\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(specs == Set("user_id"),
+      s"the last-click window must partition by user_id, got $specs:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily rollup must partial-combine map-side:\n$p")
+  }
+
   test("q_histogram: window-free CDF, map-side bucket counts") {
     val p = plan("q_histogram")
     assert(!p.contains("windowspecdefinition"),

@@ -229,4 +229,17 @@ class StreamingSpec extends SparkSpec {
       .orderBy($"event_type".asc)
     assertSameRows(got, want)
   }
+
+  test("streaming HLL registers land on the batch sketch bit-for-bit") {
+    import spark.implicits._
+    // the stream maintains per-day register maxima across two half-
+    // fixture micro-batch deliveries; register max is merge-invariant,
+    // so the finalized estimates must equal the one-shot batch build
+    val got = graft.streaming.StreamingQueries.hllDistinct(spark, sf)
+    graft.functions.Mix64.register(spark)
+    val batchReg = graft.operators.Sketches.hllDayRegisters(
+      Tables.read(spark, sf, "events").select($"ts", $"user_id"))
+    val want = graft.operators.Sketches.hllFinalizeDaily(spark, sf, batchReg)
+    assertSameRows(got, want)
+  }
 }
