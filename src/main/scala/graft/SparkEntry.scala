@@ -187,6 +187,12 @@ object SparkEntry {
     "ev_attribution" -> ((s, d) => Events.attribution(s, d)),
     "stream_hll_distinct" -> ((s, d) =>
       graft.streaming.StreamingQueries.hllDistinct(s, d)),
+    // Round 8 (cont. 3): corpus statistics (spectrum, Heaps curve),
+    // bigram-LM scoring
+    "text_freq_spectrum" -> ((s, d) => TextAnalysis.freqSpectrum(s, d)),
+    "text_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
+    "text_bigram_surprisal" -> ((s, d) =>
+      TextAnalysis.bigramSurprisal(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2597,5 +2603,78 @@ object SparkEntry {
                                   ROWS UNBOUNDED PRECEDING)::DOUBLE
                    / total, 6) AS cdf
       FROM h, t ORDER BY bucket ASC""",
+    // frequency-of-frequencies: bitlen(cnt) bands over the vocabulary,
+    // exact integer masses, single rounded divisions
+    "text_freq_spectrum" -> """
+      WITH t AS (
+        SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+      ), v AS (
+        SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+      ), tot AS (
+        SELECT sum(cnt)::DECIMAL(38,0) AS n_total, count(*) AS n_vocab
+        FROM v
+      )
+      SELECT length(bin(cnt))::BIGINT AS band, count(*) AS n_types,
+             min(cnt)::BIGINT AS min_cnt, max(cnt)::BIGINT AS max_cnt,
+             sum(cnt)::BIGINT AS n_occurrences,
+             round(count(*)::DOUBLE / any_value(tot.n_vocab), 6)
+               AS type_fraction,
+             round(sum(cnt)::DOUBLE / any_value(tot.n_total)::DOUBLE, 6)
+               AS mass_fraction
+      FROM v CROSS JOIN tot GROUP BY 1 ORDER BY band ASC""",
+    // Heaps curve: first-occurrence attribution + the naive global
+    // cumsum (oracle scale affords it; the Spark side is the
+    // range-decomposed prefix sum — the oracle independently validates
+    // the decomposition)
+    "text_vocab_growth" -> """
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+      ), f AS (
+        SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok
+      ), np AS (
+        SELECT first_doc AS doc_id, count(*) AS n_new FROM f GROUP BY 1
+      ), d AS (
+        SELECT documents.doc_id, coalesce(np.n_new, 0)::BIGINT AS n_new
+        FROM documents LEFT JOIN np USING (doc_id)
+      )
+      SELECT doc_id, n_new,
+             sum(n_new) OVER (ORDER BY doc_id ASC
+                              ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS vocab_size
+      FROM d ORDER BY doc_id ASC""",
+    // bigram-LM surprisal: same per-doc lead() bigram formation, same
+    // bitlen quantization; c1 derives from the bigram-count table on
+    // both sides so the two LMs are identical by construction
+    "text_bigram_surprisal" -> """
+      WITH s AS (
+        SELECT doc_id, string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents
+      ), t AS (
+        -- zipped unnests: tok and its 0-based position travel together
+        SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos
+        FROM s
+      ), b AS (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos ASC) AS w2
+        FROM t
+      ), bg AS (
+        SELECT doc_id, w1, w2 FROM b WHERE w2 IS NOT NULL
+      ), c2 AS (
+        SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+      ), c1 AS (
+        SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY w1
+      ), j AS (
+        SELECT bg.doc_id,
+               (length(bin(c1.c1)) - length(bin(c2.c2)))::BIGINT AS bits
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      )
+      SELECT doc_id, count(*) AS n_bigrams, sum(bits)::BIGINT AS bits_total,
+             round(sum(bits)::DOUBLE / count(*), 4) AS bits_per_bigram
+      FROM j GROUP BY doc_id ORDER BY doc_id ASC""",
   )
 }

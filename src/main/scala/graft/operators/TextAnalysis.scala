@@ -893,4 +893,127 @@ object TextAnalysis {
       .orderBy($"pmi_bits".desc, $"cnt".desc, $"bigram".asc)
       .limit(k)
   }
+
+  /** Frequency-of-frequencies spectrum — the Good–Turing front-end every
+    * tokenizer/coverage study starts from: how many vocabulary types
+    * occur once (hapaxes), 2–3×, 4–7×, … and what fraction of the corpus
+    * token mass each band covers. Bands are `bitlen(cnt)` (the same
+    * `bin()`-length quantization as [[surprisal]]), so band b holds
+    * types with 2^(b−1) ≤ cnt < 2^b and the report is exact integer
+    * arithmetic end-to-end — no log, nothing for an engine to round
+    * differently.
+    *
+    * Scale: one map-side-combined (tok, cnt) aggregate over the token
+    * stream (the only corpus-sized shuffle, keys are tokens); the
+    * spectrum itself is a ≤ 64-row aggregate over the vocabulary table.
+    * Token mass is summed as decimal internally (overflow-proof at any
+    * corpus size) and exported as a plain BIGINT per band only after
+    * the band collapse. */
+  def freqSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.read(spark, sfDir, "documents")
+      .select(explode(split(TextNorm.normCol, " ")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum($"cnt".cast("decimal(38,0)")).as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    vocab
+      .groupBy(length(bin($"cnt")).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_types"),
+        sum($"cnt".cast("decimal(38,0)")).as("band_mass"),
+        min($"cnt").as("min_cnt"), max($"cnt").as("max_cnt"))
+      .crossJoin(broadcast(total))
+      .select($"band", $"n_types", $"min_cnt", $"max_cnt",
+        $"band_mass".cast("long").as("n_occurrences"),
+        round($"n_types".cast("double") / $"n_vocab", 6)
+          .as("type_fraction"),
+        round($"band_mass".cast("double") / $"n_total".cast("double"), 6)
+          .as("mass_fraction"))
+      .orderBy($"band".asc)
+  }
+
+  /** Vocabulary-growth (Heaps-law) curve — distinct-type count as a
+    * function of corpus position in doc_id order, the statistic that
+    * sizes a tokenizer's vocab and says when a corpus stops paying for
+    * itself. A token is NEW at the first doc (min doc_id) containing it;
+    * the curve is the running sum of new-type counts over docs.
+    *
+    * Scale: the running sum is the [[packSequences]] distributed prefix
+    * sum, not a global-order window — docs group into ≤ 8192 doc_id
+    * ranges sized from the corpus count, range offsets come from a
+    * triangular broadcast join over the range table, and the per-doc
+    * cumsum is a window partitioned BY RANGE. First-occurrence
+    * attribution is one (tok → min doc_id) aggregate over the token
+    * stream; everything after is doc-count-sized. */
+  def vocabGrowth(spark: SparkSession, sfDir: String,
+      rangeSize: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val base = Tables.read(spark, sfDir, "documents")
+    val width =
+      if (rangeSize > 0L) rangeSize
+      else math.max(100L, (base.count() + 8191L) / 8192L)
+    val toks = base
+      .select($"doc_id", explode(split(TextNorm.normCol, " ")).as("tok"))
+    val firstDoc = toks.groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+    val newPerDoc = firstDoc.groupBy($"first_doc".as("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    // every doc appears in the curve, including ones introducing no new
+    // type — left join the doc spine so flat segments are explicit rows
+    val docs = base.select($"doc_id")
+      .join(newPerDoc, Seq("doc_id"), "left_outer")
+      .withColumn("n_new", coalesce($"n_new", lit(0L)))
+      .withColumn("rng", expr(s"doc_id div $width"))
+    val rangeTotals = docs.groupBy($"rng").agg(sum($"n_new").as("rng_new"))
+    val rangeOffsets = rangeTotals.as("a")
+      .join(broadcast(rangeTotals.as("b")), $"b.rng" < $"a.rng", "left_outer")
+      .groupBy($"a.rng".as("rng"))
+      .agg(coalesce(sum($"b.rng_new"), lit(0L)).as("rng_offset"))
+    val wDoc = Window.partitionBy($"rng").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(rangeOffsets), Seq("rng"))
+      .withColumn("vocab_size",
+        $"rng_offset" + sum($"n_new").over(wDoc))
+      .select($"doc_id", $"n_new", $"vocab_size")
+      .orderBy($"doc_id".asc)
+  }
+
+  /** Bigram-LM quantized surprisal — the conditional-entropy upgrade of
+    * [[surprisal]] and the closest hash-gateable stand-in for the KenLM
+    * perplexity filter (CCNet): score each document by how surprising
+    * each token is GIVEN its predecessor under a corpus bigram LM.
+    * −log₂ p(w₂|w₁) = log₂ c(w₁) − log₂ c(w₁w₂) is quantized to
+    * `bitlen(c(w₁)) − bitlen(c(w₁w₂))` (exact integers, within 1 bit),
+    * so per-doc sums are partition-order-independent and the oracle
+    * replays them bit-for-bit. Docs whose bigram mix is boilerplate
+    * (high-frequency continuations) score low; incoherent token salad
+    * scores high — the two tails a perplexity filter trims.
+    *
+    * Scale: bigram formation is a per-doc window over the positioned
+    * token stream (partitioned by doc — no global order); c(w₁w₂) and
+    * c(w₁) are two map-side-combined aggregates (c(w₁) derived from the
+    * bigram-count table, vocab²-bounded, NOT a second corpus pass); the
+    * score join is hint-free — AQE broadcasts a small LM, shuffles a
+    * large one. */
+  def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", expr(TextNorm.normSql))
+      .select($"doc_id", posexplode(split($"norm", " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    val bigrams = toks.withColumn("t1", lead($"tok", 1).over(w))
+      .filter($"t1".isNotNull)
+      .select($"doc_id", $"tok".as("w1"), $"t1".as("w2"))
+    val c2 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select($"doc_id",
+        (length(bin($"c1")) - length(bin($"c2"))).cast("long").as("bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("bits_total"))
+      .select($"doc_id", $"n_bigrams", $"bits_total",
+        round($"bits_total".cast("double") / $"n_bigrams", 4)
+          .as("bits_per_bigram"))
+      .orderBy($"doc_id".asc)
+  }
 }

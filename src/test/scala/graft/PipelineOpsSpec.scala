@@ -536,4 +536,75 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getLong(1) == toks(r.getLong(0)).length.toLong)
     }
   }
+
+  test("freq spectrum: bands partition the vocabulary exactly") {
+    val docs = Tables.read(spark, sf, "documents")
+      .select("text").collect()
+    val cnt = docs.flatMap(_.getString(0).trim.toLowerCase
+        .replaceAll("\\s+", " ").split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val out = TextAnalysis.freqSpectrum(spark, sf).collect()
+    // bands are disjoint + complete: type and mass totals reassemble
+    assert(out.map(_.getLong(1)).sum == cnt.size.toLong, "type count")
+    assert(out.map(_.getLong(4)).sum == cnt.values.sum, "token mass")
+    out.foreach { r =>
+      val band = r.getLong(0).toInt
+      val (lo, hi) = (1L << (band - 1), (1L << band) - 1)
+      assert(r.getLong(2) >= lo && r.getLong(3) <= hi,
+        s"band $band: counts [${r.getLong(2)}, ${r.getLong(3)}] escape " +
+          s"[$lo, $hi]")
+      val expTypes = cnt.values.count(c => bitlen(c) == band).toLong
+      assert(r.getLong(1) == expTypes, s"band $band type count")
+    }
+  }
+
+  test("vocab growth: curve ends at the vocabulary size, never decreases," +
+      " and is range-decomposition-invariant") {
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .replaceAll("\\s+", " ").split(" ").toSeq)
+      .sortBy(_._1)
+    val vocabTotal = docs.flatMap(_._2).distinct.length.toLong
+    val out = TextAnalysis.vocabGrowth(spark, sf).collect()
+    assert(out.length == docs.length, "one curve point per document")
+    assert(out.last.getLong(2) == vocabTotal,
+      s"curve ends at ${out.last.getLong(2)}, vocabulary is $vocabTotal")
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(2) + b.getLong(1),
+        "vocab_size must be the running sum of n_new")
+    }
+    // the distributed prefix sum must equal the naive single-range cumsum
+    val naive = TextAnalysis.vocabGrowth(spark, sf,
+      rangeSize = Long.MaxValue / 4).collect().map(_.toString).toSeq
+    val tiny = TextAnalysis.vocabGrowth(spark, sf, rangeSize = 7L)
+      .collect().map(_.toString).toSeq
+    assert(out.map(_.toString).toSeq == naive, "default vs naive cumsum")
+    assert(tiny == naive, "tiny ranges vs naive cumsum")
+  }
+
+  test("bigram surprisal: bit-exact against an in-memory bigram reference") {
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    val toks = docs.map(r => r.getLong(0) ->
+      r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq)
+      .toMap
+    val bigrams = toks.view.mapValues(ts => ts.zip(ts.drop(1))).toMap
+    val c2 = bigrams.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val out = TextAnalysis.bigramSurprisal(spark, sf).collect()
+    assert(out.length == docs.length)
+    out.foreach { r =>
+      val bg = bigrams(r.getLong(0))
+      val expected = bg.map { case (a, b) =>
+        (bitlen(c1(a)) - bitlen(c2((a, b)))).toLong
+      }.sum
+      assert(r.getLong(1) == bg.length.toLong, s"doc ${r.getLong(0)} n")
+      assert(r.getLong(2) == expected,
+        s"doc ${r.getLong(0)}: bits_total ${r.getLong(2)} != $expected")
+    }
+  }
 }

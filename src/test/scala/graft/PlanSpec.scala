@@ -380,4 +380,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"triangular cume join must broadcast the tiny bucket table:\n$p")
   }
+
+  test("text_vocab_growth: cumsum windows are range-partitioned, never" +
+      " global") {
+    // the Heaps curve's running sum must be the range-decomposed prefix
+    // sum: windows partition by the doc_id range, offsets broadcast back.
+    // A windowspec leading with doc_id is the naive global
+    // single-partition window — the 100 TB funnel
+    val p = plan("text_vocab_growth")
+    assert(p.contains("windowspecdefinition(rng"),
+      s"cumsum window must partition by the doc_id range:\n$p")
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      s"no global (unpartitioned) window allowed:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"range offsets must broadcast, not shuffle-join:\n$p")
+  }
+
+  test("text_freq_spectrum: vocabulary aggregate partial-combines" +
+      " map-side") {
+    val p = plan("text_freq_spectrum")
+    assert(p.contains("partial_count"),
+      s"(tok, cnt) vocabulary must partial-aggregate before the wire:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"the spectrum needs no window operator:\n$p")
+  }
+
+  test("text_bigram_surprisal: bigram window is per-doc, LM join hint-free") {
+    val p = plan("text_bigram_surprisal")
+    val specs = "windowspecdefinition\\(\\w+".r.findAllIn(p).toSeq.distinct
+    assert(specs.nonEmpty && specs.forall(_.endsWith("doc_id")),
+      s"bigram formation must window per document, got $specs:\n$p")
+    assert(p.contains("partial_count"),
+      s"bigram counts must partial-combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"LM score join must never go cartesian:\n$p")
+  }
 }
