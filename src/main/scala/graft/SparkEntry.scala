@@ -193,6 +193,10 @@ object SparkEntry {
     "text_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "text_bigram_surprisal" -> ((s, d) =>
       TextAnalysis.bigramSurprisal(s, d)),
+    // Round 8 (cont. 4): time-series resampling, state dwell, gap fill
+    "ev_ohlc" -> ((s, d) => Events.ohlcBars(s, d)),
+    "ev_dwell_time" -> ((s, d) => Events.dwellTime(s, d)),
+    "ev_gap_fill" -> ((s, d) => Events.gapFill(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2676,5 +2680,66 @@ object SparkEntry {
       SELECT doc_id, count(*) AS n_bigrams, sum(bits)::BIGINT AS bits_total,
              round(sum(bits)::DOUBLE / count(*), 4) AS bits_per_bigram
       FROM j GROUP BY doc_id ORDER BY doc_id ASC""",
+    // OHLC bars: open/close replayed as rn=1 picks over the same
+    // (ts, event_id) total order the Spark argmin/argmax aggregates use;
+    // volume is the decimal sum rounded once
+    "ev_ohlc" -> """
+      WITH e AS (
+        SELECT event_type, ts::DATE::VARCHAR AS day, ts, event_id, value,
+               row_number() OVER (PARTITION BY event_type, ts::DATE
+                                  ORDER BY ts ASC, event_id ASC) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, ts::DATE
+                                  ORDER BY ts DESC, event_id DESC) AS rn_z
+        FROM events
+      )
+      SELECT event_type, day, count(*) AS n_events,
+             max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             max(value) AS high, min(value) AS low,
+             max(CASE WHEN rn_z = 1 THEN value END) AS close,
+             round(sum(value::DECIMAL(20,6)), 4)::DOUBLE AS volume
+      FROM e GROUP BY event_type, day
+      ORDER BY event_type ASC, day ASC""",
+    // dwell: same per-user lead() gap, same 30-min cap, decimal gap sum
+    "ev_dwell_time" -> """
+      WITH g AS (
+        SELECT event_type,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC)
+                 - epoch_us(ts) AS gap_us
+        FROM events
+      )
+      SELECT event_type, count(*) AS n_gaps,
+             sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_capped,
+             round(sum(least(gap_us, 1800000000)::DECIMAL(38,0))::DOUBLE
+                   / 1000000.0, 4) AS dwell_total_s,
+             round((sum(least(gap_us, 1800000000)::DECIMAL(38,0))::DOUBLE
+                   / 1000000.0) / count(*), 4) AS dwell_avg_s
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY event_type ORDER BY event_type ASC""",
+    // gap fill: per-user generate_series spine + IGNORE NULLS
+    // forward-fill window — the same fill semantics as Spark's
+    // last(_, ignoreNulls) over the per-user day order
+    "ev_gap_fill" -> """
+      WITH d AS (
+        SELECT user_id, ts::DATE AS day, count(*) AS n_events,
+               round(sum(value::DECIMAL(20,6)), 4)::DOUBLE AS day_value
+        FROM events GROUP BY user_id, ts::DATE
+      ), sp AS (
+        SELECT user_id,
+               unnest(generate_series(min(day), max(day),
+                                      INTERVAL 1 DAY))::DATE AS day
+        FROM d GROUP BY user_id
+      ), j AS (
+        SELECT sp.user_id, sp.day, d.n_events, d.day_value
+        FROM sp LEFT JOIN d USING (user_id, day)
+      )
+      SELECT user_id, day::VARCHAR AS day,
+             coalesce(n_events, 0)::BIGINT AS n_events,
+             n_events IS NULL AS is_gap,
+             last_value(day_value IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day ASC
+                     ROWS UNBOUNDED PRECEDING) AS filled_value
+      FROM j ORDER BY user_id ASC, day ASC""",
   )
 }

@@ -512,4 +512,96 @@ object Events {
           .cast("decimal(20,6)")), 4).cast("double").as("attributed_value"))
       .orderBy($"day".asc)
   }
+
+  /** OHLC downsampling — collapse the raw event stream to per-(type, day)
+    * bars (open/high/low/close/volume), the resample step every
+    * time-series store runs before charting or modeling. Open/close are
+    * ARGMIN/ARGMAX aggregates (`min_by`/`max_by` on the (ts, event_id)
+    * struct — the same deterministic total order as CDC compaction), so
+    * the whole bar is ONE aggregate with map-side partials: each map task
+    * forwards a single (open, high, low, close, partial-count,
+    * partial-sum) cell per bar, never a sorted window over raw events —
+    * at 100 TB the exchange carries bars, not ticks. Volume sums as
+    * decimal (order-independent, overflow-proof) and exports one rounded
+    * double. */
+  def ohlcBars(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by($"value", struct($"ts", $"event_id")).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", struct($"ts", $"event_id")).as("close"),
+        round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
+          .as("volume"))
+      .orderBy($"event_type".asc, $"day".asc)
+  }
+
+  /** Time-in-state — attribute the gap to the NEXT event to each event's
+    * type (capped at an idle cutoff, the sessionize gap), answering "how
+    * long do users sit in each state": per-type gap counts, capped-gap
+    * count, total and mean dwell.
+    *
+    * Scale: one per-user window (lead over the (ts, event_id) total
+    * order — partitioned, bounded by a user's history) then one
+    * low-cardinality aggregate with map-side partials. Gap micros sum as
+    * decimal — a raw BIGINT sum overflows 64 bits around 10^13 events —
+    * and export as one rounded double of seconds. */
+  def dwellTime(spark: SparkSession, sfDir: String,
+      idleCutoffMin: Long = 30L): DataFrame = {
+    import spark.implicits._
+    val capUs = idleCutoffMin * 60L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.read(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_us", lead(unix_micros($"ts"), 1).over(w))
+      .filter($"next_us".isNotNull)
+      .withColumn("gap_us", $"next_us" - unix_micros($"ts"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(when($"gap_us" > capUs, 1L).otherwise(0L)).as("n_capped"),
+        round(sum(least($"gap_us", lit(capUs)).cast("decimal(38,0)"))
+          .cast("double") / 1000000.0, 4).as("dwell_total_s"),
+        round((sum(least($"gap_us", lit(capUs)).cast("decimal(38,0)"))
+          .cast("double") / 1000000.0) / count(lit(1)), 4)
+          .as("dwell_avg_s"))
+      .orderBy($"event_type".asc)
+  }
+
+  /** Time-series gap fill — densify each user's daily activity to a
+    * continuous calendar spine and forward-fill the last observed value
+    * over silent days, the imputation step between raw events and any
+    * longitudinal model. The spine is per-user `sequence(min_day,
+    * max_day)` (bounded by each user's own active span, not the global
+    * calendar), missing days join as explicit rows, and the fill is
+    * `last(_, ignoreNulls)` over a per-user ordered window.
+    *
+    * Scale: the daily aggregate collapses the raw stream map-side to
+    * ≤ users·days rows before anything else; the spine explode and fill
+    * window are both per-user partitioned (nothing global); output is
+    * spine-sized, corpus-volume-independent. First observed day is by
+    * construction non-null, so the fill never fabricates a value. */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.read(spark, sfDir, "events")
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
+          .as("day_value"))
+    val spine = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val wFill = Window.partitionBy($"user_id").orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left_outer")
+      .withColumn("is_gap", $"n_events".isNull)
+      .withColumn("filled_value",
+        last($"day_value", ignoreNulls = true).over(wFill))
+      .select($"user_id", $"day".cast("string").as("day"),
+        coalesce($"n_events", lit(0L)).as("n_events"), $"is_gap",
+        $"filled_value")
+      .orderBy($"user_id".asc, $"day".asc)
+  }
 }

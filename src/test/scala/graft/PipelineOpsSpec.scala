@@ -607,4 +607,61 @@ class PipelineOpsSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: bits_total ${r.getLong(2)} != $expected")
     }
   }
+
+  test("ohlc bars: open/close agree with a per-bar total-order reference") {
+    val ev = Tables.read(spark, sf, "events")
+      .select("event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).toInstant.toString.take(10),
+        (r.getTimestamp(1).getTime, r.getLong(2)), r.getDouble(3)))
+    val bars = ev.groupBy(e => (e._1, e._2))
+    val out = Events.ohlcBars(spark, sf).collect()
+    assert(out.length == bars.size)
+    out.foreach { r =>
+      val rows = bars((r.getString(0), r.getString(1))).sortBy(_._3)
+      assert(r.getLong(2) == rows.length.toLong, "n_events")
+      assert(r.getDouble(3) == rows.head._4, "open = first in total order")
+      assert(r.getDouble(6) == rows.last._4, "close = last in total order")
+      assert(r.getDouble(4) == rows.map(_._4).max, "high")
+      assert(r.getDouble(5) == rows.map(_._4).min, "low")
+    }
+  }
+
+  test("dwell time: gaps decompose exactly, cap is one-sided") {
+    val out = Events.dwellTime(spark, sf).collect()
+    val nUsers = Tables.read(spark, sf, "events")
+      .select("user_id").distinct().count()
+    val nEvents = Tables.read(spark, sf, "events").count()
+    // every event except each user's last contributes exactly one gap
+    assert(out.map(_.getLong(1)).sum == nEvents - nUsers,
+      "gap count must be events minus one per user")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "capped subset of gaps")
+      // capped mean can never exceed the cutoff
+      assert(r.getDouble(4) <= 30 * 60.0 + 1e-9,
+        s"${r.getString(0)}: mean dwell exceeds the idle cutoff")
+    }
+  }
+
+  test("gap fill: continuous per-user spine, fill only on gaps") {
+    val out = Events.gapFill(spark, sf).collect()
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rows) =>
+      val days = rows.map(r => java.time.LocalDate.parse(r.getString(1)))
+      val span = java.time.temporal.ChronoUnit.DAYS
+        .between(days.min, days.max) + 1
+      assert(days.length.toLong == span && days.distinct.length == days.length,
+        s"user $u: spine not continuous (${days.length} rows, span $span)")
+      val sorted = rows.sortBy(_.getString(1))
+      assert(!sorted.head.getBoolean(3), s"user $u: first day cannot be a gap")
+      var lastObserved = sorted.head.getDouble(4)
+      sorted.foreach { r =>
+        if (r.getBoolean(3)) {
+          assert(r.getLong(2) == 0L, "gap day must carry zero events")
+          assert(r.getDouble(4) == lastObserved,
+            s"user $u ${r.getString(1)}: fill is not the last observed value")
+        } else lastObserved = r.getDouble(4)
+      }
+    }
+  }
 }

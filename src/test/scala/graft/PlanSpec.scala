@@ -415,4 +415,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"LM score join must never go cartesian:\n$p")
   }
+
+  test("ev_ohlc: bars are one windowless argmin/argmax aggregate") {
+    // the whole bar must be a single aggregate with map-side partials —
+    // a row_number-over-window open/close would sort every raw event
+    val p = plan("ev_ohlc")
+    assert(!p.contains("windowspecdefinition"),
+      s"open/close must be min_by/max_by aggregates, not a window:\n$p")
+    assert(p.contains("partial_count"),
+      s"bars must partial-combine map-side:\n$p")
+  }
+
+  test("ev_dwell_time and ev_gap_fill: windows are per-user, never global") {
+    for (name <- Seq("ev_dwell_time", "ev_gap_fill")) {
+      val p = plan(name)
+      val specs = "windowspecdefinition\\(\\w+".r.findAllIn(p).toSeq.distinct
+      assert(specs.nonEmpty && specs.forall(_.endsWith("user_id")),
+        s"$name: every window must partition by user_id, got $specs:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian:\n$p")
+    }
+  }
 }
