@@ -197,6 +197,7 @@ object SparkEntry {
     "ev_ohlc" -> ((s, d) => Events.ohlcBars(s, d)),
     "ev_dwell_time" -> ((s, d) => Events.dwellTime(s, d)),
     "ev_gap_fill" -> ((s, d) => Events.gapFill(s, d)),
+    "q_hll_intersect" -> ((s, d) => Sketches.hllIntersect(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2741,5 +2742,91 @@ object SparkEntry {
                OVER (PARTITION BY user_id ORDER BY day ASC
                      ROWS UNBOUNDED PRECEDING) AS filled_value
       FROM j ORDER BY user_id ASC, day ASC""",
+    // audience overlap via merged HLL registers: same splitmix64 replay
+    // as q_hll_distinct (two's-complement wrap == unsigned mod 2^64),
+    // union registers are per-bucket maxima, inclusion–exclusion on
+    // three identically-computed estimates
+    "q_hll_intersect" -> s"""
+      WITH z0 AS (
+        SELECT event_type,
+               ((user_id::UHUGEINT + 11400714819323198485)
+                 % 18446744073709551616)::UBIGINT AS z
+        FROM events
+      ), z1 AS (
+        SELECT event_type,
+               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                 % 18446744073709551616)::UBIGINT AS z FROM z0
+      ), z2 AS (
+        SELECT event_type,
+               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                 % 18446744073709551616)::UBIGINT AS z FROM z1
+      ), h AS (
+        SELECT event_type,
+               xor(z, z >> 31) % ${Sketches.HllM} AS bucket,
+               (xor(z, z >> 31) >> 10) % ${1L << Sketches.HllW} AS rest
+        FROM z2
+      ), reg AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN rest = 0 THEN ${Sketches.HllW + 1}
+                        ELSE ${Sketches.HllW + 1} - length(bin(rest))
+                   END) AS r
+        FROM h GROUP BY 1, 2
+      ), est1 AS (
+        SELECT event_type,
+               CASE WHEN ${Sketches.HllAlphaM2}
+                         / (sum(power(2.0, -r))
+                            + (${Sketches.HllM} - count(*)))
+                         < ${2.5 * Sketches.HllM}
+                         AND count(*) < ${Sketches.HllM}
+                    THEN ${Sketches.HllM.toDouble}
+                         * ln(${Sketches.HllM.toDouble}
+                              / (${Sketches.HllM} - count(*)))
+                    ELSE ${Sketches.HllAlphaM2}
+                         / (sum(power(2.0, -r))
+                            + (${Sketches.HllM} - count(*)))
+               END AS est
+        FROM reg GROUP BY 1
+      ), pairs AS (
+        SELECT a.event_type AS t1, b.event_type AS t2
+        FROM est1 a, est1 b WHERE a.event_type < b.event_type
+      ), ureg AS (
+        SELECT p.t1, p.t2, reg.bucket, max(reg.r) AS r
+        FROM reg JOIN pairs p
+          ON reg.event_type = p.t1 OR reg.event_type = p.t2
+        GROUP BY 1, 2, 3
+      ), uest AS (
+        SELECT t1, t2,
+               CASE WHEN ${Sketches.HllAlphaM2}
+                         / (sum(power(2.0, -r))
+                            + (${Sketches.HllM} - count(*)))
+                         < ${2.5 * Sketches.HllM}
+                         AND count(*) < ${Sketches.HllM}
+                    THEN ${Sketches.HllM.toDouble}
+                         * ln(${Sketches.HllM.toDouble}
+                              / (${Sketches.HllM} - count(*)))
+                    ELSE ${Sketches.HllAlphaM2}
+                         / (sum(power(2.0, -r))
+                            + (${Sketches.HllM} - count(*)))
+               END AS est_union
+        FROM ureg GROUP BY 1, 2
+      ), ut AS (
+        SELECT DISTINCT event_type, user_id FROM events
+      ), exact AS (
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               count(*) AS exact_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+      )
+      SELECT exact.t1, exact.t2, exact.exact_both,
+             round(greatest(e1.est + e2.est - uest.est_union, 0.0), 4)
+               AS hll_est,
+             abs(greatest(e1.est + e2.est - uest.est_union, 0.0)
+                 / exact.exact_both - 1.0) < 0.5 AS hll_ok
+      FROM exact
+      JOIN est1 e1 ON e1.event_type = exact.t1
+      JOIN est1 e2 ON e2.event_type = exact.t2
+      JOIN uest ON uest.t1 = exact.t1 AND uest.t2 = exact.t2
+      ORDER BY exact.t1 ASC, exact.t2 ASC""",
   )
 }

@@ -455,4 +455,83 @@ object Sketches {
         (abs($"est" / $"exact_users" - lit(1.0)) < 0.25).as("hll_ok"))
       .orderBy($"day".asc)
   }
+
+  /** Shared HLL finalize: harmonic estimate with the small-range
+    * linear-counting branch, from (buckets_used, s) columns. Exact
+    * binary-fraction arithmetic up to the one division — deterministic
+    * on both engines (see [[hllDistinct]]). */
+  private def hllEstimate(bucketsUsed: Column, s: Column): Column =
+    when(lit(HllAlphaM2) / s < lit(2.5 * HllM) && bucketsUsed < HllM,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / (lit(HllM) - bucketsUsed)))
+      .otherwise(lit(HllAlphaM2) / s)
+
+  /** Audience-overlap estimation in pure sketch space — |A ∩ B| for every
+    * unordered event-type pair via inclusion–exclusion over MERGED HLL
+    * registers: union registers are per-bucket maxima of the two sides
+    * (the merge that makes HLL a lattice), inter = est(A) + est(B) −
+    * est(A ∪ B), clamped at 0. This is THE query sketch stores exist
+    * for: set intersections do not compose from cardinalities, and the
+    * exact path re-shuffles raw ids for every pair — the sketch path
+    * answers all |types|²/2 pairs from one register table.
+    *
+    * Scale: the raw stream collapses map-side to ≤ |types|·m register
+    * rows in ONE aggregate; pair fan-out happens in sketch space (a
+    * broadcast join of the register table against the |types|² pair
+    * list), so adding a type costs m rows, not a corpus pass. The exact
+    * twin (one distinct + a per-user type-set self-join) exists only to
+    * measure the sketch and is itself bounded by (user, type) pairs,
+    * never raw events. Inclusion–exclusion error compounds three
+    * estimates, so the acceptance band is 2× the single-set bound. */
+  def hllIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.Mix64.register(spark)
+    val ev = Tables.read(spark, sfDir, "events")
+      .select($"event_type", $"user_id")
+    val reg = ev
+      .select($"event_type", call_function("mix64", $"user_id").as("z"))
+      .select($"event_type",
+        $"z".bitwiseAND(lit(HllM - 1L)).as("bucket"),
+        shiftrightunsigned($"z", 10).bitwiseAND(lit((1L << HllW) - 1L))
+          .as("rest"))
+      .withColumn("rho", when($"rest" === 0L, lit(HllW + 1))
+        .otherwise(lit(HllW + 1) - length(bin($"rest"))))
+      .groupBy($"event_type", $"bucket")
+      .agg(max($"rho").as("r"))
+    val singles = reg.groupBy($"event_type")
+      .agg(count(lit(1)).as("bu"),
+        sum(pow(lit(2.0), -$"r")).as("s_ne"))
+      .select($"event_type",
+        hllEstimate($"bu", $"s_ne" + (lit(HllM) - $"bu")).as("est"))
+    val pairs = singles.select($"event_type".as("t1"))
+      .crossJoin(singles.select($"event_type".as("t2")))
+      .filter($"t1" < $"t2")
+    val unionEst = reg
+      .join(broadcast(pairs),
+        $"event_type" === $"t1" || $"event_type" === $"t2")
+      .groupBy($"t1", $"t2", $"bucket")
+      .agg(max($"r").as("r"))
+      .groupBy($"t1", $"t2")
+      .agg(count(lit(1)).as("bu"), sum(pow(lit(2.0), -$"r")).as("s_ne"))
+      .select($"t1", $"t2",
+        hllEstimate($"bu", $"s_ne" + (lit(HllM) - $"bu")).as("est_union"))
+    val userTypes = ev.distinct()
+    val exact = userTypes.as("a")
+      .join(userTypes.as("b"),
+        $"a.user_id" === $"b.user_id"
+          && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("t1"), $"b.event_type".as("t2"))
+      .agg(count(lit(1)).as("exact_both"))
+    exact
+      .join(broadcast(singles.select($"event_type".as("t1"),
+        $"est".as("est1"))), Seq("t1"))
+      .join(broadcast(singles.select($"event_type".as("t2"),
+        $"est".as("est2"))), Seq("t2"))
+      .join(broadcast(unionEst), Seq("t1", "t2"))
+      .withColumn("inter", greatest($"est1" + $"est2" - $"est_union",
+        lit(0.0)))
+      .select($"t1", $"t2", $"exact_both",
+        round($"inter", 4).as("hll_est"),
+        (abs($"inter" / $"exact_both" - lit(1.0)) < 0.5).as("hll_ok"))
+      .orderBy($"t1".asc, $"t2".asc)
+  }
 }

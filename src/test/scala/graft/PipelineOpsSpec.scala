@@ -608,6 +608,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("hll intersect: every unordered pair, exact side right, sketch in band") {
+    import spark.implicits._
+    val ut = Tables.read(spark, sf, "events")
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = ut.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    val expectPairs = for {
+      i <- types.indices; j <- (i + 1) until types.size
+    } yield (types(i), types(j))
+    val out = Sketches.hllIntersect(spark, sf).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq.sorted ==
+      expectPairs.sorted, "one row per unordered type pair")
+    out.foreach { r =>
+      val exact = (byType(r.getString(0)) & byType(r.getString(1))).size
+      assert(r.getLong(2) == exact.toLong,
+        s"${r.getString(0)}∩${r.getString(1)}: exact side wrong")
+      assert(r.getDouble(3) >= 0.0, "clamped estimate cannot be negative")
+      assert(r.getBoolean(4),
+        s"${r.getString(0)}∩${r.getString(1)}: estimate ${r.getDouble(3)} " +
+          s"outside the 50% band of $exact")
+    }
+  }
+
   test("ohlc bars: open/close agree with a per-bar total-order reference") {
     val ev = Tables.read(spark, sf, "events")
       .select("event_type", "ts", "event_id", "value").collect()

@@ -426,6 +426,21 @@ class PlanSpec extends SparkSpec {
       s"bars must partial-combine map-side:\n$p")
   }
 
+  test("q_hll_intersect: registers collapse map-side, pairs stay in" +
+      " sketch space") {
+    val p = plan("q_hll_intersect")
+    assert(p.contains("partial_max"),
+      s"register build must partial-combine map-side:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window belongs in a sketch-merge plan:\n$p")
+    // the pair fan-out joins the m-row register table, never raw events:
+    // the only SortMergeJoin allowed is the (user, type)-bounded exact
+    // twin's self-join
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"pair fan-out must broadcast the tiny pair list:\n$p")
+  }
+
   test("ev_dwell_time and ev_gap_fill: windows are per-user, never global") {
     for (name <- Seq("ev_dwell_time", "ev_gap_fill")) {
       val p = plan(name)
