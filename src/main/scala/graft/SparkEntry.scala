@@ -198,6 +198,7 @@ object SparkEntry {
     "ev_dwell_time" -> ((s, d) => Events.dwellTime(s, d)),
     "ev_gap_fill" -> ((s, d) => Events.gapFill(s, d)),
     "q_hll_intersect" -> ((s, d) => Sketches.hllIntersect(s, d)),
+    "embed_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2828,5 +2829,44 @@ object SparkEntry {
       JOIN est1 e2 ON e2.event_type = exact.t2
       JOIN uest ON uest.t1 = exact.t1 AND uest.t2 = exact.t2
       ORDER BY exact.t1 ASC, exact.t2 ASC""",
+    // power-iteration PCA: the same exact fixed-point pipeline in
+    // HUGEINT (128-bit == Spark's DECIMAL(38,0) headroom): quantized
+    // components, Gramian cell sums, and per-iteration max-renormalized
+    // matrix–vector products with truncating integer division on the
+    // magnitude (abs-then-sign == Spark's remainder-stripped floor)
+    "embed_pca_power" -> {
+      val sc = Similarity.PcaScale
+      def iter(prev: String, w: String, m: String, cur: String) = s"""$w AS (
+        SELECT g.i, sum(g.g * $prev.v)::HUGEINT AS w
+        FROM g JOIN $prev ON g.j = $prev.vi GROUP BY g.i
+      ), $m AS (SELECT max(abs(w)) AS m FROM $w), $cur AS (
+        SELECT i AS vi,
+               CASE WHEN w < 0 THEN -((abs(w) * $sc) // $m.m)
+                    ELSE (abs(w) * $sc) // $m.m END::HUGEINT AS v
+        FROM $w, $m
+      )"""
+      s"""
+      WITH q AS (
+        SELECT list_transform(embedding,
+                 x -> floor(x::DOUBLE * $sc)::HUGEINT) AS qv
+        FROM embeddings
+      ), c AS (
+        SELECT unnest(flatten(list_transform(range(len(qv)), i ->
+                 list_transform(range(len(qv)), j ->
+                   {'i': i, 'j': j, 'p': qv[i+1] * qv[j+1]})))) AS c
+        FROM q
+      ), g AS (
+        SELECT c.c.i AS i, c.c.j AS j, sum(c.c.p)::HUGEINT AS g
+        FROM c GROUP BY 1, 2
+      ), v0 AS (
+        SELECT DISTINCT i AS vi, $sc::HUGEINT AS v FROM g
+      ), ${iter("v0", "w1", "m1", "v1")}, ${iter("v1", "w2", "m2", "v2")},
+      ${iter("v2", "w3", "m3", "v3")}
+      SELECT g.i::BIGINT AS dim, (g.g % ${TextAnalysis.ChecksumP})::BIGINT
+               AS gii_mod,
+             v3.v::BIGINT AS eigvec_q
+      FROM g JOIN v3 ON v3.vi = g.i WHERE g.i = g.j
+      ORDER BY dim ASC"""
+    },
   )
 }

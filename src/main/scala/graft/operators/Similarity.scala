@@ -598,4 +598,75 @@ object Similarity {
       .distinct()
       .orderBy($"id_a".asc, $"id_b".asc)
   }
+
+  /** Iterations of [[pcaPower]] — shared with the DuckDB oracle, which
+    * unrolls exactly this many matrix–vector CTE stages. */
+  val PcaIters = 3
+
+  /** Fixed-point scale for [[pcaPower]] (components and eigenvector
+    * entries quantized to millionths). */
+  val PcaScale = 1000000L
+
+  /** Principal-component estimation by POWER ITERATION over the
+    * distributed Gramian — the embedding-analytics step (intrinsic
+    * dimensionality, whitening, ANN rotation) that needs G = Σ_v x xᵀ
+    * from a corpus too big to collect. All arithmetic is exact
+    * fixed-point integer (the [[graft.operators.TextAnalysis]] textRank
+    * discipline): components quantize to ×1e6 longs, Gramian cells
+    * accumulate as DECIMAL(38,0) (order-independent, overflow-proof at
+    * any corpus size — a raw BIGINT dies near 10^6 vectors), and each
+    * iteration renormalizes by the max |entry| with an EXACT integer
+    * floor division (subtract the remainder before dividing, so no
+    * engine's decimal rounding mode can perturb the quotient). Three
+    * iterations are a defined computation, not a convergence claim —
+    * the oracle unrolls the same three stages term-for-term, making
+    * this a hash-gated eigensolver with no float tolerance.
+    *
+    * Scale: the d² pair fan-out happens INSIDE each scan partition (a
+    * nested transform + one explode — no self-join), and partial
+    * aggregation collapses every map task to ≤ d² cells before the
+    * exchange; each iteration is then a d²-row join+agg whose cost is
+    * corpus-size-independent. The corpus is scanned ONCE. */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = corpus(spark, sfDir)
+      .select(expr(s"transform(vec, x -> CAST(floor(x * $PcaScale) " +
+        "AS BIGINT))").as("qv"))
+    // map-side d² fan-out: pairs never leave their scan partition unpaired
+    val gram = q
+      .select(explode(expr(
+        """flatten(transform(qv, (xi, i) ->
+          |  transform(qv, (xj, j) ->
+          |    struct(i AS i, j AS j,
+          |           CAST(xi AS DECIMAL(38,0)) * xj AS p))))""".stripMargin))
+        .as("c"))
+      .groupBy($"c.i".as("i"), $"c.j".as("j"))
+      .agg(sum($"c.p").as("g"))
+      .localCheckpoint() // d²-bounded; cuts the corpus scan out of the loop
+    // exact integer floor-division renormalization: strip the remainder
+    // first so the decimal division is exact on every engine
+    def renorm(w: Column, m: Column): Column = {
+      val pos = abs(w) * lit(PcaScale)
+      // magnitude-then-sign keeps truncation-toward-zero identical on
+      // both engines (and avoids signum's double return type)
+      val mag = ((pos - pos % m) / m).cast("decimal(38,0)")
+      when(w < 0, -mag).otherwise(mag).cast("decimal(38,0)")
+    }
+    var v = gram.select($"i").distinct()
+      .select($"i".as("vi"), lit(PcaScale).cast("decimal(38,0)").as("v"))
+    for (_ <- 1 to PcaIters) {
+      val w = gram.join(v, $"j" === $"vi")
+        .groupBy($"i").agg(sum($"g" * $"v").as("w"))
+      val m = w.agg(max(abs($"w")).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select($"i".as("vi"), renorm($"w", $"m").as("v"))
+    }
+    gram.filter($"i" === $"j")
+      .select($"i", pmod($"g", lit(TextAnalysis.ChecksumP)
+        .cast("decimal(38,0)")).cast("long").as("gii_mod"))
+      .join(v, $"i" === $"vi")
+      .select($"i".cast("long").as("dim"), $"gii_mod",
+        $"v".cast("long").as("eigvec_q"))
+      .orderBy($"dim".asc)
+  }
 }

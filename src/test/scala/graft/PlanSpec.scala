@@ -441,6 +441,19 @@ class PlanSpec extends SparkSpec {
       s"pair fan-out must broadcast the tiny pair list:\n$p")
   }
 
+  test("embed_pca_power: iterations run on the frozen Gramian, not the" +
+      " corpus") {
+    // the d²-row Gramian is localCheckpoint'ed: the iteration plan must
+    // contain NO parquet scan (each of the 3 matrix–vector stages would
+    // otherwise replay the full corpus fan-out) and no cartesian
+    val p = plan("embed_pca_power")
+    assert(!p.contains("Scan parquet"),
+      s"iteration plan re-scans the corpus — Gramian not frozen:\n$p")
+    assert(p.contains("partial_sum"),
+      s"matrix-vector products must partial-combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
+  }
+
   test("ev_dwell_time and ev_gap_fill: windows are per-user, never global") {
     for (name <- Seq("ev_dwell_time", "ev_gap_fill")) {
       val p = plan(name)

@@ -164,6 +164,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pca power: bit-exact against an in-memory fixed-point reference") {
+    val vecs = Tables.read(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x =>
+        BigInt(math.floor(x.toDouble * 1000000.0).toLong)))
+    val d = vecs.head.length
+    val g = Array.tabulate(d, d)((i, j) => vecs.map(v => v(i) * v(j)).sum)
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to Similarity.PcaIters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(x => {
+        val q = x.abs * 1000000 / m // BigInt / truncates — same as engines
+        if (x < 0) -q else q
+      })
+    }
+    val out = Similarity.pcaPower(spark, sf).collect()
+    assert(out.length == d)
+    out.foreach { r =>
+      val i = r.getLong(0).toInt
+      assert(r.getLong(1) == (g(i)(i) % 1000000007).toLong,
+        s"dim $i: gramian diagonal checksum")
+      assert(r.getLong(2) == v(i).toLong,
+        s"dim $i: eigvec_q ${r.getLong(2)} != ${v(i)}")
+    }
+    // power-iteration invariant on a PSD Gramian: the Rayleigh quotient
+    // never decreases — checked exactly by cross-multiplied BigInt
+    // fractions (no convergence CLAIM, just the monotonicity guarantee)
+    def rayleighNumDen(x: Array[BigInt]): (BigInt, BigInt) = {
+      val gx = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * x(j)).sum)
+      ((0 until d).map(i => x(i) * gx(i)).sum,
+        (0 until d).map(i => x(i) * x(i)).sum)
+    }
+    val (n0, d0) = rayleighNumDen(Array.fill(d)(BigInt(1000000)))
+    val (n3, d3) = rayleighNumDen(v)
+    assert(n3 * d0 >= n0 * d3,
+      "Rayleigh quotient decreased across power iterations")
+  }
+
   test("haversine scalar: zero distance, symmetry, known value") {
     val d0 = GeoFunctions.haversineKmScalar(48.8566, 2.3522, 48.8566, 2.3522)
     assert(math.abs(d0) < 1e-9)
