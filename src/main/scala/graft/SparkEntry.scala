@@ -199,6 +199,10 @@ object SparkEntry {
     "ev_gap_fill" -> ((s, d) => Events.gapFill(s, d)),
     "q_hll_intersect" -> ((s, d) => Sketches.hllIntersect(s, d)),
     "embed_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
+    // Round 8 (cont. 5): relational surface — FK audit, set ops, melt
+    "q_fk_integrity" -> ((s, d) => RefQueries.qFkIntegrity(s, d)),
+    "q_set_ops" -> ((s, d) => RefQueries.qSetOps(s, d)),
+    "ev_unpivot" -> ((s, d) => Events.unpivotCounts(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2868,5 +2872,94 @@ object SparkEntry {
       FROM g JOIN v3 ON v3.vi = g.i WHERE g.i = g.j
       ORDER BY dim ASC"""
     },
+    // FK audit: per-edge orphan row counts via NOT-EXISTS left joins
+    "q_fk_integrity" -> """
+      WITH e AS (
+        SELECT 'customer.c_nationkey->nation' AS edge,
+               (SELECT count(*) FROM customer) AS n_child,
+               (SELECT count(*) FROM customer c LEFT JOIN nation n
+                  ON c.c_nationkey = n.n_nationkey
+                WHERE n.n_nationkey IS NULL) AS n_orphans
+        UNION ALL SELECT 'events.user_id->customer',
+               (SELECT count(*) FROM events),
+               (SELECT count(*) FROM events e LEFT JOIN customer c
+                  ON e.user_id = c.c_custkey
+                WHERE c.c_custkey IS NULL)
+        UNION ALL SELECT 'lineitem.l_orderkey->orders',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderkey IS NULL)
+        UNION ALL SELECT 'lineitem.l_partkey->part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l LEFT JOIN part p
+                  ON l.l_partkey = p.p_partkey
+                WHERE p.p_partkey IS NULL)
+        UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+                  ON l.l_suppkey = s.s_suppkey
+                WHERE s.s_suppkey IS NULL)
+        UNION ALL SELECT 'nation.n_regionkey->region',
+               (SELECT count(*) FROM nation),
+               (SELECT count(*) FROM nation n LEFT JOIN region r
+                  ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_regionkey IS NULL)
+        UNION ALL SELECT 'orders.o_custkey->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o LEFT JOIN customer c
+                  ON o.o_custkey = c.c_custkey
+                WHERE c.c_custkey IS NULL)
+        UNION ALL SELECT 'supplier.s_nationkey->nation',
+               (SELECT count(*) FROM supplier),
+               (SELECT count(*) FROM supplier s LEFT JOIN nation n
+                  ON s.s_nationkey = n.n_nationkey
+                WHERE n.n_nationkey IS NULL)
+      )
+      SELECT edge, n_child::BIGINT AS n_child, n_orphans::BIGINT AS n_orphans,
+             round(n_orphans::DOUBLE / greatest(n_child, 1), 6)
+               AS orphan_rate
+      FROM e ORDER BY edge ASC""",
+    // set ops: the same INTERSECT/EXCEPT/UNION over behavior triples
+    "q_set_ops" -> s"""
+      WITH w1 AS (
+        SELECT DISTINCT user_id, event_type,
+               floor(value / 10.0)::BIGINT AS value_decile
+        FROM events WHERE ts < '${RefQueries.SetOpsCutoff}'::TIMESTAMP
+      ), w2 AS (
+        SELECT DISTINCT user_id, event_type,
+               floor(value / 10.0)::BIGINT AS value_decile
+        FROM events WHERE ts >= '${RefQueries.SetOpsCutoff}'::TIMESTAMP
+      ), c AS (
+        SELECT (SELECT count(*) FROM w1) AS n_w1,
+               (SELECT count(*) FROM w2) AS n_w2,
+               (SELECT count(*) FROM
+                 (SELECT * FROM w1 INTERSECT SELECT * FROM w2)) AS n_both,
+               (SELECT count(*) FROM
+                 (SELECT * FROM w1 EXCEPT SELECT * FROM w2)) AS n_only_w1,
+               (SELECT count(*) FROM
+                 (SELECT * FROM w2 EXCEPT SELECT * FROM w1)) AS n_only_w2,
+               (SELECT count(*) FROM
+                 (SELECT * FROM w1 UNION SELECT * FROM w2)) AS n_union
+      )
+      SELECT n_w1::BIGINT AS n_w1, n_w2::BIGINT AS n_w2,
+             n_both::BIGINT AS n_both, n_only_w1::BIGINT AS n_only_w1,
+             n_only_w2::BIGINT AS n_only_w2, n_union::BIGINT AS n_union,
+             round(n_both::DOUBLE / n_union, 6) AS jaccard
+      FROM c""",
+    // melt replay: users × the 5 fixed type columns, zeros explicit
+    "ev_unpivot" -> """
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      t AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+                           'view']) AS event_type),
+      c AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+      )
+      SELECT u.user_id, t.event_type,
+             coalesce(c.cnt, 0)::BIGINT AS cnt
+      FROM u CROSS JOIN t
+      LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+      ORDER BY u.user_id ASC, t.event_type ASC""",
   )
 }

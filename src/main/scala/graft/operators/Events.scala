@@ -513,6 +513,23 @@ object Events {
       .orderBy($"day".asc)
   }
 
+  /** Unpivot (melt) — the inverse of [[pivotCounts]]: the wide per-user
+    * type-count matrix back to tidy (user, type, cnt) long form, via the
+    * engine's native `unpivot` operator (plans as a single Expand pass —
+    * one output row per (input row × value column), no join, no
+    * shuffle beyond the pivot's own aggregate). Wide→long is the
+    * normalization step between spreadsheet-shaped feeds and relational
+    * pipelines; zeros stay explicit rows so the melt is exactly
+    * invertible. */
+  def unpivotCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotCounts(spark, sfDir)
+      .unpivot(Array($"user_id"), types.map(col).toArray,
+        "event_type", "cnt")
+      .orderBy($"user_id".asc, $"event_type".asc)
+  }
+
   /** OHLC downsampling — collapse the raw event stream to per-(type, day)
     * bars (open/high/low/close/volume), the resample step every
     * time-series store runs before charting or modeling. Open/close are

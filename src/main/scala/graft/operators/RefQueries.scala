@@ -1092,4 +1092,88 @@ object RefQueries {
         round($"cume".cast("double") / $"total", 6).as("cdf"))
       .orderBy($"bucket".asc)
   }
+
+  /** Foreign-key integrity audit — orphan counts for every FK edge of
+    * the star schema, the referential-integrity check a warehouse runs
+    * after every load (Spark enforces no constraints; auditing IS the
+    * engine's integrity story). Each edge is a LEFT ANTI join of the
+    * child's key column against the parent's key column: child scans
+    * prune to ONE column (pushdown-verified shape), dim-parent edges
+    * broadcast, and the one big edge (lineitem → orders) is left
+    * hint-free for AQE. Orphans count child ROWS, not distinct keys —
+    * the number a repair job must touch.
+    *
+    * Scale: one pruned scan + one anti join per edge; per-edge results
+    * are single aggregate rows unioned driver-free. */
+  def qFkIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def edge(label: String, childTable: String, childKey: String,
+        parentTable: String, parentKey: String): DataFrame = {
+      val child = Tables.read(spark, sfDir, childTable)
+        .select(col(childKey).as("k"))
+      val parent = Tables.read(spark, sfDir, parentTable)
+        .select(col(parentKey).as("k"))
+      val orphans = child.join(parent, Seq("k"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child")).crossJoin(orphans)
+        .select(lit(label).as("edge"), $"n_child", $"n_orphans",
+          round($"n_orphans".cast("double")
+            / greatest($"n_child", lit(1L)), 6).as("orphan_rate"))
+    }
+    Seq(
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      edge("events.user_id->customer", "events", "user_id",
+        "customer", "c_custkey"),
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      edge("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"))
+      .reduce(_ union _)
+      .orderBy($"edge".asc)
+  }
+
+  /** Cutoff splitting [[qSetOps]]'s two activity windows — shared with
+    * the DuckDB oracle. */
+  val SetOpsCutoff = "2024-01-16"
+
+  /** Relational set operations — INTERSECT / EXCEPT / UNION DISTINCT
+    * between two activity snapshots (first vs second half-month), over
+    * (user, type, value-decile) behavior triples: the churn/overlap
+    * report every cohort analysis starts from, expressed with the
+    * engine's actual set operators (which plan as aggregate + semi/anti
+    * join — NOT a naive double-distinct + full join).
+    *
+    * Scale: each set operator shuffles distinct triples only (map-side
+    * partial distinct); the final report is one row. Jaccard derives
+    * from the three counts in one rounded division. */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def triples(pred: Column): DataFrame =
+      Tables.read(spark, sfDir, "events")
+        .filter(pred)
+        .select($"user_id", $"event_type",
+          floor($"value" / 10.0).cast("long").as("value_decile"))
+        .distinct()
+    val w1 = triples($"ts" < lit(SetOpsCutoff).cast("timestamp"))
+    val w2 = triples($"ts" >= lit(SetOpsCutoff).cast("timestamp"))
+    val nBoth = w1.intersect(w2).agg(count(lit(1)).as("n_both"))
+    val nOnly1 = w1.except(w2).agg(count(lit(1)).as("n_only_w1"))
+    val nOnly2 = w2.except(w1).agg(count(lit(1)).as("n_only_w2"))
+    val nUnion = w1.union(w2).distinct().agg(count(lit(1)).as("n_union"))
+    w1.agg(count(lit(1)).as("n_w1"))
+      .crossJoin(w2.agg(count(lit(1)).as("n_w2")))
+      .crossJoin(nBoth).crossJoin(nOnly1).crossJoin(nOnly2).crossJoin(nUnion)
+      .select($"n_w1", $"n_w2", $"n_both", $"n_only_w1", $"n_only_w2",
+        $"n_union",
+        round($"n_both".cast("double") / $"n_union", 6).as("jaccard"))
+  }
 }

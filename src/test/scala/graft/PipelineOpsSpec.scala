@@ -608,6 +608,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("set ops: counts decompose by inclusion-exclusion") {
+    val r = graft.operators.RefQueries.qSetOps(spark, sf).collect()
+    assert(r.length == 1)
+    val Array(nW1, nW2, nBoth, nOnly1, nOnly2, nUnion) =
+      (0 to 5).map(r.head.getLong).toArray
+    assert(nBoth + nOnly1 == nW1, "w1 must split into both + only-w1")
+    assert(nBoth + nOnly2 == nW2, "w2 must split into both + only-w2")
+    assert(nUnion == nBoth + nOnly1 + nOnly2, "union decomposition")
+    assert(nBoth > 0 && nOnly1 > 0 && nOnly2 > 0,
+      "fixture must exercise all three regions")
+  }
+
+  test("unpivot: melt is the exact inverse of the pivot") {
+    val out = Events.unpivotCounts(spark, sf).collect()
+    val users = Tables.read(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(out.length.toLong == users * 5, "users x 5 type columns")
+    val totals = out.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val expect = Tables.read(spark, sf, "events")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals == expect, "per-user melt totals must equal event counts")
+  }
+
   test("hll intersect: every unordered pair, exact side right, sketch in band") {
     import spark.implicits._
     val ut = Tables.read(spark, sf, "events")

@@ -454,6 +454,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
   }
 
+  test("q_fk_integrity: anti joins on pruned single-column scans") {
+    val p = plan("q_fk_integrity")
+    assert("LeftAnti".r.findAllIn(p).length >= 8,
+      s"each of the 8 FK edges must plan a LEFT ANTI join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"audit went cartesian:\n$p")
+    // child scans must prune to the key column: no payload column of the
+    // widest child (lineitem) may reach any scan in this plan
+    assert(!p.contains("l_extendedprice") && !p.contains("l_quantity"),
+      s"lineitem scan reads payload columns for a key-only audit:\n$p")
+  }
+
+  test("q_set_ops: set operators distinct map-side, no naive full joins") {
+    val p = plan("q_set_ops")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"distinct must partial-aggregate:\n$p")
+    assert("LeftSemi".r.findAllIn(p).nonEmpty &&
+      "LeftAnti".r.findAllIn(p).nonEmpty,
+      s"INTERSECT/EXCEPT must plan as semi/anti joins:\n$p")
+  }
+
+  test("ev_unpivot: melt plans as a single Expand, no join") {
+    val p = plan("ev_unpivot")
+    assert(p.contains("Expand"),
+      s"unpivot must plan as an Expand pass:\n$p")
+    assert(!"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).hasNext,
+      s"the melt itself needs no join:\n$p")
+  }
+
   test("ev_dwell_time and ev_gap_fill: windows are per-user, never global") {
     for (name <- Seq("ev_dwell_time", "ev_gap_fill")) {
       val p = plan(name)

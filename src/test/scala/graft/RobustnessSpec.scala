@@ -63,6 +63,46 @@ class RobustnessSpec extends SparkSpec {
     assert(funnel.length == 4 && funnel.forall(_.getLong(1) == 0L))
   }
 
+  test("fk integrity: orphans are counted per child row on a broken corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fk").toString
+    // region 0 exists; nation 7 points at missing region 9 (1 orphan)
+    Seq((0L, "R0")).toDF("r_regionkey", "r_name")
+      .write.parquet(s"$dir/region.parquet")
+    Seq((5L, "N5", 0L), (7L, "N7", 9L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    // customer 2 points at missing nation 6
+    Seq((1L, 5L), (2L, 6L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((3L, 5L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq(Tuple1(4L)).toDF("p_partkey").write.parquet(s"$dir/part.parquet")
+    // order 11 -> missing customer 99
+    Seq((10L, 1L), (11L, 99L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    // TWO lineitem ROWS point at missing order 77 (row-count semantics),
+    // one at missing part 44, none at a missing supplier
+    Seq((10L, 4L, 3L), (77L, 4L, 3L), (77L, 44L, 3L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // one event from unknown user 555
+    Seq((1L, ts, 1L), (2L, ts, 555L)).toDF("event_id", "ts", "user_id")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.operators.RefQueries.qFkIntegrity(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("nation.n_regionkey->region") == ((2L, 1L)))
+    assert(got("customer.c_nationkey->nation") == ((2L, 1L)))
+    assert(got("lineitem.l_orderkey->orders") == ((3L, 2L)),
+      "orphans must count child ROWS, not distinct keys")
+    assert(got("lineitem.l_partkey->part") == ((3L, 1L)))
+    assert(got("lineitem.l_suppkey->supplier") == ((3L, 0L)))
+    assert(got("orders.o_custkey->customer") == ((2L, 1L)))
+    assert(got("events.user_id->customer") == ((2L, 1L)))
+    assert(got("supplier.s_nationkey->nation") == ((1L, 0L)))
+  }
+
   test("pack sequences: bin layout is invariant to the range decomposition") {
     import spark.implicits._
     // the distributed prefix sum decomposes doc order into coarse ranges;
