@@ -203,6 +203,10 @@ object SparkEntry {
     "q_fk_integrity" -> ((s, d) => RefQueries.qFkIntegrity(s, d)),
     "q_set_ops" -> ((s, d) => RefQueries.qSetOps(s, d)),
     "ev_unpivot" -> ((s, d) => Events.unpivotCounts(s, d)),
+    // Round 8 (cont. 6): k-step path mining, streaming bar maintenance
+    "ev_paths" -> ((s, d) => Events.pathMining(s, d)),
+    "stream_ohlc" -> ((s, d) =>
+      graft.streaming.StreamingQueries.ohlcBars(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2961,5 +2965,37 @@ object SparkEntry {
       FROM u CROSS JOIN t
       LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
       ORDER BY u.user_id ASC, t.event_type ASC""",
+    // 3-step paths: two leads over the same per-user total order,
+    // deterministic (cnt DESC, path ASC) top-k
+    "ev_paths" -> s"""
+      WITH p AS (
+        SELECT event_type AS t0,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      )
+      SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS cnt
+      FROM p WHERE t2 IS NOT NULL
+      GROUP BY 1 ORDER BY cnt DESC, path ASC
+      LIMIT ${Events.PathTopK}""",
+    // streaming bars: the state store must converge to the batch bars —
+    // same oracle shape as ev_ohlc
+    "stream_ohlc" -> """
+      WITH e AS (
+        SELECT event_type, ts::DATE::VARCHAR AS day, ts, event_id, value,
+               row_number() OVER (PARTITION BY event_type, ts::DATE
+                                  ORDER BY ts ASC, event_id ASC) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, ts::DATE
+                                  ORDER BY ts DESC, event_id DESC) AS rn_z
+        FROM events
+      )
+      SELECT event_type, day, count(*) AS n_events,
+             max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             max(value) AS high, min(value) AS low,
+             max(CASE WHEN rn_z = 1 THEN value END) AS close,
+             round(sum(value::DECIMAL(20,6)), 4)::DOUBLE AS volume
+      FROM e GROUP BY event_type, day
+      ORDER BY event_type ASC, day ASC""",
   )
 }

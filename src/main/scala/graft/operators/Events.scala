@@ -513,6 +513,38 @@ object Events {
       .orderBy($"day".asc)
   }
 
+  /** Top-k path length for [[pathMining]] output — shared with the
+    * DuckDB oracle. */
+  val PathTopK = 20
+
+  /** Sequential path mining — the k-step upgrade of
+    * [[transitionMatrix]]: the most common 3-step behavior paths
+    * (t₀→t₁→t₂) across all users, the "what do users actually do"
+    * report product analytics runs (first-order transitions hide
+    * multi-step structure — a→b and b→c frequent does NOT imply a→b→c
+    * is). Paths form with two lead()s over the per-user (ts, event_id)
+    * total order — one window pass, no self-joins — then collapse
+    * map-side to ≤ |types|³ rows; top-k is an ordered limit
+    * (TakeOrderedAndProject), deterministic via the path tie-break.
+    *
+    * Scale: the corpus shuffles once for the per-user window (bounded
+    * per-user state); the count aggregate and top-k are
+    * types³-bounded. */
+  def pathMining(spark: SparkSession, sfDir: String,
+      k: Int = PathTopK): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.read(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("t1", lead($"event_type", 1).over(w))
+      .withColumn("t2", lead($"event_type", 2).over(w))
+      .filter($"t2".isNotNull)
+      .select(concat_ws(">", $"event_type", $"t1", $"t2").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"path".asc)
+      .limit(k)
+  }
+
   /** Unpivot (melt) — the inverse of [[pivotCounts]]: the wide per-user
     * type-count matrix back to tidy (user, type, cnt) long form, via the
     * engine's native `unpivot` operator (plans as a single Expand pass —

@@ -339,4 +339,37 @@ object StreamingQueries {
       snap.orderBy($"user_id".asc)
     } finally rmTree(root.toFile)
   }
+
+  /** Streaming OHLC bars — the stateful ARGMIN/ARGMAX maintenance twin of
+    * the batch `ev_ohlc`: per-(type, day) open/high/low/close/volume kept
+    * as a Complete-mode streaming aggregate. min_by/max_by on the
+    * (ts, event_id) struct are merge-order-invariant aggregates, so the
+    * state store holds ONE cell per bar regardless of arrival order or
+    * micro-batch boundaries — the property that lets a tick feed maintain
+    * bars without re-sorting history. Two deliveries split at the median
+    * event_id prove cross-batch merge; state is O(bars), never O(stream).
+    * Oracle = the batch bar build (shared with `ev_ohlc`). */
+  def ohlcBars(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsDf(spark, sfDir)
+    val bounds = Tables.read(spark, sfDir, "events")
+      .agg(min($"event_id"), max($"event_id")).head()
+    require(!bounds.isNullAt(0), "events fixture is empty")
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2L
+    val out = runFileStream(spark, "ohlc",
+      Seq(ev.filter($"event_id" <= mid), ev.filter($"event_id" > mid)),
+      OutputMode.Complete()) { df =>
+      df.groupBy($"event_type", to_date($"ts").cast("string").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          min_by($"value", struct($"ts", $"event_id")).as("open"),
+          max($"value").as("high"),
+          min($"value").as("low"),
+          max_by($"value", struct($"ts", $"event_id")).as("close"),
+          sum($"value".cast("decimal(20,6)")).as("vol_raw"))
+    }
+    out.select($"event_type", $"day", $"n_events", $"open", $"high",
+        $"low", $"close",
+        round($"vol_raw", 4).cast("double").as("volume"))
+      .orderBy($"event_type".asc, $"day".asc)
+  }
 }

@@ -483,6 +483,17 @@ class PlanSpec extends SparkSpec {
       s"the melt itself needs no join:\n$p")
   }
 
+  test("ev_paths: one per-user window pass, ordered-limit top-k") {
+    val p = plan("ev_paths")
+    val specs = "windowspecdefinition\\(\\w+".r.findAllIn(p).toSeq.distinct
+    assert(specs.nonEmpty && specs.forall(_.endsWith("user_id")),
+      s"path formation must window per user, got $specs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as ordered limit, not sort-all:\n$p")
+    assert(p.contains("partial_count"),
+      s"path counts must partial-combine map-side:\n$p")
+  }
+
   test("ev_dwell_time and ev_gap_fill: windows are per-user, never global") {
     for (name <- Seq("ev_dwell_time", "ev_gap_fill")) {
       val p = plan(name)

@@ -242,4 +242,13 @@ class StreamingSpec extends SparkSpec {
     val want = graft.operators.Sketches.hllFinalizeDaily(spark, sf, batchReg)
     assertSameRows(got, want)
   }
+
+  test("streaming OHLC state converges to the batch bars exactly") {
+    // min_by/max_by state is merge-order-invariant: the two half-fixture
+    // deliveries (split mid-stream, so bars straddle the batch boundary)
+    // must finish on the one-shot batch bar build, cell for cell
+    val got = graft.streaming.StreamingQueries.ohlcBars(spark, sf)
+    val want = graft.operators.Events.ohlcBars(spark, sf)
+    assertSameRows(got, want)
+  }
 }
