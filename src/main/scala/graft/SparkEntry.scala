@@ -207,6 +207,9 @@ object SparkEntry {
     "ev_paths" -> ((s, d) => Events.pathMining(s, d)),
     "stream_ohlc" -> ((s, d) =>
       graft.streaming.StreamingQueries.ohlcBars(s, d)),
+    // Round 8 (cont. 7): RANGE-frame windows, subquery decorrelation
+    "ev_rolling_window" -> ((s, d) => Events.rollingWindow(s, d)),
+    "q_subqueries" -> ((s, d) => RefQueries.qSubqueries(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2997,5 +3000,24 @@ object SparkEntry {
              round(sum(value::DECIMAL(20,6)), 4)::DOUBLE AS volume
       FROM e GROUP BY event_type, day
       ORDER BY event_type ASC, day ASC""",
+    // RANGE-frame rolling window: trailing 7 CALENDAR days on the
+    // numeric day axis — silent days don't consume frame slots
+    "ev_rolling_window" -> """
+      WITH d AS (
+        SELECT user_id, ts::DATE AS day, count(*) AS n_events,
+               sum(value::DECIMAL(20,6)) AS day_value,
+               (ts::DATE - DATE '1970-01-01') AS day_num
+        FROM events GROUP BY user_id, ts::DATE
+      )
+      SELECT user_id, day::VARCHAR AS day, n_events,
+             sum(n_events) OVER w::BIGINT AS rolling_events,
+             round(sum(day_value) OVER w, 4)::DOUBLE AS rolling_value
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY day_num ASC
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id ASC, day ASC""",
+    // subquery surface: the ORACLE IS THE SAME SQL STRING the Spark
+    // side executes — pure ANSI, zero dialect drift possible
+    "q_subqueries" -> RefQueries.SubqueriesSql,
   )
 }

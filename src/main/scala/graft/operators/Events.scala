@@ -513,6 +513,37 @@ object Events {
       .orderBy($"day".asc)
   }
 
+  /** Trailing 7-day rolling aggregate — the RANGE-frame window surface
+    * (`rangeBetween` on a numeric day axis), semantically different from
+    * every rows-frame window in the suite: silent days do NOT consume
+    * frame slots, so the frame is "the last 7 CALENDAR days", not "the
+    * last 7 observations" — the metric every DAU/engagement dashboard
+    * actually wants. Built on the per-(user, day) pre-aggregate, so the
+    * window input is days not raw events, and partitioned per user.
+    *
+    * Scale: raw events collapse map-side to user·day rows first; the
+    * range window sorts each user's day series only. Value sums stay
+    * decimal until one rounded export. */
+  def rollingWindow(spark: SparkSession, sfDir: String,
+      windowDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.read(spark, sfDir, "events")
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(20,6)")).as("day_value"))
+      .withColumn("day_num",
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy($"user_id").orderBy($"day_num".asc)
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("rolling_events", sum($"n_events").over(w))
+      .withColumn("rolling_value", round(sum($"day_value").over(w), 4)
+        .cast("double"))
+      .select($"user_id", $"day".cast("string").as("day"), $"n_events",
+        $"rolling_events", $"rolling_value")
+      .orderBy($"user_id".asc, $"day".asc)
+  }
+
   /** Top-k path length for [[pathMining]] output — shared with the
     * DuckDB oracle. */
   val PathTopK = 20

@@ -1141,6 +1141,55 @@ object RefQueries {
       .orderBy($"edge".asc)
   }
 
+  /** SQL subquery surface — correlated EXISTS / NOT EXISTS and
+    * correlated + uncorrelated scalar subqueries in one report, the
+    * query shapes a SQL engine must DECORRELATE to survive (Catalyst
+    * rewrites them to semi/anti/left-outer joins + one broadcast
+    * scalar — a per-row re-execution, which is what a naive engine
+    * does, reads the orders table once per customer). Per segment:
+    * how many customers have orders, how many are event-silent, how
+    * many out-spend the per-customer average. Spend totals stay
+    * decimal so the average is exact to a deterministic digit on both
+    * engines.
+    *
+    * Scale: after decorrelation the physical plan is ExistenceJoins +
+    * one LeftSingle join of the (custkey)-collapsed spend table + one
+    * broadcast scalar — every probe side is key-collapsed or
+    * single-column before it moves, and NO correlated re-scan survives
+    * (plan-guarded: ExistenceJoin present, nothing cartesian). */
+  def qSubqueries(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.read(spark, sfDir, "customer")
+      .createOrReplaceTempView("customer")
+    Tables.read(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    Tables.read(spark, sfDir, "events").createOrReplaceTempView("events")
+    spark.sql(SubqueriesSql)
+  }
+
+  /** The one subquery-report text — `spark.sql` runs it verbatim and the
+    * DuckDB oracle is THE SAME STRING (pure ANSI), so the two engines
+    * cannot diverge on semantics. */
+  val SubqueriesSql: String = """
+    WITH spend AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,6))) AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment,
+           count(*) AS n_customers,
+           sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey)
+                    THEN 1 ELSE 0 END) AS n_with_orders,
+           sum(CASE WHEN NOT EXISTS (SELECT 1 FROM events e
+                                     WHERE e.user_id = c.c_custkey)
+                    THEN 1 ELSE 0 END) AS n_silent,
+           sum(CASE WHEN coalesce((SELECT s.total FROM spend s
+                                   WHERE s.o_custkey = c.c_custkey),
+                                  0) >
+                         (SELECT avg(total) FROM spend)
+                    THEN 1 ELSE 0 END) AS n_above_avg
+    FROM customer c
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment ASC"""
+
   /** Cutoff splitting [[qSetOps]]'s two activity windows — shared with
     * the DuckDB oracle. */
   val SetOpsCutoff = "2024-01-16"

@@ -608,6 +608,52 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("rolling window: trailing frame is calendar days, not observations") {
+    val daily = Tables.read(spark, sf, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate) -> r.getLong(2))
+      .toMap
+    val out = Events.rollingWindow(spark, sf).collect()
+    assert(out.length == daily.size)
+    out.foreach { r =>
+      val u = r.getLong(0)
+      val d = java.time.LocalDate.parse(r.getString(1))
+      // the frame is the last 7 CALENDAR days — reconstruct by date
+      // arithmetic, so a user's silent days are skipped, not counted
+      val expect = (0 until 7)
+        .flatMap(k => daily.get((u, d.minusDays(k.toLong)))).sum
+      assert(r.getLong(3) == expect,
+        s"user $u $d: rolling_events ${r.getLong(3)} != $expect")
+    }
+  }
+
+  test("subqueries: decorrelated counts match a per-customer reference") {
+    val spend = Tables.read(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(20,6)")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val active = Tables.read(spark, sf, "events")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val avg = spend.values.map(BigDecimal(_)).sum / spend.size
+    val cust = Tables.read(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out = graft.operators.RefQueries.qSubqueries(spark, sf).collect()
+    out.foreach { r =>
+      val seg = r.getString(0)
+      val mine = cust.filter(_._2 == seg).map(_._1)
+      assert(r.getLong(1) == mine.length.toLong)
+      assert(r.getLong(2) == mine.count(spend.contains).toLong,
+        s"$seg: EXISTS count")
+      assert(r.getLong(3) == mine.count(c => !active.contains(c)).toLong,
+        s"$seg: NOT EXISTS count")
+      assert(r.getLong(4) == mine.count(c =>
+        spend.get(c).exists(BigDecimal(_) > avg)).toLong,
+        s"$seg: scalar-subquery comparison count")
+    }
+  }
+
   test("set ops: counts decompose by inclusion-exclusion") {
     val r = graft.operators.RefQueries.qSetOps(spark, sf).collect()
     assert(r.length == 1)

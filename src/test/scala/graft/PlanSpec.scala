@@ -483,6 +483,28 @@ class PlanSpec extends SparkSpec {
       s"the melt itself needs no join:\n$p")
   }
 
+  test("q_subqueries: every subquery decorrelates — no re-execution") {
+    val p = plan("q_subqueries")
+    assert("ExistenceJoin".r.findAllIn(p).length >= 2,
+      s"EXISTS/NOT EXISTS must plan as existence joins:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"decorrelation failed — cartesian in the plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"a correlated predicate survived as a nested loop:\n$p")
+  }
+
+  test("ev_rolling_window: RANGE frame over the per-user daily" +
+      " pre-aggregate") {
+    val p = plan("ev_rolling_window")
+    val specs = "windowspecdefinition\\(\\w+".r.findAllIn(p).toSeq.distinct
+    assert(specs.nonEmpty && specs.forall(_.endsWith("user_id")),
+      s"rolling window must partition by user_id, got $specs:\n$p")
+    assert(p.contains("specifiedwindowframe(RangeFrame"),
+      s"frame must be RANGE (calendar days), not ROWS:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily pre-aggregate must partial-combine before the window:\n$p")
+  }
+
   test("ev_paths: one per-user window pass, ordered-limit top-k") {
     val p = plan("ev_paths")
     val specs = "windowspecdefinition\\(\\w+".r.findAllIn(p).toSeq.distinct
