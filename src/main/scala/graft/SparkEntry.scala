@@ -210,6 +210,9 @@ object SparkEntry {
     // Round 8 (cont. 7): RANGE-frame windows, subquery decorrelation
     "ev_rolling_window" -> ((s, d) => Events.rollingWindow(s, d)),
     "q_subqueries" -> ((s, d) => RefQueries.qSubqueries(s, d)),
+    // Round 8 (cont. 8): graph cohesion census, snapshot reconciliation
+    "dedup_triangles" -> ((s, d) => Dedup.triangleCount(s, d)),
+    "ev_snapshot_diff" -> ((s, d) => Events.snapshotDiff(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -3019,5 +3022,56 @@ object SparkEntry {
     // subquery surface: the ORACLE IS THE SAME SQL STRING the Spark
     // side executes — pure ANSI, zero dialect drift possible
     "q_subqueries" -> RefQueries.SubqueriesSql,
+    // triangle census: the oracle counts NAIVELY (id-ordered triple
+    // self-join over the replayed simhash pair graph) — independently
+    // validating the Spark side's degree-oriented wedge algorithm
+    "dedup_triangles" -> s"""
+      WITH pairs AS ($dedupSimhashOracle),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+      deg AS (
+        SELECT v, count(*) AS deg FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+        ) GROUP BY v
+      ), tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      )
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM e) AS n_edges,
+             (SELECT sum(deg * (deg - 1) // 2) FROM deg)::BIGINT
+               AS n_wedges,
+             tri.n_triangles,
+             round(3.0 * tri.n_triangles
+                   / greatest((SELECT sum(deg * (deg - 1) // 2) FROM deg),
+                              1), 6) AS transitivity
+      FROM tri""",
+    // snapshot diff: same cutoff, same full-outer classification, same
+    // mod-prime membership checksums
+    "ev_snapshot_diff" -> s"""
+      WITH a AS (
+        SELECT user_id, count(*) AS n_a,
+               sum(value::DECIMAL(20,6)) AS v_a
+        FROM events WHERE ts < '${Events.DiffCutoff}'::TIMESTAMP
+        GROUP BY user_id
+      ), b AS (
+        SELECT user_id, count(*) AS n_b,
+               sum(value::DECIMAL(20,6)) AS v_b
+        FROM events WHERE ts >= '${Events.DiffCutoff}'::TIMESTAMP
+        GROUP BY user_id
+      ), j AS (
+        SELECT coalesce(a.user_id, b.user_id) AS user_id,
+               CASE WHEN a.user_id IS NULL THEN 'added'
+                    WHEN b.user_id IS NULL THEN 'removed'
+                    WHEN a.n_a = b.n_b AND a.v_a = b.v_b THEN 'same'
+                    ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+      )
+      SELECT status, count(*) AS n_keys,
+             (sum(user_id % ${graft.operators.TextAnalysis.ChecksumP})
+               % ${graft.operators.TextAnalysis.ChecksumP})::BIGINT
+               AS key_checksum,
+             min(user_id) AS min_key, max(user_id) AS max_key
+      FROM j GROUP BY status ORDER BY status ASC""",
   )
 }

@@ -883,4 +883,56 @@ object Dedup {
         coalesce($"fp_checksum", lit(0L)).as("fp_checksum"))
       .orderBy($"doc_id".asc)
   }
+
+  /** Triangle census of the near-dup graph — the cohesion statistic that
+    * tells a dedup pipeline whether its candidate pairs form tight
+    * boilerplate CLIQUES (high transitivity → cluster-level dedup is
+    * safe) or fragile CHAINS (low transitivity → pointer-jump CC is
+    * gluing unrelated docs through hubs). Counted with the
+    * degree-ORIENTED wedge algorithm (Suri & Vassilvitskii, "Counting
+    * Triangles and the Curse of the Last Reducer", WWW 2011): each edge
+    * points from its lower-(degree, id) endpoint to the higher, wedges
+    * form only at each edge's SMALLER endpoint, so a degree-D hub emits
+    * O(arboricity²) wedge pairs instead of O(D²) — the difference
+    * between a web-scale graph finishing and its hottest reducer dying.
+    * The oracle counts the same triangles NAIVELY (id-ordered triple
+    * self-join — affordable at oracle scale), independently validating
+    * the orientation trick; wedge totals Σ d(d−1)/2 come exactly from
+    * the degree table.
+    *
+    * The edge list is the [[simHash]] pair output, localCheckpoint'ed:
+    * degrees, orientation, and the closure probe reuse it three times —
+    * without the cut, each use would replay the whole simhash corpus
+    * pipeline. */
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = simHash(spark, sfDir)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+      .localCheckpoint()
+    val deg = edges.select($"a".as("v")).union(edges.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select($"v".as("a"), $"deg".as("da")), Seq("a"))
+      .join(deg.select($"v".as("b"), $"deg".as("db")), Seq("b"))
+    val lowFirst = struct($"da", $"a") < struct($"db", $"b")
+    val oriented = withDeg.select(
+      when(lowFirst, $"a").otherwise($"b").as("src"),
+      when(lowFirst, $"b").otherwise($"a").as("dst"))
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"),
+        $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
+      .select($"x.dst".as("a"), $"y.dst".as("b"))
+    val tri = wedges.join(edges, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    // deg·(deg−1) is even, so the integer div is exact — no double sum
+    val wedgeTotal = deg.agg(
+      expr("sum(deg * (deg - 1) div 2)").cast("long").as("n_wedges"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(broadcast(wedgeTotal))
+      .crossJoin(broadcast(tri))
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        round(lit(3.0) * $"n_triangles" / greatest($"n_wedges", lit(1L)), 6)
+          .as("transitivity"))
+  }
 }

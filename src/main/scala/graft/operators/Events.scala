@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -511,6 +511,48 @@ object Events {
         round(sum(when($"attributed", $"value").otherwise(lit(0.0))
           .cast("decimal(20,6)")), 4).cast("double").as("attributed_value"))
       .orderBy($"day".asc)
+  }
+
+  /** Cutoff splitting [[snapshotDiff]]'s two snapshots — shared with the
+    * DuckDB oracle. */
+  val DiffCutoff = "2024-01-16"
+
+  /** Snapshot diff — the table-reconciliation op every warehouse runs
+    * between loads ("what changed since yesterday?"): per-user activity
+    * aggregates from two halves of the month FULL OUTER joined on the
+    * key, each key classified added / removed / changed / same, plus
+    * mod-prime checksums of the member keys per class so the oracle
+    * confirms WHICH keys moved, not just how many. This is the declared
+    * FULL OUTER JOIN surface — the one join type the rest of the suite
+    * exercises only inside `ev_incremental_agg`'s merge.
+    *
+    * Scale: both snapshots collapse map-side to one row per key before
+    * the join; the full outer join shuffles key-collapsed sides only,
+    * and the class report is a 4-row aggregate. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val P = graft.operators.TextAnalysis.ChecksumP
+    def snap(pred: Column): DataFrame =
+      Tables.read(spark, sfDir, "events")
+        .filter(pred)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(20,6)")).as("v"))
+    val a = snap($"ts" < lit(DiffCutoff).cast("timestamp"))
+      .select($"user_id", $"n".as("n_a"), $"v".as("v_a"))
+    val b = snap($"ts" >= lit(DiffCutoff).cast("timestamp"))
+      .select($"user_id", $"n".as("n_b"), $"v".as("v_b"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when($"n_a".isNull, "added")
+          .when($"n_b".isNull, "removed")
+          .when($"n_a" === $"n_b" && $"v_a" === $"v_b", "same")
+          .otherwise("changed"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_keys"),
+        pmod(sum(pmod($"user_id", lit(P))), lit(P)).as("key_checksum"),
+        min($"user_id").as("min_key"), max($"user_id").as("max_key"))
+      .orderBy($"status".asc)
   }
 
   /** Trailing 7-day rolling aggregate — the RANGE-frame window surface

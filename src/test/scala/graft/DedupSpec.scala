@@ -441,4 +441,27 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("triangle census: oriented count equals a naive in-memory census") {
+    val edges = Dedup.simHash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = edges.toSet
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // naive: for each canonical edge (a, b), common neighbors c > b close
+    // a triangle exactly once per {a < b < c} ordering
+    val naive = edges.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b)
+    }.sum.toLong
+    val degs = adj.view.mapValues(_.size.toLong)
+    val wedges = degs.values.map(d => d * (d - 1) / 2).sum
+    val r = Dedup.triangleCount(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == adj.size.toLong, "n_nodes")
+    assert(r.head.getLong(1) == edgeSet.size.toLong, "n_edges")
+    assert(r.head.getLong(2) == wedges, "n_wedges")
+    assert(r.head.getLong(3) == naive,
+      s"oriented count ${r.head.getLong(3)} != naive census $naive")
+    assert(naive > 0, "fixture graph must actually contain triangles")
+  }
 }

@@ -654,6 +654,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff: classes partition the key universe") {
+    import java.sql.Timestamp
+    val cutoff = Timestamp.valueOf(
+      graft.operators.Events.DiffCutoff + " 00:00:00")
+    val ev = Tables.read(spark, sf, "events")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val aKeys = ev.filter(_._2.before(cutoff)).map(_._1).toSet
+    val bKeys = ev.filter(e => !e._2.before(cutoff)).map(_._1).toSet
+    val out = graft.operators.Events.snapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse("added", 0L) == (bKeys -- aKeys).size.toLong)
+    assert(out.getOrElse("removed", 0L) == (aKeys -- bKeys).size.toLong)
+    assert(out.values.sum == (aKeys ++ bKeys).size.toLong,
+      "status classes must partition the full-outer key universe")
+  }
+
   test("set ops: counts decompose by inclusion-exclusion") {
     val r = graft.operators.RefQueries.qSetOps(spark, sf).collect()
     assert(r.length == 1)

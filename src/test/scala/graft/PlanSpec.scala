@@ -505,6 +505,26 @@ class PlanSpec extends SparkSpec {
       s"daily pre-aggregate must partial-combine before the window:\n$p")
   }
 
+  test("dedup_triangles: census runs on the frozen edge list") {
+    // the simhash pair pipeline is localCheckpoint'ed: degrees,
+    // orientation, and the closure probe must NOT each replay the
+    // corpus — no parquet scan may survive in the census plan
+    val p = plan("dedup_triangles")
+    assert(!p.contains("Scan parquet"),
+      s"census plan re-scans the corpus — edge list not frozen:\n$p")
+    assert(!p.contains("CartesianProduct"), s"census went cartesian:\n$p")
+  }
+
+  test("ev_snapshot_diff: full outer join of key-collapsed snapshots") {
+    val p = plan("ev_snapshot_diff")
+    assert(p.contains("FullOuter"),
+      s"reconciliation must plan a FULL OUTER join:\n$p")
+    assert(p.contains("partial_count"),
+      s"snapshots must collapse map-side before the join:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window belongs in this plan:\n$p")
+  }
+
   test("ev_paths: one per-user window pass, ordered-limit top-k") {
     val p = plan("ev_paths")
     val specs = "windowspecdefinition\\(\\w+".r.findAllIn(p).toSeq.distinct
