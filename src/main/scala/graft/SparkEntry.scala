@@ -213,6 +213,8 @@ object SparkEntry {
     // Round 8 (cont. 8): graph cohesion census, snapshot reconciliation
     "dedup_triangles" -> ((s, d) => Dedup.triangleCount(s, d)),
     "ev_snapshot_diff" -> ((s, d) => Events.snapshotDiff(s, d)),
+    // Round 8 (cont. 9): BPE tokenizer training
+    "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -3073,5 +3075,46 @@ object SparkEntry {
                AS key_checksum,
              min(user_id) AS min_key, max(user_id) AS max_key
       FROM j GROUP BY status ORDER BY status ASC""",
+    // BPE training replay: same marker-wrapped symbol strings (chr(31)
+    // == TextAnalysis.BpeMark), same (count DESC, pair ASC) winner,
+    // same single-pass greedy replace — adjacent matches share no
+    // characters in the wrapped representation, so one left-to-right
+    // non-overlapping replace IS the greedy fold on both engines
+    "text_bpe_merges" -> {
+      def stage(w: String, m: String, wNext: String) = s"""$m AS (
+        SELECT p1, p2, p1 || p2 AS merged, sum(cnt)::BIGINT AS pair_count
+        FROM (
+          SELECT cnt, replace(z[1], chr(31), '') AS p1,
+                 replace(z[2], chr(31), '') AS p2 FROM (
+            SELECT cnt, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+            FROM (SELECT cnt, string_split(syms, ' ') AS a FROM $w)
+          )
+        ) GROUP BY p1, p2
+        ORDER BY pair_count DESC, p1 ASC, p2 ASC LIMIT 1
+      ), $wNext AS (
+        SELECT cnt,
+               replace(syms,
+                 chr(31) || m.p1 || chr(31) || ' ' || chr(31) || m.p2
+                   || chr(31),
+                 chr(31) || m.merged || chr(31)) AS syms
+        FROM $w, $m m
+      )"""
+      s"""
+      WITH t AS (
+        SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+      ), w0 AS (
+        SELECT count(*) AS cnt,
+               rtrim(regexp_replace(tok, '(.)',
+                 chr(31) || '\\1' || chr(31) || ' ', 'g')) AS syms
+        FROM t GROUP BY tok
+      ), ${stage("w0", "m1", "w1")}, ${stage("w1", "m2", "w2")},
+      ${stage("w2", "m3", "w3")}
+      SELECT 1::BIGINT AS step, p1, p2, merged, pair_count FROM m1
+      UNION ALL SELECT 2, p1, p2, merged, pair_count FROM m2
+      UNION ALL SELECT 3, p1, p2, merged, pair_count FROM m3
+      ORDER BY step ASC"""
+    },
   )
 }

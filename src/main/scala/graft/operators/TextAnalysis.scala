@@ -894,6 +894,78 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Merge steps for [[bpeMerges]] — shared with the DuckDB oracle,
+    * which unrolls exactly this many pair-select + merge stages. */
+  val BpeSteps = 3
+
+  /** Symbol-boundary marker for [[bpeMerges]]'s wrapped representation
+    * (ASCII unit separator — cannot occur in text run through
+    * [[graft.functions.TextNorm]]). Shared with the DuckDB oracle as
+    * chr(31). */
+  val BpeMark = "\u001f"
+
+  /** BPE tokenizer training — the first merge steps of byte-pair
+    * encoding (Sennrich et al., ACL 2016), the vocabulary-construction
+    * pass every modern tokenizer starts from. Each step finds the most
+    * frequent adjacent symbol pair across the corpus (weighted by word
+    * frequency, deterministic (count DESC, pair ASC) tie-break) and
+    * merges it everywhere; the output is the ordered merge table — the
+    * artifact a tokenizer ships.
+    *
+    * Distributed shape: the corpus is scanned ONCE into a (word, count)
+    * table (map-side combined, localCheckpoint'ed); every iteration
+    * after that is vocab-sized — pair candidates explode off the word
+    * table, the winning pair is a 1-row ordered limit, and the merge
+    * applies via a broadcast cross join. At 100 TB the corpus pass
+    * dominates and the k merge steps cost the same as at 1 GB.
+    *
+    * Merge semantics are GREEDY LEFT-TO-RIGHT, implemented identically
+    * on both engines as ONE string replacement per step over the
+    * MARKER-WRAPPED symbol string ("␟t␟ ␟a␟ ␟b␟ …", [[BpeMark]] = unit
+    * separator): because every symbol owns its own delimiters, adjacent
+    * matches share no characters — so a single left-to-right
+    * non-overlapping `replace` pass IS the greedy fold, including runs
+    * of one symbol ("a a a a" pairs (1,2)(3,4) in one pass; a naive
+    * space-joined representation shares boundary spaces between matches
+    * and strands symbols between merges — spec-tested against a true
+    * fold on a run-heavy corpus). */
+  def bpeMerges(spark: SparkSession, sfDir: String,
+      steps: Int = BpeSteps): DataFrame = {
+    import spark.implicits._
+    val m = BpeMark
+    var words = Tables.read(spark, sfDir, "documents")
+      .select(explode(split(TextNorm.normCol, " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .select($"cnt",
+        rtrim(regexp_replace($"tok", "(.)", s"$m$$1$m ")).as("syms"))
+      .localCheckpoint() // vocab-sized; the corpus is never re-scanned
+    val merges = (1 to steps).map { step =>
+      val pairs = words
+        .select($"cnt", expr(
+          """explode(arrays_zip(
+            |  slice(split(syms, ' '), 1, size(split(syms, ' ')) - 1),
+            |  slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1)))
+            |  AS z""".stripMargin))
+        .select($"cnt", expr(s"replace(z['0'], '$m', '')").as("p1"),
+          expr(s"replace(z['1'], '$m', '')").as("p2"))
+        .groupBy($"p1", $"p2").agg(sum($"cnt").as("pair_count"))
+      val top = pairs
+        .orderBy($"pair_count".desc, $"p1".asc, $"p2".asc).limit(1)
+        .select($"p1", $"p2", concat($"p1", $"p2").as("merged"),
+          $"pair_count")
+      val applied = words.crossJoin(broadcast(top))
+        .withColumn("pat",
+          concat(lit(m), $"p1", lit(m + " " + m), $"p2", lit(m)))
+        .withColumn("rep", concat(lit(m), $"merged", lit(m)))
+        .withColumn("syms", expr("replace(syms, pat, rep)"))
+      words = applied.select($"cnt", $"syms").localCheckpoint()
+      top.withColumn("step", lit(step.toLong))
+    }
+    merges.reduce(_ union _)
+      .select($"step", $"p1", $"p2", $"merged", $"pair_count")
+      .orderBy($"step".asc)
+  }
+
   /** Frequency-of-frequencies spectrum — the Good–Turing front-end every
     * tokenizer/coverage study starts from: how many vocabulary types
     * occur once (hapaxes), 2–3×, 4–7×, … and what fraction of the corpus

@@ -654,6 +654,58 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe merges: replace-based merge equals a true greedy fold," +
+      " including symbol runs") {
+    import spark.implicits._
+    // reference BPE: greedy left-to-right fold over symbol lists
+    def fold(syms: List[String], p1: String, p2: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == p1 && b == p2 =>
+          (p1 + p2) :: fold(rest, p1, p2)
+        case a :: rest => a :: fold(rest, p1, p2)
+        case Nil => Nil
+      }
+    def refBpe(words: Map[String, Long], steps: Int)
+        : Seq[(String, String, Long)] = {
+      var ws = words.map { case (w, c) => w.split("").toList -> c }.toSeq
+      (1 to steps).map { _ =>
+        val pairCounts = ws.flatMap { case (syms, c) =>
+          syms.zip(syms.drop(1)).map(_ -> c)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val ((p1, p2), c) = pairCounts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        ws = ws.map { case (syms, cnt) => fold(syms, p1, p2) -> cnt }
+        (p1, p2, c)
+      }
+    }
+    // fixture corpus: operator vs reference
+    val docs = Tables.read(spark, sf, "documents")
+      .select("text").collect().flatMap(_.getString(0).trim.toLowerCase
+        .replaceAll("\\s+", " ").split(" "))
+    val fixtureRef = refBpe(docs.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap, 3)
+    val got = TextAnalysis.bpeMerges(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == fixtureRef,
+      s"fixture merges ${got.toSeq} != reference $fixtureRef")
+    // run-heavy synthetic corpus: the 4x-iterated replace must reach the
+    // greedy fixpoint even when one symbol repeats many times in a word
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val runWords = Seq("aaaaaaaa", "aaaa", "aab", "baa", "ab", "aaaaaaab")
+    val corpus = runWords.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(runWords.length - i)(w) // skewed counts, deterministic
+    }
+    Seq((1L, corpus.mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val runRef = refBpe(corpus.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap, 3)
+    val runGot = TextAnalysis.bpeMerges(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(runGot.toSeq == runRef,
+      s"run-corpus merges ${runGot.toSeq} != reference $runRef")
+  }
+
   test("snapshot diff: classes partition the key universe") {
     import java.sql.Timestamp
     val cutoff = Timestamp.valueOf(

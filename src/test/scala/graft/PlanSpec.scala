@@ -525,6 +525,19 @@ class PlanSpec extends SparkSpec {
       s"no window belongs in this plan:\n$p")
   }
 
+  test("text_bpe_merges: iterations run on the frozen word table") {
+    // the (word, count) table is localCheckpoint'ed: every merge step's
+    // pair-count + replace must run off it — no parquet scan may
+    // survive, and winner selection must be an ordered limit
+    val p = plan("text_bpe_merges")
+    assert(!p.contains("Scan parquet"),
+      s"merge iterations re-scan the corpus — word table not frozen:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pair winner must plan as ordered limit, not sort-all:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window belongs in the merge plan:\n$p")
+  }
+
   test("ev_paths: one per-user window pass, ordered-limit top-k") {
     val p = plan("ev_paths")
     val specs = "windowspecdefinition\\(\\w+".r.findAllIn(p).toSeq.distinct
