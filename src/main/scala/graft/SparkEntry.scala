@@ -213,8 +213,9 @@ object SparkEntry {
     // Round 8 (cont. 8): graph cohesion census, snapshot reconciliation
     "dedup_triangles" -> ((s, d) => Dedup.triangleCount(s, d)),
     "ev_snapshot_diff" -> ((s, d) => Events.snapshotDiff(s, d)),
-    // Round 8 (cont. 9): BPE tokenizer training
+    // Round 8 (cont. 9): BPE tokenizer training + encode
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -3115,6 +3116,52 @@ object SparkEntry {
       UNION ALL SELECT 2, p1, p2, merged, pair_count FROM m2
       UNION ALL SELECT 3, p1, p2, merged, pair_count FROM m3
       ORDER BY step ASC"""
+    },
+    // BPE encode replay: re-derive the same merge table, apply it to
+    // the distinct vocabulary (tok carried through the chain), join
+    // documents' tokens against the segmentation
+    "text_bpe_apply" -> {
+      def stage(w: String, m: String, wNext: String) = s"""$m AS (
+        SELECT p1, p2, p1 || p2 AS merged
+        FROM (
+          SELECT cnt, replace(z[1], chr(31), '') AS p1,
+                 replace(z[2], chr(31), '') AS p2 FROM (
+            SELECT cnt, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+            FROM (SELECT cnt, string_split(syms, ' ') AS a FROM $w)
+          )
+        ) GROUP BY p1, p2
+        ORDER BY sum(cnt) DESC, p1 ASC, p2 ASC LIMIT 1
+      ), $wNext AS (
+        SELECT tok, cnt,
+               replace(syms,
+                 chr(31) || m.p1 || chr(31) || ' ' || chr(31) || m.p2
+                   || chr(31),
+                 chr(31) || m.merged || chr(31)) AS syms
+        FROM $w, $m m
+      )"""
+      s"""
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+      ), w0 AS (
+        SELECT tok, count(*) AS cnt,
+               rtrim(regexp_replace(tok, '(.)',
+                 chr(31) || '\\1' || chr(31) || ' ', 'g')) AS syms
+        FROM t GROUP BY tok
+      ), ${stage("w0", "m1", "w1")}, ${stage("w1", "m2", "w2")},
+      ${stage("w2", "m3", "w3")}, v AS (
+        SELECT tok, length(tok)::BIGINT AS n_chars_w,
+               len(string_split(syms, ' '))::BIGINT AS n_syms_w
+        FROM w3
+      )
+      SELECT t.doc_id, count(*) AS n_tokens,
+             sum(v.n_chars_w)::BIGINT AS n_chars,
+             sum(v.n_syms_w)::BIGINT AS n_symbols,
+             round(sum(v.n_syms_w)::DOUBLE / sum(v.n_chars_w), 4)
+               AS compression
+      FROM t JOIN v USING (tok)
+      GROUP BY t.doc_id ORDER BY t.doc_id ASC"""
     },
   )
 }

@@ -966,6 +966,51 @@ object TextAnalysis {
       .orderBy($"step".asc)
   }
 
+  /** BPE encode — apply the [[bpeMerges]] merge table (in training
+    * order) and report per-document segmentation: token, character, and
+    * symbol counts plus the compression ratio, the number that says how
+    * many training-sequence slots a document will cost.
+    *
+    * Scale: merges apply to the VOCABULARY, never the corpus — the
+    * (word → segmentation) table is built once (each of the k merges is
+    * a broadcast 1-row cross join + one greedy replace over vocab rows),
+    * and documents join their tokens against it (hint-free; AQE
+    * broadcasts a small vocab). The corpus is touched exactly twice:
+    * once inside training's word count, once for the token join. */
+  def bpeApply(spark: SparkSession, sfDir: String,
+      steps: Int = BpeSteps): DataFrame = {
+    import spark.implicits._
+    val m = BpeMark
+    val merges = bpeMerges(spark, sfDir, steps).localCheckpoint()
+    val vocab0 = Tables.read(spark, sfDir, "documents")
+      .select(explode(split(TextNorm.normCol, " ")).as("tok"))
+      .distinct()
+      .select($"tok",
+        rtrim(regexp_replace($"tok", "(.)", s"$m$$1$m ")).as("syms"))
+    val segmented = (1 to steps).foldLeft(vocab0) { (v, step) =>
+      v.crossJoin(broadcast(merges.filter($"step" === step.toLong)
+          .select($"p1", $"p2", $"merged")))
+        .withColumn("syms", expr("replace(syms, " +
+          s"concat('$m', p1, '$m', ' ', '$m', p2, '$m'), " +
+          s"concat('$m', merged, '$m'))"))
+        .select($"tok", $"syms")
+    }
+    val vocab = segmented
+      .select($"tok", length($"tok").cast("long").as("n_chars_w"),
+        size(split($"syms", " ")).cast("long").as("n_syms_w"))
+    Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", explode(split(TextNorm.normCol, " ")).as("tok"))
+      .join(vocab, Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"n_chars_w").as("n_chars"),
+        sum($"n_syms_w").as("n_symbols"))
+      .select($"doc_id", $"n_tokens", $"n_chars", $"n_symbols",
+        round($"n_symbols".cast("double") / $"n_chars", 4)
+          .as("compression"))
+      .orderBy($"doc_id".asc)
+  }
+
   /** Frequency-of-frequencies spectrum — the Good–Turing front-end every
     * tokenizer/coverage study starts from: how many vocabulary types
     * occur once (hapaxes), 2–3×, 4–7×, … and what fraction of the corpus

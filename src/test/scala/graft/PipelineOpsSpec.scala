@@ -706,6 +706,38 @@ class PipelineOpsSpec extends SparkSpec {
       s"run-corpus merges ${runGot.toSeq} != reference $runRef")
   }
 
+  test("bpe apply: per-doc symbol counts match a fold-applied reference") {
+    def fold(syms: List[String], p1: String, p2: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == p1 && b == p2 =>
+          (p1 + p2) :: fold(rest, p1, p2)
+        case a :: rest => a :: fold(rest, p1, p2)
+        case Nil => Nil
+      }
+    val merges = TextAnalysis.bpeMerges(spark, sf).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    def segment(w: String): Int =
+      merges.foldLeft(w.split("").toList) { case (s, (p1, p2)) =>
+        fold(s, p1, p2)
+      }.length
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .replaceAll("\\s+", " ").split(" ")).toMap
+    val out = TextAnalysis.bpeApply(spark, sf).collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val toks = docs(r.getLong(0))
+      assert(r.getLong(1) == toks.length.toLong, "n_tokens")
+      assert(r.getLong(2) == toks.map(_.length.toLong).sum, "n_chars")
+      val expSyms = toks.map(segment(_).toLong).sum
+      assert(r.getLong(3) == expSyms,
+        s"doc ${r.getLong(0)}: n_symbols ${r.getLong(3)} != $expSyms")
+      assert(r.getLong(3) <= r.getLong(2),
+        "merging can never increase the symbol count")
+    }
+  }
+
   test("snapshot diff: classes partition the key universe") {
     import java.sql.Timestamp
     val cutoff = Timestamp.valueOf(
