@@ -216,6 +216,9 @@ object SparkEntry {
     // Round 8 (cont. 9): BPE tokenizer training + encode
     "text_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    // Round 8 (cont. 10): embedding data quality, series peaks
+    "embed_outliers" -> ((s, d) => Similarity.embedOutliers(s, d)),
+    "ev_peaks" -> ((s, d) => Events.peakDetection(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -3163,5 +3166,48 @@ object SparkEntry {
       FROM t JOIN v USING (tok)
       GROUP BY t.doc_id ORDER BY t.doc_id ASC"""
     },
+    // embedding outliers: same quantization, same un-divided centroid
+    // sum, same n²-scaled exact integer distances (HUGEINT == the Spark
+    // side's DECIMAL(38,0) headroom), one double division at export
+    "embed_outliers" -> s"""
+      WITH c AS (
+        SELECT vec_id, label, j,
+               floor(embedding[j + 1]::DOUBLE
+                     * ${Similarity.PcaScale})::HUGEINT AS q
+        FROM embeddings,
+             unnest(range(len(embedding))) AS t(j)
+      ), s AS (
+        SELECT j, sum(q)::HUGEINT AS s, count(*)::HUGEINT AS n
+        FROM c GROUP BY j
+      ), d AS (
+        SELECT c.vec_id, c.label,
+               sum((s.n * c.q - s.s) * (s.n * c.q - s.s))::HUGEINT
+                 AS d2n2,
+               max(s.n) AS n
+        FROM c JOIN s USING (j)
+        GROUP BY c.vec_id, c.label
+      )
+      SELECT vec_id, label,
+             round(d2n2::DOUBLE / (n * n)::DOUBLE
+                   / ${Similarity.PcaScale.toDouble * Similarity.PcaScale},
+                   6) AS dist2
+      FROM d ORDER BY dist2 DESC, vec_id ASC
+      LIMIT ${Similarity.OutlierTopK}""",
+    // peak detection: same per-type lag/lead strict-maximum rule
+    "ev_peaks" -> """
+      WITH d AS (
+        SELECT event_type, ts::DATE AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+      ), x AS (
+        SELECT event_type, day, cnt,
+               lag(cnt) OVER w AS prev, lead(cnt) OVER w AS next
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+      )
+      SELECT event_type, day::VARCHAR AS day, cnt, prev, next
+      FROM x
+      WHERE prev IS NOT NULL AND next IS NOT NULL
+        AND cnt > prev AND cnt > next
+      ORDER BY event_type ASC, day ASC""",
   )
 }

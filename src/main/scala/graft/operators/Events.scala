@@ -513,6 +513,31 @@ object Events {
       .orderBy($"day".asc)
   }
 
+  /** Peak detection — strict local maxima in each type's daily count
+    * series (cnt > both neighbors; series endpoints excluded), the
+    * change-point primitive behind every "what spiked on Tuesday?"
+    * alert. One map-side-combined daily aggregate, one per-type window
+    * pass with lag/lead — integer comparisons only, nothing to round.
+    *
+    * Scale: the raw stream collapses to type·day rows before the
+    * window; each partition is one type's calendar (bounded by days,
+    * not volume). */
+  def peakDetection(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.read(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"day".asc)
+    daily
+      .withColumn("prev", lag($"cnt", 1).over(w))
+      .withColumn("next", lead($"cnt", 1).over(w))
+      .filter($"prev".isNotNull && $"next".isNotNull &&
+        $"cnt" > $"prev" && $"cnt" > $"next")
+      .select($"event_type", $"day".cast("string").as("day"), $"cnt",
+        $"prev", $"next")
+      .orderBy($"event_type".asc, $"day".asc)
+  }
+
   /** Cutoff splitting [[snapshotDiff]]'s two snapshots — shared with the
     * DuckDB oracle. */
   val DiffCutoff = "2024-01-16"

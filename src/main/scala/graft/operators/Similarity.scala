@@ -599,6 +599,49 @@ object Similarity {
       .orderBy($"id_a".asc, $"id_b".asc)
   }
 
+  /** Top-k for [[embedOutliers]] — shared with the DuckDB oracle. */
+  val OutlierTopK = 20
+
+  /** Embedding outlier detection — the farthest vectors from the corpus
+    * centroid, the data-quality sweep that surfaces mis-embedded or
+    * out-of-domain rows before they poison ANN indexes or k-means
+    * seeds. All EXACT fixed-point integer math (no float tolerance):
+    * components quantize ×1e6, the centroid is kept UN-divided as the
+    * component-sum vector S (so no rounding anywhere), and each
+    * vector's squared distance to the centroid scales by n² —
+    * d2n2 = Σ_j (n·q_j − S_j)² — accumulated as DECIMAL(38,0). The
+    * exported distance divides back to original units in one double
+    * division. Top-k is an ordered limit with a vec_id tie-break.
+    *
+    * Scale: one corpus pass for S (64 rows, broadcast back), one for
+    * the distances (the d-way explode collapses map-side per vector);
+    * top-k is TakeOrderedAndProject — no global sort. */
+  def embedOutliers(spark: SparkSession, sfDir: String,
+      k: Int = OutlierTopK): DataFrame = {
+    import spark.implicits._
+    val comps = Tables.read(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label", posexplode(expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
+          s" * $PcaScale) AS BIGINT))")).as(Seq("j", "q")))
+    val cent = comps.groupBy($"j")
+      .agg(sum($"q".cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+    // n·q as decimal BEFORE the multiply: a raw long product overflows
+    // 64 bits near 10^10 vectors
+    val nq = col("n").cast("decimal(38,0)") * col("q")
+    comps.join(broadcast(cent), Seq("j"))
+      .select($"vec_id", $"label", $"n",
+        ((nq - $"s") * (nq - $"s")).as("t"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum($"t").as("d2n2"), max($"n").as("n"))
+      .select($"vec_id", $"label",
+        round($"d2n2".cast("double")
+          / ($"n" * $"n").cast("double") / (PcaScale.toDouble * PcaScale), 6)
+          .as("dist2"))
+      .orderBy($"dist2".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
   /** Iterations of [[pcaPower]] — shared with the DuckDB oracle, which
     * unrolls exactly this many matrix–vector CTE stages. */
   val PcaIters = 3

@@ -738,6 +738,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("peaks: every reported day is a strict local maximum") {
+    val daily = Tables.read(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    val byType = daily.keys.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val expect = byType.toSeq.flatMap { case (t, days) =>
+      days.sliding(3).collect {
+        case Seq(a, b, c)
+            if daily((t, b)) > daily((t, a)) && daily((t, b)) > daily((t, c)) =>
+          (t, b)
+      }
+    }.toSet
+    val out = Events.peakDetection(spark, sf).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet == expect,
+      "peak set must equal the strict-local-maximum reference")
+    assert(expect.nonEmpty, "fixture must actually contain peaks")
+    out.foreach { r =>
+      assert(r.getLong(2) > r.getLong(3) && r.getLong(2) > r.getLong(4))
+    }
+  }
+
   test("snapshot diff: classes partition the key universe") {
     import java.sql.Timestamp
     val cutoff = Timestamp.valueOf(

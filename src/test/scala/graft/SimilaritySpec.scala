@@ -203,6 +203,31 @@ class SimilaritySpec extends SparkSpec {
       "Rayleigh quotient decreased across power iterations")
   }
 
+  test("embed outliers: exact fixed-point distances match a BigInt" +
+      " reference") {
+    val vecs = Tables.read(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigInt(math.floor(x.toDouble * 1000000.0).toLong)))
+    val d = vecs.head._2.length
+    val n = BigInt(vecs.length)
+    val s = Array.tabulate(d)(j => vecs.map(_._2(j)).sum)
+    val d2n2 = vecs.map { case (id, q) =>
+      id -> (0 until d).map(j => (n * q(j) - s(j)) * (n * q(j) - s(j))).sum
+    }.toMap
+    val expectTop = d2n2.toSeq.sortBy { case (id, v) => (-v, id) }
+      .take(Similarity.OutlierTopK).map(_._1)
+    val out = Similarity.embedOutliers(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == expectTop,
+      "top-k outlier identity and order")
+    out.foreach { r =>
+      val exp = d2n2(r.getLong(0)).toDouble / (vecs.length.toDouble *
+        vecs.length) / 1e12
+      assert(math.abs(r.getDouble(2) - exp) < 5e-7,
+        s"vec ${r.getLong(0)}: dist2 ${r.getDouble(2)} vs $exp")
+    }
+  }
+
   test("haversine scalar: zero distance, symmetry, known value") {
     val d0 = GeoFunctions.haversineKmScalar(48.8566, 2.3522, 48.8566, 2.3522)
     assert(math.abs(d0) < 1e-9)
