@@ -13,20 +13,29 @@ With jsonOut, also writes a per-query {match, rows, detail} JSON summary
 import sys, json, glob, os
 import duckdb
 
-def main(sf_dir, out_dir, json_out=None):
-    summary = {}
+def connect(sf_dir):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main(sf_dir, out_dir, json_out=None):
+    summary = {}
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = bad = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        # FRESH connection per query: at the 10x scale a single
+        # connection accumulates buffer-pool blocks across 150+ heavy
+        # oracles (recursive CTEs, triple self-joins) until DuckDB's
+        # own limit trips — isolation costs milliseconds of view setup
+        con = connect(sf_dir)
         files = glob.glob(f"{d}/*.parquet")
         def record(match, rows, detail):
             summary[name] = {"match": match, "rows": rows, "detail": detail}
@@ -41,7 +50,14 @@ def main(sf_dir, out_dir, json_out=None):
             bad += 0 if len(got) else 1
             record(len(got) > 0, len(got), "rows-only")
             continue
-        exp = con.execute(oracles[name]).fetchdf()
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"  {name}: ORACLE ERROR {type(e).__name__}: "
+                  f"{str(e)[:160]}")
+            bad += 1
+            record(False, len(got), f"oracle error: {str(e)[:160]}")
+            continue
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):
