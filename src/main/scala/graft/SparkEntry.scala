@@ -219,12 +219,56 @@ object SparkEntry {
     // Round 8 (cont. 10): embedding data quality, series peaks
     "embed_outliers" -> ((s, d) => Similarity.embedOutliers(s, d)),
     "ev_peaks" -> ((s, d) => Events.peakDetection(s, d)),
+    // Round 9: streaming CMS maintenance, cosine radius search,
+    // stupid-backoff bigram LM scoring
+    "stream_heavy_hitters" -> ((s, d) =>
+      graft.streaming.StreamingQueries.heavyHittersCms(s, d)),
+    "sim_radius" -> ((s, d) => Similarity.radiusSearch(s, d)),
+    "text_lm_backoff" -> ((s, d) => TextAnalysis.lmBackoff(s, d)),
+    "sim_topk_pq_kmeans" -> ((s, d) => Similarity.topKPqKmeans(s, d)),
   )
 
   // ---------------------------------------------------------------------
   // DuckDB oracles (ANSI-ish, DuckDB 1.0 dialect). Table names resolve to
   // the same parquet files the Spark queries read.
   // ---------------------------------------------------------------------
+
+  /** Batch CMS heavy-hitters replay — shared verbatim by
+    * `q_heavy_hitters_cms` and its streaming twin `stream_heavy_hitters`
+    * (Complete-mode cell maintenance finalizes through the same
+    * estimator, so stream ≡ batch is the claim the shared oracle
+    * gates). */
+  private val cmsHeavyHittersOracle = """
+      WITH fact AS (
+        SELECT CASE WHEN l_partkey % 7 = 0 THEN l_partkey % 5
+               ELSE l_partkey END AS key
+        FROM lineitem
+      ), h(j, a, bb) AS (
+        VALUES (0, 2654435761, 1), (1, 2246822519, 10008),
+               (2, 3266489917, 20015), (3, 668265263, 30022)
+      ), cms AS (
+        SELECT j, (((key % 1000000007 + 1000000007) % 1000000007 * a + bb) % 1000000007) % 2048
+                 AS bucket,
+               count(*) AS cnt
+        FROM fact, h GROUP BY 1, 2
+      ), totals AS (SELECT key, count(*) AS exact_cnt FROM fact GROUP BY 1
+      ), top AS (
+        SELECT key, exact_cnt,
+               row_number() OVER (ORDER BY exact_cnt DESC, key ASC) AS rnk
+        FROM totals QUALIFY rnk <= 10
+      ), est AS (
+        SELECT t.key, t.exact_cnt, t.rnk, min(c.cnt) AS cms_est
+        FROM top t, h
+        JOIN cms c ON c.j = h.j
+          AND c.bucket = (((t.key % 1000000007 + 1000000007) % 1000000007 * h.a + h.bb) % 1000000007)
+                           % 2048
+        GROUP BY 1, 2, 3
+      ), n AS (SELECT count(*) AS n_total FROM fact)
+      SELECT rnk::INTEGER AS rnk, key, exact_cnt, cms_est,
+             (cms_est - exact_cnt) AS overcount,
+             (cms_est >= exact_cnt AND
+              cms_est <= exact_cnt + 2 * n_total / 2048) AS within_bound
+      FROM est, n ORDER BY rnk ASC"""
 
   private val q1Oracle = """
     WITH ym AS (
@@ -677,6 +721,75 @@ object SparkEntry {
     SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk::INTEGER AS rnk
     FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
 
+  /** Exact radius search + band-recall audit: cosine ≥ τ hits from the
+    * full scan, with `in_lsh_bucket` replaying the 16-bit/4-band
+    * signature match the same way the Spark side computes it map-side. */
+  private val simRadiusOracle = s"""
+    $embSigCtes, q AS (
+      SELECT e.vec_id AS q_id, e.v AS q_vec, s.sig AS q_sig
+      FROM e JOIN sig s ON s.vec_id = e.vec_id WHERE e.vec_id < 3
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(e.v, q.q_vec), 6) AS cos_sim,
+             (((s2.sig >> 0) & 15) = ((q.q_sig >> 0) & 15) OR
+              ((s2.sig >> 4) & 15) = ((q.q_sig >> 4) & 15) OR
+              ((s2.sig >> 8) & 15) = ((q.q_sig >> 8) & 15) OR
+              ((s2.sig >> 12) & 15) = ((q.q_sig >> 12) & 15))
+               AS in_lsh_bucket
+      FROM e JOIN sig s2 ON s2.vec_id = e.vec_id CROSS JOIN q
+      WHERE e.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, in_lsh_bucket
+    FROM scored WHERE cos_sim >= ${graft.operators.Similarity.RadiusTau}
+    ORDER BY q_id ASC, cos_sim DESC, vec_id ASC"""
+
+  /** Stupid-backoff LM replay: trains on even doc_ids, scores odd ones;
+    * the seen/backoff branch and the bitlen quantization mirror
+    * TextAnalysis.lmBackoff term for term. */
+  private val textLmBackoffOracle = s"""
+    WITH s AS (
+      SELECT doc_id, string_split(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos
+      FROM s
+    ), b AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos ASC) AS w2
+      FROM t
+    ), bg AS (
+      SELECT doc_id, w1, w2 FROM b WHERE w2 IS NOT NULL
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg WHERE doc_id % 2 = 0
+      GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY w1
+    ), cu AS (
+      SELECT tok AS w2, count(*) AS cu FROM t WHERE doc_id % 2 = 0
+      GROUP BY tok
+    ), n AS (SELECT sum(cu)::BIGINT AS n_tok FROM cu
+    ), j AS (
+      SELECT bg.doc_id, (c2.c2 IS NULL) AS backoff,
+             CASE WHEN c2.c2 IS NOT NULL
+                  THEN length(bin(c1.c1)) - length(bin(c2.c2))
+                  ELSE ${graft.operators.TextAnalysis.LmAlphaBits}
+                       + length(bin(n.n_tok))
+                       - length(bin(coalesce(cu.cu, 1)))
+             END::BIGINT AS bits
+      FROM bg
+      LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+      LEFT JOIN c1 ON c1.w1 = bg.w1
+      LEFT JOIN cu ON cu.w2 = bg.w2
+      CROSS JOIN n
+      WHERE bg.doc_id % 2 != 0
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           sum(CASE WHEN backoff THEN 1 ELSE 0 END)::BIGINT AS n_backoff,
+           sum(bits)::BIGINT AS bits_total,
+           round(sum(bits)::DOUBLE / count(*), 4) AS bits_per_bigram
+    FROM j GROUP BY doc_id ORDER BY doc_id ASC"""
+
   /** Replays the ADAPTIVE banding of Similarity.cosineNearDup: band width
     * = smallest bits ≥ 8 with 4·2^bits ≥ count(*), 4 bands over globally
     * indexed planes (band = p // bits, bit = p % bits). generate_series
@@ -721,11 +834,69 @@ object SparkEntry {
     WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
     ORDER BY id_a ASC, id_b ASC"""
 
-  private val simTopKIvfOracle = """
+  /** Splitmix64 seed-ranking CTE fragment (requires an `e(vec_id, v)`
+    * CTE upstream): re-derives mix64(vec_id) with UHUGEINT wrap-around
+    * products, casts back to SIGNED BIGINT (the Spark Long ordering
+    * domain — the `text_cap_per_source` convention), and ranks
+    * ascending with vec_id tiebreak: `seeds(vec_id, seed_rank)` is the
+    * skew-immune model-seed sample Similarity.seedVectors collects. */
+  private val seedRankCtes = """mz AS (
+      SELECT vec_id, ((vec_id::UHUGEINT + 11400714819323198485)
+               % 18446744073709551616)::UBIGINT AS z
+      FROM e
+    ), m1 AS (
+      SELECT vec_id, ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+               % 18446744073709551616)::UBIGINT AS z FROM mz
+    ), m2 AS (
+      SELECT vec_id, ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+               % 18446744073709551616)::UBIGINT AS z FROM m1
+    ), seeds AS (
+      SELECT vec_id,
+             (row_number() OVER (ORDER BY
+                CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+                     THEN (xor(z, z >> 31)::HUGEINT
+                           - 18446744073709551616)::BIGINT
+                     ELSE xor(z, z >> 31)::BIGINT END ASC,
+                vec_id ASC) - 1)::INTEGER AS seed_rank
+      FROM m2
+    )"""
+
+  /** One per-subspace Lloyd step for the PQ-training oracle (requires
+    * `sv(vec_id, s, sv)` upstream): L2-argmin assignment against `prev`,
+    * fixed-point (s, code, dim) integer sums, truncated-mean update,
+    * empty codes carried forward — term-for-term the
+    * Similarity.pqCodebookKmeans iteration. */
+  private def pqLloydIter(prev: String, a: String, s1: String,
+      cm: String, cur: String) = s"""$a AS (
+        SELECT vec_id, s, code, sv FROM (
+          SELECT sv.vec_id, sv.s, cb.code, sv.sv,
+                 row_number() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+                   list_reduce(list_prepend(0.0,
+                     list_transform(generate_series(1, 8),
+                       i -> (sv.sv[i] - cb.cv[i]) * (sv.sv[i] - cb.cv[i]))),
+                     (a, x) -> a + x) ASC,
+                   cb.code ASC) AS r
+          FROM sv JOIN $prev cb ON cb.s = sv.s
+        ) WHERE r = 1
+      ), $s1 AS (
+        SELECT s, code, d, sum(floor(sv[d] * 1000000.0 + 0.5)::BIGINT) AS m,
+               count(*) AS n
+        FROM $a CROSS JOIN generate_series(1, 8) g(d) GROUP BY s, code, d
+      ), $cm AS (
+        SELECT s, code,
+               list(trunc(m::DOUBLE / n) / 1000000.0 ORDER BY d ASC) AS cv
+        FROM $s1 GROUP BY s, code
+      ), $cur AS (
+        SELECT p.s, p.code, coalesce($cm.cv, p.cv) AS cv
+        FROM $prev p LEFT JOIN $cm ON $cm.s = p.s AND $cm.code = p.code
+      )"""
+
+  private val simTopKIvfOracle = s"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), centroids AS (
-      SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16
+    ), $seedRankCtes, centroids AS (
+      SELECT s.seed_rank AS cell_id, e.v AS cv
+      FROM seeds s JOIN e ON e.vec_id = s.vec_id WHERE s.seed_rank < 16
     ), assigned AS (
       SELECT vec_id, cell_id FROM (
         SELECT ev.vec_id, c.cell_id,
@@ -778,9 +949,10 @@ object SparkEntry {
     WITH kp AS ($kBody
     ), e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), c0 AS (
-      SELECT vec_id::INTEGER AS cell_id, v AS cv FROM e
-      WHERE vec_id < (SELECT k FROM kp)
+    ), $seedRankCtes, c0 AS (
+      SELECT s.seed_rank AS cell_id, e.v AS cv
+      FROM seeds s JOIN e ON e.vec_id = s.vec_id
+      WHERE s.seed_rank < (SELECT k FROM kp)
     ), a1 AS (
       SELECT vec_id, cell_id, v FROM (
         SELECT ev.vec_id, c.cell_id, ev.v,
@@ -1407,14 +1579,15 @@ object SparkEntry {
       FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC""",
     // PQ/ADC replay: same codebook seeding, same sequential L2 folds,
     // same subspace-ordered distance accumulation as the Scala side
-    "sim_topk_pq" -> """
+    "sim_topk_pq" -> s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      ), cb AS (
-        SELECT s, c.vec_id::INT AS code,
-               list_transform(generate_series(1, 8), i -> c.v[s*8 + i]) AS cv
-        FROM e c CROSS JOIN generate_series(0, 7) t(s)
-        WHERE c.vec_id < 16
+      ), $seedRankCtes, cb AS (
+        SELECT t.s, sd.seed_rank AS code,
+               list_transform(generate_series(1, 8), i -> c.v[t.s*8 + i]) AS cv
+        FROM seeds sd JOIN e c ON c.vec_id = sd.vec_id
+        CROSS JOIN generate_series(0, 7) t(s)
+        WHERE sd.seed_rank < 16
       ), enc AS (
         SELECT vec_id, s, code FROM (
           SELECT ev.vec_id, cb.s, cb.code,
@@ -1450,6 +1623,57 @@ object SparkEntry {
       SELECT q_id, vec_id, round(dist, 6) AS pq_dist, rnk::INTEGER AS rnk
       FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC""",
     "embed_kmeans_clusters" -> embedKmeansClustersOracle,
+    // PQ-training replay: per-subspace Lloyd unrolled twice over the
+    // exploded subvector stream (same fixed-point update as the IVF
+    // kmeans CTEs), then the standard ADC chain on the refined codebook
+    "sim_topk_pq_kmeans" -> s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), $seedRankCtes, cb0 AS (
+        SELECT t.s, sd.seed_rank AS code,
+               list_transform(generate_series(1, 8), i -> c.v[t.s*8 + i]) AS cv
+        FROM seeds sd JOIN e c ON c.vec_id = sd.vec_id
+        CROSS JOIN generate_series(0, 7) t(s)
+        WHERE sd.seed_rank < 16
+      ), sv AS (
+        SELECT e.vec_id, t.s,
+               list_transform(generate_series(1, 8), i -> e.v[t.s*8 + i]) AS sv
+        FROM e CROSS JOIN generate_series(0, 7) t(s)
+      ), ${pqLloydIter("cb0", "pa1", "ps1", "pc1", "cb1")},
+      ${pqLloydIter("cb1", "pa2", "ps2", "pc2", "cb2")}, enc AS (
+        SELECT vec_id, s, code FROM (
+          SELECT ev.vec_id, cb.s, cb.code,
+                 row_number() OVER (PARTITION BY ev.vec_id, cb.s ORDER BY
+                   list_reduce(list_prepend(0.0,
+                     list_transform(generate_series(1, 8),
+                       i -> (ev.v[cb.s*8 + i] - cb.cv[i])
+                            * (ev.v[cb.s*8 + i] - cb.cv[i]))),
+                     (a, x) -> a + x) ASC,
+                   cb.code ASC) AS r
+          FROM e ev CROSS JOIN cb2 cb
+        ) WHERE r = 1
+      ), qt AS (
+        SELECT q.vec_id AS q_id, cb.s, cb.code,
+               list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, 8),
+                   i -> (q.v[cb.s*8 + i] - cb.cv[i])
+                        * (q.v[cb.s*8 + i] - cb.cv[i]))),
+                 (a, x) -> a + x) AS l2q
+        FROM e q CROSS JOIN cb2 cb WHERE q.vec_id < 3
+      ), est AS (
+        SELECT qt.q_id, enc.vec_id,
+               list_reduce(list_prepend(0.0, list(qt.l2q ORDER BY qt.s)),
+                 (a, x) -> a + x) AS dist
+        FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.code
+        GROUP BY qt.q_id, enc.vec_id
+      ), r AS (
+        SELECT q_id, vec_id, dist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dist ASC, vec_id ASC) AS rnk
+        FROM est WHERE vec_id != q_id
+      )
+      SELECT q_id, vec_id, round(dist, 6) AS pq_dist, rnk::INTEGER AS rnk
+      FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC""",
     // SemDeDup replay: the shared unrolled-Lloyd assignment, within-cell
     // round-6 cosine pairs, the recursive min-reachable walk, per-class
     // survival rollup (RECURSIVE prefixed onto the shared CTE chain —
@@ -1769,37 +1993,12 @@ object SparkEntry {
       LEFT JOIN fhit fh ON l.l_orderkey = fh.l_orderkey
       LEFT JOIN (SELECT k FROM keys) kk ON l.l_orderkey = kk.k
       GROUP BY l.l_returnflag ORDER BY l.l_returnflag ASC""",
-    "q_heavy_hitters_cms" -> """
-      WITH fact AS (
-        SELECT CASE WHEN l_partkey % 7 = 0 THEN l_partkey % 5
-               ELSE l_partkey END AS key
-        FROM lineitem
-      ), h(j, a, bb) AS (
-        VALUES (0, 2654435761, 1), (1, 2246822519, 10008),
-               (2, 3266489917, 20015), (3, 668265263, 30022)
-      ), cms AS (
-        SELECT j, (((key % 1000000007 + 1000000007) % 1000000007 * a + bb) % 1000000007) % 2048
-                 AS bucket,
-               count(*) AS cnt
-        FROM fact, h GROUP BY 1, 2
-      ), totals AS (SELECT key, count(*) AS exact_cnt FROM fact GROUP BY 1
-      ), top AS (
-        SELECT key, exact_cnt,
-               row_number() OVER (ORDER BY exact_cnt DESC, key ASC) AS rnk
-        FROM totals QUALIFY rnk <= 10
-      ), est AS (
-        SELECT t.key, t.exact_cnt, t.rnk, min(c.cnt) AS cms_est
-        FROM top t, h
-        JOIN cms c ON c.j = h.j
-          AND c.bucket = (((t.key % 1000000007 + 1000000007) % 1000000007 * h.a + h.bb) % 1000000007)
-                           % 2048
-        GROUP BY 1, 2, 3
-      ), n AS (SELECT count(*) AS n_total FROM fact)
-      SELECT rnk::INTEGER AS rnk, key, exact_cnt, cms_est,
-             (cms_est - exact_cnt) AS overcount,
-             (cms_est >= exact_cnt AND
-              cms_est <= exact_cnt + 2 * n_total / 2048) AS within_bound
-      FROM est, n ORDER BY rnk ASC""",
+    "q_heavy_hitters_cms" -> cmsHeavyHittersOracle,
+    // stream ≡ batch: the streaming twin maintains the same d×w cells as
+    // Complete-mode state and finalizes through the same estimator
+    "stream_heavy_hitters" -> cmsHeavyHittersOracle,
+    "sim_radius" -> simRadiusOracle,
+    "text_lm_backoff" -> textLmBackoffOracle,
     "embed_cosine_neardup" -> embCosineNearDupOracle,
     "q_avg_aggregator" -> """
       SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty
@@ -2872,12 +3071,16 @@ object SparkEntry {
         FROM embeddings
       ), c AS (
         SELECT unnest(flatten(list_transform(range(len(qv)), i ->
-                 list_transform(range(len(qv)), j ->
+                 list_transform(range(i, len(qv)), j ->
                    {'i': i, 'j': j, 'p': qv[i+1] * qv[j+1]})))) AS c
         FROM q
-      ), g AS (
+      ), gu AS (
         SELECT c.c.i AS i, c.c.j AS j, sum(c.c.p)::HUGEINT AS g
         FROM c GROUP BY 1, 2
+      ), g AS (
+        SELECT i, j, g FROM gu
+        UNION ALL
+        SELECT j AS i, i AS j, g FROM gu WHERE i <> j
       ), v0 AS (
         SELECT DISTINCT i AS vi, $sc::HUGEINT AS v FROM g
       ), ${iter("v0", "w1", "m1", "v1")}, ${iter("v1", "w2", "m2", "v2")},

@@ -1167,7 +1167,12 @@ object RefQueries {
 
   /** The one subquery-report text — `spark.sql` runs it verbatim and the
     * DuckDB oracle is THE SAME STRING (pure ANSI), so the two engines
-    * cannot diverge on semantics. */
+    * share semantics; identical OUTPUT TYPES still need explicit casts
+    * (DuckDB's bare `sum(CASE…)` is HUGEINT where Spark's is BIGINT —
+    * hence the `CAST(… AS BIGINT)` on every counter), and the
+    * above-average test is cross-multiplied (`total * count > sum`) so
+    * both engines compare exact decimals instead of a DECIMAL-vs-DOUBLE
+    * average that could flip within one ulp of the mean. */
   val SubqueriesSql: String = """
     WITH spend AS (
       SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,6))) AS total
@@ -1175,17 +1180,18 @@ object RefQueries {
     )
     SELECT c.c_mktsegment,
            count(*) AS n_customers,
-           sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
-                                 WHERE o.o_custkey = c.c_custkey)
-                    THEN 1 ELSE 0 END) AS n_with_orders,
-           sum(CASE WHEN NOT EXISTS (SELECT 1 FROM events e
-                                     WHERE e.user_id = c.c_custkey)
-                    THEN 1 ELSE 0 END) AS n_silent,
-           sum(CASE WHEN coalesce((SELECT s.total FROM spend s
-                                   WHERE s.o_custkey = c.c_custkey),
-                                  0) >
-                         (SELECT avg(total) FROM spend)
-                    THEN 1 ELSE 0 END) AS n_above_avg
+           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_custkey = c.c_custkey)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+           CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM events e
+                                          WHERE e.user_id = c.c_custkey)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+           CAST(sum(CASE WHEN coalesce((SELECT s.total FROM spend s
+                                        WHERE s.o_custkey = c.c_custkey),
+                                       0)
+                           * (SELECT count(*) FROM spend) >
+                         (SELECT sum(total) FROM spend)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
     FROM customer c
     GROUP BY c.c_mktsegment
     ORDER BY c.c_mktsegment ASC"""

@@ -128,11 +128,57 @@ object Similarity {
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
+  /** Cosine threshold for [[radiusSearch]] — shared with the DuckDB
+    * oracle. 0.3 is the highest decile boundary that yields non-empty
+    * neighborhoods for the fixture's first three queries at every SF. */
+  val RadiusTau = 0.3
+
+  /** Cosine RADIUS (range) search — every corpus vector within cosine ≥
+    * τ of each broadcast query, the range-query complement of top-k ANN
+    * (dedup sweeps and contamination checks want "all neighbors this
+    * close", not "the 5 closest"). EXACT by construction: one broadcast
+    * pass of the codegen'd cosine over the corpus — for a handful of
+    * query vectors the scan IS the optimal plan, and recall is 1.0 by
+    * definition rather than by luck. Each hit also reports
+    * `in_lsh_bucket`: whether the 16-bit hyperplane-signature band
+    * prefilter ([[topKLsh]]'s) would have surfaced it — computed
+    * MAP-SIDE by comparing the row's signature with the query's
+    * broadcast signature band-wise, so the exact operator doubles as
+    * the recall audit that tells you whether the approximate tier is
+    * safe to enable at this τ (on this fixture it is NOT: the 16-bit
+    * bands lose true τ=0.3 neighbors — measured recall 8/10 — which is
+    * exactly what this column is for).
+    *
+    * Scale: the corpus NEVER shuffles — signature, cosine, band match,
+    * and the τ filter are all map-side against the broadcast query set;
+    * only the output-sized result sorts. Plan-guarded: no sort-merge /
+    * shuffled-hash join, no corpus exchange before the filter. */
+  def radiusSearch(spark: SparkSession, sfDir: String,
+      tau: Double = RadiusTau, nQueries: Int = 3): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = corpus(spark, sfDir).withColumn("sig", signature(spark, $"vec"))
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"vec".as("q_vec"), $"sig".as("q_sig"))
+    val bandMatch = (0 until 4).map { b =>
+      shiftRight($"sig", 4 * b).bitwiseAND(lit(15)) ===
+        shiftRight($"q_sig", 4 * b).bitwiseAND(lit(15))
+    }.reduce(_ || _)
+    emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos_sim", round(expr("cosine_sim(vec, q_vec)"), 6))
+      .filter($"cos_sim" >= tau)
+      .select($"q_id", $"vec_id", $"cos_sim", bandMatch.as("in_lsh_bucket"))
+      .orderBy($"q_id".asc, $"cos_sim".desc, $"vec_id".asc)
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into Voronoi cells
     * around a small set of centroids; a query probes only its `nprobe`
-    * nearest cells. Centroids here are the first `nCells` corpus vectors
-    * (deterministic seed; `topKIvfKmeans` is the Lloyd-refined variant);
-    * assignment and probing both use the native cosine expression.
+    * nearest cells. Centroids here are the `nCells` corpus vectors first
+    * in (mix64(vec_id), vec_id) order — a deterministic skew-immune
+    * sample ([[seedVectors]]); `topKIvfKmeans` is the Lloyd-refined
+    * variant; assignment and probing both use the native cosine
+    * expression.
     *
     * Scale: the cell assignment is one broadcast-centroids pass over the
     * corpus (at 100 TB you'd persist it as a bucketed table partitioned by
@@ -142,9 +188,35 @@ object Similarity {
       nQueries: Int = 3, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     val emb = corpus(spark, sfDir)
-    val centroids = emb.filter($"vec_id" < nCells)
-      .select($"vec_id".cast("int").as("cell_id"), $"vec".as("centroid"))
+    val centroids = broadcast(
+      seedVectors(spark, emb, nCells).toSeq
+        .map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "centroid"))
     ivfFlow(spark, emb, centroids, k, nQueries, nprobe)
+  }
+
+  /** Skew-immune deterministic model seeds: the `n` corpus vectors FIRST
+    * in (mix64(vec_id), vec_id) order — a uniform pseudo-random sample
+    * no ingestion order or id-range clustering can bias, which is what a
+    * 100 TB corpus needs where "the first n ids" would all come from
+    * whatever shard loaded first — re-indexed 0..n−1 as the model's cell
+    * / code ids. One TakeOrderedAndProject job + an n-row fitted-model
+    * collect (the spark.ml pattern); the DuckDB oracles replay the same
+    * splitmix64 chain and signed ordering (the `text_cap_per_source`
+    * convention). */
+  private def seedVectors(spark: SparkSession, emb: DataFrame, n: Int)
+      : Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    graft.functions.Mix64.register(spark)
+    emb
+      .select(call_function("mix64", $"vec_id").as("mz"), $"vec_id", $"vec")
+      .orderBy($"mz".asc, $"vec_id".asc)
+      .limit(n)
+      .as[(Long, Long, Seq[Double])]
+      .collect()
+      .sortBy { case (mz, id, _) => (mz, id) } // collect order is plan
+      // order already; the re-sort makes the contract explicit
+      .zipWithIndex
+      .map { case ((_, _, v), i) => (i, v.toArray) }
   }
 
   /** IVF with k-means-refined centroids (`kmeansCentroids`): same flow,
@@ -198,7 +270,8 @@ object Similarity {
   }
 
   /** Deterministic Lloyd iterations for IVF centroids, seeded with the
-    * first `nCells` vectors.
+    * `nCells` vectors first in (mix64(vec_id), vec_id) order
+    * ([[seedVectors]] — skew-immune, unlike a first-N-ids seed).
     *
     * The update is integer-quantized so the result is bit-reproducible
     * regardless of aggregation order (and replicable by the DuckDB
@@ -216,9 +289,7 @@ object Similarity {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
     val emb = corpus(spark, sfDir)
-    var cents: Array[(Int, Array[Double])] = emb.filter($"vec_id" < nCells)
-      .select($"vec_id".cast("int"), $"vec").as[(Int, Seq[Double])]
-      .collect().map { case (id, v) => (id, v.toArray) }
+    var cents: Array[(Int, Array[Double])] = seedVectors(spark, emb, nCells)
     for (_ <- 1 to iters) {
       val centDf = broadcast(
         cents.toSeq.map { case (id, v) => (id, v.toSeq) }
@@ -291,7 +362,8 @@ object Similarity {
   /** Product-quantization ANN (PQ + asymmetric distance, the FAISS
     * `IVF,PQ` second stage): the 64-dim vector splits into 8 subvectors
     * of 8 dims; each subspace has a 16-entry codebook (seeded with the
-    * first 16 corpus vectors' subvectors, like `topKIvf`'s centroids),
+    * subvectors of 16 mix64-sampled corpus vectors, like `topKIvf`'s
+    * centroids),
     * so a corpus vector compresses to 8 four-bit codes — 256 bytes of
     * floats → 4 bytes, the representation that keeps a 100 TB embedding
     * corpus IN MEMORY. Queries never decode: ADC precomputes the 8×16
@@ -310,16 +382,102 @@ object Similarity {
     val subDim = Dim / nSub
     val emb = corpus(spark, sfDir)
     // codebook: (subspace, code, centroid subvector) — fitted model size
-    // nSub × nCodes × subDim doubles (8·16·8 here), collected like the
-    // k-means centroids
+    // nSub × nCodes × subDim doubles (8·16·8 here), seeded skew-immune
+    // in (mix64, vec_id) order and collected like the k-means centroids
     val codebook = broadcast(
-      emb.filter($"vec_id" < nCodes)
-        .select($"vec_id".cast("int").as("code"), $"vec")
-        .as[(Int, Seq[Double])].collect()
-        .flatMap { case (code, v) =>
-          (0 until nSub).map(s =>
-            (s, code, v.slice(s * subDim, (s + 1) * subDim)))
-        }.toSeq.toDF("s", "code", "cvec"))
+      pqSeedCodebook(spark, emb, nSub, nCodes).toSeq
+        .map { case (s, c, v) => (s, c, v.toSeq) }
+        .toDF("s", "code", "cvec"))
+    pqFlow(spark, emb, codebook, k, nQueries, nSub)
+  }
+
+  /** The mix64-sampled raw-subvector codebook [[topKPq]] starts from
+    * (and [[pqCodebookKmeans]] refines). */
+  private def pqSeedCodebook(spark: SparkSession, emb: DataFrame,
+      nSub: Int, nCodes: Int): Array[(Int, Int, Array[Double])] = {
+    val subDim = Dim / nSub
+    seedVectors(spark, emb, nCodes).flatMap { case (code, v) =>
+      (0 until nSub).map(s => (s, code, v.slice(s * subDim, (s + 1) * subDim)))
+    }
+  }
+
+  /** PQ TRAINING — per-subspace Lloyd refinement of the seed codebook,
+    * the step FAISS runs as `ProductQuantizer::train`: within each of
+    * the `nSub` subspaces independently, k-means the corpus subvectors
+    * (L2 metric, the one ADC scores with) for `iters` deterministic
+    * integer-quantized updates. All `nSub` subspaces train TOGETHER in
+    * each distributed pass — assignment is one broadcast-codebook join
+    * over the exploded (vec, subspace) stream, the update one
+    * (s × code × dim) partial-sum shuffle of ≤ 8·16·8 cells — so
+    * training costs two corpus passes regardless of nSub. Same
+    * fixed-point discipline as [[kmeansCentroids]] (sum floor(x·1e6 +
+    * 0.5) as longs, truncated integer mean), so the fitted codebook is
+    * bit-reproducible and the DuckDB oracle unrolls it. Empty codes
+    * keep their previous centroid. */
+  private[graft] def pqCodebookKmeans(spark: SparkSession, sfDir: String,
+      nSub: Int = 8, nCodes: Int = 16, iters: Int = 2)
+      : Array[(Int, Int, Array[Double])] = {
+    import spark.implicits._
+    val subDim = Dim / nSub
+    val emb = corpus(spark, sfDir)
+    var cb = pqSeedCodebook(spark, emb, nSub, nCodes)
+    val subs = emb.select($"vec_id", explode(array((0 until nSub).map(s =>
+        struct(lit(s).as("s"),
+          expr(s"slice(vec, ${s * subDim} + 1, $subDim)").as("sv"))): _*))
+        .as("z"))
+      .select($"vec_id", $"z.s".as("s"), $"z.sv".as("sv"))
+    for (_ <- 1 to iters) {
+      val cbDf = broadcast(cb.toSeq.map { case (s, c, v) => (s, c, v.toSeq) }
+        .toDF("s", "code", "cvec"))
+      val sums = subs.join(cbDf, Seq("s"))
+        .withColumn("l2", expr(
+          """aggregate(zip_with(sv, cvec, (x, c) -> (x - c) * (x - c)),
+            |          0.0D, (a, x) -> a + x)""".stripMargin))
+        .groupBy($"vec_id", $"s")
+        .agg(min_by(struct($"code", $"sv"), struct($"l2", $"code")).as("a"))
+        .select($"s", $"a.code".as("code"), posexplode($"a.sv")
+          .as(Seq("pos", "x")))
+        .groupBy($"s", $"code", $"pos")
+        .agg(sum(floor($"x" * 1000000.0 + 0.5).cast("long")).as("m"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+      cb = cb.map { case (s, code, old) =>
+        val arr = old.clone()
+        arr.indices.foreach { p =>
+          byKey.get((s, code, p)).foreach { case (m, n) =>
+            arr(p) = (m / n).toDouble / 1000000.0
+          }
+        }
+        (s, code, arr)
+      }
+    }
+    cb
+  }
+
+  /** PQ/ADC over the Lloyd-TRAINED codebook ([[pqCodebookKmeans]]) —
+    * same flow as [[topKPq]], higher-fidelity compressed-domain
+    * ordering: the codewords sit at subvector mass centers instead of
+    * wherever the 16 sampled vectors happened to fall. Fully
+    * deterministic, so it has a real DuckDB oracle like every other
+    * tier. */
+  def topKPqKmeans(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 3, nSub: Int = 8, nCodes: Int = 16): DataFrame = {
+    import spark.implicits._
+    val emb = corpus(spark, sfDir)
+    val codebook = broadcast(
+      pqCodebookKmeans(spark, sfDir, nSub, nCodes).toSeq
+        .map { case (s, c, v) => (s, c, v.toSeq) }
+        .toDF("s", "code", "cvec"))
+    pqFlow(spark, emb, codebook, k, nQueries, nSub)
+  }
+
+  /** Shared PQ encode + ADC scoring flow over a broadcast codebook. */
+  private def pqFlow(spark: SparkSession, emb: DataFrame,
+      codebook: DataFrame, k: Int, nQueries: Int, nSub: Int): DataFrame = {
+    import spark.implicits._
+    val subDim = Dim / nSub
     // squared L2 between a vector's s-th subvector and a codebook entry:
     // sequential fold over the subDim dims (deterministic IEEE order)
     def subL2(vecCol: String): Column = expr(
@@ -665,29 +823,38 @@ object Similarity {
     * the oracle unrolls the same three stages term-for-term, making
     * this a hash-gated eigensolver with no float tolerance.
     *
-    * Scale: the d² pair fan-out happens INSIDE each scan partition (a
-    * nested transform + one explode — no self-join), and partial
-    * aggregation collapses every map task to ≤ d² cells before the
-    * exchange; each iteration is then a d²-row join+agg whose cost is
-    * corpus-size-independent. The corpus is scanned ONCE. */
+    * Scale: the pair fan-out happens INSIDE each scan partition (a
+    * nested transform + one explode — no self-join), and — G being
+    * symmetric — only the UPPER TRIANGLE (i ≤ j) is ever multiplied:
+    * d(d+1)/2 products per row, half the naive d², mirrored to the full
+    * Gramian AFTER the corpus-sized aggregation by a d²-bounded union.
+    * Partial aggregation collapses every map task to ≤ d(d+1)/2 cells
+    * before the exchange; each iteration is then a d²-row join+agg
+    * whose cost is corpus-size-independent. The corpus is scanned
+    * ONCE. */
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val q = corpus(spark, sfDir)
       .select(expr(s"transform(vec, x -> CAST(floor(x * $PcaScale) " +
         "AS BIGINT))").as("qv"))
-    // map-side d² fan-out: pairs never leave their scan partition unpaired
+    // map-side upper-triangle fan-out (slice starts at i, 1-based i+1):
+    // pairs never leave their scan partition unpaired.
     // per-element products stay LONG (|q| ≤ scale ⇒ |xi·xj| ≤ 1e12,
     // no overflow) — only the cross-row SUM needs decimal's headroom;
     // a per-element decimal multiply measured 3× slower at 10×
-    val gram = q
+    val gramUpper = q
       .select(explode(expr(
         """flatten(transform(qv, (xi, i) ->
-          |  transform(qv, (xj, j) ->
-          |    struct(i AS i, j AS j, xi * xj AS p))))""".stripMargin))
+          |  transform(slice(qv, i + 1, size(qv) - i), (xj, jj) ->
+          |    struct(i AS i, i + jj AS j, xi * xj AS p))))""".stripMargin))
         .as("c"))
       .groupBy($"c.i".as("i"), $"c.j".as("j"))
       .agg(sum($"c.p".cast("decimal(38,0)")).as("g"))
-      .localCheckpoint() // d²-bounded; cuts the corpus scan out of the loop
+      .localCheckpoint() // triangle-bounded; cuts the corpus out of the loop
+    // mirror below the diagonal: exact integer cells, so the mirrored
+    // Gramian is bit-identical to the one the naive d² fan-out built
+    val gram = gramUpper.union(
+      gramUpper.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"g"))
     // exact integer floor-division renormalization: strip the remainder
     // first so the decimal division is exact on every engine
     def renorm(w: Column, m: Column): Column = {
@@ -706,7 +873,7 @@ object Similarity {
       v = w.crossJoin(broadcast(m))
         .select($"i".as("vi"), renorm($"w", $"m").as("v"))
     }
-    gram.filter($"i" === $"j")
+    gramUpper.filter($"i" === $"j")
       .select($"i", pmod($"g", lit(TextAnalysis.ChecksumP)
         .cast("decimal(38,0)")).cast("long").as("gii_mod"))
       .join(v, $"i" === $"vi")

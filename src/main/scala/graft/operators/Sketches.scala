@@ -175,18 +175,44 @@ object Sketches {
     * d·w rows), one for the exact counts; the estimate join broadcasts
     * the 40-row exploded top-k against the sketch. */
   def heavyHittersCms(spark: SparkSession, sfDir: String,
-      topK: Int = 10, w: Long = 2048L): DataFrame = {
+      topK: Int = 10, w: Long = 2048L): DataFrame =
+    cmsFinalize(spark, sfDir, cmsCells(cmsFact(spark, sfDir), w), topK, w)
+
+  /** The skewed CMS key projection shared by the batch and STREAMING
+    * heavy hitters: partkeys ≡ 0 mod 7 collapse to 5 hot keys (≈ 8% of
+    * rows each) so "heavy hitter" means something. `half` (orderkey
+    * parity) exists so the streaming twin can split the corpus into two
+    * micro-batch deliveries that both touch the hot cells — a genuine
+    * cross-batch register merge, not an append. */
+  private[graft] def cmsFact(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     import spark.implicits._
-    val fact = Tables.read(spark, sfDir, "lineitem")
+    Tables.read(spark, sfDir, "lineitem")
       .select(when($"l_partkey" % 7 === 0, $"l_partkey" % 5)
-        .otherwise($"l_partkey").as("key"))
-    // d×w count table: explode each row into its 4 (row, bucket) cells;
-    // hash-aggregate partials collapse repeats map-side
-    val cms = fact
+        .otherwise($"l_partkey").as("key"),
+        ($"l_orderkey" % 2).as("half"))
+  }
+
+  /** d×w CMS count table from a `key` column: explode each row into its
+    * 4 (row, bucket) cells; hash-aggregate partials collapse repeats
+    * map-side. Per-cell COUNTS are sums — merge-order-invariant — so
+    * the identical code is the streaming Complete-mode aggregation
+    * state ([[graft.streaming.StreamingQueries.heavyHittersCms]]). */
+  private[graft] def cmsCells(fact: DataFrame, w: Long = 2048L)
+      : DataFrame =
+    fact
       .select(explode(array((0 until 4).map(i => struct(
-        lit(i).as("j"), hashPos($"key", i, w).as("bucket"))): _*)).as("c"))
-      .groupBy($"c.j".as("j"), $"c.bucket".as("bucket"))
+        lit(i).as("j"), hashPos(col("key"), i, w).as("bucket"))): _*)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Estimate + measure stage over an already-built d×w cell table:
+    * exact top-k from a fresh fact pass (the MEASURING side production
+    * drops), per-key min-over-rows estimate, additive-bound flag. */
+  private[graft] def cmsFinalize(spark: SparkSession, sfDir: String,
+      cms: DataFrame, topK: Int = 10, w: Long = 2048L): DataFrame = {
+    import spark.implicits._
+    val fact = cmsFact(spark, sfDir)
     val totals = fact.groupBy($"key").agg(count(lit(1)).as("exact_cnt"))
     // top-k via orderBy+limit → TakeOrderedAndProject: each upstream
     // partition forwards only its own top-k, never a global-window funnel

@@ -930,39 +930,81 @@ object TextAnalysis {
     * and strands symbols between merges — spec-tested against a true
     * fold on a run-heavy corpus). */
   def bpeMerges(spark: SparkSession, sfDir: String,
-      steps: Int = BpeSteps): DataFrame = {
+      steps: Int = BpeSteps): DataFrame =
+    bpeMergesFromWords(spark, bpeWordTable(spark, sfDir), steps)
+
+  /** The ONE corpus pass of BPE training: map-side-combined (word,
+    * count) table in the marker-wrapped symbol representation,
+    * localCheckpoint'ed so no merge step re-scans the corpus. */
+  private[graft] def bpeWordTable(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     import spark.implicits._
-    val m = BpeMark
-    var words = Tables.read(spark, sfDir, "documents")
+    Tables.read(spark, sfDir, "documents")
       .select(explode(split(TextNorm.normCol, " ")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
       .select($"cnt",
         rtrim(regexp_replace($"tok", "(.)", s"$m$$1$m ")).as("syms"))
-      .localCheckpoint() // vocab-sized; the corpus is never re-scanned
-    val merges = (1 to steps).map { step =>
-      val pairs = words
-        .select($"cnt", expr(
-          """explode(arrays_zip(
-            |  slice(split(syms, ' '), 1, size(split(syms, ' ')) - 1),
-            |  slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1)))
-            |  AS z""".stripMargin))
-        .select($"cnt", expr(s"replace(z['0'], '$m', '')").as("p1"),
-          expr(s"replace(z['1'], '$m', '')").as("p2"))
-        .groupBy($"p1", $"p2").agg(sum($"cnt").as("pair_count"))
-      val top = pairs
-        .orderBy($"pair_count".desc, $"p1".asc, $"p2".asc).limit(1)
-        .select($"p1", $"p2", concat($"p1", $"p2").as("merged"),
-          $"pair_count")
-      val applied = words.crossJoin(broadcast(top))
-        .withColumn("pat",
-          concat(lit(m), $"p1", lit(m + " " + m), $"p2", lit(m)))
-        .withColumn("rep", concat(lit(m), $"merged", lit(m)))
-        .withColumn("syms", expr("replace(syms, pat, rep)"))
-      words = applied.select($"cnt", $"syms").localCheckpoint()
-      top.withColumn("step", lit(step.toLong))
+      .localCheckpoint()
+  }
+
+  private def m = BpeMark
+
+  /** One training step's winner: the most frequent adjacent symbol pair
+    * over the (frozen, vocab-sized) word table, deterministic
+    * (count DESC, pair ASC) ordered limit — plans as
+    * TakeOrderedAndProject with no corpus scan (PlanSpec-guarded). */
+  private[graft] def bpeTopPair(spark: SparkSession, words: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    words
+      .select($"cnt", expr(
+        """explode(arrays_zip(
+          |  slice(split(syms, ' '), 1, size(split(syms, ' ')) - 1),
+          |  slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1)))
+          |  AS z""".stripMargin))
+      .select($"cnt", expr(s"replace(z['0'], '$m', '')").as("p1"),
+        expr(s"replace(z['1'], '$m', '')").as("p2"))
+      .groupBy($"p1", $"p2").agg(sum($"cnt").as("pair_count"))
+      .orderBy($"pair_count".desc, $"p1".asc, $"p2".asc).limit(1)
+  }
+
+  /** Training loop over an already-counted (cnt, syms) word table —
+    * separated so the degenerate-corpus behavior is spec-testable. Each
+    * step's winning pair is a 1-ROW FITTED DECISION collected to the
+    * driver (the spark.ml model pattern — the merge table IS the model
+    * a tokenizer ships), so the merge applies as literal arguments to a
+    * codegen'd `replace` with no crossJoin; a corpus with NO adjacent
+    * pair left (every word a single symbol) stops the loop VISIBLY —
+    * warning + a merge table shorter than `steps` — instead of a silent
+    * empty-crossJoin wiping the vocabulary (r8 advice). */
+  private[graft] def bpeMergesFromWords(spark: SparkSession,
+      wordsIn: DataFrame, steps: Int): DataFrame = {
+    import spark.implicits._
+    var words = wordsIn
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val sel = bpeTopPair(spark, words).collect()
+      if (sel.isEmpty) {
+        System.err.println(
+          s"[bpeMerges] no adjacent pair left at step $step of $steps — " +
+            "corpus fully merged; emitting a shorter merge table")
+        exhausted = true
+      } else {
+        val (p1, p2) = (sel(0).getString(0), sel(0).getString(1))
+        merges += ((step.toLong, p1, p2, p1 + p2, sel(0).getLong(2)))
+        // literal pat/rep through call_function — no SQL-text round trip
+        // (a quote inside a token would break an interpolated expr)
+        words = words
+          .withColumn("syms", call_function("replace", $"syms",
+            lit(m + p1 + m + " " + m + p2 + m), lit(m + p1 + p2 + m)))
+          .select($"cnt", $"syms").localCheckpoint()
+        step += 1
+      }
     }
-    merges.reduce(_ union _)
-      .select($"step", $"p1", $"p2", $"merged", $"pair_count")
+    merges.result()
+      .toDF("step", "p1", "p2", "merged", "pair_count")
       .orderBy($"step".asc)
   }
 
@@ -980,19 +1022,21 @@ object TextAnalysis {
   def bpeApply(spark: SparkSession, sfDir: String,
       steps: Int = BpeSteps): DataFrame = {
     import spark.implicits._
-    val m = BpeMark
-    val merges = bpeMerges(spark, sfDir, steps).localCheckpoint()
+    // the merge table is the FITTED MODEL (k rows) — collected in
+    // training order; a shorter-than-steps table (degenerate corpus,
+    // see bpeMergesFromWords) simply applies fewer merges instead of
+    // emptying the vocab through a crossJoin against a missing step
+    val mergeRows = bpeMerges(spark, sfDir, steps)
+      .orderBy($"step".asc).select($"p1", $"p2").collect()
     val vocab0 = Tables.read(spark, sfDir, "documents")
       .select(explode(split(TextNorm.normCol, " ")).as("tok"))
       .distinct()
       .select($"tok",
         rtrim(regexp_replace($"tok", "(.)", s"$m$$1$m ")).as("syms"))
-    val segmented = (1 to steps).foldLeft(vocab0) { (v, step) =>
-      v.crossJoin(broadcast(merges.filter($"step" === step.toLong)
-          .select($"p1", $"p2", $"merged")))
-        .withColumn("syms", expr("replace(syms, " +
-          s"concat('$m', p1, '$m', ' ', '$m', p2, '$m'), " +
-          s"concat('$m', merged, '$m'))"))
+    val segmented = mergeRows.foldLeft(vocab0) { (v, r) =>
+      val (p1, p2) = (r.getString(0), r.getString(1))
+      v.withColumn("syms", call_function("replace", $"syms",
+          lit(m + p1 + m + " " + m + p2 + m), lit(m + p1 + p2 + m)))
         .select($"tok", $"syms")
     }
     val vocab = segmented
@@ -1129,6 +1173,67 @@ object TextAnalysis {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("bits_total"))
       .select($"doc_id", $"n_bigrams", $"bits_total",
+        round($"bits_total".cast("double") / $"n_bigrams", 4)
+          .as("bits_per_bigram"))
+      .orderBy($"doc_id".asc)
+  }
+
+  /** Quantized backoff penalty for [[lmBackoff]] — ⌈−log₂ 0.4⌉ bits,
+    * the integer stand-in for stupid backoff's α = 0.4 discount. */
+  val LmAlphaBits = 1L
+
+  /** STUPID-BACKOFF bigram LM scoring (Brants et al., EMNLP'07 — "Large
+    * Language Models in Machine Translation") — the held-out upgrade of
+    * [[bigramSurprisal]] and the real CCNet-filter shape: the LM trains
+    * on HALF the corpus (even doc_ids) and scores the OTHER half, so
+    * unseen bigrams genuinely occur and the backoff path fires.
+    * S(w₂|w₁) = c(w₁w₂)/c(w₁) when the bigram was seen, else
+    * α·c(w₂)/N (no normalization — that is stupid backoff's point:
+    * scores, not probabilities, at corpus scale). Quantized to exact
+    * integer bits: seen → bitlen(c(w₁)) − bitlen(c(w₁w₂)); backoff →
+    * [[LmAlphaBits]] + bitlen(N) − bitlen(c(w₂)), with an OOV w₂
+    * treated as count 1 (the second backoff level). Per-doc sums are
+    * partition-order-independent integers — hash-gated, no float
+    * tolerance. `n_backoff` (how many bigrams fell back) is the
+    * domain-shift signal a curation pass actually reads.
+    *
+    * Scale: both LM tables are vocab-bounded map-side-combined
+    * aggregates over the train split (c(w₁) derived FROM the bigram
+    * table, not a second corpus pass); scoring left-joins the held-out
+    * bigram stream against them — AQE broadcasts small LMs, shuffles
+    * large ones; N is a one-row broadcast. */
+  def lmBackoff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.read(spark, sfDir, "documents")
+      .withColumn("norm", expr(TextNorm.normSql))
+      .select($"doc_id", posexplode(split($"norm", " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    val bigrams = toks.withColumn("t1", lead($"tok", 1).over(w))
+      .filter($"t1".isNotNull)
+      .select($"doc_id", $"tok".as("w1"), $"t1".as("w2"))
+    val train = bigrams.filter($"doc_id" % 2 === 0)
+    val held = bigrams.filter($"doc_id" % 2 =!= 0)
+    val c2 = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val cu = toks.filter($"doc_id" % 2 === 0)
+      .groupBy($"tok").agg(count(lit(1)).as("cu"))
+    val n = cu.agg(sum($"cu").as("n_tok"))
+    held
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(cu.withColumnRenamed("tok", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"c2".isNull.as("backoff"),
+        when($"c2".isNotNull,
+          length(bin($"c1")) - length(bin($"c2")))
+          .otherwise(lit(LmAlphaBits) +
+            length(bin($"n_tok")) - length(bin(coalesce($"cu", lit(1L)))))
+          .cast("long").as("bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"backoff", 1L).otherwise(0L)).as("n_backoff"),
+        sum($"bits").as("bits_total"))
+      .select($"doc_id", $"n_bigrams", $"n_backoff", $"bits_total",
         round($"bits_total".cast("double") / $"n_bigrams", 4)
           .as("bits_per_bigram"))
       .orderBy($"doc_id".asc)

@@ -372,4 +372,32 @@ object StreamingQueries {
         round($"vol_raw", 4).cast("double").as("volume"))
       .orderBy($"event_type".asc, $"day".asc)
   }
+
+  /** STREAMING count-min-sketch maintenance — the d×w CMS count cells
+    * (graft.operators.Sketches geometry, w=2048, d=4) kept as
+    * Complete-mode streaming aggregation state: per-cell COUNTS are
+    * sums, merge-order-invariant, so the stream maintains the
+    * exact-same-cells sketch incrementally whatever the micro-batch
+    * slicing — the same argument as [[hllDistinct]]'s register maxima.
+    * The fixture is delivered in two halves split on ORDERKEY parity
+    * (both halves hit the 5 hot keys and most buckets, so cells are
+    * genuinely summed ACROSS batches, not appended), then the sink's
+    * cells finalize through the shared batch estimator
+    * ([[graft.operators.Sketches.cmsFinalize]]): exact top-10,
+    * min-over-rows estimate, additive error bound. Oracle = the batch
+    * `q_heavy_hitters_cms` SQL — stream ≡ batch, cell for cell.
+    *
+    * This is the 100 TB streaming-frequency shape: a feed maintains
+    * ≤ d·w counters forever with no raw retention, and any consumer
+    * reads heavy-hitter estimates at any time. */
+  def heavyHittersCms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fact = graft.operators.Sketches.cmsFact(spark, sfDir)
+    val out = runFileStream(spark, "cms_cells",
+      Seq(fact.filter($"half" === 0), fact.filter($"half" === 1)),
+      OutputMode.Complete()) { df =>
+      graft.operators.Sketches.cmsCells(df)
+    }
+    graft.operators.Sketches.cmsFinalize(spark, sfDir, out)
+  }
 }

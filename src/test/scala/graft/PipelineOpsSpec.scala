@@ -635,7 +635,10 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
     val active = Tables.read(spark, sf, "events")
       .select("user_id").distinct().collect().map(_.getLong(0)).toSet
-    val avg = spend.values.map(BigDecimal(_)).sum / spend.size
+    // cross-multiplied (t·n > Σ) like the query SQL — exact decimals,
+    // no division-rounding boundary on either side
+    val spendSum = spend.values.map(BigDecimal(_)).sum
+    val nSpend = spend.size
     val cust = Tables.read(spark, sf, "customer")
       .select("c_custkey", "c_mktsegment").collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -649,7 +652,7 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getLong(3) == mine.count(c => !active.contains(c)).toLong,
         s"$seg: NOT EXISTS count")
       assert(r.getLong(4) == mine.count(c =>
-        spend.get(c).exists(BigDecimal(_) > avg)).toLong,
+        spend.get(c).exists(t => BigDecimal(t) * nSpend > spendSum)).toLong,
         s"$seg: scalar-subquery comparison count")
     }
   }
@@ -736,6 +739,68 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getLong(3) <= r.getLong(2),
         "merging can never increase the symbol count")
     }
+  }
+
+  test("bpe merges: a fully-merged corpus stops with a SHORT table, not" +
+      " an empty vocab") {
+    import spark.implicits._
+    // every token is a single symbol — step 1 finds no adjacent pair:
+    // the loop must stop and emit zero merge rows (visible shortfall),
+    // never crossJoin-empty the word table (r8 advice)
+    val words = Seq((5L, "a"), (3L, "b"))
+      .toDF("cnt", "syms")
+    val out = TextAnalysis.bpeMergesFromWords(spark, words, 3).collect()
+    assert(out.isEmpty, s"degenerate corpus must yield NO merges, got " +
+      out.mkString(", "))
+    // and a corpus that exhausts after one merge emits exactly one row
+    val words1 = Seq((5L, "a b"))
+      .toDF("cnt", "syms")
+    val out1 = TextAnalysis.bpeMergesFromWords(spark, words1, 3).collect()
+    assert(out1.length == 1 && out1(0).getString(3) == "ab",
+      s"one-pair corpus must yield exactly the ab merge, got " +
+        out1.mkString(", "))
+  }
+
+  test("lm backoff: bit-exact against an in-memory stupid-backoff" +
+      " reference, and the backoff path fires") {
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    val toks = docs.map(r => r.getLong(0) ->
+      r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq)
+      .toMap
+    val (train, held) = toks.partition(_._1 % 2 == 0)
+    val c2 = train.values.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cu = train.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = cu.values.sum
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val out = TextAnalysis.lmBackoff(spark, sf).collect()
+    val outDocs = out.map(_.getLong(0)).toSet
+    assert(outDocs == held.filter(_._2.length >= 2).keySet,
+      "exactly the held-out docs with ≥1 bigram are scored")
+    var backoffTotal = 0L
+    out.foreach { r =>
+      val bg = held(r.getLong(0)).sliding(2).map(s => (s(0), s(1))).toSeq
+      val bits = bg.map { case (a, b) =>
+        c2.get((a, b)) match {
+          case Some(cab) => (bitlen(c1(a)) - bitlen(cab)).toLong
+          case None =>
+            TextAnalysis.LmAlphaBits + bitlen(n) - bitlen(cu.getOrElse(b, 1L))
+        }
+      }.sum
+      val nBack = bg.count(p => !c2.contains(p)).toLong
+      assert(r.getLong(1) == bg.length.toLong, s"doc ${r.getLong(0)} n")
+      assert(r.getLong(2) == nBack, s"doc ${r.getLong(0)} n_backoff")
+      assert(r.getLong(3) == bits,
+        s"doc ${r.getLong(0)}: bits_total ${r.getLong(3)} != $bits")
+      backoffTotal += nBack
+    }
+    // the POINT of the held-out split: unseen bigrams must actually occur
+    assert(backoffTotal > 0L,
+      "no bigram ever fell back — the held-out split is not exercising" +
+        " stupid backoff")
   }
 
   test("peaks: every reported day is a strict local maximum") {

@@ -525,17 +525,43 @@ class PlanSpec extends SparkSpec {
       s"no window belongs in this plan:\n$p")
   }
 
-  test("text_bpe_merges: iterations run on the frozen word table") {
-    // the (word, count) table is localCheckpoint'ed: every merge step's
-    // pair-count + replace must run off it — no parquet scan may
-    // survive, and winner selection must be an ordered limit
-    val p = plan("text_bpe_merges")
+  test("text_bpe_merges: pair selection runs on the frozen word table") {
+    // the (word, count) table is localCheckpoint'ed and each step's
+    // winner is a 1-row fitted decision off it: the per-step plan must
+    // contain no parquet scan, select via an ordered limit, and use no
+    // window; the final merge table itself is driver-built (the model)
+    val words = graft.operators.TextAnalysis.bpeWordTable(spark, sf)
+    val p = graft.operators.TextAnalysis.bpeTopPair(spark, words)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Scan parquet"),
-      s"merge iterations re-scan the corpus — word table not frozen:\n$p")
+      s"pair selection re-scans the corpus — word table not frozen:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"pair winner must plan as ordered limit, not sort-all:\n$p")
     assert(!p.contains("windowspecdefinition"),
       s"no window belongs in the merge plan:\n$p")
+  }
+
+  test("sim_radius: corpus never shuffles — broadcast scan, map-side" +
+      " τ filter and band audit") {
+    val p = plan("sim_radius")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 3-query set must broadcast against the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"radius search must never shuffle the corpus for a join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window belongs in a radius scan:\n$p")
+  }
+
+  test("text_lm_backoff: windows per doc, no cartesian, partial combine") {
+    val p = plan("text_lm_backoff")
+    val specs = "windowspecdefinition\\(\\w+".r.findAllIn(p).toSeq.distinct
+    assert(specs.nonEmpty && specs.forall(_.endsWith("doc_id")),
+      s"bigram formation must window per doc, got $specs:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"LM tables must partial-combine map-side:\n$p")
   }
 
   test("ev_paths: one per-user window pass, ordered-limit top-k") {

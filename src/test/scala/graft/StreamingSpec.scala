@@ -243,6 +243,16 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, want)
   }
 
+  test("streaming CMS cells merge across batches onto the batch sketch") {
+    // per-cell counts are sums — merge-order-invariant — so two
+    // orderkey-parity deliveries (both halves hit the hot keys, hence
+    // genuinely SUMMED cells, not appended rows) must finalize to the
+    // one-shot batch heavy-hitters report, cell for cell
+    val got = graft.streaming.StreamingQueries.heavyHittersCms(spark, sf)
+    val want = graft.operators.Sketches.heavyHittersCms(spark, sf)
+    assertSameRows(got, want)
+  }
+
   test("streaming OHLC state converges to the batch bars exactly") {
     // min_by/max_by state is merge-order-invariant: the two half-fixture
     // deliveries (split mid-stream, so bars straddle the batch boundary)

@@ -11,6 +11,7 @@ With jsonOut, also writes a per-query {match, rows, detail} JSON summary
 (the committed large-scale sweep artifact).
 """
 import sys, json, glob, os
+from contextlib import closing
 import duckdb
 
 def connect(sf_dir):
@@ -23,6 +24,56 @@ def connect(sf_dir):
     return con
 
 
+def check_one(con, name, d, oracles, record):
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        print(f"  {name}: NO OUTPUT FILES")
+        record(False, 0, "no output files"); return False
+    got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+    if name not in oracles:
+        print(f"  {name}: rows-only ({len(got)} rows)"
+              + (" EMPTY!" if len(got) == 0 else ""))
+        record(len(got) > 0, len(got), "rows-only")
+        return len(got) > 0
+    try:
+        exp = con.execute(oracles[name]).fetchdf()
+    except Exception as e:
+        print(f"  {name}: ORACLE ERROR {type(e).__name__}: "
+              f"{str(e)[:160]}")
+        record(False, len(got), f"oracle error: {str(e)[:160]}")
+        return False
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        print(f"  {name}: COLUMN MISMATCH got={list(got.columns)} "
+              f"exp={list(exp.columns)}")
+        record(False, len(got), "column mismatch"); return False
+    gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    if len(gs) != len(es):
+        print(f"  {name}: ROWCOUNT got={len(gs)} exp={len(es)}")
+        record(False, len(gs), f"rowcount got={len(gs)} exp={len(es)}")
+        return False
+    diffs = []
+    for c in gs.columns:
+        a, b = gs[c], es[c]
+        try:
+            neq = ~((a == b) | (a.isna() & b.isna()))
+        except Exception:
+            neq = a.astype(str) != b.astype(str)
+        if neq.any():
+            i = neq.idxmax()
+            diffs.append(f"{c}[{i}]: got={a[i]!r} exp={b[i]!r} "
+                         f"(n={int(neq.sum())})")
+    if diffs:
+        print(f"  {name}: VALUE MISMATCH " + "; ".join(diffs[:4]))
+        record(False, len(gs), "value mismatch: " + "; ".join(diffs[:4]))
+        return False
+    print(f"  {name}: ok ({len(gs)} rows)")
+    record(True, len(gs), "exact")
+    return True
+
+
 def main(sf_dir, out_dir, json_out=None):
     summary = {}
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -31,64 +82,17 @@ def main(sf_dir, out_dir, json_out=None):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        def record(match, rows, detail, _n=name):
+            summary[_n] = {"match": match, "rows": rows, "detail": detail}
         # FRESH connection per query: at the 10x scale a single
         # connection accumulates buffer-pool blocks across 150+ heavy
         # oracles (recursive CTEs, triple self-joins) until DuckDB's
         # own limit trips — isolation costs milliseconds of view setup
-        con = connect(sf_dir)
-        files = glob.glob(f"{d}/*.parquet")
-        def record(match, rows, detail):
-            summary[name] = {"match": match, "rows": rows, "detail": detail}
-        if not files:
-            print(f"  {name}: NO OUTPUT FILES"); bad += 1
-            record(False, 0, "no output files"); continue
-        got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
-        if name not in oracles:
-            print(f"  {name}: rows-only ({len(got)} rows)"
-                  + (" EMPTY!" if len(got) == 0 else ""))
-            ok += 1 if len(got) else 0
-            bad += 0 if len(got) else 1
-            record(len(got) > 0, len(got), "rows-only")
-            continue
-        try:
-            exp = con.execute(oracles[name]).fetchdf()
-        except Exception as e:
-            print(f"  {name}: ORACLE ERROR {type(e).__name__}: "
-                  f"{str(e)[:160]}")
-            bad += 1
-            record(False, len(got), f"oracle error: {str(e)[:160]}")
-            continue
-        got = got.reindex(sorted(got.columns), axis=1)
-        exp = exp.reindex(sorted(exp.columns), axis=1)
-        if list(got.columns) != list(exp.columns):
-            print(f"  {name}: COLUMN MISMATCH got={list(got.columns)} exp={list(exp.columns)}")
-            bad += 1; record(False, len(got), "column mismatch"); continue
-        gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
-        es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
-        if len(gs) != len(es):
-            print(f"  {name}: ROWCOUNT got={len(gs)} exp={len(es)}")
-            bad += 1
-            record(False, len(gs), f"rowcount got={len(gs)} exp={len(es)}")
-            continue
-        diffs = []
-        for c in gs.columns:
-            a, b = gs[c], es[c]
-            try:
-                neq = ~((a == b) | (a.isna() & b.isna()))
-            except Exception:
-                neq = a.astype(str) != b.astype(str)
-            if neq.any():
-                i = neq.idxmax()
-                diffs.append(f"{c}[{i}]: got={a[i]!r} exp={b[i]!r} "
-                             f"(n={int(neq.sum())})")
-        if diffs:
-            print(f"  {name}: VALUE MISMATCH " + "; ".join(diffs[:4]))
-            bad += 1
-            record(False, len(gs), "value mismatch: " + "; ".join(diffs[:4]))
-        else:
-            print(f"  {name}: ok ({len(gs)} rows)")
-            ok += 1
-            record(True, len(gs), "exact")
+        with closing(connect(sf_dir)) as con:
+            if check_one(con, name, d, oracles, record):
+                ok += 1
+            else:
+                bad += 1
     print(f"== {ok} ok, {bad} bad ==")
     if json_out:
         with open(json_out, "w") as f:
