@@ -226,6 +226,8 @@ object SparkEntry {
     "sim_radius" -> ((s, d) => Similarity.radiusSearch(s, d)),
     "text_lm_backoff" -> ((s, d) => TextAnalysis.lmBackoff(s, d)),
     "sim_topk_pq_kmeans" -> ((s, d) => Similarity.topKPqKmeans(s, d)),
+    "embed_project_pc" -> ((s, d) => Similarity.projectPc(s, d)),
+    "mm_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -1043,6 +1045,51 @@ object SparkEntry {
              AS centroid_norm
     FROM c2 LEFT JOIN counts USING (cell_id)
     ORDER BY cell_id ASC"""
+
+  /** One power-iteration stage of the PCA oracle — HUGEINT throughout
+    * (128-bit == Spark's DECIMAL(38,0) headroom), truncating integer
+    * division on the magnitude (abs-then-sign == Spark's
+    * remainder-stripped floor). */
+  private def pcaIter(prev: String, w: String, m: String, cur: String) =
+    s"""$w AS (
+        SELECT g.i, sum(g.g * $prev.v)::HUGEINT AS w
+        FROM g JOIN $prev ON g.j = $prev.vi GROUP BY g.i
+      ), $m AS (SELECT max(abs(w)) AS m FROM $w), $cur AS (
+        SELECT i AS vi,
+               CASE WHEN w < 0
+                    THEN -((abs(w) * ${Similarity.PcaScale}) // $m.m)
+                    ELSE (abs(w) * ${Similarity.PcaScale}) // $m.m
+               END::HUGEINT AS v
+        FROM $w, $m
+      )"""
+
+  /** Shared power-iteration PCA chain (quantized components →
+    * upper-triangle Gramian mirrored to `g` → three renormalized
+    * matrix–vector stages ending in `v3`) — used by both the
+    * eigensolver report and the rotation-apply oracle. */
+  private val pcaCtes = s"""
+      WITH q AS (
+        SELECT list_transform(embedding,
+                 x -> floor(x::DOUBLE * ${Similarity.PcaScale})::HUGEINT)
+                 AS qv
+        FROM embeddings
+      ), c AS (
+        SELECT unnest(flatten(list_transform(range(len(qv)), i ->
+                 list_transform(range(i, len(qv)), j ->
+                   {'i': i, 'j': j, 'p': qv[i+1] * qv[j+1]})))) AS c
+        FROM q
+      ), gu AS (
+        SELECT c.c.i AS i, c.c.j AS j, sum(c.c.p)::HUGEINT AS g
+        FROM c GROUP BY 1, 2
+      ), g AS (
+        SELECT i, j, g FROM gu
+        UNION ALL
+        SELECT j AS i, i AS j, g FROM gu WHERE i <> j
+      ), v0 AS (
+        SELECT DISTINCT i AS vi, ${Similarity.PcaScale}::HUGEINT AS v FROM g
+      ), ${pcaIter("v0", "w1", "m1", "v1")},
+      ${pcaIter("v1", "w2", "m2", "v2")},
+      ${pcaIter("v2", "w3", "m3", "v3")}"""
 
   private val mmPropsJsonOracle = """
     WITH e AS (
@@ -2069,6 +2116,35 @@ object SparkEntry {
                    frame_idx::int * 16 + ((i - 1) // 3) + 1, 1)))),
                (a, x) -> (a * 31 + x) % 1000000007) AS frame_hash
       FROM idx ORDER BY doc_id ASC, frame_idx ASC""",
+    // replays scene-cut SAD from the text bytes: frame f vs f-1 over 16
+    // gray pixels ×3 replicated channels (hence the ×3); cut where SAD
+    // exceeds the shared threshold; checksum over cut frame indices
+    "mm_scene_cuts" -> s"""
+      WITH d AS (
+        SELECT doc_id, text, (length(text) // 16) AS n_frames
+        FROM documents
+      ), f AS (
+        SELECT doc_id, n_frames, text,
+               unnest(range(1, n_frames)) AS f
+        FROM d WHERE n_frames >= 2
+      ), s AS (
+        SELECT doc_id, n_frames, f,
+               3 * list_sum(list_transform(generate_series(1, 16),
+                 c -> abs(ascii(substr(text, (f*16 + c - 1)::int + 1, 1))
+                          - ascii(substr(text,
+                              ((f-1)*16 + c - 1)::int + 1, 1)))))::BIGINT
+                 AS sad
+        FROM f
+      )
+      SELECT doc_id, n_frames::BIGINT AS n_frames,
+             sum(CASE WHEN sad > ${Multimodal.SceneCutSad}
+                      THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+             (sum(CASE WHEN sad > ${Multimodal.SceneCutSad}
+                       THEN f ELSE 0 END) % 1000000007)::BIGINT
+               AS cut_checksum,
+             max(sad)::BIGINT AS max_sad,
+             (sum(sad) // (n_frames - 1))::BIGINT AS mean_sad
+      FROM s GROUP BY doc_id, n_frames ORDER BY doc_id ASC""",
     // replays the 2x2 box filter over the decoded 16-wide gray image:
     // pixel (y,x) of the output = integer mean of rows {2y, min(2y+1,
     // in_h-1)} (edge-replicate) x cols {2x, 2x+1}, text byte (r*16+c)
@@ -3053,44 +3129,26 @@ object SparkEntry {
     // components, Gramian cell sums, and per-iteration max-renormalized
     // matrix–vector products with truncating integer division on the
     // magnitude (abs-then-sign == Spark's remainder-stripped floor)
-    "embed_pca_power" -> {
-      val sc = Similarity.PcaScale
-      def iter(prev: String, w: String, m: String, cur: String) = s"""$w AS (
-        SELECT g.i, sum(g.g * $prev.v)::HUGEINT AS w
-        FROM g JOIN $prev ON g.j = $prev.vi GROUP BY g.i
-      ), $m AS (SELECT max(abs(w)) AS m FROM $w), $cur AS (
-        SELECT i AS vi,
-               CASE WHEN w < 0 THEN -((abs(w) * $sc) // $m.m)
-                    ELSE (abs(w) * $sc) // $m.m END::HUGEINT AS v
-        FROM $w, $m
-      )"""
-      s"""
-      WITH q AS (
-        SELECT list_transform(embedding,
-                 x -> floor(x::DOUBLE * $sc)::HUGEINT) AS qv
-        FROM embeddings
-      ), c AS (
-        SELECT unnest(flatten(list_transform(range(len(qv)), i ->
-                 list_transform(range(i, len(qv)), j ->
-                   {'i': i, 'j': j, 'p': qv[i+1] * qv[j+1]})))) AS c
-        FROM q
-      ), gu AS (
-        SELECT c.c.i AS i, c.c.j AS j, sum(c.c.p)::HUGEINT AS g
-        FROM c GROUP BY 1, 2
-      ), g AS (
-        SELECT i, j, g FROM gu
-        UNION ALL
-        SELECT j AS i, i AS j, g FROM gu WHERE i <> j
-      ), v0 AS (
-        SELECT DISTINCT i AS vi, $sc::HUGEINT AS v FROM g
-      ), ${iter("v0", "w1", "m1", "v1")}, ${iter("v1", "w2", "m2", "v2")},
-      ${iter("v2", "w3", "m3", "v3")}
+    "embed_pca_power" -> s"""
+      $pcaCtes
       SELECT g.i::BIGINT AS dim, (g.g % ${TextAnalysis.ChecksumP})::BIGINT
                AS gii_mod,
              v3.v::BIGINT AS eigvec_q
       FROM g JOIN v3 ON v3.vi = g.i WHERE g.i = g.j
-      ORDER BY dim ASC"""
-    },
+      ORDER BY dim ASC""",
+    // PCA rotation apply: the same chain through v3, then a per-vector
+    // exact integer dot of quantized components with the eigenvector
+    "embed_project_pc" -> s"""
+      $pcaCtes, ev AS (
+        SELECT list(v ORDER BY vi ASC) AS evl FROM v3
+      )
+      SELECT e2.vec_id, e2.label,
+             list_sum(list_transform(generate_series(1, 64),
+               j -> floor(e2.embedding[j]::DOUBLE
+                          * ${Similarity.PcaScale})::HUGEINT
+                    * ev.evl[j]))::BIGINT AS proj_q
+      FROM embeddings e2, ev
+      ORDER BY e2.vec_id ASC""",
     // FK audit: per-edge orphan row counts via NOT-EXISTS left joins
     "q_fk_integrity" -> """
       WITH e AS (

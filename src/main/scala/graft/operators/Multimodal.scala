@@ -183,6 +183,65 @@ object Multimodal {
       .orderBy($"doc_id".asc, $"frame_idx".asc)
   }
 
+  /** SAD threshold for [[sceneCuts]] — shared with the DuckDB oracle.
+    * Sits between the fixture's p95 (1755) and p99 (1902) frame-pair
+    * SAD, so ~3-4% of transitions register as cuts — a realistic
+    * scene-change rate. */
+  val SceneCutSad = 1800L
+
+  /** Scene-cut detection — the video-curation primitive behind frame
+    * dedup and clip segmentation: decode the payload, treat each pixel
+    * row as a frame ([[frameSample]]'s contract), and score every
+    * CONSECUTIVE frame pair by SAD (sum of absolute differences over
+    * the 48 decoded channel bytes — the standard shot-boundary
+    * statistic); transitions whose SAD exceeds [[SceneCutSad]] are
+    * cuts. Output per video: frame count, cut count, a mod-prime
+    * checksum of the cut frame indices (so the oracle confirms WHICH
+    * transitions fired), max and truncated-mean SAD. All integer
+    * arithmetic — hash-gated end-to-end.
+    *
+    * Scale: one per-partition pass; consecutive frames live in the same
+    * decoded payload so NO self-join and no shuffle of pixel data —
+    * only the per-video summary rows move. */
+  def sceneCuts(spark: SparkSession, sfDir: String,
+      threshold: Long = SceneCutSad): DataFrame = {
+    import spark.implicits._
+    val P = 1000000007L
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+    docs.mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        grayImage(text).filter(_.h >= 2).map { img =>
+          var nCuts = 0L
+          var checksum = 0L
+          var maxSad = 0L
+          var sumSad = 0L
+          var f = 1
+          while (f < img.h) {
+            var sad = 0L
+            var i = f * img.w * 3
+            var j = (f - 1) * img.w * 3
+            val end = i + img.w * 3
+            while (i < end) {
+              sad += math.abs((img.rgb(i) & 0xff) - (img.rgb(j) & 0xff))
+              i += 1
+              j += 1
+            }
+            if (sad > threshold) { nCuts += 1; checksum = (checksum + f) % P }
+            if (sad > maxSad) maxSad = sad
+            sumSad += sad
+            f += 1
+          }
+          (id, img.h.toLong, nCuts, checksum, maxSad,
+            sumSad / (img.h - 1))
+        }
+      }
+    }
+      .toDF("doc_id", "n_frames", "n_cuts", "cut_checksum", "max_sad",
+        "mean_sad")
+      .orderBy($"doc_id".asc)
+  }
+
   /** Perceptual-hash image near-dup — the MULTIMODAL dedup tier: decode
     * the P6 payload, average-hash the decoded pixels (8×8 sample grid:
     * rows i·h/8, every other column; bit = pixel strictly above the

@@ -834,6 +834,22 @@ object Similarity {
     * ONCE. */
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val (gramUpper, v) = pcaGramAndEigvec(spark, sfDir)
+    gramUpper.filter($"i" === $"j")
+      .select($"i", pmod($"g", lit(TextAnalysis.ChecksumP)
+        .cast("decimal(38,0)")).cast("long").as("gii_mod"))
+      .join(v, $"i" === $"vi")
+      .select($"i".cast("long").as("dim"), $"gii_mod",
+        $"v".cast("long").as("eigvec_q"))
+      .orderBy($"dim".asc)
+  }
+
+  /** The shared eigensolver internals: (upper-triangle Gramian,
+    * final iterated eigenvector (vi, v)) — used by [[pcaPower]] (the
+    * report) and [[projectPc]] (the transform). */
+  private def pcaGramAndEigvec(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
     val q = corpus(spark, sfDir)
       .select(expr(s"transform(vec, x -> CAST(floor(x * $PcaScale) " +
         "AS BIGINT))").as("qv"))
@@ -873,12 +889,34 @@ object Similarity {
       v = w.crossJoin(broadcast(m))
         .select($"i".as("vi"), renorm($"w", $"m").as("v"))
     }
-    gramUpper.filter($"i" === $"j")
-      .select($"i", pmod($"g", lit(TextAnalysis.ChecksumP)
-        .cast("decimal(38,0)")).cast("long").as("gii_mod"))
-      .join(v, $"i" === $"vi")
-      .select($"i".cast("long").as("dim"), $"gii_mod",
-        $"v".cast("long").as("eigvec_q"))
-      .orderBy($"dim".asc)
+    (gramUpper, v)
+  }
+
+  /** PCA ROTATION APPLY — project every corpus vector onto the
+    * [[pcaPower]] principal direction, the transform the eigensolver
+    * exists to feed (whitening, 1-D ordering for locality layouts, ANN
+    * rotation). proj_q = Σ_j floor(x_j·1e6)·v_j over the quantized
+    * eigenvector — EXACT integer arithmetic per vector (64 products of
+    * |q| ≤ ~1e7 by |v| ≤ 1e6: far inside Long, and the sum is
+    * per-row, never corpus-sized, so no decimal headroom is needed),
+    * making the whole transform hash-gated like the eigensolver itself.
+    *
+    * Scale: the eigenvector is d rows broadcast; the projection is one
+    * map-side pass over the corpus (posexplode + per-vec collapse);
+    * nothing data-sized moves beyond the per-vector group-by. */
+  def projectPc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, v) = pcaGramAndEigvec(spark, sfDir)
+    val comps = Tables.read(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label", posexplode(expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
+          s" * $PcaScale) AS BIGINT))")).as(Seq("j", "q")))
+    comps
+      .join(broadcast(v.select($"vi".cast("int").as("j"),
+        $"v".cast("long").as("ev"))), Seq("j"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum($"q" * $"ev").as("proj_q"))
+      .select($"vec_id", $"label", $"proj_q")
+      .orderBy($"vec_id".asc)
   }
 }

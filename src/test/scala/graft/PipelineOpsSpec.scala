@@ -803,6 +803,48 @@ class PipelineOpsSpec extends SparkSpec {
         " stupid backoff")
   }
 
+  test("scene cuts: SAD statistics bit-match a byte-level reference") {
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val P = 1000000007L
+    val expect = docs.flatMap { case (id, b) =>
+      val h = b.length / 16
+      if (h < 2) None
+      else {
+        var nCuts = 0L; var cks = 0L; var mx = 0L; var sm = 0L
+        for (f <- 1 until h) {
+          var sad = 0L
+          for (c <- 0 until 16)
+            sad += 3L * math.abs((b(f * 16 + c) & 0xff) -
+              (b((f - 1) * 16 + c) & 0xff))
+          if (sad > graft.operators.Multimodal.SceneCutSad) {
+            nCuts += 1; cks = (cks + f) % P
+          }
+          if (sad > mx) mx = sad
+          sm += sad
+        }
+        Some(id -> (h.toLong, nCuts, cks, mx, sm / (h - 1)))
+      }
+    }.toMap
+    val out = graft.operators.Multimodal.sceneCuts(spark, sf).collect()
+    assert(out.length == expect.size)
+    var totalCuts = 0L
+    out.foreach { r =>
+      val e = expect(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) == e, s"doc ${r.getLong(0)}")
+      totalCuts += r.getLong(2)
+    }
+    // the threshold must be non-vacuous on the fixture: some cuts fire,
+    // and not every transition is a cut
+    assert(totalCuts > 0L, "no scene cut fired — threshold too high")
+    val totalTransitions = expect.values.map(_._1 - 1).sum
+    assert(totalCuts < totalTransitions / 2,
+      "more than half of transitions are cuts — threshold too low")
+  }
+
   test("peaks: every reported day is a strict local maximum") {
     val daily = Tables.read(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))

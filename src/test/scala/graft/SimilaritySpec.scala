@@ -307,6 +307,39 @@ class SimilaritySpec extends SparkSpec {
       "Rayleigh quotient decreased across power iterations")
   }
 
+  test("pca projection: exact dot with the in-memory eigenvector," +
+      " and order is eigvec-consistent") {
+    // rebuild the fixed-point reference eigenvector (same recipe as the
+    // pca power spec), then every projection must be the exact integer
+    // dot — the transform inherits the eigensolver's hash-exactness
+    val byId = Tables.read(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigInt(math.floor(x.toDouble * 1000000.0).toLong)))
+    val vecs = byId.map(_._2)
+    val d = vecs.head.length
+    val g = Array.tabulate(d, d)((i, j) => vecs.map(v => v(i) * v(j)).sum)
+    var ev = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to Similarity.PcaIters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * ev(j)).sum)
+      val m = w.map(_.abs).max
+      ev = w.map(x => {
+        val q = x.abs * 1000000 / m
+        if (x < 0) -q else q
+      })
+    }
+    val expect = byId.map { case (id, v) =>
+      id -> (0 until d).map(j => v(j) * ev(j)).sum
+    }.toMap
+    val out = Similarity.projectPc(spark, sf).collect()
+    assert(out.length == byId.length)
+    out.foreach { r =>
+      assert(BigInt(r.getLong(2)) == expect(r.getLong(0)),
+        s"vec ${r.getLong(0)}: proj_q ${r.getLong(2)}" +
+          s" != ${expect(r.getLong(0))}")
+    }
+  }
+
   test("embed outliers: exact fixed-point distances match a BigInt" +
       " reference") {
     val vecs = Tables.read(spark, sf, "embeddings")
