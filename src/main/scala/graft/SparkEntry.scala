@@ -228,6 +228,9 @@ object SparkEntry {
     "sim_topk_pq_kmeans" -> ((s, d) => Similarity.topKPqKmeans(s, d)),
     "embed_project_pc" -> ((s, d) => Similarity.projectPc(s, d)),
     "mm_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
+    "sim_topk_ivfpq" -> ((s, d) => Similarity.topKIvfPq(s, d)),
+    "dedup_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
+    "mm_audio_silence" -> ((s, d) => Multimodal.audioSilence(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -590,6 +593,43 @@ object SparkEntry {
     SELECT doc_id, min(label) AS cluster_id,
            doc_id = min(label) AS is_keeper
     FROM walk GROUP BY doc_id ORDER BY doc_id ASC"""
+
+  /** One fixed-point PageRank iteration over the replayed minhash edge
+    * graph: per-edge integer contribution rq DIV deg, map-collapsed per
+    * target, damped update — every sum cast back to BIGINT (DuckDB's
+    * sum() widens to HUGEINT). Mirrors one Dedup.pageRank loop step. */
+  private def pageRankIter(prev: String, c: String, cur: String) = s"""$c AS (
+      SELECT e.v AS doc_id, sum(r.rq // e.deg)::BIGINT AS contrib
+      FROM edgesdeg e JOIN $prev r ON r.doc_id = e.u
+      GROUP BY e.v
+    ), $cur AS (
+      SELECT n.doc_id,
+             (150000 + (coalesce(c.contrib, 0) * 85) // 100)::BIGINT AS rq
+      FROM allnodes n LEFT JOIN $c c USING (doc_id)
+    )"""
+
+  /** PageRank oracle: the minhash pair graph replay, then three unrolled
+    * integer-quantized iterations — term-for-term Dedup.pageRank. */
+  private lazy val dedupPagerankOracle = s"""
+    WITH pr AS ($dedupMinhashOracle),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pr
+      UNION ALL
+      SELECT doc_b, doc_a FROM pr
+    ),
+    deg AS (SELECT u, count(*)::BIGINT AS deg FROM edges GROUP BY u),
+    edgesdeg AS (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d USING (u)),
+    allnodes AS (SELECT doc_id FROM documents),
+    r0 AS (SELECT doc_id, 1000000::BIGINT AS rq FROM allnodes),
+    ${pageRankIter("r0", "c1", "r1")},
+    ${pageRankIter("r1", "c2", "r2")},
+    ${pageRankIter("r2", "c3", "r3")}
+    SELECT n.doc_id, coalesce(d.deg, 0)::BIGINT AS degree,
+           r.rq AS rank_q
+    FROM allnodes n
+    LEFT JOIN deg d ON d.u = n.doc_id
+    JOIN r3 r USING (doc_id)
+    ORDER BY doc_id ASC"""
 
   /** SimHash oracle: per-token bit votes from portable modular byte-folds
     * (see Dedup.simHash scaladoc) — DuckDB recomputes the 64 signature
@@ -1463,6 +1503,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> dedupMinhashOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_star" -> dedupClustersOracle,
+    "dedup_pagerank" -> dedupPagerankOracle,
     // end-to-end pipeline: the SHARED cluster oracle (one definition —
     // a second inlined copy of the recursive walk could silently drift)
     // feeds a per-lang survival rollup — kept docs are everything
@@ -1720,6 +1761,80 @@ object SparkEntry {
         FROM est WHERE vec_id != q_id
       )
       SELECT q_id, vec_id, round(dist, 6) AS pq_dist, rnk::INTEGER AS rnk
+      FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC""",
+    // IVF-PQ replay: mix64 seed centroids, cosine-argmax assignment with
+    // exact-double residuals, the seeds' own residuals as the per-subspace
+    // codebook, L2-argmin encoding, per-probed-cell ADC tables on the
+    // query residual, subspace-ordered distance folds — term-for-term the
+    // Similarity.topKIvfPq chain
+    "sim_topk_ivfpq" -> s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), $seedRankCtes, centroids AS (
+        SELECT s.seed_rank AS cell_id, e.v AS cv
+        FROM seeds s JOIN e ON e.vec_id = s.vec_id WHERE s.seed_rank < 16
+      ), assigned AS (
+        SELECT vec_id, cell_id, res FROM (
+          SELECT ev.vec_id, c.cell_id,
+                 list_transform(generate_series(1, 64),
+                   i -> ev.v[i] - c.cv[i]) AS res,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
+                            c.cell_id ASC) AS r
+          FROM e ev CROSS JOIN centroids c
+        ) WHERE r = 1
+      ), cb AS (
+        SELECT t.s, sd.seed_rank AS code,
+               list_transform(generate_series(1, 8),
+                 i -> a.res[t.s*8 + i]) AS cv
+        FROM seeds sd JOIN assigned a ON a.vec_id = sd.vec_id
+        CROSS JOIN generate_series(0, 7) t(s)
+        WHERE sd.seed_rank < 16
+      ), enc AS (
+        SELECT vec_id, cell_id, s, code FROM (
+          SELECT a.vec_id, a.cell_id, cb.s, cb.code,
+                 row_number() OVER (PARTITION BY a.vec_id, cb.s ORDER BY
+                   list_reduce(list_prepend(0.0,
+                     list_transform(generate_series(1, 8),
+                       i -> (a.res[cb.s*8 + i] - cb.cv[i])
+                            * (a.res[cb.s*8 + i] - cb.cv[i]))),
+                     (x, y) -> x + y) ASC,
+                   cb.code ASC) AS r
+          FROM assigned a CROSS JOIN cb
+        ) WHERE r = 1
+      ), probes AS (
+        SELECT q_id, cell_id, qres FROM (
+          SELECT ev.vec_id AS q_id, c.cell_id,
+                 list_transform(generate_series(1, 64),
+                   i -> ev.v[i] - c.cv[i]) AS qres,
+                 row_number() OVER (PARTITION BY ev.vec_id
+                   ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
+                            c.cell_id ASC) AS r
+          FROM e ev CROSS JOIN centroids c WHERE ev.vec_id < 3
+        ) WHERE r <= 4
+      ), qt AS (
+        SELECT p.q_id, p.cell_id, cb.s, cb.code,
+               list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, 8),
+                   i -> (p.qres[cb.s*8 + i] - cb.cv[i])
+                        * (p.qres[cb.s*8 + i] - cb.cv[i]))),
+                 (x, y) -> x + y) AS l2q
+        FROM probes p CROSS JOIN cb
+      ), est AS (
+        SELECT qt.q_id, enc.vec_id,
+               list_reduce(list_prepend(0.0, list(qt.l2q ORDER BY qt.s)),
+                 (a, x) -> a + x) AS dist
+        FROM enc JOIN qt ON enc.cell_id = qt.cell_id
+                        AND enc.s = qt.s AND enc.code = qt.code
+        WHERE enc.vec_id != qt.q_id
+        GROUP BY qt.q_id, enc.vec_id
+      ), r AS (
+        SELECT q_id, vec_id, dist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dist ASC, vec_id ASC) AS rnk
+        FROM est
+      )
+      SELECT q_id, vec_id, round(dist, 6) AS ivfpq_dist, rnk::INTEGER AS rnk
       FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC""",
     // SemDeDup replay: the shared unrolled-Lloyd assignment, within-cell
     // round-6 cosine pairs, the recursive min-reachable walk, per-class
@@ -2097,6 +2212,51 @@ object SparkEntry {
                     (a, x) -> (a * 31 + x) % 1000000007) END
                AS win_energy_hash
       FROM e ORDER BY doc_id ASC""",
+    // silence segmentation replay: per-frame integer energies from the
+    // text bytes, threshold, gaps-and-islands run merge — the run_hash
+    // folds run START frames in order, exactly the Scala byte loop
+    "mm_audio_silence" -> """
+      WITH d AS (
+        SELECT doc_id, text, length(text)::BIGINT AS n
+        FROM documents WHERE length(text) >= 80
+      ), fr AS (
+        SELECT doc_id, w,
+               list_sum(list_transform(
+                 generate_series((w*80 + 1)::int, (w*80 + 80)::int),
+                 i -> ((ascii(substr(text, i, 1)) - 128)
+                       * (ascii(substr(text, i, 1)) - 128))::BIGINT)) AS e
+        FROM d, unnest(generate_series(0, (n // 80 - 1)::int)) t(w)
+      ), sil AS (
+        SELECT doc_id, w FROM fr WHERE e < 156000
+      ), isl AS (
+        SELECT doc_id, w,
+               w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        FROM sil
+      ), runs AS (
+        SELECT doc_id, grp, min(w) AS start_w, count(*) AS len
+        FROM isl GROUP BY doc_id, grp
+      ), agg AS (
+        SELECT doc_id, count(*) AS n_runs, max(len) AS max_run,
+               list_reduce(list_prepend(0::BIGINT,
+                 list(start_w::BIGINT ORDER BY start_w ASC)),
+                 (a, x) -> (a * 31 + x) % 1000000007) AS run_hash
+        FROM runs GROUP BY doc_id
+      ), base AS (
+        SELECT doc_id, (n // 80)::BIGINT AS n_frames FROM d
+      ), cnt AS (
+        SELECT doc_id, count(*)::BIGINT AS n_silent FROM sil GROUP BY doc_id
+      )
+      SELECT b.doc_id, b.n_frames,
+             coalesce(c.n_silent, 0)::BIGINT AS n_silent,
+             coalesce(a.n_runs, 0)::BIGINT AS n_runs,
+             coalesce(a.max_run, 0)::BIGINT AS max_run,
+             round(coalesce(c.n_silent, 0)::DOUBLE / b.n_frames, 4)
+               AS silent_ratio,
+             coalesce(a.run_hash, 0)::BIGINT AS run_hash
+      FROM base b
+      LEFT JOIN cnt c USING (doc_id)
+      LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id ASC""",
     // replays the decoded P6 frames: each frame is a 16-pixel text row,
     // each gray sample replicated into R=G=B — hence the (i-1)//3 over
     // 48 channel bytes (the hash covers the full decoded channel data)

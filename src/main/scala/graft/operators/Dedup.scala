@@ -935,4 +935,61 @@ object Dedup {
         round(lit(3.0) * $"n_triangles" / greatest($"n_wedges", lit(1L)), 6)
           .as("transitivity"))
   }
+
+  /** PageRank over the near-dup pair graph — the centrality pass that
+    * picks CANONICAL documents out of duplicate clusters (the most-linked
+    * copy is the one to keep, the long tail the ones to drop) and feeds
+    * quality-weighted sampling. GraphX's convention: rank₀ = 1, then
+    * `iters` rounds of r(v) = 0.15 + 0.85·Σ_{u∈Γ(v)} r(u)/deg(u) over
+    * the undirected [[minHashLsh]] edges (both directions), no dangling
+    * redistribution — isolated docs hold the 0.15 base.
+    *
+    * FIXED-POINT, like every iterative operator here: ranks are Longs
+    * scaled 1e6; the per-edge contribution is `rq DIV deg` (exact integer
+    * truncation), the damped update `0.15e6 + (85·Σ) DIV 100` — integer
+    * sums are associative, so the result is bit-reproducible under any
+    * partitioning and the DuckDB oracle unrolls the three iterations
+    * exactly (every sum cast back to BIGINT: DuckDB's sum() widens to
+    * HUGEINT, the r7/r8 lesson).
+    *
+    * Scale: the edge list joins ranks on u (equi-join, AQE-splittable)
+    * and the contribution sum collapses MAP-SIDE per v before the
+    * exchange — a degree-D hub costs one row per map task, not D rows
+    * on one reducer. Each iterate is localCheckpoint'ed (constant-size
+    * plans, the [[dedupClusters]] lesson); at 100 TB you'd bucket edges
+    * by u so the per-iteration join never re-shuffles the graph. */
+  def pageRank(spark: SparkSession, sfDir: String, iters: Int = 3)
+      : DataFrame = {
+    import spark.implicits._
+    val pairs = minHashLsh(spark, sfDir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("u", "v")
+      .localCheckpoint(true) // cut the minhash corpus chain out of the loop
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, Seq("u")).localCheckpoint(true)
+    val nodes = Tables.read(spark, sfDir, "documents").select($"doc_id")
+    var ranks = nodes.withColumn("rq", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks.select($"doc_id".as("u"), $"rq"), Seq("u"))
+        .groupBy($"v")
+        .agg(sum(expr("rq DIV deg")).as("contrib"))
+      val next = nodes
+        .join(contrib.select($"v".as("doc_id"), $"contrib"),
+          Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          (lit(150000L) + expr("(coalesce(contrib, 0L) * 85) DIV 100"))
+            .as("rq"))
+        .localCheckpoint(true)
+      dropCheckpoint(ranks)
+      ranks = next
+    }
+    ranks
+      .join(deg.select($"u".as("doc_id"), $"deg"), Seq("doc_id"),
+        "left_outer")
+      .select($"doc_id", coalesce($"deg", lit(0L)).as("degree"),
+        $"rq".as("rank_q"))
+      .orderBy($"doc_id".asc)
+  }
 }

@@ -371,6 +371,76 @@ object Multimodal {
       .orderBy($"doc_id".asc)
   }
 
+  /** Silence / voice-activity segmentation over the decoded WAV stream —
+    * the audio-curation twin of [[sceneCuts]]: frames of `windowSamples`
+    * decoded samples score their integer energy Σ(s−128)²; frames below
+    * `silenceThresh` (calibrated between the fixture's p25 and median —
+    * the spec asserts both silent and voiced frames exist) are silent,
+    * and CONSECUTIVE silent frames merge into runs (the segments an
+    * audio pipeline would cut or drop). Per doc: frame/silent counts,
+    * run count, longest run, silent ratio, and a mod-prime checksum of
+    * run start frames — all integers (+ one round-4 ratio), so the
+    * DuckDB oracle replays every value from the text bytes via
+    * gaps-and-islands. Docs with no complete frame drop out (no 0/0).
+    *
+    * Scale: like every mm_* op the samples never leave their scan
+    * partition — runs are found in the same per-partition byte loop
+    * that decodes; only doc-level summaries shuffle for the final sort. */
+  def audioSilence(spark: SparkSession, sfDir: String,
+      windowSamples: Int = 80, silenceThresh: Long = 156000L): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+    docs.mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val audio = graft.functions.WavCodec
+          .decode(graft.functions.WavCodec.encode(bytes))
+        val s = audio.samples
+        val nWin = s.length / windowSamples
+        if (nWin < 1) None
+        else {
+          var nSilent = 0L
+          var nRuns = 0L
+          var maxRun = 0L
+          var curRun = 0L
+          var runHash = 0L
+          var w = 0
+          while (w < nWin) {
+            var e = 0L
+            var j = w * windowSamples
+            val end = j + windowSamples
+            while (j < end) {
+              val c = (s(j) & 0xff) - 128L
+              e += c * c
+              j += 1
+            }
+            if (e < silenceThresh) {
+              if (curRun == 0L) { // run opens at this frame
+                nRuns += 1L
+                runHash = (runHash * 31L + w) % 1000000007L
+              }
+              curRun += 1L
+              nSilent += 1L
+              if (curRun > maxRun) maxRun = curRun
+            } else curRun = 0L
+            w += 1
+          }
+          Some((id, nWin.toLong, nSilent, nRuns, maxRun, runHash))
+        }
+      }
+    }
+      .toDF("doc_id", "n_frames", "n_silent", "n_runs", "max_run",
+        "run_hash")
+      // the one non-integer column goes through the engine-proven
+      // round(x, 4) path, not driver-side BigDecimal
+      .withColumn("silent_ratio",
+        round($"n_silent".cast("double") / $"n_frames", 4))
+      .select($"doc_id", $"n_frames", $"n_silent", $"n_runs", $"max_run",
+        $"silent_ratio", $"run_hash")
+      .orderBy($"doc_id".asc)
+  }
+
   /** Binary-column feature extraction: text → utf-8 bytes as the stand-in
     * payload (the testdata has no true media column), then the per-
     * partition byte-level extractor. Output is deliberately arithmetic so

@@ -1082,7 +1082,24 @@ object RefQueries {
     val h = li.select(floor($"l_extendedprice" / width).cast("long")
         .as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
-    val tot = li.agg(count(lit(1)).as("total"))
+    histFinalize(h, width)
+  }
+
+  /** CDF finalization over a (bucket, cnt) table — shared by the batch
+    * [[qHistogram]] and its streaming twin (the stream maintains the
+    * bucket counts as Complete-mode state, then finalizes through this
+    * exact code). Total derives from the bucket table itself (every fact
+    * row lands in exactly one bucket), so the fact table is scanned
+    * once; the cumulative column is a triangular broadcast self-join
+    * over the tiny bucket table — no unpartitioned window. */
+  private[graft] def histFinalize(h0: DataFrame, width: Long = HistWidth)
+      : DataFrame = {
+    val spark = h0.sparkSession
+    import spark.implicits._
+    // the bucket table is tiny but feeds three consumers — cut the
+    // upstream (scan or stream-sink read) out of the reuse
+    val h = h0.localCheckpoint(true)
+    val tot = h.agg(sum($"cnt").as("total"))
     val cume = h.as("a").join(broadcast(h.as("b")),
         col("b.bucket") <= col("a.bucket"))
       .groupBy(col("a.bucket").as("bucket")).agg(sum(col("b.cnt")).as("cume"))

@@ -513,6 +513,122 @@ object Similarity {
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
+  /** The mix64 sample's (code, original vec_id) pairs — the same
+    * skew-immune ordering as [[seedVectors]] but keeping the corpus ids,
+    * for model stages that need to look the seeds up again after a
+    * derived transform (the IVF-PQ residual codebook). */
+  private def seedRanks(spark: SparkSession, emb: DataFrame, n: Int)
+      : Array[(Int, Long)] = {
+    import spark.implicits._
+    graft.functions.Mix64.register(spark)
+    emb
+      .select(call_function("mix64", $"vec_id").as("mz"), $"vec_id")
+      .orderBy($"mz".asc, $"vec_id".asc)
+      .limit(n)
+      .as[(Long, Long)]
+      .collect()
+      .sortBy { case (mz, id) => (mz, id) }
+      .zipWithIndex
+      .map { case ((_, id), i) => (i, id) }
+  }
+
+  /** IVF-PQ composite ANN — the two fitted models fused the way a
+    * production vector index runs them (the FAISS `IVF16,PQ8` layout):
+    * the corpus partitions into Voronoi cells around `nCells` broadcast
+    * centroids, each vector's RESIDUAL (vec − its cell centroid) is
+    * product-quantized to `nSub` four-bit codes, and a query probes its
+    * `nprobe` nearest cells scoring candidates entirely in the
+    * compressed domain via per-probed-cell ADC tables built from the
+    * QUERY's residual against that cell. Residual encoding is why the
+    * composite beats flat PQ: within a cell the residuals are small and
+    * centered, so 16 codewords cover them far more densely than they
+    * cover raw vectors.
+    *
+    * Scale shape: assignment + encoding are two broadcast-model passes
+    * over the corpus (at 100 TB the (cell_id, codes) table IS the index
+    * — 4 bytes/vector, bucketed by cell_id so a probe reads only its
+    * cells); the ADC stage touches ~nprobe/nCells of the codes and
+    * never decodes a vector. Fully deterministic — mix64 seeds,
+    * exact-double residual subtraction, sequential L2 folds, fixed
+    * tie-breaks — so the whole composite is hash-gated by a DuckDB
+    * replay like every other ANN tier. */
+  def topKIvfPq(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 3, nCells: Int = 16, nprobe: Int = 4,
+      nSub: Int = 8, nCodes: Int = 16): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val subDim = Dim / nSub
+    val emb = corpus(spark, sfDir)
+    val centroids = broadcast(
+      seedVectors(spark, emb, nCells).toSeq
+        .map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "centroid"))
+    // corpus → nearest cell, carrying the residual for PQ encoding
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"cell_cos".desc, $"cell_id".asc)
+    val assigned = emb.crossJoin(centroids)
+      .withColumn("cell_cos", expr("cosine_sim(vec, centroid)"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter($"r" === 1)
+      .select($"vec_id", $"cell_id",
+        expr("zip_with(vec, centroid, (x, c) -> x - c)").as("res"))
+    // residual codebook: the nCodes mix64 seed vectors' own residuals,
+    // sliced per subspace — a 128-row fitted model (the spark.ml
+    // pattern), collected once and broadcast to both encode and ADC
+    val ranks = seedRanks(spark, emb, nCodes)
+    val rankDf = broadcast(ranks.toSeq.toDF("code", "vec_id"))
+    val cbRows = assigned.join(rankDf, Seq("vec_id"))
+      .select($"code", $"res").as[(Int, Seq[Double])].collect()
+      .sortBy(_._1)
+      .flatMap { case (code, res) =>
+        (0 until nSub).map(s0 =>
+          (s0, code, res.slice(s0 * subDim, (s0 + 1) * subDim)))
+      }
+    val codebook = broadcast(cbRows.toSeq.toDF("s", "code", "cvec"))
+    // encode: per (vec, subspace) the L2-nearest residual codeword —
+    // min_by partial-combines map-side, struct tie-break deterministic
+    val codes = assigned.crossJoin(codebook)
+      .withColumn("l2", expr(
+        s"""aggregate(zip_with(slice(res, s * $subDim + 1, $subDim), cvec,
+                               (x, c) -> (x - c) * (x - c)),
+                      0.0D, (a, x) -> a + x)"""))
+      .groupBy($"vec_id", $"cell_id", $"s")
+      .agg(min_by($"code", struct($"l2", $"code")).as("code"))
+    // query → nprobe nearest cells, carrying the PER-CELL query residual
+    val wProbe = Window.partitionBy($"q_id")
+      .orderBy($"probe_cos".desc, $"cell_id".asc)
+    val probes = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"vec".as("q_vec"))
+      .crossJoin(centroids)
+      .withColumn("probe_cos", expr("cosine_sim(q_vec, centroid)"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter($"r" <= nprobe)
+      .select($"q_id", $"cell_id",
+        expr("zip_with(q_vec, centroid, (x, c) -> x - c)").as("qres"))
+    // ADC tables: (query, probed cell, subspace, code) → squared L2 of
+    // the query residual subvector to the codeword — nQueries · nprobe
+    // · nSub · nCodes rows, broadcast
+    val qtable = broadcast(probes.crossJoin(codebook)
+      .withColumn("l2q", expr(
+        s"""aggregate(zip_with(slice(qres, s * $subDim + 1, $subDim), cvec,
+                               (x, c) -> (x - c) * (x - c)),
+                      0.0D, (a, x) -> a + x)"""))
+      .select($"q_id", $"cell_id", $"s", $"code", $"l2q"))
+    // score: candidates are exactly the vectors whose single home cell
+    // is probed; 8 table lookups folded in subspace order (sequential
+    // IEEE adds — bit-identical in DuckDB's list_reduce)
+    val est = codes.join(qtable, Seq("cell_id", "s", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sort_array(collect_list(struct($"s", $"l2q"))).as("parts"))
+      .withColumn("dist",
+        expr("aggregate(parts, 0.0D, (a, x) -> a + x.l2q)"))
+    val w = Window.partitionBy($"q_id").orderBy($"dist".asc, $"vec_id".asc)
+    est.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"vec_id", round($"dist", 6).as("ivfpq_dist"), $"rnk")
+      .orderBy($"q_id".asc, $"rnk".asc)
+  }
+
   /** Binary (sign-bit) quantized ANN — the 32× compression tier below
     * PQ: each 64-float vector becomes two 32-bit sign words (bit d of
     * word w = sign of component 32w+d; two words, not one 64-bit pack,

@@ -464,4 +464,35 @@ class DedupSpec extends SparkSpec {
       s"oriented count ${r.head.getLong(3)} != naive census $naive")
     assert(naive > 0, "fixture graph must actually contain triangles")
   }
+
+  test("pagerank: bit-exact against an in-memory fixed-point replay") {
+    // reference: the same 3 damped integer iterations over the collected
+    // minhash pair graph — Long division exactly as the operator's
+    // `rq DIV deg`, so equality is exact, not approximate
+    val pairs = Dedup.minHashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map(_.swap)
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = Tables.read(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    var ranks = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => ranks(u) / deg(u) }.sum).toMap
+      ranks = nodes.map(n =>
+        n -> (150000L + contrib.getOrElse(n, 0L) * 85L / 100L)).toMap
+    }
+    val out = Dedup.pageRank(spark, sf).collect()
+    assert(out.length == nodes.length)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == deg.getOrElse(id, 0L), s"doc $id degree")
+      assert(r.getLong(2) == ranks(id),
+        s"doc $id rank_q ${r.getLong(2)} != ${ranks(id)}")
+    }
+    // the statistic must be informative on the fixture: connected docs
+    // out-rank the isolated 0.15 base, and ranks are not all equal
+    assert(out.exists(r => r.getLong(2) > 150000L))
+    assert(out.map(_.getLong(2)).distinct.length > 1)
+  }
 }

@@ -845,6 +845,52 @@ class PipelineOpsSpec extends SparkSpec {
       "more than half of transitions are cuts — threshold too low")
   }
 
+  test("audio silence: runs bit-match a byte-level reference," +
+      " threshold non-vacuous") {
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val P = 1000000007L
+    val expect = docs.flatMap { case (id, b) =>
+      val nWin = b.length / 80
+      if (nWin < 1) None
+      else {
+        var nSil = 0L; var nRuns = 0L; var maxRun = 0L
+        var cur = 0L; var hash = 0L
+        for (w <- 0 until nWin) {
+          var e = 0L
+          for (j <- w * 80 until w * 80 + 80) {
+            val c = (b(j) & 0xff) - 128L
+            e += c * c
+          }
+          if (e < 156000L) {
+            if (cur == 0L) { nRuns += 1; hash = (hash * 31 + w) % P }
+            cur += 1; nSil += 1
+            if (cur > maxRun) maxRun = cur
+          } else cur = 0L
+        }
+        Some(id -> (nWin.toLong, nSil, nRuns, maxRun, hash))
+      }
+    }.toMap
+    val out = graft.operators.Multimodal.audioSilence(spark, sf).collect()
+    assert(out.length == expect.size)
+    var totSil = 0L; var totFrames = 0L
+    out.foreach { r =>
+      val e = expect(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(6)) == e, s"doc ${r.getLong(0)}")
+      // run structure sanity: runs can't outnumber silent frames, and
+      // the longest run can't exceed the silent total
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(4) <= r.getLong(2))
+      totSil += r.getLong(2); totFrames += r.getLong(1)
+    }
+    // calibration guard, both directions (the sceneCuts discipline)
+    assert(totSil > 0L, "no silent frame — threshold too low")
+    assert(totSil < totFrames / 2,
+      "over half the frames silent — threshold too high")
+  }
+
   test("peaks: every reported day is a strict local maximum") {
     val daily = Tables.read(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
