@@ -231,6 +231,8 @@ object SparkEntry {
     "sim_topk_ivfpq" -> ((s, d) => Similarity.topKIvfPq(s, d)),
     "dedup_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
     "mm_audio_silence" -> ((s, d) => Multimodal.audioSilence(s, d)),
+    "stream_histogram" -> ((s, d) =>
+      graft.streaming.StreamingQueries.histogramStream(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -593,6 +595,27 @@ object SparkEntry {
     SELECT doc_id, min(label) AS cluster_id,
            doc_id = min(label) AS is_keeper
     FROM walk GROUP BY doc_id ORDER BY doc_id ASC"""
+
+  /** Equi-width histogram + CDF replay — shared verbatim by
+    * `q_histogram` and its streaming twin `stream_histogram`
+    * (Complete-mode bucket-count maintenance finalizes through the same
+    * batch CDF code, so stream ≡ batch bucket-for-bucket). */
+  private lazy val qHistogramOracle = s"""
+      WITH h AS (
+        SELECT floor(l_extendedprice / ${RefQueries.HistWidth})::BIGINT
+                 AS bucket,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1
+      ), t AS (SELECT sum(cnt)::BIGINT AS total FROM h)
+      SELECT bucket, bucket * ${RefQueries.HistWidth} AS lo_edge,
+             cnt::BIGINT AS cnt,
+             sum(cnt) OVER (ORDER BY bucket ASC
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cume,
+             round(cnt::DOUBLE / total, 6) AS pct,
+             round(sum(cnt) OVER (ORDER BY bucket ASC
+                                  ROWS UNBOUNDED PRECEDING)::DOUBLE
+                   / total, 6) AS cdf
+      FROM h, t ORDER BY bucket ASC"""
 
   /** One fixed-point PageRank iteration over the replayed minhash edge
     * graph: per-edge integer contribution rq DIV deg, map-collapsed per
@@ -3048,22 +3071,10 @@ object SparkEntry {
     // equi-width histogram + CDF: integer counts, single rounded
     // divisions; the oracle's running sum is a window (DuckDB replay
     // only — the Spark side uses a triangular broadcast join)
-    "q_histogram" -> s"""
-      WITH h AS (
-        SELECT floor(l_extendedprice / ${RefQueries.HistWidth})::BIGINT
-                 AS bucket,
-               count(*) AS cnt
-        FROM lineitem GROUP BY 1
-      ), t AS (SELECT sum(cnt)::BIGINT AS total FROM h)
-      SELECT bucket, bucket * ${RefQueries.HistWidth} AS lo_edge,
-             cnt::BIGINT AS cnt,
-             sum(cnt) OVER (ORDER BY bucket ASC
-                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cume,
-             round(cnt::DOUBLE / total, 6) AS pct,
-             round(sum(cnt) OVER (ORDER BY bucket ASC
-                                  ROWS UNBOUNDED PRECEDING)::DOUBLE
-                   / total, 6) AS cdf
-      FROM h, t ORDER BY bucket ASC""",
+    "q_histogram" -> qHistogramOracle,
+    // streaming histogram maintenance finalizes through the shared batch
+    // CDF code — stream ≡ batch, so the oracle is the batch SQL verbatim
+    "stream_histogram" -> qHistogramOracle,
     // frequency-of-frequencies: bitlen(cnt) bands over the vocabulary,
     // exact integer masses, single rounded divisions
     "text_freq_spectrum" -> """

@@ -400,4 +400,35 @@ object StreamingQueries {
     }
     graft.operators.Sketches.cmsFinalize(spark, sfDir, out)
   }
+
+  /** Streaming equi-width histogram + CDF — the distribution-profile
+    * twin of the batch `q_histogram`: per-bucket COUNTS kept as
+    * Complete-mode streaming aggregation state (counts are sums —
+    * merge-order-invariant, the [[heavyHittersCms]]/[[hllDistinct]]
+    * argument), so the stream maintains the exact bucket table
+    * incrementally whatever the micro-batch slicing. The fixture is
+    * delivered in two halves split on ORDERKEY parity (both halves
+    * populate most buckets, so cells genuinely SUM across batches),
+    * then the sink finalizes through the shared batch CDF code
+    * ([[graft.operators.RefQueries.histFinalize]]) — stream ≡ batch,
+    * bucket for bucket. Oracle = the batch `q_histogram` SQL.
+    *
+    * The 100 TB shape: a feed maintains ≤ range/width counters forever
+    * with no raw retention, and any consumer reads the live
+    * distribution (histogram, CDF, percentile estimates) at any time —
+    * the zone-map statistic kept fresh by the stream itself. */
+  def histogramStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice")
+    val width = graft.operators.RefQueries.HistWidth
+    val out = runFileStream(spark, "histogram",
+      Seq(li.filter($"l_orderkey" % 2 === 0),
+        li.filter($"l_orderkey" % 2 === 1)),
+      OutputMode.Complete()) { df =>
+      df.groupBy(floor($"l_extendedprice" / width).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    graft.operators.RefQueries.histFinalize(out.select($"bucket", $"cnt"))
+  }
 }

@@ -261,4 +261,26 @@ class StreamingSpec extends SparkSpec {
     val want = graft.operators.Events.ohlcBars(spark, sf)
     assertSameRows(got, want)
   }
+
+  test("streaming histogram buckets merge across batches onto the batch" +
+      " CDF exactly") {
+    // bucket counts are sums; the parity split puts rows of MOST buckets
+    // in BOTH deliveries, so the Complete-mode state genuinely sums
+    // across batches — finalizing through the shared CDF code must then
+    // equal the one-shot batch histogram row for row
+    val got = graft.streaming.StreamingQueries.histogramStream(spark, sf)
+    val want = graft.operators.RefQueries.qHistogram(spark, sf)
+    assertSameRows(got, want)
+    // and the split is a real cross-batch merge on this fixture: at
+    // least one bucket draws from both parities
+    import org.apache.spark.sql.functions._
+    val li = Tables.read(spark, sf, "lineitem")
+      .select((floor(col("l_extendedprice") /
+        graft.operators.RefQueries.HistWidth)).cast("long").as("bucket"),
+        (col("l_orderkey") % 2).as("par"))
+    val both = li.groupBy("bucket")
+      .agg(countDistinct("par").as("nPar"))
+      .filter(col("nPar") === 2).count()
+    assert(both > 0, "parity split never straddles a bucket — vacuous merge")
+  }
 }
