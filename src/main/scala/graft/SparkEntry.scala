@@ -233,6 +233,8 @@ object SparkEntry {
     "mm_audio_silence" -> ((s, d) => Multimodal.audioSilence(s, d)),
     "stream_histogram" -> ((s, d) =>
       graft.streaming.StreamingQueries.histogramStream(s, d)),
+    "ev_lateness" -> ((s, d) => Events.latenessAudit(s, d)),
+    "text_hash_features" -> ((s, d) => TextAnalysis.hashFeatures(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2517,6 +2519,47 @@ object SparkEntry {
                    ::double /
                    greatest(count(first_click), 1), 4) AS conversion
       FROM per_user""",
+    // lateness audit replay: the same round-robin shard-merge arrival
+    // order (per-shard sequence, count-derived batch size, batch maxima,
+    // lexicographic earlier-batch running max — as a window here, which
+    // is equivalent to the Spark side's triangular join), integer gaps,
+    // mod-prime checksum of the late ids, sums cast back to BIGINT
+    "ev_lateness" -> """
+      WITH e AS (
+        SELECT event_type, event_id, epoch_us(ts) AS us,
+               (event_id % 4)::INT AS shard
+        FROM events
+      ), p AS (
+        SELECT greatest(count(*) // 2048, 4) AS b FROM e
+      ), s AS (
+        SELECT e.*, row_number() OVER (PARTITION BY shard
+                                       ORDER BY event_id ASC) AS seq
+        FROM e
+      ), c AS (
+        SELECT s.*, ((seq - 1) // p.b)::BIGINT AS cycle FROM s, p
+      ), bm AS (
+        SELECT cycle, shard, max(us) AS bmax FROM c GROUP BY cycle, shard
+      ), hw AS (
+        SELECT cycle, shard,
+               max(bmax) OVER (ORDER BY cycle ASC, shard ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS hwm
+        FROM bm
+      ), l AS (
+        SELECT c.event_type, c.event_id,
+               greatest(coalesce(hw.hwm - c.us, 0), 0)::BIGINT AS late_us
+        FROM c JOIN hw USING (cycle, shard)
+      )
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+             max(late_us)::BIGINT AS max_late_us,
+             sum(late_us)::BIGINT AS sum_late_us,
+             round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 4) AS late_ratio,
+             (sum(CASE WHEN late_us > 0 THEN event_id % 1000000007
+                       ELSE 0 END) % 1000000007)::BIGINT
+               AS late_ids_checksum
+      FROM l GROUP BY event_type ORDER BY event_type ASC""",
     // oracle: DuckDB's native inequality (IE) join for the range predicate
     "ev_range_join" -> """
       WITH e AS (
@@ -2536,6 +2579,35 @@ object SparkEntry {
         ON a.user_id = b.user_id AND a.event_id < b.event_id
        AND abs(a.us - b.us) <= 60000000
       GROUP BY a.user_id ORDER BY a.user_id ASC""",
+    // hashing-trick replay: per-token poly_hash % 64 bins, per-doc
+    // sparse-vector summary; the checksum folds the (bin, cnt) pairs
+    // bin-ordered — interleaved with a per-step mod, congruent to the
+    // Spark side's per-struct fold (both reduce mod 1e9+7)
+    "text_hash_features" -> """
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+      ), hh AS (
+        SELECT doc_id,
+               (list_reduce(list_prepend(0::BIGINT,
+                  list_transform(generate_series(1, length(tok)),
+                    i -> ascii(substr(tok, i, 1))::BIGINT)),
+                  (a, x) -> (a * 31 + x) % 1000000007) % 64)::INT AS bin
+        FROM t
+      ), b AS (
+        SELECT doc_id, bin, count(*)::BIGINT AS cnt
+        FROM hh GROUP BY doc_id, bin
+      )
+      SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS nnz,
+             first(bin ORDER BY cnt DESC, bin ASC) AS top_bin,
+             max(cnt)::BIGINT AS top_cnt,
+             list_reduce(list_prepend(0::BIGINT,
+               flatten(list([bin::BIGINT, cnt] ORDER BY bin ASC))),
+               (a, x) -> (a * 31 + x) % 1000000007)::BIGINT
+               AS feat_checksum
+      FROM b GROUP BY doc_id ORDER BY doc_id ASC""",
     "text_tfidf_topk" -> """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(

@@ -538,6 +538,76 @@ object Events {
       .orderBy($"event_type".asc, $"day".asc)
   }
 
+  /** Lateness / out-of-orderness audit — the statistic that SIZES a
+    * streaming pipeline's watermark before any batch operator here turns
+    * into its `stream_*` twin. The fixture's event_id order is perfectly
+    * time-sorted (a single totally-ordered feed has no lateness BY
+    * CONSTRUCTION — any subsequence of a sorted sequence is sorted), so
+    * the audit replays the arrival order that actually produces lateness
+    * in production: a ROUND-ROBIN CONSUMER over `nShards` id-sharded
+    * partitions, draining one `b`-event batch per shard per cycle.
+    * Within a shard order is preserved (per-partition ordering, the
+    * Kafka guarantee); ACROSS shards a cycle's later batches carry
+    * earlier event times — exactly the cross-partition skew watermarks
+    * exist for. The watermark base advances AT BATCH BOUNDARIES from
+    * previous batches' maxima — Spark's own semantics — so an event is
+    * late iff its time sits below the max of all earlier-arriving
+    * batches, and its lateness is that gap: `withWatermark("ts", X)`
+    * would drop exactly the events whose lateness exceeds X.
+    *
+    * All integer microseconds (`unix_micros` ↔ `epoch_us`) — hash-gated.
+    * Scale: the per-shard sequence is a shard-partitioned window; batch
+    * size derives from the corpus count so the BATCH table is bounded
+    * (≤ nShards·targetBatches rows at any corpus size), and the
+    * cross-batch running max is the triangular broadcast self-join over
+    * that bounded table (the `qHistogram` CDF pattern) — no
+    * unpartitioned window anywhere; events rejoin their batch by
+    * broadcast. */
+  def latenessAudit(spark: SparkSession, sfDir: String, nShards: Int = 4,
+      targetBatches: Long = 512L): DataFrame = {
+    import spark.implicits._
+    val P = graft.operators.TextAnalysis.ChecksumP
+    val ev = Tables.read(spark, sfDir, "events")
+      .select($"event_type", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("shard", ($"event_id" % nShards).cast("int"))
+    val n = ev.count()
+    // floor 4, not 1: with b = 1 and near-uniform shards the round-robin
+    // merge reconstructs the global id order exactly (no lateness at all
+    // on a tiny corpus) — a 4-event batch keeps the merge non-trivial at
+    // any scale while changing nothing once n/2048 >= 4
+    val b = math.max(n / (nShards * targetBatches), 4L)
+    val wSeq = Window.partitionBy($"shard").orderBy($"event_id".asc)
+    val seqd = ev.withColumn("seq", row_number().over(wSeq))
+      .withColumn("cycle", expr(s"CAST((seq - 1) DIV $b AS BIGINT)"))
+    val batches = seqd.groupBy($"cycle", $"shard")
+      .agg(max($"us").as("bmax"))
+      .localCheckpoint(true) // bounded table, feeds both join sides
+    // watermark base per batch: max over all EARLIER-ARRIVING batches
+    // ((cycle, shard) lexicographic) — triangular join, never a window
+    val hwm = batches.as("a").join(batches.as("b"),
+        col("b.cycle") < col("a.cycle") ||
+          (col("b.cycle") === col("a.cycle") &&
+            col("b.shard") < col("a.shard")))
+      .groupBy(col("a.cycle").as("cycle"), col("a.shard").as("shard"))
+      .agg(max(col("b.bmax")).as("hwm"))
+    seqd
+      .join(broadcast(hwm), Seq("cycle", "shard"), "left_outer")
+      .withColumn("late_us",
+        greatest(coalesce($"hwm" - $"us", lit(0L)), lit(0L)))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"late_us" > 0, 1L).otherwise(0L)).as("n_late"),
+        max($"late_us").as("max_late_us"),
+        sum($"late_us").as("sum_late_us"),
+        round(sum(when($"late_us" > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("late_ratio"),
+        sum(when($"late_us" > 0, $"event_id" % P).otherwise(0L))
+          .as("late_ids_sum"))
+      .withColumn("late_ids_checksum", $"late_ids_sum" % P)
+      .drop("late_ids_sum")
+      .orderBy($"event_type".asc)
+  }
+
   /** Cutoff splitting [[snapshotDiff]]'s two snapshots — shared with the
     * DuckDB oracle. */
   val DiffCutoff = "2024-01-16"

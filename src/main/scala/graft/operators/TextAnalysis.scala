@@ -1070,6 +1070,47 @@ object TextAnalysis {
     * Token mass is summed as decimal internally (overflow-proof at any
     * corpus size) and exported as a plain BIGINT per band only after
     * the band collapse. */
+  /** Hashing-trick featurization (the HashingTF / Weinberger et al.
+    * ICML'09 shape): each document's tokens hash into `nBins` buckets
+    * via the codegen'd poly_hash — the fixed-width, vocabulary-free
+    * feature vector every linear classifier / quality filter consumes at
+    * corpus scale (no dictionary to build, broadcast, or version; OOV is
+    * impossible by construction). Per doc: the L1 mass (token count),
+    * the number of NONZERO bins, the argmax bin with deterministic
+    * tie-break (highest count, then lowest bin), and a mod-prime
+    * checksum folding the (bin, count) pairs in bin order, so the
+    * oracle confirms the ENTIRE sparse vector, not just its summary.
+    *
+    * Scale: one token explode → (doc, bin) count (map-side combining
+    * partial aggregate) → per-doc collapse; nothing wider than the
+    * sparse vectors themselves ever shuffles, and the feature space is
+    * fixed at nBins regardless of corpus vocabulary. */
+  def hashFeatures(spark: SparkSession, sfDir: String, nBins: Int = 64)
+      : DataFrame = {
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    val P = ChecksumP
+    val bins = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", explode(split(TextNorm.normCol, " ")).as("tok"))
+      .select($"doc_id",
+        (call_function("poly_hash", $"tok", lit(1 << 20)) % nBins)
+          .cast("int").as("bin"))
+      .groupBy($"doc_id", $"bin").agg(count(lit(1)).as("cnt"))
+    bins
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_tokens"),
+        count(lit(1)).as("nnz"),
+        max_by($"bin", struct($"cnt", -$"bin")).as("top_bin"),
+        max($"cnt").as("top_cnt"),
+        sort_array(collect_list(struct($"bin", $"cnt"))).as("vec"))
+      .withColumn("feat_checksum", expr(
+        s"aggregate(vec, 0L, (a, x) -> " +
+          s"((a * 31 + x.bin) * 31 + x.cnt) % $P)"))
+      .select($"doc_id", $"n_tokens", $"nnz", $"top_bin", $"top_cnt",
+        $"feat_checksum")
+      .orderBy($"doc_id".asc)
+  }
+
   def freqSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.read(spark, sfDir, "documents")

@@ -891,6 +891,94 @@ class PipelineOpsSpec extends SparkSpec {
       "over half the frames silent — threshold too high")
   }
 
+  test("lateness audit: bit-exact against a shard-merge arrival replay") {
+    val P = 1000000007L
+    val ev = Tables.read(spark, sf, "events")
+      .selectExpr("event_type", "event_id", "unix_micros(ts) as us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // replay: 4 id-sharded partitions, batch size b = max(n/2048, 1),
+    // arrival order (cycle, shard, within-shard seq); the watermark base
+    // for a batch is the max event time over all earlier batches
+    val b = math.max(ev.length / 2048L, 4L)
+    val byShard = ev.sortBy(_._2).groupBy(x => (x._2 % 4).toInt)
+    val batched = byShard.toSeq.flatMap { case (shard, rows) =>
+      rows.zipWithIndex.map { case ((t, id, us), i) =>
+        (i / b, shard, t, id, us)
+      }
+    }.sortBy { case (cycle, shard, _, id, _) => (cycle, shard, id) }
+    var hwm = Long.MinValue
+    var curBatch = (-1L, -1)
+    var pending = Long.MinValue // max of the in-flight batch
+    val acc = scala.collection.mutable.Map[String, (Long, Long, Long, Long,
+      Long)]().withDefaultValue((0L, 0L, 0L, 0L, 0L))
+    batched.foreach { case (cycle, shard, t, id, us) =>
+      if ((cycle, shard) != curBatch) { // batch boundary: watermark moves
+        curBatch = (cycle, shard)
+        if (pending > hwm) hwm = pending
+        pending = Long.MinValue
+      }
+      val late = if (hwm == Long.MinValue) 0L else math.max(hwm - us, 0L)
+      val (n, nl, mx, sm, ck) = acc(t)
+      acc(t) = (n + 1, nl + (if (late > 0) 1L else 0L),
+        math.max(mx, late), sm + late,
+        if (late > 0) (ck + id % P) % P else ck)
+      if (us > pending) pending = us
+    }
+    val out = graft.operators.Events.latenessAudit(spark, sf).collect()
+    assert(out.length == acc.size)
+    var totLate = 0L
+    out.foreach { r =>
+      val e = acc(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(6)) == e, s"type ${r.getString(0)}")
+      totLate += r.getLong(2)
+    }
+    // the shard merge must actually produce late arrivals (the audit's
+    // reason to exist: the raw feed has zero — any subsequence of a
+    // time-sorted feed is sorted) but not degenerate to all-late;
+    // ~55-60% late is the expected round-robin shape (every event behind
+    // the frontier shard is late by a small cross-shard gap)
+    assert(totLate > 0L, "no late event under the shard-merge replay")
+    assert(totLate < ev.length, "every event late — replay degenerated")
+  }
+
+  test("hash features: sparse vectors bit-match an in-memory hashing" +
+      " replay") {
+    val P = 1000000007L
+    def polyHash(s: String): Long = {
+      var a = 0L
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => a = (a * 31 + (b & 0xff)) % P)
+      a
+    }
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").toSeq)
+    val expect = docs.map { case (id, toks) =>
+      val byBin = toks.groupBy(t => (polyHash(t) % 64).toInt)
+        .view.mapValues(_.size.toLong).toMap
+      val nnz = byBin.size.toLong
+      val (topBin, topCnt) = byBin.toSeq.sortBy { case (b, c) => (-c, b) }.head
+      var cks = 0L
+      byBin.toSeq.sortBy(_._1).foreach { case (b, c) =>
+        cks = ((cks * 31 + b) * 31 + c) % P
+      }
+      id -> (toks.size.toLong, nnz, topBin, topCnt, cks)
+    }.toMap
+    val out = graft.operators.TextAnalysis.hashFeatures(spark, sf).collect()
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val e = expect(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getLong(5)) == e, s"doc ${r.getLong(0)}")
+    }
+    // the 64-bin space must be genuinely shared on this corpus (vectors
+    // collide into dense use), or the trick isn't exercised
+    assert(out.map(_.getLong(2)).max >= 16L,
+      "no document fills even a quarter of the feature space")
+  }
+
   test("peaks: every reported day is a strict local maximum") {
     val daily = Tables.read(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
