@@ -235,6 +235,7 @@ object SparkEntry {
       graft.streaming.StreamingQueries.histogramStream(s, d)),
     "ev_lateness" -> ((s, d) => Events.latenessAudit(s, d)),
     "text_hash_features" -> ((s, d) => TextAnalysis.hashFeatures(s, d)),
+    "mm_shot_stats" -> ((s, d) => Multimodal.shotStats(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2330,6 +2331,53 @@ object SparkEntry {
              max(sad)::BIGINT AS max_sad,
              (sum(sad) // (n_frames - 1))::BIGINT AS mean_sad
       FROM s GROUP BY doc_id, n_frames ORDER BY doc_id ASC""",
+    // shot segmentation replay: same SAD cut stream, shot lengths via
+    // lag over cut frames + the final open shot (a no-cut video is one
+    // full-length shot), lengths folded in start order
+    "mm_shot_stats" -> s"""
+      WITH d AS (
+        SELECT doc_id, text, (length(text) // 16) AS n_frames
+        FROM documents
+      ), f AS (
+        SELECT doc_id, n_frames, text,
+               unnest(range(1, n_frames)) AS f
+        FROM d WHERE n_frames >= 2
+      ), s AS (
+        SELECT doc_id, n_frames, f,
+               3 * list_sum(list_transform(generate_series(1, 16),
+                 c -> abs(ascii(substr(text, (f*16 + c - 1)::int + 1, 1))
+                          - ascii(substr(text,
+                              ((f-1)*16 + c - 1)::int + 1, 1)))))::BIGINT
+                 AS sad
+        FROM f
+      ), cuts AS (
+        SELECT doc_id, f FROM s WHERE sad > ${Multimodal.SceneCutSad}
+      ), base AS (
+        SELECT doc_id, n_frames FROM d WHERE n_frames >= 2
+      ), sh AS (
+        SELECT doc_id,
+               f - coalesce(lag(f) OVER (PARTITION BY doc_id
+                                         ORDER BY f ASC), 0) AS len,
+               coalesce(lag(f) OVER (PARTITION BY doc_id
+                                     ORDER BY f ASC), 0) AS start
+        FROM cuts
+        UNION ALL
+        SELECT b.doc_id, b.n_frames - coalesce(mx.last_cut, 0),
+               coalesce(mx.last_cut, 0)
+        FROM base b
+        LEFT JOIN (SELECT doc_id, max(f) AS last_cut
+                   FROM cuts GROUP BY doc_id) mx USING (doc_id)
+      )
+      SELECT b.doc_id, b.n_frames::BIGINT AS n_frames,
+             count(*)::BIGINT AS n_shots,
+             min(len)::BIGINT AS min_shot,
+             max(len)::BIGINT AS max_shot,
+             list_reduce(list_prepend(0::BIGINT,
+               list(len::BIGINT ORDER BY start ASC)),
+               (a, x) -> (a * 31 + x) % 1000000007)::BIGINT
+               AS len_checksum
+      FROM sh JOIN base b ON sh.doc_id = b.doc_id
+      GROUP BY b.doc_id, b.n_frames ORDER BY b.doc_id ASC""",
     // replays the 2x2 box filter over the decoded 16-wide gray image:
     // pixel (y,x) of the output = integer mean of rows {2y, min(2y+1,
     // in_h-1)} (edge-replicate) x cols {2x, 2x+1}, text byte (r*16+c)

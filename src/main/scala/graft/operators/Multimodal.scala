@@ -242,6 +242,62 @@ object Multimodal {
       .orderBy($"doc_id".asc)
   }
 
+  /** Shot segmentation statistics — what [[sceneCuts]]'s boundary list is
+    * FOR: the cut frames partition each video into shots (the clip units
+    * a curation pipeline samples, captions, or drops), and this op
+    * reports the shot-length distribution per video — shot count,
+    * min/max length, and a mod-prime fold of the lengths IN ORDER so the
+    * oracle confirms the exact segmentation, not just its counts. Same
+    * single decode loop as the cut detector (shots close as cuts are
+    * found — no second pass, no pixel shuffle); videos with no cut are
+    * one full-length shot. */
+  def shotStats(spark: SparkSession, sfDir: String,
+      threshold: Long = SceneCutSad): DataFrame = {
+    import spark.implicits._
+    val P = 1000000007L
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+    docs.mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        grayImage(text).filter(_.h >= 2).map { img =>
+          var lastCut = 0
+          var nShots = 1L
+          var minShot = Long.MaxValue
+          var maxShot = 0L
+          var cks = 0L
+          def close(len: Long): Unit = {
+            if (len < minShot) minShot = len
+            if (len > maxShot) maxShot = len
+            cks = (cks * 31L + len) % P
+          }
+          var f = 1
+          while (f < img.h) {
+            var sad = 0L
+            var i = f * img.w * 3
+            var j = (f - 1) * img.w * 3
+            val end = i + img.w * 3
+            while (i < end) {
+              sad += math.abs((img.rgb(i) & 0xff) - (img.rgb(j) & 0xff))
+              i += 1
+              j += 1
+            }
+            if (sad > threshold) {
+              close(f.toLong - lastCut)
+              nShots += 1
+              lastCut = f
+            }
+            f += 1
+          }
+          close(img.h.toLong - lastCut)
+          (id, img.h.toLong, nShots, minShot, maxShot, cks)
+        }
+      }
+    }
+      .toDF("doc_id", "n_frames", "n_shots", "min_shot", "max_shot",
+        "len_checksum")
+      .orderBy($"doc_id".asc)
+  }
+
   /** Perceptual-hash image near-dup — the MULTIMODAL dedup tier: decode
     * the P6 payload, average-hash the decoded pixels (8×8 sample grid:
     * rows i·h/8, every other column; bit = pixel strictly above the

@@ -845,6 +845,51 @@ class PipelineOpsSpec extends SparkSpec {
       "more than half of transitions are cuts — threshold too low")
   }
 
+  test("shot stats: segmentation bit-matches a byte-level reference and" +
+      " is consistent with the cut detector") {
+    val P = 1000000007L
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val expect = docs.flatMap { case (id, b) =>
+      val h = b.length / 16
+      if (h < 2) None
+      else {
+        val cuts = (1 until h).filter { f =>
+          var sad = 0L
+          for (c <- 0 until 16)
+            sad += 3L * math.abs((b(f * 16 + c) & 0xff) -
+              (b((f - 1) * 16 + c) & 0xff))
+          sad > graft.operators.Multimodal.SceneCutSad
+        }
+        val bounds = 0 +: cuts :+ h
+        val lens = bounds.zip(bounds.drop(1)).map { case (a, z) =>
+          (z - a).toLong }
+        var cks = 0L
+        lens.foreach(l => cks = (cks * 31 + l) % P)
+        Some(id -> (h.toLong, lens.length.toLong, lens.min, lens.max, cks))
+      }
+    }.toMap
+    val out = graft.operators.Multimodal.shotStats(spark, sf).collect()
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val e = expect(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) == e, s"doc ${r.getLong(0)}")
+    }
+    // consistency with the cut detector: n_shots = n_cuts + 1 per video
+    val cutsByDoc = graft.operators.Multimodal.sceneCuts(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      assert(r.getLong(2) == cutsByDoc(r.getLong(0)) + 1,
+        s"doc ${r.getLong(0)}: shots != cuts + 1")
+    }
+    // segmentation must be non-trivial on the fixture: some multi-shot
+    // videos exist
+    assert(out.exists(_.getLong(2) > 1L), "no video has more than one shot")
+  }
+
   test("audio silence: runs bit-match a byte-level reference," +
       " threshold non-vacuous") {
     val docs = Tables.read(spark, sf, "documents")
