@@ -371,12 +371,16 @@ class PlanSpec extends SparkSpec {
       s"daily rollup must partial-combine map-side:\n$p")
   }
 
-  test("q_histogram: window-free CDF, map-side bucket counts") {
+  test("q_histogram: window-free CDF on the frozen bucket table") {
     val p = plan("q_histogram")
     assert(!p.contains("windowspecdefinition"),
       s"CDF must come from the triangular broadcast join, not a window:\n$p")
-    assert(p.contains("partial_count"),
-      s"bucket counts must partial-combine map-side:\n$p")
+    // since the histFinalize refactor the bucket table is
+    // localCheckpoint'ed (it feeds total, cume, and the final join), so
+    // the finalize plan must build on the frozen table — one parquet
+    // scan total, paid before the freeze, not once per consumer
+    assert(!p.toLowerCase.contains("parquet"),
+      s"finalize must run on the frozen bucket table, not re-scan:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"triangular cume join must broadcast the tiny bucket table:\n$p")
   }
@@ -583,5 +587,58 @@ class PlanSpec extends SparkSpec {
         s"$name: every window must partition by user_id, got $specs:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name went cartesian:\n$p")
     }
+  }
+
+  test("ev_lateness: shard-partitioned sequence window, triangular" +
+      " broadcast batch max, no global window") {
+    val p = plan("ev_lateness")
+    val specs = "windowspecdefinition\\(\\w+".r.findAllIn(p).toSeq.distinct
+    assert(specs.nonEmpty && specs.forall(_.endsWith("shard")),
+      s"the per-shard sequence must be the ONLY window, got $specs:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the cross-batch running max must be the triangular broadcast" +
+        s" join over the bounded batch table:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the per-type report must partial-combine map-side:\n$p")
+  }
+
+  test("dedup_pagerank: contributions partial-combine map-side, iterates" +
+      " run on frozen inputs") {
+    val df = SparkEntry.queries("dedup_pagerank")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the loop ran on localCheckpoint'ed iterates: the FINAL plan reads
+    // frozen in-memory scans, not the replayed minhash pipeline (each
+    // iteration's contribution partial_sum lives inside the materialized
+    // iterates and is asserted by the degree aggregate below)
+    assert(!p.toLowerCase.contains("parquet"),
+      s"final iterate must build on frozen inputs, not re-scan parquet:\n$p")
+    assert(p.contains("partial_count"),
+      s"the degree aggregate must partial-combine map-side (hub safety):\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
+  }
+
+  test("text_hash_features: one explode pass, map-side bin counts," +
+      " no join") {
+    val p = plan("text_hash_features")
+    assert(p.contains("partial_count"),
+      s"(doc, bin) counts must partial-combine map-side:\n$p")
+    assert(!p.contains("Join"), s"featurization needs no join at all:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window belongs in feature hashing:\n$p")
+    assert(p.toLowerCase.contains("polyhash"),
+      s"binning must use the codegen'd poly_hash expression:\n$p")
+  }
+
+  test("sim_topk_ivfpq: corpus joins only broadcast fitted models," +
+      " ADC scoring partial-combines") {
+    val p = plan("sim_topk_ivfpq")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized sort-merge join belongs in IVF-PQ:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"centroids/codebook/ADC tables must broadcast:\n$p")
+    assert(p.contains("partial_min") || p.contains("min_by") ||
+      p.contains("partial_sum"),
+      s"encode argmin must partial-combine map-side:\n$p")
   }
 }
