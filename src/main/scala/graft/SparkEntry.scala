@@ -236,6 +236,7 @@ object SparkEntry {
     "ev_lateness" -> ((s, d) => Events.latenessAudit(s, d)),
     "text_hash_features" -> ((s, d) => TextAnalysis.hashFeatures(s, d)),
     "mm_shot_stats" -> ((s, d) => Multimodal.shotStats(s, d)),
+    "ev_ab_assign" -> ((s, d) => Events.abAssign(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2567,6 +2568,43 @@ object SparkEntry {
                    ::double /
                    greatest(count(first_click), 1), 4) AS conversion
       FROM per_user""",
+    // A/B assignment replay: the splitmix64 finalizer in UHUGEINT
+    // wrap-around arithmetic over distinct user ids, signed-domain pmod,
+    // then the per-arm rollup with decimal-exact value totals
+    "ev_ab_assign" -> """
+      WITH u AS (
+        SELECT DISTINCT user_id FROM events
+      ), mz AS (
+        SELECT user_id, ((user_id::UHUGEINT + 11400714819323198485)
+                 % 18446744073709551616)::UBIGINT AS z
+        FROM u
+      ), m1 AS (
+        SELECT user_id, ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                 % 18446744073709551616)::UBIGINT AS z FROM mz
+      ), m2 AS (
+        SELECT user_id, ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                 % 18446744073709551616)::UBIGINT AS z FROM m1
+      ), fin AS (
+        SELECT user_id,
+               CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+                    THEN (xor(z, z >> 31)::HUGEINT
+                          - 18446744073709551616)::BIGINT
+                    ELSE xor(z, z >> 31)::BIGINT END AS m
+        FROM m2
+      ), va AS (
+        SELECT user_id,
+               CASE WHEN ((m % 2) + 2) % 2 = 0 THEN 'A' ELSE 'B' END
+                 AS variant
+        FROM fin
+      )
+      SELECT e.event_type, va.variant, count(*)::BIGINT AS n_events,
+             count(DISTINCT e.user_id)::BIGINT AS n_users,
+             round(sum(e.value::DECIMAL(20,6)), 4)::DOUBLE AS total_value,
+             round(count(*)::DOUBLE / count(DISTINCT e.user_id), 4)
+               AS events_per_user
+      FROM events e JOIN va USING (user_id)
+      GROUP BY e.event_type, va.variant
+      ORDER BY e.event_type ASC, va.variant ASC""",
     // lateness audit replay: the same round-robin shard-merge arrival
     // order (per-shard sequence, count-derived batch size, batch maxima,
     // lexicographic earlier-batch running max — as a window here, which

@@ -538,6 +538,38 @@ object Events {
       .orderBy($"event_type".asc, $"day".asc)
   }
 
+  /** Deterministic experiment (A/B) assignment + per-arm metric rollup —
+    * the hash-bucketing shape production experimentation actually uses:
+    * a user's arm is `pmod(mix64(user_id), 2)` (the codegen'd splitmix64
+    * finalizer — uniform, stateless, reproducible on any engine or
+    * service that can hash, which is WHY experiment systems assign this
+    * way instead of storing a membership table), and the readout is the
+    * per-(event_type, arm) event count, distinct-user count,
+    * decimal-exact value total, and events-per-user rate. The oracle
+    * replays the splitmix64 chain in UHUGEINT arithmetic (the
+    * `text_cap_per_source` convention) and must land on the same arms.
+    *
+    * Scale: assignment is a map-side expression (no membership join, no
+    * state); the rollup is one partial-combining aggregate to ≤
+    * |types|·2 rows. The distinct-user count shuffles (type, arm,
+    * user) partials once — the one unavoidable exchange. */
+  def abAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.Mix64.register(spark)
+    val ev = Tables.read(spark, sfDir, "events")
+      .withColumn("variant",
+        when(pmod(call_function("mix64", $"user_id"), lit(2L)) === 0L,
+          lit("A")).otherwise(lit("B")))
+    ev.groupBy($"event_type", $"variant")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
+          .as("total_value"))
+      .withColumn("events_per_user",
+        round($"n_events".cast("double") / $"n_users", 4))
+      .orderBy($"event_type".asc, $"variant".asc)
+  }
+
   /** Lateness / out-of-orderness audit — the statistic that SIZES a
     * streaming pipeline's watermark before any batch operator here turns
     * into its `stream_*` twin. The fixture's event_id order is perfectly
