@@ -237,6 +237,7 @@ object SparkEntry {
     "text_hash_features" -> ((s, d) => TextAnalysis.hashFeatures(s, d)),
     "mm_shot_stats" -> ((s, d) => Multimodal.shotStats(s, d)),
     "ev_ab_assign" -> ((s, d) => Events.abAssign(s, d)),
+    "q_delta_join" -> ((s, d) => RefQueries.qDeltaJoin(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2568,6 +2569,26 @@ object SparkEntry {
                    ::double /
                    greatest(count(first_click), 1), 4) AS conversion
       FROM per_user""",
+    // delta-join oracle: ONE full join with base/delta flags — an
+    // independent algorithm for the 4-term incremental decomposition,
+    // so the hash match proves (A∪ΔA)⋈(B∪ΔB) = A⋈B + the deltas
+    "q_delta_join" -> """
+      WITH j AS (
+        SELECT o.o_orderpriority,
+               CASE WHEN o.o_orderdate < TIMESTAMP '1999-01-01'
+                     AND l.l_shipdate < TIMESTAMP '1999-01-01'
+                    THEN 'base' ELSE 'delta' END AS kind,
+               l.l_quantity
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      )
+      SELECT o_orderpriority,
+             sum(CASE WHEN kind = 'base' THEN 1 ELSE 0 END)::BIGINT
+               AS n_base,
+             sum(CASE WHEN kind = 'delta' THEN 1 ELSE 0 END)::BIGINT
+               AS n_delta,
+             count(*)::BIGINT AS n_pairs,
+             round(sum(l_quantity::DECIMAL(20,6)), 4)::DOUBLE AS qty_total
+      FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""",
     // A/B assignment replay: the splitmix64 finalizer in UHUGEINT
     // wrap-around arithmetic over distinct user ids, signed-domain pmod,
     // then the per-arm rollup with decimal-exact value totals

@@ -790,6 +790,53 @@ object RefQueries {
     * Sums stay exact: l_quantity is integral, far inside the 2^53
     * double-exact range at any SF (the decimal-sum rule applies to
     * fractional doubles; see qSkewJoin). */
+  /** Incremental JOIN maintenance — the delta identity behind every
+    * materialized-view refresh: with both sides split into base + delta
+    * (a load boundary at `cutoff`),
+    * (A∪ΔA)⋈(B∪ΔB) = A⋈B + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB,
+    * so the refreshed view is the MATERIALIZED base join plus three
+    * delta joins that only touch new data — the reason a nightly load
+    * against a 100 TB view costs O(Δ) not O(A). The operator computes
+    * the per-priority rollup through that 4-term decomposition; the
+    * DuckDB oracle computes it as ONE full join with base/delta flags —
+    * an independent algorithm for the same numbers, so a hash match
+    * PROVES the identity, term for term (count and decimal-exact
+    * quantity mass, base/delta breakdown included).
+    *
+    * Scale: each term is an equi-join on the key; the three delta terms
+    * have a delta-sized side (broadcastable on a real load), and every
+    * term partial-aggregates to ≤ |priorities| rows before the union —
+    * the final combine touches 4·|priorities| rows. */
+  def qDeltaJoin(spark: SparkSession, sfDir: String,
+      cutoff: String = "1999-01-01"): DataFrame = {
+    import spark.implicits._
+    val cut = lit(cutoff).cast("timestamp")
+    val o = Tables.read(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
+    val l = Tables.read(spark, sfDir, "lineitem")
+      .select($"l_orderkey".as("o_orderkey"), $"l_quantity", $"l_shipdate")
+    val oB = o.filter($"o_orderdate" < cut)
+    val oD = o.filter($"o_orderdate" >= cut)
+    val lB = l.filter($"l_shipdate" < cut)
+    val lD = l.filter($"l_shipdate" >= cut)
+    def term(a: DataFrame, b: DataFrame, kind: String): DataFrame =
+      a.join(b, Seq("o_orderkey"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(20,6)")).as("q"))
+        .withColumn("kind", lit(kind))
+    val terms = term(oB, lB, "base")
+      .union(term(oD, lB, "delta"))
+      .union(term(oB, lD, "delta"))
+      .union(term(oD, lD, "delta"))
+    terms.groupBy($"o_orderpriority")
+      .agg(sum(when($"kind" === "base", $"n").otherwise(0L)).as("n_base"),
+        sum(when($"kind" === "delta", $"n").otherwise(0L)).as("n_delta"),
+        sum($"n").as("n_pairs"),
+        round(sum($"q"), 4).cast("double").as("qty_total"))
+      .orderBy($"o_orderpriority".asc)
+  }
+
   def qPreaggRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val daily = Tables.read(spark, sfDir, "lineitem")

@@ -845,6 +845,38 @@ class PipelineOpsSpec extends SparkSpec {
       "more than half of transitions are cuts — threshold too low")
   }
 
+  test("delta join: 4-term decomposition equals the one-shot full join," +
+      " every term populated") {
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum, when}
+    // independent full-join recompute in Spark (the oracle does the same
+    // in DuckDB; this guards the identity without crossing engines)
+    val cut = lit("1999-01-01").cast("timestamp")
+    val o = Tables.read(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = Tables.read(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"),
+        col("l_shipdate"))
+    val full = o.join(l, "o_orderkey")
+      .withColumn("isBase", col("o_orderdate") < cut && col("l_shipdate") < cut)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(col("isBase"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("isBase"), 1L).otherwise(0L)).as("n_delta"),
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("l_quantity").cast("decimal(20,6)")), 4)
+          .cast("double").as("qty_total"))
+    val inc = graft.operators.RefQueries.qDeltaJoin(spark, sf)
+    assertSameRows(inc,
+      full.orderBy(col("o_orderpriority").asc))
+    // the identity is only exercised if base AND delta terms both carry
+    // mass — and the cutoff must split both sides (not just one)
+    val rows = inc.collect()
+    assert(rows.map(_.getLong(1)).sum > 0, "no base pairs")
+    assert(rows.map(_.getLong(2)).sum > 0, "no delta pairs")
+    val oD = o.filter(col("o_orderdate") >= cut).count()
+    val lD = l.filter(col("l_shipdate") >= cut).count()
+    assert(oD > 0 && lD > 0, "cutoff must produce deltas on BOTH sides")
+  }
+
   test("ab assign: arms bit-match an in-memory splitmix64 replay and" +
       " stay balanced") {
     def mix64(x: Long): Long = {
