@@ -238,6 +238,7 @@ object SparkEntry {
     "mm_shot_stats" -> ((s, d) => Multimodal.shotStats(s, d)),
     "ev_ab_assign" -> ((s, d) => Events.abAssign(s, d)),
     "q_delta_join" -> ((s, d) => RefQueries.qDeltaJoin(s, d)),
+    "q_hilbert_layout" -> ((s, d) => RefQueries.qHilbertLayout(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -1525,6 +1526,49 @@ object SparkEntry {
              min(ck)::BIGINT AS ck_lo, max(ck)::BIGINT AS ck_hi,
              min(day)::BIGINT AS day_lo, max(day)::BIGINT AS day_hi
       FROM zz GROUP BY 1 ORDER BY 1 ASC""",
+    // Hilbert layout replay: same 8-bit grid as zorder, then the xy2d
+    // quadrant-rotation loop as a packed-state (d·2^16 + x·2^8 + y)
+    // list_reduce fold over levels 7..0 — pure integer arithmetic,
+    // bit-identical to the codegen'd expression
+    "q_hilbert_layout" -> {
+      val X = "((st // 256) % 256)"
+      val Y = "(st % 256)"
+      val D = "(st // 65536)"
+      val S = "(1 << i)"
+      val RX = s"(CASE WHEN ($X & $S) > 0 THEN 1 ELSE 0 END)"
+      val RY = s"(CASE WHEN ($Y & $S) > 0 THEN 1 ELSE 0 END)"
+      val ND = s"($D + $S * $S * xor(3 * $RX, $RY))"
+      val NX = s"(CASE WHEN $RY = 1 THEN $X" +
+        s" WHEN $RX = 1 THEN 255 - $Y ELSE $Y END)"
+      val NY = s"(CASE WHEN $RY = 1 THEN $Y" +
+        s" WHEN $RX = 1 THEN 255 - $X ELSE $X END)"
+      s"""
+      WITH o AS (
+        SELECT o_custkey AS ck,
+               date_diff('day', DATE '1992-01-01',
+                         cast(o_orderdate AS date)) AS day
+        FROM orders
+      ), s AS (
+        SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+               min(day) AS day_min, max(day) AS day_max FROM o
+      ), g AS (
+        SELECT ck, day,
+               ((ck - ck_min) * 256) // (ck_max - ck_min + 1) AS x8,
+               ((day - day_min) * 256) // (day_max - day_min + 1) AS y8
+        FROM o, s
+      ), h AS (
+        SELECT ck, day,
+               (list_reduce(list_prepend(x8 * 256 + y8,
+                  [7, 6, 5, 4, 3, 2, 1, 0]),
+                  (st, i) -> $ND * 65536 + $NX * 256 + $NY)
+                // 65536) AS hidx
+        FROM g
+      )
+      SELECT (hidx // 24)::BIGINT AS hbucket, count(*) AS cnt,
+             min(ck)::BIGINT AS ck_lo, max(ck)::BIGINT AS ck_hi,
+             min(day)::BIGINT AS day_lo, max(day)::BIGINT AS day_hi
+      FROM h GROUP BY 1 ORDER BY 1 ASC"""
+    },
     "dedup_exact" -> dedupExactOracle,
     "dedup_exact_twopass" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,

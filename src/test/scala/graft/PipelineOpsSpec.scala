@@ -845,6 +845,56 @@ class PipelineOpsSpec extends SparkSpec {
       "more than half of transitions are cuts — threshold too low")
   }
 
+  test("hilbert index: bijective on the 256x256 grid, every step" +
+      " adjacent; layout zone maps no worse than z-order") {
+    // curve properties, exhaustively: xy2d is a bijection onto
+    // [0, 65536) and consecutive indices are Manhattan-distance-1
+    // neighbors — the locality property Morton does NOT have
+    val byD = new Array[(Int, Int)](65536)
+    for (x <- 0 until 256; y <- 0 until 256) {
+      val d = graft.functions.HilbertIndex.xy2d(x.toLong, y.toLong).toInt
+      assert(byD(d) == null, s"collision at d=$d")
+      byD(d) = (x, y)
+    }
+    for (d <- 1 until 65536) {
+      val (x0, y0) = byD(d - 1)
+      val (x1, y1) = byD(d)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"non-adjacent step at d=$d: ($x0,$y0) -> ($x1,$y1)")
+    }
+    // the layout claim, measured: PER-CELL zone-map area under the same
+    // non-aligned 24-cell bucketing (aligned power-of-4 buckets are
+    // squares on BOTH curves — vacuously equal; arbitrary ranges are
+    // where Morton's quadrant jumps widen zones). Hilbert must be
+    // strictly tighter on the dense full grid.
+    def zones(idx: (Int, Int) => Long): Long = {
+      val byBucket = scala.collection.mutable.Map[Long,
+        (Int, Int, Int, Int)]()
+      for (x <- 0 until 256; y <- 0 until 256) {
+        val b = idx(x, y) / 24
+        val cur = byBucket.getOrElse(b, (x, x, y, y))
+        byBucket(b) = (math.min(cur._1, x), math.max(cur._2, x),
+          math.min(cur._3, y), math.max(cur._4, y))
+      }
+      byBucket.values.map { case (xl, xh, yl, yh) =>
+        (xh - xl + 1).toLong * (yh - yl + 1) }.sum
+    }
+    val ha = zones((x, y) => graft.functions.HilbertIndex.xy2d(x, y))
+    val za = zones { (x, y) =>
+      (0 until 8).map(i =>
+        (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))
+      ).sum.toLong
+    }
+    info(f"24-cell-bucket zone area over the full grid: " +
+      f"hilbert $ha%d vs z-order $za%d (${za.toDouble / ha}%.2fx)")
+    assert(ha < za,
+      s"hilbert zone-map area $ha not tighter than z-order's $za")
+    // (the declared queries keep different bucket widths — hilbert 24,
+    // zorder 16 — so their fixture outputs are deliberately NOT
+    // compared: total area scales with bucket size, and the controlled
+    // same-width comparison above is the meaningful one)
+  }
+
   test("delta join: 4-term decomposition equals the one-shot full join," +
       " every term populated") {
     import org.apache.spark.sql.functions.{col, count, lit, round, sum, when}
