@@ -239,6 +239,7 @@ object SparkEntry {
     "ev_ab_assign" -> ((s, d) => Events.abAssign(s, d)),
     "q_delta_join" -> ((s, d) => RefQueries.qDeltaJoin(s, d)),
     "q_hilbert_layout" -> ((s, d) => RefQueries.qHilbertLayout(s, d)),
+    "mm_image_stats" -> ((s, d) => Multimodal.imageStats(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2377,6 +2378,29 @@ object SparkEntry {
              max(sad)::BIGINT AS max_sad,
              (sum(sad) // (n_frames - 1))::BIGINT AS mean_sad
       FROM s GROUP BY doc_id, n_frames ORDER BY doc_id ASC""",
+    // image statistics replay: gray samples are the text bytes; variance
+    // numerator is the exact n*sum(p^2) - sum(p)^2 (no division, no
+    // float); the 4-bin histogram folds with a per-step mod, congruent
+    // to the Scala fold
+    "mm_image_stats" -> """
+      WITH d AS (
+        SELECT doc_id, text, (length(text) // 16) AS h FROM documents
+      ), px AS (
+        SELECT doc_id, ascii(substr(text, i, 1))::BIGINT AS p
+        FROM d, unnest(generate_series(1, (h * 16)::int)) t(i)
+        WHERE h >= 1
+      )
+      SELECT doc_id, count(*)::BIGINT AS n_px, sum(p)::BIGINT AS px_sum,
+             (count(*) * sum(p * p) - sum(p) * sum(p))::BIGINT AS var_num,
+             ((((((sum(CASE WHEN p // 64 = 0 THEN 1 ELSE 0 END)
+                   % 1000000007) * 31
+                + sum(CASE WHEN p // 64 = 1 THEN 1 ELSE 0 END))
+                   % 1000000007) * 31
+                + sum(CASE WHEN p // 64 = 2 THEN 1 ELSE 0 END))
+                   % 1000000007) * 31
+                + sum(CASE WHEN p // 64 = 3 THEN 1 ELSE 0 END))::BIGINT
+               % 1000000007 AS hist_checksum
+      FROM px GROUP BY doc_id ORDER BY doc_id ASC""",
     // shot segmentation replay: same SAD cut stream, shot lengths via
     // lag over cut frames + the final open shot (a no-cut video is one
     // full-length shot), lengths folded in start order

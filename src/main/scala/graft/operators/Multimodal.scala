@@ -242,6 +242,50 @@ object Multimodal {
       .orderBy($"doc_id".asc)
   }
 
+  /** Exact-integer image statistics — the brightness/contrast screen an
+    * image-curation pipeline runs before anything expensive (too-dark,
+    * too-flat, or clipped images are dropped without decoding twice):
+    * per decoded image the pixel count, brightness sum, the EXACT
+    * variance numerator n·Σp² − (Σp)² (the [[graft.operators.Similarity
+    * ]]`.embedOutliers` n²-scaling trick — no division, no float, so the
+    * contrast statistic is hash-gated), and a 4-bin brightness histogram
+    * (p >> 6) folded into a mod-prime checksum. One decode loop per
+    * image; pixels never leave the scan partition. */
+  def imageStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val P = 1000000007L
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+    docs.mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        grayImage(text).map { img =>
+          val n = img.h * img.w
+          var sum = 0L
+          var sumSq = 0L
+          val bins = new Array[Long](4)
+          var r = 0
+          while (r < img.h) {
+            var c = 0
+            while (c < img.w) {
+              val p = (img.rgb((r * img.w + c) * 3) & 0xff).toLong
+              sum += p
+              sumSq += p * p
+              bins((p >> 6).toInt) += 1L
+              c += 1
+            }
+            r += 1
+          }
+          val varNum = n.toLong * sumSq - sum * sum
+          var cks = 0L
+          bins.foreach(b => cks = (cks * 31L + b) % P)
+          (id, n.toLong, sum, varNum, cks)
+        }
+      }
+    }
+      .toDF("doc_id", "n_px", "px_sum", "var_num", "hist_checksum")
+      .orderBy($"doc_id".asc)
+  }
+
   /** Shot segmentation statistics — what [[sceneCuts]]'s boundary list is
     * FOR: the cut frames partition each video into shots (the clip units
     * a curation pipeline samples, captions, or drops), and this op

@@ -845,6 +845,41 @@ class PipelineOpsSpec extends SparkSpec {
       "more than half of transitions are cuts — threshold too low")
   }
 
+  test("image stats: exact moments and histogram bit-match a byte" +
+      " reference; variance numerator is scale-consistent") {
+    val P = 1000000007L
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val expect = docs.flatMap { case (id, b) =>
+      val n = (b.length / 16) * 16
+      if (n < 16) None
+      else {
+        var sum = 0L; var sumSq = 0L
+        val bins = new Array[Long](4)
+        (0 until n).foreach { i =>
+          val p = (b(i) & 0xff).toLong
+          sum += p; sumSq += p * p; bins((p >> 6).toInt) += 1
+        }
+        var cks = 0L
+        bins.foreach(v => cks = (cks * 31 + v) % P)
+        Some(id -> (n.toLong, sum, n * sumSq - sum * sum, cks))
+      }
+    }.toMap
+    val out = graft.operators.Multimodal.imageStats(spark, sf).collect()
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val e = expect(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == e,
+        s"doc ${r.getLong(0)}")
+      // var_num = n^2 * variance >= 0 always; > 0 unless the image is
+      // perfectly flat
+      assert(r.getLong(3) >= 0L)
+    }
+    assert(out.exists(_.getLong(3) > 0L), "every image perfectly flat?")
+  }
+
   test("hilbert index: bijective on the 256x256 grid, every step" +
       " adjacent; layout zone maps no worse than z-order") {
     // curve properties, exhaustively: xy2d is a bijection onto
