@@ -240,6 +240,7 @@ object SparkEntry {
     "q_delta_join" -> ((s, d) => RefQueries.qDeltaJoin(s, d)),
     "q_hilbert_layout" -> ((s, d) => RefQueries.qHilbertLayout(s, d)),
     "mm_image_stats" -> ((s, d) => Multimodal.imageStats(s, d)),
+    "q_dpp_join" -> ((s, d) => Events.dppJoin(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2113,6 +2114,16 @@ object SparkEntry {
       WHERE cast(ts AS date) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       GROUP BY event_type ORDER BY event_type ASC""",
     "ev_cdc_compact" -> evCdcCompactOracle,
+    // DPP join: the runtime-pruned fact join reduces to the same
+    // one-week rollup (nation keys 7..13 → 2024-01-08..2024-01-14) —
+    // correctness is date-filter equivalence; the DYNAMIC part is
+    // plan-guarded in PlanSpec, not visible in rows
+    "q_dpp_join" -> """
+      SELECT event_type, count(*) AS cnt,
+             round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS sum_value
+      FROM events
+      WHERE cast(ts AS date) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      GROUP BY event_type ORDER BY event_type ASC""",
     // streaming declared queries: the oracle is always the equivalent
     // BATCH SQL — the stream must converge to exactly the batch answer
     "stream_window_tumbling" -> evWindowOracle,

@@ -538,6 +538,40 @@ object Events {
       .orderBy($"event_type".asc, $"day".asc)
   }
 
+  /** Dynamic partition pruning — the RUNTIME pruning tier above
+    * [[partitionedScan]]'s plan-time static pruning: the fact side is
+    * the date-partitioned events copy, the dim side a small
+    * parquet-backed date dimension carrying a NON-partition attribute
+    * (`week_tag`), and the query filters on that attribute — so the set
+    * of surviving partitions is unknowable at plan time and Catalyst
+    * must inject a `DynamicPruningExpression` subquery into the fact
+    * scan (reusing the dim's broadcast) that prunes partitions at RUN
+    * time. At 100 TB this is the difference between scanning a month
+    * and scanning a week when the date list comes from a lookup, not a
+    * literal — the fact scan reads only the ~7/30 partitions the
+    * broadcast produced. PlanSpec asserts the pruning subquery is
+    * actually in the scan; a regression to scan-all would still return
+    * correct rows, which is exactly why the plan guard exists. */
+  def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // parquet-backed dim (a LocalRelation would constant-fold the date
+    // list back into a static filter and bypass the dynamic path):
+    // 25 nation rows → 25 consecutive dates, one week tagged 'target'
+    val dim = Tables.read(spark, sfDir, "nation")
+      .select(date_format(date_add(lit("2024-01-01").cast("date"),
+        col("n_nationkey").cast("int")), "yyyy-MM-dd").as("event_date"),
+        when(col("n_nationkey").between(7, 13), lit("target"))
+          .otherwise(lit("other")).as("week_tag"))
+    val fact = spark.read
+      .parquet(graft.sources.Etl.eventsByDayFixture(spark, sfDir))
+    fact.join(dim.filter($"week_tag" === "target"), Seq("event_date"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"value".cast("decimal(20,6)")), 4).cast("double")
+          .as("sum_value"))
+      .orderBy($"event_type".asc)
+  }
+
   /** Deterministic experiment (A/B) assignment + per-arm metric rollup —
     * the hash-bucketing shape production experimentation actually uses:
     * a user's arm is `pmod(mix64(user_id), 2)` (the codegen'd splitmix64

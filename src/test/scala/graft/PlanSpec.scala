@@ -589,6 +589,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_dpp_join: dynamic partition pruning subquery reaches the fact" +
+      " scan") {
+    val df = SparkEntry.queries("q_dpp_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the whole point: the partition filter must be DYNAMIC (runtime
+    // subquery against the dim broadcast), not a static literal list —
+    // a regression to scan-all returns the same rows, so only this
+    // guard catches it
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a DynamicPruningExpression:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"pruning must land in the scan's partition filters:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 7-row dim must broadcast, not shuffle:\n$p")
+  }
+
   test("ev_lateness: shard-partitioned sequence window, triangular" +
       " broadcast batch max, no global window") {
     val p = plan("ev_lateness")
