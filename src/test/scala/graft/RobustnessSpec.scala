@@ -21,9 +21,10 @@ class RobustnessSpec extends SparkSpec {
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .write.parquet(s"$dir/orders.parquet")
-    Seq.empty[(Long, Long, Long, Int, Double, Double, String)]
+    Seq.empty[(Long, Long, Long, Int, Double, Double, String,
+        java.sql.Timestamp)]
       .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_quantity", "l_extendedprice", "l_returnflag")
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
       .write.parquet(s"$dir/lineitem.parquet")
     Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -219,5 +220,24 @@ class RobustnessSpec extends SparkSpec {
     assert(Multimodal.binaryFeatures(spark, emptyDir).count() == 0)
     assert(Multimodal.frameSample(spark, emptyDir).count() == 0)
     assert(Multimodal.resize(spark, emptyDir).count() == 0)
+  }
+
+  test("round-9 operators survive empty inputs") {
+    import graft.operators.{Events, RefQueries}
+    // iterative ops must CONVERGE (not hang or throw) on zero rows
+    assert(Dedup.pageRank(spark, emptyDir).count() == 0)
+    assert(Similarity.topKIvfPq(spark, emptyDir).count() == 0)
+    // per-doc extractors: zero docs, zero rows
+    assert(Multimodal.audioSilence(spark, emptyDir).count() == 0)
+    assert(Multimodal.shotStats(spark, emptyDir).count() == 0)
+    assert(Multimodal.imageStats(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.hashFeatures(spark, emptyDir).count() == 0)
+    // rollups: empty fact, empty report (no divide-by-zero in the
+    // count-derived batch size or the per-arm rates)
+    assert(Events.latenessAudit(spark, emptyDir).count() == 0)
+    assert(Events.abAssign(spark, emptyDir).count() == 0)
+    assert(RefQueries.qDeltaJoin(spark, emptyDir).count() == 0)
+    assert(RefQueries.qHilbertLayout(spark, emptyDir).count() == 0)
+    assert(RefQueries.qHistogram(spark, emptyDir).count() == 0)
   }
 }
