@@ -50,7 +50,8 @@ case class HilbertIndex(left: Expression, right: Expression)
       val ry = ctx.freshName("ry")
       val t = ctx.freshName("t")
       s"""
-        int $x = (int) $a; int $y = (int) $b; int $d = 0;
+        int $x = (int) ($a & 0xFFL); int $y = (int) ($b & 0xFFL);
+        int $d = 0;
         for (int $s = 128; $s > 0; $s >>= 1) {
           int $rx = ($x & $s) > 0 ? 1 : 0;
           int $ry = ($y & $s) > 0 ? 1 : 0;
@@ -70,10 +71,13 @@ case class HilbertIndex(left: Expression, right: Expression)
 }
 
 object HilbertIndex {
-  /** Reference implementation (shared by nullSafeEval and the specs). */
+  /** Reference implementation (shared by nullSafeEval and the specs).
+    * Inputs are masked to the 8-bit grid ([0, 255]) — an out-of-range
+    * coordinate wraps instead of silently producing a garbage index from
+    * stray high bits (the codegen path applies the same mask). */
   def xy2d(xIn: Long, yIn: Long): Long = {
-    var x = xIn.toInt
-    var y = yIn.toInt
+    var x = (xIn & 0xFFL).toInt
+    var y = (yIn & 0xFFL).toInt
     var d = 0
     var s = 128
     while (s > 0) {

@@ -1101,7 +1101,7 @@ class PipelineOpsSpec extends SparkSpec {
     val ev = Tables.read(spark, sf, "events")
       .selectExpr("event_type", "event_id", "unix_micros(ts) as us")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    // replay: 4 id-sharded partitions, batch size b = max(n/2048, 1),
+    // replay: 4 id-sharded partitions, batch size b = max(n/2048, 4),
     // arrival order (cycle, shard, within-shard seq); the watermark base
     // for a batch is the max event time over all earlier batches
     val b = math.max(ev.length / 2048L, 4L)

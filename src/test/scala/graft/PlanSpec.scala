@@ -232,6 +232,25 @@ class PlanSpec extends SparkSpec {
       s"no window operator belongs in this plan:\n$p")
   }
 
+  test("ANN cell assignment is a map-side max_by, never a vec_id window") {
+    // corpus → nearest-centroid must partial-combine BEFORE any exchange
+    // (one row per vector on the wire); a Window.partitionBy(vec_id)
+    // regression re-shuffles the nCells-expanded stream with the full
+    // 64-double payload — 16× the wire for the same argmax
+    val km = plan("embed_kmeans_clusters")
+    assert(!km.contains("Window"),
+      s"kmeans assignment must not window:\n$km")
+    assert(km.contains("partial_max_by"),
+      s"assignment argmax must partial-combine map-side:\n$km")
+    // IVF keeps q_id-partitioned windows (nQueries-bounded, fine); the
+    // corpus-sized vec_id partitioning specifically must be gone
+    Seq("sim_topk_ivf", "sim_topk_ivfpq", "dedup_semantic").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition(vec_id"),
+        s"$q corpus assignment regressed to a vec_id window:\n$p")
+    }
+  }
+
   test("q_grouping_sets: one Expand pass feeding one partial-combined agg") {
     // two sideways breakdowns in a single scan: Expand duplicates each
     // row once per set (2×), then ONE aggregate with map-side partials —

@@ -9,10 +9,18 @@ sort columns by name, sort rows, compare cell-by-cell. Reports match /
 mismatch with diff details. Queries without oracle entries → rows-only.
 With jsonOut, also writes a per-query {match, rows, detail} JSON summary
 (the committed large-scale sweep artifact).
+
+Every sweep ALSO runs tools/typecheck.py over the same dump (the
+output-TYPE audit this compare structurally cannot perform — it compares
+cells numerically, so a DuckDB HUGEINT vs Spark BIGINT divergence that
+fails the driver's type-aware hash passes here). The exit code fails if
+EITHER audit fails; with jsonOut the type audit writes TYPECHECK.json
+next to it as a standing artifact.
 """
 import sys, json, glob, os
 from contextlib import closing
 import duckdb
+import typecheck
 
 def connect(sf_dir):
     con = duckdb.connect()
@@ -98,7 +106,13 @@ def main(sf_dir, out_dir, json_out=None):
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "ok": ok, "bad": bad,
                        "queries": summary}, f, indent=1, sort_keys=True)
-    return 1 if bad else 0
+    # type audit over the same dump — fails the sweep on a type outside
+    # the proven set even when every cell compares equal (the r7/r8
+    # failure class). skip_missing: targeted runs dump a query subset.
+    tc_out = (os.path.join(os.path.dirname(json_out) or ".",
+                           "TYPECHECK.json") if json_out else None)
+    tc_bad = typecheck.main(sf_dir, out_dir, tc_out, skip_missing=True)
+    return 1 if (bad or tc_bad) else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],

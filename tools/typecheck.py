@@ -64,12 +64,22 @@ def audit_types(om, sm):
     return problems
 
 
-def main(sf_dir, out_dir, json_out=None):
+def main(sf_dir, out_dir, json_out=None, skip_missing=False):
+    """Audit every oracle's and Spark dump's output types.
+
+    skip_missing: tolerate queries with no Spark output dir (for
+    check.py's embedded invocation on TARGETED verify runs, where only a
+    subset of queries was dumped — completeness-vs-declared is
+    surveycheck's job, not this tool's). The standalone CLI keeps the
+    strict behavior: a full sweep with a missing dump fails loudly.
+    """
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     summary, ok, bad = {}, 0, 0
     with closing(connect(sf_dir)) as con:
         for name, sql in sorted(oracles.items()):
             d = f"{out_dir}/{name}"
+            if skip_missing and not os.path.isdir(d):
+                continue
             try:
                 om = {r[0]: r[1] for r in con.execute(
                     f"DESCRIBE SELECT * FROM ({sql}) _t").fetchall()}
