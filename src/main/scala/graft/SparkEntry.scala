@@ -241,6 +241,11 @@ object SparkEntry {
     "q_hilbert_layout" -> ((s, d) => RefQueries.qHilbertLayout(s, d)),
     "mm_image_stats" -> ((s, d) => Multimodal.imageStats(s, d)),
     "q_dpp_join" -> ((s, d) => Events.dppJoin(s, d)),
+    "text_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
+    "mm_phash_clusters" -> ((s, d) => Multimodal.phashClusters(s, d)),
+    "q_hilbert_write" -> ((s, d) => RefQueries.qHilbertWrite(s, d)),
+    "stream_classifier_score" -> ((s, d) =>
+      graft.streaming.StreamingQueries.classifierStream(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -603,6 +608,127 @@ object SparkEntry {
     SELECT doc_id, min(label) AS cluster_id,
            doc_id = min(label) AS is_keeper
     FROM walk GROUP BY doc_id ORDER BY doc_id ASC"""
+
+  /** The orders → 8-bit grid → Hilbert index CTE chain (o, s, g, h with
+    * `h(o_orderkey, ck, day, x8, y8, hidx)`), shared by the
+    * `q_hilbert_layout` analysis and the `q_hilbert_write` zone-map
+    * protocol. The xy2d quadrant-rotation loop replays as a packed-state
+    * (d·2^16 + x·2^8 + y) list_reduce fold over levels 7..0 — pure
+    * integer arithmetic, bit-identical to the codegen'd expression. */
+  private lazy val hilbertGridCtes: String = {
+    val X = "((st // 256) % 256)"
+    val Y = "(st % 256)"
+    val D = "(st // 65536)"
+    val S = "(1 << i)"
+    val RX = s"(CASE WHEN ($X & $S) > 0 THEN 1 ELSE 0 END)"
+    val RY = s"(CASE WHEN ($Y & $S) > 0 THEN 1 ELSE 0 END)"
+    val ND = s"($D + $S * $S * xor(3 * $RX, $RY))"
+    val NX = s"(CASE WHEN $RY = 1 THEN $X" +
+      s" WHEN $RX = 1 THEN 255 - $Y ELSE $Y END)"
+    val NY = s"(CASE WHEN $RY = 1 THEN $Y" +
+      s" WHEN $RX = 1 THEN 255 - $X ELSE $X END)"
+    s"""o AS (
+        SELECT o_orderkey, o_custkey AS ck,
+               date_diff('day', DATE '1992-01-01',
+                         cast(o_orderdate AS date)) AS day
+        FROM orders
+      ), s AS (
+        SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+               min(day) AS day_min, max(day) AS day_max FROM o
+      ), g AS (
+        SELECT o_orderkey, ck, day,
+               ((ck - ck_min) * 256) // (ck_max - ck_min + 1) AS x8,
+               ((day - day_min) * 256) // (day_max - day_min + 1) AS y8
+        FROM o, s
+      ), h AS (
+        SELECT o_orderkey, ck, day, x8, y8,
+               (list_reduce(list_prepend(x8 * 256 + y8,
+                  [7, 6, 5, 4, 3, 2, 1, 0]),
+                  (st, i) -> $ND * 65536 + $NX * 256 + $NY)
+                // 65536) AS hidx
+        FROM g
+      )"""
+  }
+
+  /** Classifier-apply replay (per-token poly_hash % 64 bins, the
+    * regenerated integer weight table, per-doc dot, keep = score ≥ 0,
+    * per-lang survival + score checksum) — shared verbatim by
+    * `text_classifier_score` and its Complete-mode streaming twin. */
+  private lazy val classifierScoreOracle = """
+      WITH t AS (
+        SELECT doc_id, lang, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+      ), hh AS (
+        SELECT doc_id, lang,
+               (list_reduce(list_prepend(0::BIGINT,
+                  list_transform(generate_series(1, length(tok)),
+                    i -> ascii(substr(tok, i, 1))::BIGINT)),
+                  (a, x) -> (a * 31 + x) % 1000000007) % 64)::INT AS bin
+        FROM t
+      ), b AS (
+        SELECT doc_id, lang, bin, count(*)::BIGINT AS cnt
+        FROM hh GROUP BY doc_id, lang, bin
+      ), w AS (
+        SELECT bin::INT AS bin,
+               (((bin * 2654435761) + 40503) % 1000003) % 201 - 100 AS w
+        FROM generate_series(0, 63) g(bin)
+      ), d AS (
+        SELECT doc_id, lang, sum(cnt * w.w)::BIGINT AS score
+        FROM b JOIN w USING (bin) GROUP BY doc_id, lang
+      )
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             sum(CASE WHEN score < 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dropped,
+             min(score)::BIGINT AS score_min,
+             max(score)::BIGINT AS score_max,
+             (sum(((score % 1000000007) + 1000000007) % 1000000007)
+               % 1000000007)::BIGINT AS score_checksum
+      FROM d GROUP BY lang ORDER BY lang ASC"""
+
+  /** Perceptual-hash pair replay (aHash grid from the text bytes → two
+    * 32-bit sign words → 4×16-bit band buckets → hamming ≤ 10) — shared
+    * verbatim by `mm_phash_dedup` and, as the pair source of the
+    * recursive CC walk, `mm_phash_clusters`. */
+  private lazy val mmPhashDedupOracle = """
+      WITH d AS (
+        SELECT doc_id, text, (length(text) // 16) AS h
+        FROM documents WHERE (length(text) // 16) >= 8
+      ), grid AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                 k -> ascii(substr(text,
+                   ((((k // 8) * h) // 8) * 16 + 2 * (k % 8) + 1)::int,
+                   1))::BIGINT) AS g
+        FROM d
+      ), sums AS (
+        SELECT doc_id, g, list_sum(g) AS s FROM grid
+      ), sig AS (
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(1, 32),
+                 k -> CASE WHEN 64 * g[k] > s THEN (1::BIGINT << (k - 1))
+                      ELSE 0 END))::BIGINT AS w0,
+               list_sum(list_transform(generate_series(33, 64),
+                 k -> CASE WHEN 64 * g[k] > s THEN (1::BIGINT << (k - 33))
+                      ELSE 0 END))::BIGINT AS w1
+        FROM sums
+      ), banded AS (
+        SELECT doc_id, w0, w1, band,
+               CASE WHEN band = 0 THEN w0 & 65535
+                    WHEN band = 1 THEN (w0 >> 16) & 65535
+                    WHEN band = 2 THEN w1 & 65535
+                    ELSE (w1 >> 16) & 65535 END AS bsig
+        FROM sig CROSS JOIN generate_series(0, 3) t(band)
+      ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               (bit_count(xor(a.w0, b.w0))
+                + bit_count(xor(a.w1, b.w1)))::INTEGER AS hamming
+        FROM banded a JOIN banded b USING (band, bsig)
+        WHERE a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 10
+      ORDER BY doc_a ASC, doc_b ASC"""
 
   /** Equi-width histogram + CDF replay — shared verbatim by
     * `q_histogram` and its streaming twin `stream_histogram`
@@ -1532,45 +1658,45 @@ object SparkEntry {
     // quadrant-rotation loop as a packed-state (d·2^16 + x·2^8 + y)
     // list_reduce fold over levels 7..0 — pure integer arithmetic,
     // bit-identical to the codegen'd expression
-    "q_hilbert_layout" -> {
-      val X = "((st // 256) % 256)"
-      val Y = "(st % 256)"
-      val D = "(st // 65536)"
-      val S = "(1 << i)"
-      val RX = s"(CASE WHEN ($X & $S) > 0 THEN 1 ELSE 0 END)"
-      val RY = s"(CASE WHEN ($Y & $S) > 0 THEN 1 ELSE 0 END)"
-      val ND = s"($D + $S * $S * xor(3 * $RX, $RY))"
-      val NX = s"(CASE WHEN $RY = 1 THEN $X" +
-        s" WHEN $RX = 1 THEN 255 - $Y ELSE $Y END)"
-      val NY = s"(CASE WHEN $RY = 1 THEN $Y" +
-        s" WHEN $RX = 1 THEN 255 - $X ELSE $X END)"
-      s"""
-      WITH o AS (
-        SELECT o_custkey AS ck,
-               date_diff('day', DATE '1992-01-01',
-                         cast(o_orderdate AS date)) AS day
-        FROM orders
-      ), s AS (
-        SELECT min(ck) AS ck_min, max(ck) AS ck_max,
-               min(day) AS day_min, max(day) AS day_max FROM o
-      ), g AS (
-        SELECT ck, day,
-               ((ck - ck_min) * 256) // (ck_max - ck_min + 1) AS x8,
-               ((day - day_min) * 256) // (day_max - day_min + 1) AS y8
-        FROM o, s
-      ), h AS (
-        SELECT ck, day,
-               (list_reduce(list_prepend(x8 * 256 + y8,
-                  [7, 6, 5, 4, 3, 2, 1, 0]),
-                  (st, i) -> $ND * 65536 + $NX * 256 + $NY)
-                // 65536) AS hidx
-        FROM g
-      )
+    "q_hilbert_layout" -> s"""
+      WITH $hilbertGridCtes
       SELECT (hidx // 24)::BIGINT AS hbucket, count(*) AS cnt,
              min(ck)::BIGINT AS ck_lo, max(ck)::BIGINT AS ck_hi,
              min(day)::BIGINT AS day_lo, max(day)::BIGINT AS day_hi
-      FROM h GROUP BY 1 ORDER BY 1 ASC"""
-    },
+      FROM h GROUP BY 1 ORDER BY 1 ASC""",
+    // the write-path twin: same grid + fold, then the zone-map protocol
+    // — per-bucket (x8, y8) zone maps, rectangle-overlap bucket count,
+    // and the exact rectangle aggregate (pruning is exact by zone-map
+    // soundness, so the oracle needs no prune of its own); every sum
+    // reduced mod P before the BIGINT cast (HUGEINT-safe)
+    "q_hilbert_write" -> s"""
+      WITH $hilbertGridCtes, hb AS (
+        SELECT o_orderkey, x8, y8, (hidx // 24) AS hbucket FROM h
+      ), z AS (
+        SELECT hbucket, min(x8) AS x_lo, max(x8) AS x_hi,
+               min(y8) AS y_lo, max(y8) AS y_hi
+        FROM hb GROUP BY hbucket
+      ), zc AS (
+        SELECT count(*)::BIGINT AS n_buckets_total,
+               sum(CASE WHEN x_hi >= ${RefQueries.HilbertRect._1}
+                         AND x_lo <= ${RefQueries.HilbertRect._2}
+                         AND y_hi >= ${RefQueries.HilbertRect._3}
+                         AND y_lo <= ${RefQueries.HilbertRect._4}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_buckets_scanned
+        FROM z
+      ), m AS (
+        SELECT count(*)::BIGINT AS n_rows,
+               (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                    % 1000000007) % 1000000007)::BIGINT AS key_checksum
+        FROM hb
+        WHERE x8 BETWEEN ${RefQueries.HilbertRect._1}
+                     AND ${RefQueries.HilbertRect._2}
+          AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                     AND ${RefQueries.HilbertRect._4}
+      )
+      SELECT zc.n_buckets_total, zc.n_buckets_scanned,
+             m.n_rows, m.key_checksum
+      FROM zc, m""",
     "dedup_exact" -> dedupExactOracle,
     "dedup_exact_twopass" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
@@ -2489,44 +2615,40 @@ object SparkEntry {
     // decoded gray pixel (i*h/8, 2j) = text byte at (i*h/8)*16 + 2j;
     // bit = 64*g > grid sum (strict, integer-exact); two 32-bit words,
     // 4x16-bit band buckets, bit_count(xor) hamming <= 10
-    "mm_phash_dedup" -> """
-      WITH d AS (
-        SELECT doc_id, text, (length(text) // 16) AS h
-        FROM documents WHERE (length(text) // 16) >= 8
-      ), grid AS (
-        SELECT doc_id,
-               list_transform(generate_series(0, 63),
-                 k -> ascii(substr(text,
-                   ((((k // 8) * h) // 8) * 16 + 2 * (k % 8) + 1)::int,
-                   1))::BIGINT) AS g
-        FROM d
-      ), sums AS (
-        SELECT doc_id, g, list_sum(g) AS s FROM grid
-      ), sig AS (
-        SELECT doc_id,
-               list_sum(list_transform(generate_series(1, 32),
-                 k -> CASE WHEN 64 * g[k] > s THEN (1::BIGINT << (k - 1))
-                      ELSE 0 END))::BIGINT AS w0,
-               list_sum(list_transform(generate_series(33, 64),
-                 k -> CASE WHEN 64 * g[k] > s THEN (1::BIGINT << (k - 33))
-                      ELSE 0 END))::BIGINT AS w1
-        FROM sums
-      ), banded AS (
-        SELECT doc_id, w0, w1, band,
-               CASE WHEN band = 0 THEN w0 & 65535
-                    WHEN band = 1 THEN (w0 >> 16) & 65535
-                    WHEN band = 2 THEN w1 & 65535
-                    ELSE (w1 >> 16) & 65535 END AS bsig
-        FROM sig CROSS JOIN generate_series(0, 3) t(band)
-      ), pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               (bit_count(xor(a.w0, b.w0))
-                + bit_count(xor(a.w1, b.w1)))::INTEGER AS hamming
-        FROM banded a JOIN banded b USING (band, bsig)
-        WHERE a.doc_id < b.doc_id
+    "mm_phash_dedup" -> mmPhashDedupOracle,
+    // the SHARED phash pair replay feeds the recursive min-reachable
+    // walk (the dedup_clusters oracle pattern) + per-lang survival —
+    // one pair definition, so the two mm_phash_* oracles cannot drift
+    "mm_phash_clusters" -> s"""
+      WITH RECURSIVE pr AS ($mmPhashDedupOracle),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pr
+        UNION ALL
+        SELECT doc_b, doc_a FROM pr
+      ),
+      nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+      walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON w.doc_id = e.b
+      ),
+      lab AS (
+        SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id
+      ),
+      dup AS (SELECT doc_id FROM lab WHERE cluster_id <> doc_id),
+      d AS (
+        SELECT doc_id, lang, n_chars,
+               doc_id IN (SELECT doc_id FROM dup) AS removed
+        FROM documents
       )
-      SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 10
-      ORDER BY doc_a ASC, doc_b ASC""",
+      SELECT lang, count(*)::BIGINT AS n_imgs,
+             sum(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+             sum(CASE WHEN NOT removed THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             sum(CASE WHEN NOT removed THEN n_chars ELSE 0 END)::BIGINT
+               AS bytes_kept,
+             sum(CASE WHEN removed THEN n_chars ELSE 0 END)::BIGINT
+               AS bytes_saved
+      FROM d GROUP BY lang ORDER BY lang ASC""",
     "mm_crossmodal_join" -> """
       WITH v AS (
         SELECT vec_id AS doc_id,
@@ -2742,6 +2864,7 @@ object SparkEntry {
              sum(late_us)::BIGINT AS sum_late_us,
              round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::DOUBLE
                    / count(*), 4) AS late_ratio,
+             round(quantile_cont(late_us, 0.99), 4) AS wm_p99_us,
              (sum(CASE WHEN late_us > 0 THEN event_id % 1000000007
                        ELSE 0 END) % 1000000007)::BIGINT
                AS late_ids_checksum
@@ -2794,6 +2917,15 @@ object SparkEntry {
                (a, x) -> (a * 31 + x) % 1000000007)::BIGINT
                AS feat_checksum
       FROM b GROUP BY doc_id ORDER BY doc_id ASC""",
+    // classifier apply over the hashing-trick bins: same poly_hash % 64
+    // replay, weights regenerated from the shared integer formula
+    // (TextAnalysis.classifierWeight), per-doc integer dot, keep = score
+    // >= 0, per-lang survival + exact range + mod-prime score checksum
+    // (HUGEINT-safe: the sum is reduced mod P before the BIGINT cast);
+    // shared verbatim by the Complete-mode streaming twin (stream ≡
+    // batch — same rollup cells, same finalizer)
+    "text_classifier_score" -> classifierScoreOracle,
+    "stream_classifier_score" -> classifierScoreOracle,
     "text_tfidf_topk" -> """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(

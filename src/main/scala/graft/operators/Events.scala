@@ -667,6 +667,14 @@ object Events {
         sum($"late_us").as("sum_late_us"),
         round(sum(when($"late_us" > 0, 1L).otherwise(0L)).cast("double") /
           count(lit(1)), 4).as("late_ratio"),
+        // the watermark RECOMMENDATION the audit exists to produce:
+        // `withWatermark("ts", wm_p99_us)` admits ≥ 99% of this type's
+        // events (lateness 0 rows included — the percentile is over ALL
+        // arrivals, which is what sizing a delay budget means). Exact
+        // sort-based percentile on the integer micros, rounded 4 dp on
+        // both engines (the anomalyMad discipline); at 100 TB per-group
+        // value sets past a partition swap to approx_percentile
+        round(expr("percentile(late_us, 0.99)"), 4).as("wm_p99_us"),
         sum(when($"late_us" > 0, $"event_id" % P).otherwise(0L))
           .as("late_ids_sum"))
       .withColumn("late_ids_checksum", $"late_ids_sum" % P)

@@ -415,6 +415,48 @@ object Multimodal {
       .orderBy($"doc_a".asc, $"doc_b".asc)
   }
 
+  /** Perceptual-hash dup-CLUSTER resolution + survival rollup — the
+    * image twin of the text `Dedup.dedupPipeline`, closing the
+    * multimodal dedup loop: [[phashDedup]]'s banded hamming pairs feed
+    * the SHARED hub-skew-safe large-star/small-star connected-components
+    * resolver (`Dedup.connectedComponentsStar` — one CC implementation
+    * serves both modalities, so its committed shuffle gates cover this
+    * path too), the canonical image per cluster is the component's min
+    * doc_id (the keeper), and the rollup reports per-language how many
+    * images survive and how many payload bytes the dedup saves. Oracle:
+    * the `mm_phash_dedup` bit replay composed with the recursive-CTE
+    * min-reachable-label walk (the `dedup_clusters` oracle pattern) and
+    * the survival aggregate.
+    *
+    * Scale: pairs are band-bucketed (never all-pairs); the CC iterate is
+    * bounded by the dup-pair graph — the duplicated minority, not the
+    * corpus; the corpus join streams against the small label side (AQE
+    * picks broadcast when it fits); one ≤ |langs| map-side-combined
+    * rollup. Pixels never travel: only 16-byte signatures, pairs, and
+    * labels ever shuffle. */
+  def phashClusters(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 10): DataFrame = {
+    import spark.implicits._
+    val pairs = phashDedup(spark, sfDir, maxHamming)
+      .select($"doc_a", $"doc_b")
+    val (labels, _) = Dedup.connectedComponentsStar(pairs)
+    val dupFlag = labels
+      .select($"doc_id", ($"label" =!= $"doc_id").as("dup"))
+    Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+      .join(dupFlag, Seq("doc_id"), "left_outer")
+      .withColumn("removed", coalesce($"dup", lit(false)))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_imgs"),
+        sum(when($"removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!$"removed", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!$"removed", $"n_chars".cast("long")).otherwise(0L))
+          .as("bytes_kept"),
+        sum(when($"removed", $"n_chars".cast("long")).otherwise(0L))
+          .as("bytes_saved"))
+      .orderBy($"lang".asc)
+  }
+
   /** Real audio feature extraction: each document's payload is an 8-bit
     * mono PCM WAV (samples = the text's bytes — same stand-in-payload
     * contract as the image ops), genuinely round-tripped through the

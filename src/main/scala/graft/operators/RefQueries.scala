@@ -835,6 +835,64 @@ object RefQueries {
       .orderBy($"hbucket".asc)
   }
 
+  /** The 2-D range rectangle [[qHilbertWrite]] scans, in grid units
+    * (0..255): (x_lo, x_hi, y_lo, y_hi). Deliberately UNALIGNED to any
+    * power-of-4 quadrant — aligned ranges are perfect squares on every
+    * space-filling curve, which would make the pruning trivially tight;
+    * arbitrary rectangles are what real predicates look like. Shared
+    * with the DuckDB oracle. */
+  val HilbertRect: (Long, Long, Long, Long) = (40L, 150L, 90L, 200L)
+
+  /** Hilbert layout MADE LOAD-BEARING — the write-path twin of
+    * [[qHilbertLayout]]: orders are physically written partitioned by
+    * `hbucket = hilbert_xy2d(x8, y8) div 24` (`Etl.hilbertOrdersFixture`
+    * — built once, Bench's `etl` phase), and a 2-D range query then runs
+    * the real zone-map protocol: (1) consult the per-bucket zone maps
+    * (min/max of both grid dims — WRITE-TIME metadata persisted beside
+    * the data by the fixture build, ≤ 2731 rows; the consult never
+    * rescans the corpus), (2) collect the overlapping bucket ids to the
+    * driver (the
+    * q3_joinchain O4 round-trip: ≤ 2731 longs at ANY corpus size), (3)
+    * re-scan ONLY those partitions (`hbucket.isin` → plan-time
+    * PartitionFilters, PlanSpec-guarded) with the exact rectangle
+    * predicate pushed to the parquet footers. Zone-map soundness makes
+    * the prune EXACT — every matching row lives in an overlapping bucket
+    * — so the oracle computes the same answer with no pruning at all,
+    * and `n_buckets_scanned` (itself part of the hash-gated output)
+    * records how much of the table the layout let the scan skip.
+    *
+    * Scale: at 100 TB the zone-map table is still ≤ 2731 rows (grid-
+    * bounded, not corpus-bounded) and step 3 reads only the qualifying
+    * partitions — the entire point of clustering on a space-filling
+    * curve. The checksum folds (k mod P)² mod P through a DECIMAL sum,
+    * overflow-proof at any row count. */
+  def qHilbertWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val P = TextAnalysis.ChecksumP
+    val (xLo, xHi, yLo, yHi) = HilbertRect
+    val path = graft.sources.Etl.hilbertOrdersFixture(spark, sfDir)
+    val t = spark.read.parquet(
+      s"$path/${graft.sources.Etl.HilbertTableDir}")
+    // the zone-map table is WRITE-TIME metadata beside the data (≤ 2731
+    // rows at any corpus size) — the consult never touches the corpus
+    val zones = spark.read
+      .parquet(s"$path/${graft.sources.Etl.HilbertZonesDir}")
+      .select($"hbucket",
+        ($"x_hi" >= xLo && $"x_lo" <= xHi &&
+          $"y_hi" >= yLo && $"y_lo" <= yHi).as("hit"))
+      .as[(Long, Boolean)].collect()
+    val cands = zones.filter(_._2).map(_._1).sorted
+    t.filter($"hbucket".isin(cands: _*) &&
+        $"x8".between(xLo, xHi) && $"y8".between(yLo, yHi))
+      .agg(
+        lit(zones.length.toLong).as("n_buckets_total"),
+        lit(cands.length.toLong).as("n_buckets_scanned"),
+        count(lit(1)).as("n_rows"),
+        pmod(sum((pmod($"o_orderkey", lit(P)) * pmod($"o_orderkey", lit(P))
+          % P).cast("decimal(38,0)")), lit(P).cast("decimal(38,0)"))
+          .cast("long").as("key_checksum"))
+  }
+
   /** Incremental JOIN maintenance — the delta identity behind every
     * materialized-view refresh: with both sides split into base + delta
     * (a load boundary at `cutoff`),

@@ -982,7 +982,7 @@ object Similarity {
     * final iterated eigenvector (vi, v)) — run once per (JVM, sfDir) by
     * [[pcaModel]], which feeds both [[pcaPower]] (the report) and
     * [[projectPc]] (the transform). */
-  private def pcaGramAndEigvec(spark: SparkSession, sfDir: String)
+  private[graft] def pcaGramAndEigvec(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
     val q = corpus(spark, sfDir)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1278,5 +1278,95 @@ object TextAnalysis {
         round($"bits_total".cast("double") / $"n_bigrams", 4)
           .as("bits_per_bigram"))
       .orderBy($"doc_id".asc)
+  }
+
+  /** Deterministic integer weight for classifier bin `b` ∈ [0, nBins):
+    * a zero-centered value in [−100, 100] from pure positive modular
+    * arithmetic, so the DuckDB oracle regenerates the identical weight
+    * table from the same formula (the `jlSign` convention). */
+  def classifierWeight(b: Int): Long =
+    ((b.toLong * 2654435761L + 40503L) % 1000003L) % 201L - 100L
+
+  /** The per-document classifier score as a ROW-LOCAL column over `text`:
+    * score = Σ_tokens w(poly_hash(tok) mod nBins). Because the linear
+    * model is ADDITIVE over tokens, the per-doc (bin, count) grouping the
+    * featurizer materializes is unnecessary for SCORING — the whole dot
+    * product folds inside the row, so classifier apply ships ZERO bytes
+    * per document to any exchange (vs two doc-sized shuffles for a
+    * group-then-dot plan). The weight table rides along as nBins plan
+    * literals ([[classifierWeight]]). Shared by the batch operator and
+    * its streaming twin. */
+  def classifierDocScore(spark: SparkSession, nBins: Int = 64): Column = {
+    graft.functions.PolyHash.register(spark)
+    val wArr = array((0 until nBins).map(b => lit(classifierWeight(b))): _*)
+    aggregate(
+      split(TextNorm.normCol, " "),
+      lit(0L),
+      (acc, tok) => acc + element_at(wArr,
+        (call_function("poly_hash", tok, lit(1 << 20)) % nBins)
+          .cast("int") + 1))
+  }
+
+  /** Per-language survival rollup over (lang, score) rows — the one
+    * aggregation classifier apply pays, merge-order-invariant cell for
+    * cell (counts/min/max/decimal sum), so the STREAMING twin maintains
+    * the identical state in Complete mode. The checksum column stays a
+    * raw DECIMAL sum of `pmod(score, P)` here; [[classifierFinalize]]
+    * applies the final mod — stream and batch finalize through the same
+    * code. */
+  def classifierRollup(scored: DataFrame, threshold: Long = 0L)
+      : DataFrame = {
+    import scored.sparkSession.implicits._
+    scored
+      .withColumn("keep", $"score" >= threshold)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!$"keep", 1L).otherwise(0L)).as("n_dropped"),
+        min($"score").as("score_min"),
+        max($"score").as("score_max"),
+        sum(pmod($"score", lit(ChecksumP)).cast("decimal(38,0)"))
+          .as("cks_raw"))
+  }
+
+  /** Final mod + export types for a [[classifierRollup]] table. */
+  def classifierFinalize(rollup: DataFrame): DataFrame = {
+    import rollup.sparkSession.implicits._
+    rollup.select($"lang", $"n_docs", $"n_kept", $"n_dropped",
+      $"score_min", $"score_max",
+      pmod($"cks_raw", lit(ChecksumP).cast("decimal(38,0)"))
+        .cast("long").as("score_checksum"))
+      .orderBy($"lang".asc)
+  }
+
+  /** LINEAR-CLASSIFIER APPLY over the hashing-trick features — the stage
+    * that completes the [[hashFeatures]] chain into the production
+    * quality-filter shape (the fastText/CCNet pattern: featurize →
+    * score → threshold → keep/drop): each document's 64-bin sparse count
+    * vector dots a FIXED integer weight vector ([[classifierWeight]] —
+    * in production the trained model's quantized weights, here a
+    * deterministic table both engines regenerate), the keep decision is
+    * `score ≥ 0`, and the rollup reports per-language survival plus the
+    * exact score range and a mod-prime checksum of every per-doc score —
+    * so the oracle confirms the full score vector, not just the counts.
+    *
+    * Exact integer math end-to-end: per-doc score = Σ cnt(bin)·w(bin) =
+    * Σ_tokens w(bin(tok)) (|score| ≤ 100·n_tokens, far inside Long per
+    * doc); the corpus-wide checksum folds `pmod(score, P)` through a
+    * DECIMAL(38,0) sum (overflow-proof at any corpus size) before the
+    * final mod — no float anywhere, hash-gated like the featurizer.
+    *
+    * Scale: scoring is MAP-ONLY ([[classifierDocScore]] — additivity
+    * over tokens makes the featurizer's per-doc grouping unnecessary
+    * for apply, so nothing document-sized ever reaches an exchange;
+    * PlanSpec pins the plan to ONE aggregate exchange of ≤ |langs|
+    * partials). Nothing grows with vocabulary or model version:
+    * swapping weights re-plans zero shuffles. */
+  def classifierScore(spark: SparkSession, sfDir: String,
+      nBins: Int = 64, threshold: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.read(spark, sfDir, "documents")
+      .select($"lang", classifierDocScore(spark, nBins).as("score"))
+    classifierFinalize(classifierRollup(scored, threshold))
   }
 }

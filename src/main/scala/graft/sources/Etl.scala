@@ -93,6 +93,67 @@ object Etl {
         .parquet(tmp.getAbsolutePath)
     }
 
+  /** Cached copy of `orders` PHYSICALLY laid out on the Hilbert curve —
+    * the write path that makes `RefQueries.qHilbertLayout`'s analysis
+    * load-bearing: rows carry their 8-bit grid coords (x8, y8) and
+    * Hilbert index, are DIRECTORY-PARTITIONED by `hbucket = hidx div 24`
+    * (the layout analysis' own bucket width — bucket count is bounded by
+    * the 256×256 grid, ~2731 partitions at ANY corpus size, each ~37 GB
+    * at 100 TB), and sorted by hidx within each file so footer zone maps
+    * stay tight. A 2-D range scan then consults the per-bucket zone maps
+    * and prunes whole partitions AT PLAN TIME (`q_hilbert_write`
+    * plan-guards it) — the reason warehouses cluster on space-filling
+    * curves. Built once per (machine, sfDir) like the other fixtures;
+    * Bench accounts it under `etl`, never inside a timed query. */
+  /** Subdirectories of [[hilbertOrdersFixture]]: `table/` holds the
+    * hbucket-partitioned data; `zones/` the per-bucket zone-map table
+    * (hbucket, x_lo, x_hi, y_lo, y_hi — ≤ 2731 rows). Zone maps are
+    * collected AT WRITE TIME — the production shape, where layout
+    * statistics are index metadata maintained by the ingest, never
+    * re-derived by a full scan at query time. */
+  val HilbertTableDir = "table"
+  val HilbertZonesDir = "zones"
+
+  def hilbertOrdersFixture(spark: SparkSession, sfDir: String): String =
+    cachedFixture(sfDir, "orders-hilbert-v3", s"$sfDir/orders.parquet") { tmp =>
+      import org.apache.spark.sql.functions._
+      graft.functions.HilbertIndex.register(spark)
+      val ord = graft.Tables.read(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").cast("long").as("ck"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("long").as("day"))
+      val stats = ord.agg(
+        min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
+        min(col("day")).as("day_min"), max(col("day")).as("day_max"))
+      val laid = ord.crossJoin(broadcast(stats))
+        .withColumn("x8",
+          expr("((ck - ck_min) * 256) div (ck_max - ck_min + 1)"))
+        .withColumn("y8",
+          expr("((day - day_min) * 256) div (day_max - day_min + 1)"))
+        .withColumn("hidx", expr("hilbert_xy2d(x8, y8)"))
+        .withColumn("hbucket", expr("hidx div 24"))
+        .select("o_orderkey", "ck", "day", "x8", "y8", "hidx", "hbucket")
+      laid
+        .repartition(col("hbucket"))
+        .sortWithinPartitions(col("hbucket"), col("hidx"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("hbucket")
+        .parquet(new java.io.File(tmp, HilbertTableDir).getAbsolutePath)
+      // zone maps collected in the same build, beside the data (one
+      // grid-bounded aggregate — at scale this is the stats pass an
+      // ingest job already does)
+      laid.groupBy(col("hbucket").cast("long").as("hbucket"))
+        .agg(min(col("x8")).as("x_lo"), max(col("x8")).as("x_hi"),
+          min(col("y8")).as("y_lo"), max(col("y8")).as("y_hi"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(tmp, HilbertZonesDir).getAbsolutePath)
+      // cachedFixture's staleness marker sits at the FIXTURE root (the
+      // per-subdir _SUCCESS files are one level down)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+
   /** Per-process private warehouse for graft-built tables (bucketed join
     * slices), deleted on JVM exit. Isolation is deliberate: BUCKETING
     * METADATA lives only in the session's in-memory catalog, so a fresh
@@ -165,6 +226,7 @@ object Etl {
     Seq("customer", "nation", "events", "orders")
       .foreach(t => csvFixture(spark, sfDir, t))
     eventsByDayFixture(spark, sfDir)
+    hilbertOrdersFixture(spark, sfDir)
     bucketedOrderTables(spark, sfDir)
     ()
   }

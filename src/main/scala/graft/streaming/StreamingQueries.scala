@@ -401,6 +401,34 @@ object StreamingQueries {
     graft.operators.Sketches.cmsFinalize(spark, sfDir, out)
   }
 
+  /** STREAMING quality-filter apply — the classifier twin of the batch
+    * `text_classifier_score`, the shape a streaming ingest runs the
+    * CCNet-style filter in: scoring is the SAME row-local map-only
+    * column (`TextAnalysis.classifierDocScore` — zero bytes per document
+    * to any exchange), and the per-language survival rollup is the SAME
+    * merge-order-invariant aggregate (`classifierRollup`: counts,
+    * min/max, decimal checksum sum) kept as Complete-mode streaming
+    * state — O(|langs|) cells forever, whatever the micro-batch slicing.
+    * The fixture is delivered in two doc_id-parity halves (both halves
+    * hit every language, so every cell genuinely MERGES across batches),
+    * then the sink finalizes through the shared batch code
+    * (`classifierFinalize`) — stream ≡ batch, cell for cell, under the
+    * same DuckDB oracle. */
+  def classifierStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"text")
+    val out = runFileStream(spark, "classifier",
+      Seq(docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1)),
+      OutputMode.Complete()) { df =>
+      graft.operators.TextAnalysis.classifierRollup(
+        df.select($"lang",
+          graft.operators.TextAnalysis.classifierDocScore(spark)
+            .as("score")))
+    }
+    graft.operators.TextAnalysis.classifierFinalize(out)
+  }
+
   /** Streaming equi-width histogram + CDF — the distribution-profile
     * twin of the batch `q_histogram`: per-bucket COUNTS kept as
     * Complete-mode streaming aggregation state (counts are sums —

@@ -1116,6 +1116,8 @@ class PipelineOpsSpec extends SparkSpec {
     var pending = Long.MinValue // max of the in-flight batch
     val acc = scala.collection.mutable.Map[String, (Long, Long, Long, Long,
       Long)]().withDefaultValue((0L, 0L, 0L, 0L, 0L))
+    val lateByType = scala.collection.mutable.Map[String,
+      scala.collection.mutable.ArrayBuffer[Long]]()
     batched.foreach { case (cycle, shard, t, id, us) =>
       if ((cycle, shard) != curBatch) { // batch boundary: watermark moves
         curBatch = (cycle, shard)
@@ -1127,16 +1129,37 @@ class PipelineOpsSpec extends SparkSpec {
       acc(t) = (n + 1, nl + (if (late > 0) 1L else 0L),
         math.max(mx, late), sm + late,
         if (late > 0) (ck + id % P) % P else ck)
+      lateByType.getOrElseUpdate(t,
+        scala.collection.mutable.ArrayBuffer[Long]()) += late
       if (us > pending) pending = us
+    }
+    // the watermark recommendation: linear-interpolated p99 over ALL of
+    // a type's lateness values (zeros included — the percentile sizes a
+    // delay budget for every arrival, not just the late tail)
+    def p99(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      val pos = 0.99 * (s.length - 1)
+      val lo = pos.toInt
+      if (lo + 1 >= s.length) s.last.toDouble
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
     }
     val out = graft.operators.Events.latenessAudit(spark, sf).collect()
     assert(out.length == acc.size)
     var totLate = 0L
     out.foreach { r =>
-      val e = acc(r.getString(0))
-      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getLong(6)) == e, s"type ${r.getString(0)}")
-      totLate += r.getLong(2)
+      val t = r.getString(0)
+      val e = acc(t)
+      assert((r.getAs[Long]("n_events"), r.getAs[Long]("n_late"),
+        r.getAs[Long]("max_late_us"), r.getAs[Long]("sum_late_us"),
+        r.getAs[Long]("late_ids_checksum")) == e, s"type $t")
+      val wm = r.getAs[Double]("wm_p99_us")
+      assert(math.abs(wm - p99(lateByType(t).toSeq)) < 1e-3,
+        s"type $t: wm_p99_us $wm != replay ${p99(lateByType(t).toSeq)}")
+      // the recommendation must be non-vacuous (late tail exists) and
+      // bounded by the observed worst case
+      assert(wm > 0.0 && wm <= r.getAs[Long]("max_late_us").toDouble,
+        s"type $t: wm_p99_us $wm outside (0, max]")
+      totLate += r.getAs[Long]("n_late")
     }
     // the shard merge must actually produce late arrivals (the audit's
     // reason to exist: the raw feed has zero — any subsequence of a
@@ -1182,6 +1205,119 @@ class PipelineOpsSpec extends SparkSpec {
     // collide into dense use), or the trick isn't exercised
     assert(out.map(_.getLong(2)).max >= 16L,
       "no document fills even a quarter of the feature space")
+  }
+
+  test("classifier score: per-lang rollup bit-matches an in-memory" +
+      " linear-model replay, and the threshold genuinely splits") {
+    val P = 1000000007L
+    def polyHash(s: String): Long = {
+      var a = 0L
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => a = (a * 31 + (b & 0xff)) % P)
+      a
+    }
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.trim.split("\\s+").toSeq))
+    val scores = docs.map { case (_, lang, toks) =>
+      val score = toks.groupBy(t => (polyHash(t) % 64).toInt)
+        .map { case (b, ts) =>
+          ts.size.toLong * graft.operators.TextAnalysis.classifierWeight(b)
+        }.sum
+      (lang, score)
+    }
+    val expect = scores.groupBy(_._1).view.mapValues { xs =>
+      val ss = xs.map(_._2)
+      (ss.size.toLong, ss.count(_ >= 0L).toLong, ss.count(_ < 0L).toLong,
+        ss.min, ss.max,
+        ss.map(s => ((s % P) + P) % P).foldLeft(0L)((a, x) => (a + x) % P))
+    }.toMap
+    val out = graft.operators.TextAnalysis.classifierScore(spark, sf)
+      .collect()
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) == e, s"lang ${r.getString(0)}")
+    }
+    // the zero threshold must genuinely partition the corpus — a filter
+    // that keeps (or drops) everything proves nothing about the model
+    val kept = out.map(_.getLong(2)).sum
+    val dropped = out.map(_.getLong(3)).sum
+    assert(kept > 0L, "classifier kept nothing — threshold too high")
+    assert(dropped > 0L, "classifier dropped nothing — threshold too low")
+  }
+
+  test("phash clusters: survival rollup matches a union-find over the" +
+      " declared pair graph") {
+    val pairs = graft.operators.Multimodal.phashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no phash near-dup pair at this sf — vacuous")
+    // in-memory union-find → min-labeled components (the CC fixpoint)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min id: the keeper convention
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val removed = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+      .filter(d => find(d) != d).toSet
+    val docs = Tables.read(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy(_._2).view.mapValues { xs =>
+      val rem = xs.filter(d => removed(d._1))
+      val kept = xs.filterNot(d => removed(d._1))
+      (xs.size.toLong, rem.size.toLong, kept.size.toLong,
+        kept.map(_._3).sum, rem.map(_._3).sum)
+    }.toMap
+    val out = graft.operators.Multimodal.phashClusters(spark, sf).collect()
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) == e, s"lang ${r.getString(0)}")
+    }
+    assert(out.map(_.getLong(2)).sum == removed.size.toLong)
+    assert(removed.nonEmpty, "pair graph resolved to zero removals")
+  }
+
+  test("hilbert write: zone-map prune is partial, exact, and matches a" +
+      " pruning-free replay") {
+    val P = 1000000007L
+    val (xLo, xHi, yLo, yHi) = graft.operators.RefQueries.HilbertRect
+    val r = graft.operators.RefQueries.qHilbertWrite(spark, sf).head()
+    val (nTotal, nScanned, nRows, cks) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // pruning must be REAL (skips buckets) without being vacuous
+    assert(nScanned > 0L && nScanned < nTotal,
+      s"scan covered $nScanned of $nTotal buckets — no pruning evidence")
+    assert(nRows > 0L, "rectangle matched nothing — vacuous scan")
+    // pruning-free replay straight from the raw orders table: grid,
+    // rectangle, checksum — if the bucket prefilter lost a row (zone-map
+    // soundness violated), the counts/checksum diverge here
+    val ord = Tables.read(spark, sf, "orders")
+      .selectExpr("o_orderkey", "CAST(o_custkey AS LONG) AS ck",
+        "CAST(datediff(CAST(o_orderdate AS date), DATE'1992-01-01') " +
+          "AS LONG) AS day")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val (ckMin, ckMax) = (ord.map(_._2).min, ord.map(_._2).max)
+    val (dayMin, dayMax) = (ord.map(_._3).min, ord.map(_._3).max)
+    val hits = ord.filter { case (_, ck, day) =>
+      val x8 = (ck - ckMin) * 256 / (ckMax - ckMin + 1)
+      val y8 = (day - dayMin) * 256 / (dayMax - dayMin + 1)
+      x8 >= xLo && x8 <= xHi && y8 >= yLo && y8 <= yHi
+    }
+    assert(nRows == hits.length.toLong)
+    val expectCks = hits.map { case (k, _, _) => (k % P) * (k % P) % P }
+      .foldLeft(0L)((a, x) => (a + x) % P)
+    assert(cks == expectCks, "pruned-scan checksum diverged from replay")
   }
 
   test("peaks: every reported day is a strict local maximum") {

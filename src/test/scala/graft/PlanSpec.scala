@@ -251,6 +251,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_classifier_score: scoring is map-only — one rollup exchange," +
+      " no token explode") {
+    // the linear model is additive over tokens, so apply must fold the
+    // dot product INSIDE the row: the only exchange is the ≤ |langs|
+    // rollup. A regression to explode + (doc, bin) grouping re-ships
+    // document-sized data twice for the same integers.
+    val p = plan("text_classifier_score")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one aggregate exchange, got $exchanges")
+    assert(!p.contains("Generate explode"),
+      s"scoring must not explode tokens into a shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"rollup must partial-combine map-side:\n$p")
+  }
+
+  test("q_hilbert_write: bucket list prunes partitions at plan time," +
+      " rectangle pushed to footers") {
+    // the zone-map consult must turn into PLAN-VISIBLE partition pruning
+    // on the hilbert-partitioned table (hbucket is a directory column:
+    // non-qualifying buckets are never listed, let alone read), and the
+    // exact rectangle must reach the parquet scan for row-group pruning
+    val p = plan("q_hilbert_write")
+    assert(p.contains("PartitionFilters: [") &&
+      (p.contains("hbucket") && (p.contains("INSET") || p.contains(" IN ("))),
+      s"bucket candidates not applied as partition filters:\n$p")
+    assert(p.contains("GreaterThanOrEqual(x8,") ||
+      p.contains("PushedFilters: [IsNotNull(x8)"),
+      s"rectangle predicate not pushed to the parquet scan:\n$p")
+  }
+
   test("q_grouping_sets: one Expand pass feeding one partial-combined agg") {
     // two sideways breakdowns in a single scan: Expand duplicates each
     // row once per set (2×), then ONE aggregate with map-side partials —
@@ -468,13 +498,22 @@ class PlanSpec extends SparkSpec {
       " corpus") {
     // the d²-row Gramian is localCheckpoint'ed: the iteration plan must
     // contain NO parquet scan (each of the 3 matrix–vector stages would
-    // otherwise replay the full corpus fan-out) and no cartesian
-    val p = plan("embed_pca_power")
+    // otherwise replay the full corpus fan-out) and no cartesian.
+    // Since r10 the DECLARED query serves the cached fitted model (a
+    // local relation), so the guard inspects the eigensolver chain the
+    // cache builder runs — the plan of the final iterated eigenvector.
+    val (_, v) = graft.operators.Similarity.pcaGramAndEigvec(spark, sf)
+    val p = v.queryExecution.executedPlan.toString
     assert(!p.contains("Scan parquet"),
       s"iteration plan re-scans the corpus — Gramian not frozen:\n$p")
     assert(p.contains("partial_sum"),
       s"matrix-vector products must partial-combine map-side:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
+    // and the declared query itself is fitted-model-cache-served: no
+    // corpus scan, no exchange — the Gramian is paid once per process
+    val served = plan("embed_pca_power")
+    assert(!served.contains("Scan parquet"),
+      s"declared query should serve the cached model:\n$served")
   }
 
   test("q_fk_integrity: anti joins on pruned single-column scans") {

@@ -262,6 +262,24 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, want)
   }
 
+  test("streaming classifier rollup merges across batches onto the batch" +
+      " report exactly") {
+    // survival cells (counts, min/max, decimal checksum sum) are
+    // merge-order-invariant; the doc_id-parity split puts every language
+    // in BOTH deliveries, so Complete-mode state genuinely merges — the
+    // shared finalizer must then equal the one-shot batch report
+    val got = graft.streaming.StreamingQueries.classifierStream(spark, sf)
+    val want = graft.operators.TextAnalysis.classifierScore(spark, sf)
+    assertSameRows(got, want)
+    // the split is a real cross-batch merge: every language has docs of
+    // both parities on this fixture
+    import org.apache.spark.sql.functions._
+    val langsBoth = Tables.read(spark, sf, "documents")
+      .groupBy("lang").agg(countDistinct(col("doc_id") % 2).as("nPar"))
+      .filter(col("nPar") === 2).count()
+    assert(langsBoth > 0, "parity split never straddles a language")
+  }
+
   test("streaming histogram buckets merge across batches onto the batch" +
       " CDF exactly") {
     // bucket counts are sums; the parity split puts rows of MOST buckets
