@@ -930,6 +930,32 @@ class PipelineOpsSpec extends SparkSpec {
     // same-width comparison above is the meaningful one)
   }
 
+  test("hilbert index: out-of-range inputs wrap to the 8-bit grid," +
+      " interpreted and codegen paths agreeing") {
+    // the r10 mask contract: a caller with an unclamped grid wraps
+    // (x & 0xFF) instead of silently folding stray high bits into a
+    // garbage index — asserted on BOTH eval paths so the codegen'd
+    // expression can never drift from the Scala reference
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    graft.functions.HilbertIndex.register(spark)
+    val cases = Seq((300L, 5L), (256L, 0L), (511L, 255L), (-1L, 7L),
+      (1L << 40, 99L), (1234567L, 7654321L))
+    cases.foreach { case (x, y) =>
+      assert(graft.functions.HilbertIndex.xy2d(x, y) ==
+        graft.functions.HilbertIndex.xy2d(x & 0xFFL, y & 0xFFL),
+        s"scala eval did not wrap ($x, $y)")
+    }
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"), expr("hilbert_xy2d(x, y)").as("d"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == graft.functions.HilbertIndex.xy2d(
+        r.getLong(0) & 0xFFL, r.getLong(1) & 0xFFL),
+        s"codegen path did not wrap (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("delta join: 4-term decomposition equals the one-shot full join," +
       " every term populated") {
     import org.apache.spark.sql.functions.{col, count, lit, round, sum, when}

@@ -240,4 +240,20 @@ class RobustnessSpec extends SparkSpec {
     assert(RefQueries.qHilbertLayout(spark, emptyDir).count() == 0)
     assert(RefQueries.qHistogram(spark, emptyDir).count() == 0)
   }
+
+  test("round-10 operators survive empty inputs") {
+    // map-only scoring + lang rollup: zero docs, zero groups
+    assert(TextAnalysis.classifierScore(spark, emptyDir).count() == 0)
+    // empty pair graph: the star-CC resolver must CONVERGE immediately
+    // and the survival rollup see zero groups
+    assert(Multimodal.phashClusters(spark, emptyDir).count() == 0)
+    // the hilbert WRITE path fails loudly on an empty table: an empty
+    // partitioned write leaves no data files, so the read-back cannot
+    // infer a schema — a fail-fast, not a fabricated zone-map answer
+    // (a 100 TB ingest writing zero rows is a broken upstream, and
+    // pretending the layout exists would poison every later consult)
+    intercept[Exception] {
+      graft.operators.RefQueries.qHilbertWrite(spark, emptyDir).count()
+    }: Unit
+  }
 }
