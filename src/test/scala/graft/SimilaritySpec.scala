@@ -8,6 +8,32 @@ import org.apache.spark.sql.functions.{broadcast, expr, round}
   * tier must return a subset of the corpus ranked consistently. */
 class SimilaritySpec extends SparkSpec {
 
+  test("cell assignment tie-break: a 16-way exact cosine tie lands on" +
+      " the lowest cell_id") {
+    // the fixture never produces exact cosine ties, so the max_by
+    // struct(cell_cos, -cell_id) tie-break is otherwise uncovered: an
+    // all-identical corpus makes EVERY centroid seed the same vector,
+    // every assignment a 16-way exact tie — a regressed tie-break
+    // (dropped negation, wrong field order) scatters vectors or lands
+    // them on cell 15, and the Lloyd update must hold the tie through
+    // both iterations (integer mean of equal quantized vectors is
+    // exact, so cell 0's refit centroid stays bit-equal to the others)
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tie").toString
+    (0L until 20L).map(i => (i, Array.fill(64)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.kmeansClusters(spark, dir).collect()
+    assert(out.length == 16)
+    out.foreach { r =>
+      val (cell, n, norm) = (r.getInt(0), r.getLong(1), r.getDouble(2))
+      assert(n == (if (cell == 0) 20L else 0L),
+        s"cell $cell holds $n vectors — tie-break regressed")
+      assert(norm == 4.0, s"cell $cell centroid norm $norm != 4.0")
+    }
+  }
+
   test("brute force: 3 queries × top-5, cosine within [-1, 1], rank ordered") {
     val rows = Similarity.topKBruteForce(spark, sf).collect()
     assert(rows.length == 15)
