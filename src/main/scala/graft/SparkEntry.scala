@@ -1090,12 +1090,25 @@ object SparkEntry {
         FROM $prev p LEFT JOIN $cm ON $cm.s = p.s AND $cm.code = p.code
       )"""
 
+  /** Adaptive IVF sizing, re-derived from the corpus: cell count is the
+    * dedup_semantic ceil(n/256) clamp (formula-identical to
+    * Similarity.semanticCellCount) and nprobe is a quarter of the cells
+    * (floor 4) — Similarity.ivfNprobe. Both MUST be re-derived here, not
+    * pasted as literals: at a different scale the Scala side derives a
+    * different model and the oracle has to land on the same one. */
+  private val ivfParamCte = """kp AS (
+      SELECT k, greatest(4, k // 4) AS np FROM (
+        SELECT greatest(16, least(65536, (count(*) + 255) // 256)) AS k
+        FROM embeddings)
+    )"""
+
   private val simTopKIvfOracle = s"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), $seedRankCtes, centroids AS (
+    ), $ivfParamCte, $seedRankCtes, centroids AS (
       SELECT s.seed_rank AS cell_id, e.v AS cv
-      FROM seeds s JOIN e ON e.vec_id = s.vec_id WHERE s.seed_rank < 16
+      FROM seeds s JOIN e ON e.vec_id = s.vec_id
+      WHERE s.seed_rank < (SELECT k FROM kp)
     ), assigned AS (
       SELECT vec_id, cell_id FROM (
         SELECT ev.vec_id, c.cell_id,
@@ -1111,7 +1124,7 @@ object SparkEntry {
                  ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
                           c.cell_id ASC) AS r
         FROM e ev CROSS JOIN centroids c WHERE ev.vec_id < 3
-      ) WHERE r <= 4
+      ) WHERE r <= (SELECT np FROM kp)
     ), cand AS (
       SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a USING (cell_id)
       WHERE a.vec_id != p.q_id
@@ -1140,6 +1153,12 @@ object SparkEntry {
     * count the Scala side uses, or the two models diverge). */
   /** dedup_semantic's adaptive cell count, re-derived from the corpus:
     * must stay formula-identical to Similarity.semanticCellCount. */
+  /** Adaptive IVF cell count kBody for the Lloyd CTE chain — the same
+    * ceil(n/256) clamp as dedup_semantic (Similarity.ivfCells). */
+  private val ivfKSql =
+    "SELECT greatest(16, least(65536, (count(*) + 255) // 256)) AS k " +
+      "FROM embeddings"
+
   private val semanticKSql =
     "SELECT greatest(16, least(65536, (count(*) + 255) // 256)) AS k " +
       "FROM embeddings"
@@ -1205,14 +1224,14 @@ object SparkEntry {
     )"""
 
   private val simTopKIvfKmeansOracle = s"""
-    ${kmeansCtes("SELECT 16 AS k")}, probes AS (
+    ${kmeansCtes(ivfKSql)}, probes AS (
       SELECT q_id, cell_id FROM (
         SELECT ev.vec_id AS q_id, c.cell_id,
                row_number() OVER (PARTITION BY ev.vec_id
                  ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
                           c.cell_id ASC) AS r
         FROM e ev CROSS JOIN c2 c WHERE ev.vec_id < 3
-      ) WHERE r <= 4
+      ) WHERE r <= greatest(4, (SELECT k FROM kp) // 4)
     ), cand AS (
       SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a USING (cell_id)
       WHERE a.vec_id != p.q_id
@@ -1970,9 +1989,10 @@ object SparkEntry {
     "sim_topk_ivfpq" -> s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      ), $seedRankCtes, centroids AS (
+      ), $ivfParamCte, $seedRankCtes, centroids AS (
         SELECT s.seed_rank AS cell_id, e.v AS cv
-        FROM seeds s JOIN e ON e.vec_id = s.vec_id WHERE s.seed_rank < 16
+        FROM seeds s JOIN e ON e.vec_id = s.vec_id
+        WHERE s.seed_rank < (SELECT k FROM kp)
       ), assigned AS (
         SELECT vec_id, cell_id, res FROM (
           SELECT ev.vec_id, c.cell_id,
@@ -2011,7 +2031,7 @@ object SparkEntry {
                    ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
                             c.cell_id ASC) AS r
           FROM e ev CROSS JOIN centroids c WHERE ev.vec_id < 3
-        ) WHERE r <= 4
+        ) WHERE r <= (SELECT np FROM kp)
       ), qt AS (
         SELECT p.q_id, p.cell_id, cb.s, cb.code,
                list_reduce(list_prepend(0.0,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{TopKAggregator, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>[64]`).
@@ -26,6 +26,22 @@ object Similarity {
     Tables.read(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
 
+  /** Shared final ranking stage for every ANN tier: exact top-k per
+    * query via the two-stage partial-aggregable [[TopKAggregator]] —
+    * NEVER a `Window.partitionBy(q_id)`, which would shuffle the whole
+    * scored candidate stream into |q| (= 3 here) reducer partitions and
+    * sort each: the one plan shape that cannot survive a 100× corpus.
+    * Here each map task forwards ≤ k rows per query; the single
+    * exchange carries k·tasks·|q| rows no matter the corpus size. Same
+    * (score best-first, vec_id ASC) total order as the window it
+    * replaced, so results — and the DuckDB oracles — are unchanged. */
+  private def rankTopK(scored: DataFrame, k: Int, descending: Boolean,
+      scoreOut: String, aux: Option[Column] = None): DataFrame = {
+    import scored.sparkSession.implicits._
+    TopKAggregator.topKPerQuery(scored, k, descending, aux)
+      .withColumn(scoreOut, round($"score", 6))
+  }
+
   /** Exact brute-force cosine top-k for query vectors vec_id < nQueries. */
   def topKBruteForce(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 3): DataFrame = {
@@ -33,13 +49,12 @@ object Similarity {
     val emb = corpus(spark, sfDir)
     val queries = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"vec".as("q_vec"))
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-    emb.crossJoin(broadcast(queries))
+    val scored = emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"q_id")
-      .withColumn("cos", VectorFunctions.cosine($"vec", $"q_vec"))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= k)
-      .select($"q_id", $"vec_id", round($"cos", 6).as("cos_sim"), $"rnk")
+      .select($"q_id", $"vec_id",
+        VectorFunctions.cosine($"vec", $"q_vec").as("score"))
+    rankTopK(scored, k, descending = true, "cos_sim")
+      .select($"q_id", $"vec_id", $"cos_sim", $"rnk")
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
@@ -55,13 +70,11 @@ object Similarity {
     val emb = corpus(spark, sfDir)
     val queries = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"vec".as("q_vec"))
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-    emb.crossJoin(broadcast(queries))
+    val scored = emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"q_id")
-      .withColumn("cos", expr("cosine_sim(vec, q_vec)"))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= k)
-      .select($"q_id", $"vec_id", round($"cos", 6).as("cos_sim"), $"rnk")
+      .select($"q_id", $"vec_id", expr("cosine_sim(vec, q_vec)").as("score"))
+    rankTopK(scored, k, descending = true, "cos_sim")
+      .select($"q_id", $"vec_id", $"cos_sim", $"rnk")
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
@@ -119,12 +132,10 @@ object Similarity {
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"q_vec", $"vec_id", $"vec")
       .dropDuplicates("q_id", "vec_id")
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-    candidates
-      .withColumn("cos", expr("cosine_sim(vec, q_vec)"))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= k)
-      .select($"q_id", $"vec_id", round($"cos", 6).as("cos_sim"), $"rnk")
+    val scored = candidates
+      .select($"q_id", $"vec_id", expr("cosine_sim(vec, q_vec)").as("score"))
+    rankTopK(scored, k, descending = true, "cos_sim")
+      .select($"q_id", $"vec_id", $"cos_sim", $"rnk")
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
@@ -180,19 +191,42 @@ object Similarity {
     * variant; assignment and probing both use the native cosine
     * expression.
     *
+    * The cell count ADAPTS to the corpus ([[ivfCells]] — the
+    * `dedupSemantic` ceil(n/256) clamp): a FIXED nCells keeps cell
+    * occupancy ∝ n, so each probe would scan ~nprobe/nCells of the
+    * whole corpus at any scale; deriving nCells from count(*) keeps
+    * expected occupancy — and so per-probe scan cost — CONSTANT as the
+    * corpus grows. `nprobe` scales with it ([[ivfNprobe]]: nCells/4,
+    * floor 4 — a fixed probe FRACTION, so recall doesn't silently decay
+    * as cells multiply). Pass explicit values to pin either knob (the
+    * recall-study specs do); the declared queries use 0 = derive.
+    *
     * Scale: the cell assignment is one broadcast-centroids pass over the
     * corpus (at 100 TB you'd persist it as a bucketed table partitioned by
     * cell_id); each query then touches ~nprobe/nCells of the data. The
     * final exact rerank within probed cells is a per-cell top-k. */
   def topKIvf(spark: SparkSession, sfDir: String, k: Int = 5,
-      nQueries: Int = 3, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+      nQueries: Int = 3, nCells: Int = 0, nprobe: Int = 0): DataFrame = {
     import spark.implicits._
     val emb = corpus(spark, sfDir)
+    val nc = ivfCells(emb, nCells)
     val centroids = broadcast(
-      seedVectors(spark, emb, nCells).toSeq
+      seedVectors(spark, emb, nc).toSeq
         .map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "centroid"))
-    ivfFlow(spark, emb, centroids, k, nQueries, nprobe)
+    ivfFlow(spark, emb, centroids, k, nQueries, ivfNprobe(nc, nprobe))
   }
+
+  /** Corpus-derived IVF cell count: explicit override, else the
+    * [[semanticCellCount]] ceil(n/256) clamp on a metadata-cheap count
+    * probe (parquet footers — no data columns read). */
+  private def ivfCells(emb: DataFrame, nCells: Int): Int =
+    if (nCells > 0) nCells else semanticCellCount(emb.count())
+
+  /** Probe width scaled to the adaptive cell count: a constant QUARTER
+    * of the cells (floor 4), so the probed corpus fraction — and with it
+    * recall — stays put as [[ivfCells]] grows with the corpus. */
+  private[graft] def ivfNprobe(nCells: Int, nprobe: Int = 0): Int =
+    if (nprobe > 0) nprobe else math.max(4, nCells / 4)
 
   /** Skew-immune deterministic model seed sample: (rank, vec_id, vec)
     * for the `n` corpus vectors FIRST in (mix64(vec_id), vec_id) order —
@@ -254,14 +288,15 @@ object Similarity {
     * be. Fully deterministic (integer-quantized Lloyd updates), so it has
     * a real DuckDB oracle like the seeded variant. */
   def topKIvfKmeans(spark: SparkSession, sfDir: String, k: Int = 5,
-      nQueries: Int = 3, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+      nQueries: Int = 3, nCells: Int = 0, nprobe: Int = 0): DataFrame = {
     import spark.implicits._
     val emb = corpus(spark, sfDir)
-    val cents = kmeansCentroids(spark, sfDir, nCells)
+    val nc = ivfCells(emb, nCells)
+    val cents = kmeansCentroids(spark, sfDir, nc)
     val centroids = broadcast(
       cents.toSeq.map { case (id, v) => (id, v.toSeq) }
         .toDF("cell_id", "centroid"))
-    ivfFlow(spark, emb, centroids, k, nQueries, nprobe)
+    ivfFlow(spark, emb, centroids, k, nQueries, ivfNprobe(nc, nprobe))
   }
 
   /** Shared IVF flow: assign corpus to cells, probe, exact-rerank. */
@@ -281,14 +316,14 @@ object Similarity {
       .withColumn("r", row_number().over(wProbe))
       .filter($"r" <= nprobe)
       .select($"q_id", $"q_vec", $"cell_id")
-    // exact rerank within probed cells only
-    val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-    assigned.join(broadcast(probes), Seq("cell_id"))
+    // exact rerank within probed cells only — two-stage top-k, never a
+    // q_id window (the probe stream is ~nprobe/nCells of the corpus:
+    // still corpus-sized)
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
       .filter($"vec_id" =!= $"q_id")
-      .withColumn("cos", expr("cosine_sim(vec, q_vec)"))
-      .withColumn("rnk", row_number().over(wRank))
-      .filter($"rnk" <= k)
-      .select($"q_id", $"vec_id", round($"cos", 6).as("cos_sim"), $"rnk")
+      .select($"q_id", $"vec_id", expr("cosine_sim(vec, q_vec)").as("score"))
+    rankTopK(scored, k, descending = true, "cos_sim")
+      .select($"q_id", $"vec_id", $"cos_sim", $"rnk")
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
@@ -519,10 +554,9 @@ object Similarity {
       .withColumn("dist",
         expr("aggregate(parts, 0.0D, (a, x) -> a + x.l2q)"))
       .filter($"vec_id" =!= $"q_id")
-    val w = Window.partitionBy($"q_id").orderBy($"dist".asc, $"vec_id".asc)
-    est.withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= k)
-      .select($"q_id", $"vec_id", round($"dist", 6).as("pq_dist"), $"rnk")
+    rankTopK(est.select($"q_id", $"vec_id", $"dist".as("score")),
+        k, descending = false, "pq_dist")
+      .select($"q_id", $"vec_id", $"pq_dist", $"rnk")
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
@@ -555,14 +589,16 @@ object Similarity {
     * tie-breaks — so the whole composite is hash-gated by a DuckDB
     * replay like every other ANN tier. */
   def topKIvfPq(spark: SparkSession, sfDir: String, k: Int = 5,
-      nQueries: Int = 3, nCells: Int = 16, nprobe: Int = 4,
+      nQueries: Int = 3, nCells: Int = 0, nprobe: Int = 0,
       nSub: Int = 8, nCodes: Int = 16): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
     val subDim = Dim / nSub
     val emb = corpus(spark, sfDir)
+    val nc = ivfCells(emb, nCells)
+    val np = ivfNprobe(nc, nprobe)
     val centroids = broadcast(
-      seedVectors(spark, emb, nCells).toSeq
+      seedVectors(spark, emb, nc).toSeq
         .map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "centroid"))
     // corpus → nearest cell (map-side argmax), then the winning cell's
     // centroid rejoins by id (broadcast, map-side) to form the residual —
@@ -601,7 +637,7 @@ object Similarity {
       .crossJoin(centroids)
       .withColumn("probe_cos", expr("cosine_sim(q_vec, centroid)"))
       .withColumn("r", row_number().over(wProbe))
-      .filter($"r" <= nprobe)
+      .filter($"r" <= np)
       .select($"q_id", $"cell_id",
         expr("zip_with(q_vec, centroid, (x, c) -> x - c)").as("qres"))
     // ADC tables: (query, probed cell, subspace, code) → squared L2 of
@@ -622,10 +658,9 @@ object Similarity {
       .agg(sort_array(collect_list(struct($"s", $"l2q"))).as("parts"))
       .withColumn("dist",
         expr("aggregate(parts, 0.0D, (a, x) -> a + x.l2q)"))
-    val w = Window.partitionBy($"q_id").orderBy($"dist".asc, $"vec_id".asc)
-    est.withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= k)
-      .select($"q_id", $"vec_id", round($"dist", 6).as("ivfpq_dist"), $"rnk")
+    rankTopK(est.select($"q_id", $"vec_id", $"dist".as("score")),
+        k, descending = false, "ivfpq_dist")
+      .select($"q_id", $"vec_id", $"ivfpq_dist", $"rnk")
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
@@ -661,18 +696,17 @@ object Similarity {
     val queries = broadcast(sigs.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"vec".as("q_vec"),
         $"w0".as("qw0"), $"w1".as("qw1")))
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-    sigs.crossJoin(queries)
+    val scored = sigs.crossJoin(queries)
       .filter($"vec_id" =!= $"q_id")
       .withColumn("hamming",
         (expr("bit_count(w0 ^ qw0)") + expr("bit_count(w1 ^ qw1)"))
           .cast("int"))
       .filter($"hamming" <= maxHamming)
-      .withColumn("cos", expr("cosine_sim(vec, q_vec)"))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= k)
-      .select($"q_id", $"vec_id", $"hamming",
-        round($"cos", 6).as("cos_sim"), $"rnk")
+      .select($"q_id", $"vec_id", expr("cosine_sim(vec, q_vec)").as("score"),
+        $"hamming")
+    rankTopK(scored, k, descending = true, "cos_sim", Some($"hamming"))
+      .select($"q_id", $"vec_id", $"aux".cast("int").as("hamming"),
+        $"cos_sim", $"rnk")
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 

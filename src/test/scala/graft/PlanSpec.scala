@@ -142,8 +142,8 @@ class PlanSpec extends SparkSpec {
   test("sim_topk_binary: corpus never shuffles for candidates") {
     // the compression-tier shape: sign words + hamming prefilter are
     // per-row codegen against the BROADCAST query signatures — the only
-    // allowed exchange is the final per-query top-k window over the
-    // hamming-ball survivors
+    // allowed exchange is the k-bounded final merge of the two-stage
+    // top-k aggregator over the hamming-ball survivors
     val p = plan("sim_topk_binary")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"query signatures must broadcast:\n$p")
@@ -151,7 +151,35 @@ class PlanSpec extends SparkSpec {
       s"corpus must not shuffle for a join:\n$p")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 1,
-      s"only the survivor top-k window may exchange, found $exchanges")
+      s"only the top-k partial merge may exchange, found $exchanges")
+  }
+
+  test("ANN final ranking is two-stage top-k — no q_id window funnel," +
+      " partial agg before the exchange") {
+    // the r10 scale-killer: row_number().over(Window.partitionBy(q_id))
+    // shuffled the ENTIRE scored candidate stream into |q| = 3 reducer
+    // partitions and sorted each. Every tier must now rank through the
+    // partial-aggregable TopKAggregator: each map task forwards ≤ k rows
+    // per query, so the one exchange carries k·tasks·|q| rows at any
+    // corpus size. (IVF probe-selection windows are fine — they rank the
+    // nCells-bounded centroid table, never the candidate stream.)
+    Seq("sim_topk_bruteforce", "sim_topk_native", "sim_topk_lsh",
+      "sim_topk_pq", "sim_topk_binary").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q ranking regressed to a window funnel:\n$p")
+      assert(p.contains("partial_topkaggregator"),
+        s"$q top-k must partial-combine map-side:\n$p")
+    }
+    Seq("sim_topk_ivf", "sim_topk_ivf_kmeans", "sim_topk_ivfpq").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_topkaggregator"),
+        s"$q candidate ranking must partial-combine map-side:\n$p")
+      // any window left must partition on q_id over the CENTROID table
+      // (probe selection) — the candidate stream itself never windows
+      assert(!p.contains("windowspecdefinition(vec_id"),
+        s"$q must not window the corpus stream:\n$p")
+    }
   }
 
   test("dedup_pipeline: corpus pays one join and one low-card aggregate") {
