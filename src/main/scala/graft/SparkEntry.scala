@@ -246,6 +246,9 @@ object SparkEntry {
     "q_hilbert_write" -> ((s, d) => RefQueries.qHilbertWrite(s, d)),
     "stream_classifier_score" -> ((s, d) =>
       graft.streaming.StreamingQueries.classifierStream(s, d)),
+    "text_classifier_train" -> ((s, d) => TextAnalysis.classifierTrain(s, d)),
+    "text_importance_sample" -> ((s, d) =>
+      TextAnalysis.importanceSample(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -650,12 +653,15 @@ object SparkEntry {
       )"""
   }
 
-  /** Classifier-apply replay (per-token poly_hash % 64 bins, the
-    * regenerated integer weight table, per-doc dot, keep = score ≥ 0,
-    * per-lang survival + score checksum) — shared verbatim by
-    * `text_classifier_score` and its Complete-mode streaming twin. */
-  private lazy val classifierScoreOracle = """
-      WITH t AS (
+  /** Classifier replay scaffold (per-token poly_hash % 64 bins → per-doc
+    * (bin, cnt) vectors → per-doc dot with the `w(bin, w)` CTE supplied
+    * by the caller → keep = score ≥ 0 → per-lang survival + score
+    * checksum). The weight CTE is the only thing that differs between
+    * the fixed-table APPLY (`text_classifier_score` + streaming twin)
+    * and the TRAINED Naive-Bayes variant (`text_classifier_train`). */
+  /** The tokenize → hash → per-doc (bin, cnt) feature CTEs every
+    * classifier-family oracle starts from (`b(doc_id, lang, bin, cnt)`). */
+  private val classifierBinCtes = """t AS (
         SELECT doc_id, lang, unnest(string_split(
           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
         FROM documents
@@ -669,11 +675,10 @@ object SparkEntry {
       ), b AS (
         SELECT doc_id, lang, bin, count(*)::BIGINT AS cnt
         FROM hh GROUP BY doc_id, lang, bin
-      ), w AS (
-        SELECT bin::INT AS bin,
-               (((bin * 2654435761) + 40503) % 1000003) % 201 - 100 AS w
-        FROM generate_series(0, 63) g(bin)
-      ), d AS (
+      )"""
+
+  private def classifierOracleWith(weightCtes: String) = s"""
+      WITH $classifierBinCtes, $weightCtes, d AS (
         SELECT doc_id, lang, sum(cnt * w.w)::BIGINT AS score
         FROM b JOIN w USING (bin) GROUP BY doc_id, lang
       )
@@ -685,6 +690,77 @@ object SparkEntry {
              max(score)::BIGINT AS score_max,
              (sum(((score % 1000000007) + 1000000007) % 1000000007)
                % 1000000007)::BIGINT AS score_checksum
+      FROM d GROUP BY lang ORDER BY lang ASC"""
+
+  private lazy val classifierScoreOracle = classifierOracleWith("""w AS (
+        SELECT bin::INT AS bin,
+               (((bin * 2654435761) + 40503) % 1000003) % 201 - 100 AS w
+        FROM generate_series(0, 63) g(bin)
+      )""")
+
+  /** Naive-Bayes training replay: per-bin positive/negative token counts
+    * (positive = lang 'en'), add-one bitlen log-odds — re-derived from
+    * the same counts as TextAnalysis.trainedBinWeights, missing bins
+    * included via the generate_series left join. */
+  private lazy val classifierTrainOracle = classifierOracleWith("""agg AS (
+        SELECT bin,
+               sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)::BIGINT
+                 AS cpos,
+               sum(CASE WHEN lang <> 'en' THEN cnt ELSE 0 END)::BIGINT
+                 AS cneg
+        FROM b GROUP BY bin
+      ), bins AS (
+        SELECT g.bin::INT AS bin, coalesce(a.cpos, 0)::BIGINT AS cpos,
+               coalesce(a.cneg, 0)::BIGINT AS cneg
+        FROM generate_series(0, 63) g(bin) LEFT JOIN agg a ON a.bin = g.bin
+      ), tot AS (
+        SELECT sum(cpos)::BIGINT AS tpos, sum(cneg)::BIGINT AS tneg
+        FROM bins
+      ), w AS (
+        SELECT bin,
+               (length(bin(cpos + 1)) + length(bin(tneg + 64))
+                - length(bin(cneg + 1)) - length(bin(tpos + 64)))::BIGINT
+                 AS w
+        FROM bins, tot
+      )""")
+
+  /** DSIR importance-selection replay: same bin features, target = the
+    * 'en' slice vs the RAW corpus distribution (cneg = all tokens),
+    * same add-one bitlen log-ratio weights, selection = score ≥ 0,
+    * per-lang rollup with a mod-prime checksum of the selected ids. */
+  private lazy val importanceSampleOracle = s"""
+      WITH $classifierBinCtes, agg AS (
+        SELECT bin,
+               sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)::BIGINT
+                 AS cpos,
+               sum(cnt)::BIGINT AS cneg
+        FROM b GROUP BY bin
+      ), bins AS (
+        SELECT g.bin::INT AS bin, coalesce(a.cpos, 0)::BIGINT AS cpos,
+               coalesce(a.cneg, 0)::BIGINT AS cneg
+        FROM generate_series(0, 63) g(bin) LEFT JOIN agg a ON a.bin = g.bin
+      ), tot AS (
+        SELECT sum(cpos)::BIGINT AS tpos, sum(cneg)::BIGINT AS tneg
+        FROM bins
+      ), w AS (
+        SELECT bin,
+               (length(bin(cpos + 1)) + length(bin(tneg + 64))
+                - length(bin(cneg + 1)) - length(bin(tpos + 64)))::BIGINT
+                 AS w
+        FROM bins, tot
+      ), d AS (
+        SELECT doc_id, lang, sum(cnt * w.w)::BIGINT AS score
+        FROM b JOIN w USING (bin) GROUP BY doc_id, lang
+      )
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_selected,
+             round(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 4) AS sel_rate,
+             min(score)::BIGINT AS score_min,
+             max(score)::BIGINT AS score_max,
+             (sum(CASE WHEN score >= 0 THEN doc_id % 1000000007
+                  ELSE 0 END) % 1000000007)::BIGINT AS sel_checksum
       FROM d GROUP BY lang ORDER BY lang ASC"""
 
   /** Perceptual-hash pair replay (aHash grid from the text bytes → two
@@ -2946,6 +3022,8 @@ object SparkEntry {
     // batch — same rollup cells, same finalizer)
     "text_classifier_score" -> classifierScoreOracle,
     "stream_classifier_score" -> classifierScoreOracle,
+    "text_classifier_train" -> classifierTrainOracle,
+    "text_importance_sample" -> importanceSampleOracle,
     "text_tfidf_topk" -> """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(

@@ -1296,9 +1296,12 @@ object TextAnalysis {
     * group-then-dot plan). The weight table rides along as nBins plan
     * literals ([[classifierWeight]]). Shared by the batch operator and
     * its streaming twin. */
-  def classifierDocScore(spark: SparkSession, nBins: Int = 64): Column = {
+  def classifierDocScore(spark: SparkSession, nBins: Int = 64,
+      weights: Seq[Long] = Nil): Column = {
     graft.functions.PolyHash.register(spark)
-    val wArr = array((0 until nBins).map(b => lit(classifierWeight(b))): _*)
+    val ws = if (weights.nonEmpty) weights
+      else (0 until nBins).map(classifierWeight)
+    val wArr = array(ws.map(lit): _*)
     aggregate(
       split(TextNorm.normCol, " "),
       lit(0L),
@@ -1369,4 +1372,148 @@ object TextAnalysis {
       .select($"lang", classifierDocScore(spark, nBins).as("score"))
     classifierFinalize(classifierRollup(scored, threshold))
   }
+
+  /** Exact integer bit-length (bitlen(x) = ⌊log2 x⌋ + 1 for x ≥ 1) —
+    * the `length(bin(x))` quantization the surprisal LM and frequency
+    * spectrum already use: a log both engines compute identically. */
+  private def bitlen(x: Long): Long =
+    (64 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+
+  /** Integer Naive-Bayes log-odds per hashed bin, TRAINED from the
+    * corpus: per bin b, w(b) = bitlen(c⁺(b)+1) + bitlen(T⁻+nBins)
+    * − bitlen(c⁻(b)+1) − bitlen(T⁺+nBins) — the add-one-smoothed
+    * log₂(P(b|pos)/P(b|neg)) rounded to whole bits (the surprisal
+    * `length(bin(…))` quantization), so training is exact integer
+    * arithmetic end-to-end and the DuckDB oracle re-derives the same
+    * weight table. `vsAll = true` makes the denominator the RAW corpus
+    * distribution instead of the complement — the DSIR importance-weight
+    * shape ([[importanceSample]]).
+    *
+    * Scale: one token-explode pass collapsing map-side to ≤ nBins
+    * (cpos, cneg) cells; the ≤ 64-row fitted model collects to the
+    * driver (the k-means-centroid pattern) and re-enters every
+    * downstream plan as literals. */
+  private[graft] def trainedBinWeights(docs: DataFrame,
+      nBins: Int, posLang: String, vsAll: Boolean): Array[Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    val rows = docs
+      .select($"lang", explode(split(TextNorm.normCol, " ")).as("tok"))
+      .select($"lang",
+        (call_function("poly_hash", $"tok", lit(1 << 20)) % nBins)
+          .cast("int").as("bin"))
+      .groupBy($"bin")
+      .agg(sum(when($"lang" === posLang, 1L).otherwise(0L)).as("cpos"),
+        sum(when(lit(vsAll) || $"lang" =!= posLang, 1L).otherwise(0L))
+          .as("cneg"))
+      .as[(Int, Long, Long)].collect()
+    val cpos = Array.fill(nBins)(0L)
+    val cneg = Array.fill(nBins)(0L)
+    rows.foreach { case (b, p, n) => cpos(b) = p; cneg(b) = n }
+    val tpos = cpos.sum
+    val tneg = cneg.sum
+    Array.tabulate(nBins)(b =>
+      bitlen(cpos(b) + 1) + bitlen(tneg + nBins) -
+        bitlen(cneg(b) + 1) - bitlen(tpos + nBins))
+  }
+
+  /** CLASSIFIER TRAINING — the step that completes the quality-filter
+    * chain [[hashFeatures]] → [[classifierScore]] (apply) into the full
+    * fastText/CCNet loop: an integer Naive-Bayes model over the same 64
+    * hashed bins, trained against the labeled `lang` column (positive
+    * class `posLang`, the corpus majority), then APPLIED through the
+    * identical map-only scoring column and per-language survival rollup
+    * as the fixed-weight operator — so `n_kept` here reads "predicted
+    * positive" and the per-language split IS the confusion readout
+    * (PipelineOpsSpec asserts the trained model separates the positive
+    * language where the fixed pseudo-random table cannot).
+    *
+    * Fixture honesty: this corpus's `text` is language-INDEPENDENT word
+    * salad (a full-precision word-level NB reaches 61.6% train accuracy
+    * vs the 56.4% majority baseline, and after 64-bin hashing even the
+    * unquantized per-bin log-odds sit in the sampling noise), so HERE
+    * both the trained and the fixed model score at chance — no accuracy
+    * ordering between them is signal. The spec therefore asserts
+    * trained-beats-fixed where separation exists (an in-memory corpus
+    * with genuine vocabulary divergence: trained = 100%, fixed cannot
+    * reach it) and, on the real fixture, that the trained weight table
+    * bit-matches an in-memory replay of the training math (the ANN
+    * "recall floors are bug guards, not quality claims" stance).
+    *
+    * Exact integer math end-to-end ([[trainedBinWeights]]), hash-gated:
+    * the oracle re-trains the same model from the same counts. Scale:
+    * training is one token pass collapsing to ≤ nBins cells; apply is
+    * the same zero-shuffle row-local dot as `text_classifier_score`. */
+  def classifierTrainOn(docs: DataFrame,
+      nBins: Int = 64, posLang: String = "en"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = trainedBinWeights(docs, nBins, posLang, vsAll = false)
+    val scored = docs
+      .select($"lang",
+        classifierDocScore(spark, nBins, w.toIndexedSeq).as("score"))
+    classifierFinalize(classifierRollup(scored))
+  }
+
+  def classifierTrain(spark: SparkSession, sfDir: String,
+      nBins: Int = 64, posLang: String = "en"): DataFrame =
+    classifierTrainOn(Tables.read(spark, sfDir, "documents"), nBins, posLang)
+
+  /** DATA SELECTION BY IMPORTANCE RESAMPLING (the DSIR shape, Xie et
+    * al. 2023, arXiv:2302.03169): per-document importance weight =
+    * Σ_tokens [log P_target(bin) − log P_raw(bin)] over the same 64
+    * hashed-n-gram features, target = the `targetLang` slice, raw = the
+    * whole corpus — quantized to whole bits ([[trainedBinWeights]] with
+    * `vsAll = true`), so a document scores ≥ 0 iff its token mix looks
+    * more like the target distribution than like the raw corpus, and
+    * the threshold-0 selection is the deterministic integer analogue of
+    * DSIR's importance sampling. The rollup reports, per language, how
+    * much of it the target-seeking filter selects, plus the exact score
+    * range and a mod-prime checksum of the SELECTED doc ids, so the
+    * oracle confirms the membership set, not just the counts.
+    *
+    * Fixture honesty: on THIS corpus the target (`en`) slice and the
+    * raw corpus share one word-salad distribution, so the bin
+    * log-ratios quantize to noise around 0 (exactly 0 at sf0.01 — the
+    * filter then selects everything, the correct DSIR answer for "the
+    * corpus already matches the target"; ±1-bit rounding noise at other
+    * SFs) and no selection direction here is a quality claim. The spec
+    * proves discrimination on an in-memory corpus whose target slice
+    * has genuinely divergent vocabulary (the ev_lateness
+    * replayed-arrival precedent for fixture vacuity).
+    *
+    * Scale: training = one token pass to ≤ 64 cells; selection is
+    * MAP-ONLY (the same row-local dot as classifier apply — zero bytes
+    * per doc to any exchange) and the rollup one ≤ |langs| aggregate.
+    * Nothing grows with corpus size but the scan. */
+  def importanceSampleOn(docs: DataFrame,
+      nBins: Int = 64, targetLang: String = "en"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P = ChecksumP
+    val w = trainedBinWeights(docs, nBins, targetLang, vsAll = true)
+    docs
+      .select($"doc_id", $"lang",
+        classifierDocScore(spark, nBins, w.toIndexedSeq).as("score"))
+      .withColumn("sel", $"score" >= 0)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"sel", 1L).otherwise(0L)).as("n_selected"),
+        min($"score").as("score_min"),
+        max($"score").as("score_max"),
+        pmod(sum(when($"sel", pmod($"doc_id", lit(P))).otherwise(0L))
+          .cast("decimal(38,0)"), lit(P).cast("decimal(38,0)"))
+          .cast("long").as("sel_checksum"))
+      .withColumn("sel_rate",
+        round($"n_selected".cast("double") / $"n_docs", 4))
+      .select($"lang", $"n_docs", $"n_selected", $"sel_rate",
+        $"score_min", $"score_max", $"sel_checksum")
+      .orderBy($"lang".asc)
+  }
+
+  def importanceSample(spark: SparkSession, sfDir: String,
+      nBins: Int = 64, targetLang: String = "en"): DataFrame =
+    importanceSampleOn(Tables.read(spark, sfDir, "documents"),
+      nBins, targetLang)
 }
