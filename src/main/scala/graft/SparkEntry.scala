@@ -249,6 +249,7 @@ object SparkEntry {
     "text_classifier_train" -> ((s, d) => TextAnalysis.classifierTrain(s, d)),
     "text_importance_sample" -> ((s, d) =>
       TextAnalysis.importanceSample(s, d)),
+    "ev_lateness_approx" -> ((s, d) => Events.latenessAuditApprox(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -659,6 +660,36 @@ object SparkEntry {
     * checksum). The weight CTE is the only thing that differs between
     * the fixed-table APPLY (`text_classifier_score` + streaming twin)
     * and the TRAINED Naive-Bayes variant (`text_classifier_train`). */
+  /** The lateness-audit replay CTEs (round-robin shard merge, (cycle,
+    * shard) batches, cross-batch running-max watermark base) ending in
+    * `l(event_type, event_id, late_us)` — shared by the exact audit,
+    * its approx twin, and the streaming enforcement's prediction. */
+  private val latenessLateCtes = """e AS (
+        SELECT event_type, event_id, epoch_us(ts) AS us,
+               (event_id % 4)::INT AS shard
+        FROM events
+      ), p AS (
+        SELECT greatest(count(*) // 2048, 4) AS b FROM e
+      ), s AS (
+        SELECT e.*, row_number() OVER (PARTITION BY shard
+                                       ORDER BY event_id ASC) AS seq
+        FROM e
+      ), c AS (
+        SELECT s.*, ((seq - 1) // p.b)::BIGINT AS cycle FROM s, p
+      ), bm AS (
+        SELECT cycle, shard, max(us) AS bmax FROM c GROUP BY cycle, shard
+      ), hw AS (
+        SELECT cycle, shard,
+               max(bmax) OVER (ORDER BY cycle ASC, shard ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS hwm
+        FROM bm
+      ), l AS (
+        SELECT c.event_type, c.event_id, c.us,
+               greatest(coalesce(hw.hwm - c.us, 0), 0)::BIGINT AS late_us
+        FROM c JOIN hw USING (cycle, shard)
+      )"""
+
   /** The tokenize → hash → per-doc (bin, cnt) feature CTEs every
     * classifier-family oracle starts from (`b(doc_id, lang, bin, cnt)`). */
   private val classifierBinCtes = """t AS (
@@ -2928,32 +2959,8 @@ object SparkEntry {
     // lexicographic earlier-batch running max — as a window here, which
     // is equivalent to the Spark side's triangular join), integer gaps,
     // mod-prime checksum of the late ids, sums cast back to BIGINT
-    "ev_lateness" -> """
-      WITH e AS (
-        SELECT event_type, event_id, epoch_us(ts) AS us,
-               (event_id % 4)::INT AS shard
-        FROM events
-      ), p AS (
-        SELECT greatest(count(*) // 2048, 4) AS b FROM e
-      ), s AS (
-        SELECT e.*, row_number() OVER (PARTITION BY shard
-                                       ORDER BY event_id ASC) AS seq
-        FROM e
-      ), c AS (
-        SELECT s.*, ((seq - 1) // p.b)::BIGINT AS cycle FROM s, p
-      ), bm AS (
-        SELECT cycle, shard, max(us) AS bmax FROM c GROUP BY cycle, shard
-      ), hw AS (
-        SELECT cycle, shard,
-               max(bmax) OVER (ORDER BY cycle ASC, shard ASC
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND 1 PRECEDING) AS hwm
-        FROM bm
-      ), l AS (
-        SELECT c.event_type, c.event_id,
-               greatest(coalesce(hw.hwm - c.us, 0), 0)::BIGINT AS late_us
-        FROM c JOIN hw USING (cycle, shard)
-      )
+    "ev_lateness" -> s"""
+      WITH $latenessLateCtes
       SELECT event_type, count(*)::BIGINT AS n_events,
              sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
              max(late_us)::BIGINT AS max_late_us,
@@ -2964,6 +2971,16 @@ object SparkEntry {
              (sum(CASE WHEN late_us > 0 THEN event_id % 1000000007
                        ELSE 0 END) % 1000000007)::BIGINT
                AS late_ids_checksum
+      FROM l GROUP BY event_type ORDER BY event_type ASC""",
+    // approx_percentile twin: exact values + a bound gate the oracle
+    // re-checks as literal TRUE (the q_quantiles_approx discipline —
+    // the sketch value itself is never exported)
+    "ev_lateness_approx" -> s"""
+      WITH $latenessLateCtes
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+             round(quantile_cont(late_us, 0.99), 4) AS wm_p99_us,
+             true AS wm_p99_ok
       FROM l GROUP BY event_type ORDER BY event_type ASC""",
     // oracle: DuckDB's native inequality (IE) join for the range predicate
     "ev_range_join" -> """

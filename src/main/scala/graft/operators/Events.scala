@@ -629,10 +629,14 @@ object Events {
     * that bounded table (the `qHistogram` CDF pattern) — no
     * unpartitioned window anywhere; events rejoin their batch by
     * broadcast. */
-  def latenessAudit(spark: SparkSession, sfDir: String, nShards: Int = 4,
-      targetBatches: Long = 512L): DataFrame = {
+  /** The audit's per-event late stream: the round-robin shard-merge
+    * arrival replay → (cycle, shard) batches → cross-batch running-max
+    * watermark base → per-event `late_us` gap. Shared by the exact
+    * audit, its approx_percentile twin, and the streaming enforcement
+    * ([[graft.streaming.StreamingQueries]]). */
+  private[graft] def latenessLateStream(spark: SparkSession, sfDir: String,
+      nShards: Int, targetBatches: Long): DataFrame = {
     import spark.implicits._
-    val P = graft.operators.TextAnalysis.ChecksumP
     val ev = Tables.read(spark, sfDir, "events")
       .select($"event_type", $"event_id", unix_micros($"ts").as("us"))
       .withColumn("shard", ($"event_id" % nShards).cast("int"))
@@ -660,6 +664,13 @@ object Events {
       .join(broadcast(hwm), Seq("cycle", "shard"), "left_outer")
       .withColumn("late_us",
         greatest(coalesce($"hwm" - $"us", lit(0L)), lit(0L)))
+  }
+
+  def latenessAudit(spark: SparkSession, sfDir: String, nShards: Int = 4,
+      targetBatches: Long = 512L): DataFrame = {
+    import spark.implicits._
+    val P = graft.operators.TextAnalysis.ChecksumP
+    latenessLateStream(spark, sfDir, nShards, targetBatches)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(when($"late_us" > 0, 1L).otherwise(0L)).as("n_late"),
@@ -679,6 +690,40 @@ object Events {
           .as("late_ids_sum"))
       .withColumn("late_ids_checksum", $"late_ids_sum" % P)
       .drop("late_ids_sum")
+      .orderBy($"event_type".asc)
+  }
+
+  /** approx_percentile twin of [[latenessAudit]]'s watermark
+    * recommendation — the documented 100 TB swap MADE CODE instead of a
+    * comment: the exact `percentile(late_us, 0.99)` buffers each group's
+    * full value set in one aggregation buffer (fine until a type's
+    * arrivals outgrow a partition; a watermark audit over a year of a
+    * hot event type would not), where the KLL/GK sketch
+    * (`approx_percentile`, accuracy 10000 → rank error ≤ n/10⁴) keeps a
+    * few KB of state per partial and merges map-side.
+    *
+    * Gate discipline = `q_quantiles_approx`: the sketch's value is NOT
+    * exported (its merge order isn't deterministic) — the output carries
+    * the exact percentile plus `wm_p99_ok`, TRUE iff the sketch landed
+    * inside the exact [p98, p99.6] value window (rank 0.99 ± 10⁻⁴ sits
+    * strictly inside ±0.005 even after interpolation slop at small n),
+    * which the oracle re-checks as a literal-TRUE column. */
+  def latenessAuditApprox(spark: SparkSession, sfDir: String,
+      nShards: Int = 4, targetBatches: Long = 512L): DataFrame = {
+    import spark.implicits._
+    val late = latenessLateStream(spark, sfDir, nShards, targetBatches)
+    val exact = late.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"late_us" > 0, 1L).otherwise(0L)).as("n_late"),
+        expr("percentile(late_us, 0.99)").as("e99"),
+        expr("percentile(late_us, 0.98)").as("lo98"),
+        expr("percentile(late_us, 0.996)").as("hi996"))
+    val approx = late.groupBy($"event_type")
+      .agg(expr("approx_percentile(late_us, 0.99, 10000)").as("a99"))
+    exact.join(approx, Seq("event_type"))
+      .select($"event_type", $"n_events", $"n_late",
+        round($"e99", 4).as("wm_p99_us"),
+        ($"a99" >= $"lo98" && $"a99" <= $"hi996").as("wm_p99_ok"))
       .orderBy($"event_type".asc)
   }
 
