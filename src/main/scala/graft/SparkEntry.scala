@@ -250,6 +250,7 @@ object SparkEntry {
     "text_importance_sample" -> ((s, d) =>
       TextAnalysis.importanceSample(s, d)),
     "ev_lateness_approx" -> ((s, d) => Events.latenessAuditApprox(s, d)),
+    "q_zorder_write" -> ((s, d) => RefQueries.qZorderWrite(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -1798,6 +1799,54 @@ object SparkEntry {
     "q_hilbert_write" -> s"""
       WITH $hilbertGridCtes, hb AS (
         SELECT o_orderkey, x8, y8, (hidx // 24) AS hbucket FROM h
+      ), z AS (
+        SELECT hbucket, min(x8) AS x_lo, max(x8) AS x_hi,
+               min(y8) AS y_lo, max(y8) AS y_hi
+        FROM hb GROUP BY hbucket
+      ), zc AS (
+        SELECT count(*)::BIGINT AS n_buckets_total,
+               sum(CASE WHEN x_hi >= ${RefQueries.HilbertRect._1}
+                         AND x_lo <= ${RefQueries.HilbertRect._2}
+                         AND y_hi >= ${RefQueries.HilbertRect._3}
+                         AND y_lo <= ${RefQueries.HilbertRect._4}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_buckets_scanned
+        FROM z
+      ), m AS (
+        SELECT count(*)::BIGINT AS n_rows,
+               (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                    % 1000000007) % 1000000007)::BIGINT AS key_checksum
+        FROM hb
+        WHERE x8 BETWEEN ${RefQueries.HilbertRect._1}
+                     AND ${RefQueries.HilbertRect._2}
+          AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                     AND ${RefQueries.HilbertRect._4}
+      )
+      SELECT zc.n_buckets_total, zc.n_buckets_scanned,
+             m.n_rows, m.key_checksum
+      FROM zc, m""",
+    // Morton write-path twin: same grid, width-24 buckets, rectangle,
+    // and zone-map protocol — only the curve index differs (the
+    // q_zorder_layout bit-interleave instead of the Hilbert fold)
+    "q_zorder_write" -> s"""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey AS ck,
+               date_diff('day', DATE '1992-01-01',
+                         cast(o_orderdate AS date)) AS day
+        FROM orders
+      ), s AS (
+        SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+               min(day) AS day_min, max(day) AS day_max FROM o
+      ), g AS (
+        SELECT o_orderkey, ck, day,
+               ((ck - ck_min) * 256) // (ck_max - ck_min + 1) AS x8,
+               ((day - day_min) * 256) // (day_max - day_min + 1) AS y8
+        FROM o, s
+      ), hb AS (
+        SELECT o_orderkey, x8, y8,
+               (list_sum(list_transform(generate_series(0, 7),
+                 i -> (((x8 >> i) & 1) << (2*i)) +
+                      (((y8 >> i) & 1) << (2*i + 1)))) // 24) AS hbucket
+        FROM g
       ), z AS (
         SELECT hbucket, min(x8) AS x_lo, max(x8) AS x_hi,
                min(y8) AS y_lo, max(y8) AS y_hi

@@ -866,11 +866,29 @@ object RefQueries {
     * partitions — the entire point of clustering on a space-filling
     * curve. The checksum folds (k mod P)² mod P through a DECIMAL sum,
     * overflow-proof at any row count. */
-  def qHilbertWrite(spark: SparkSession, sfDir: String): DataFrame = {
+  def qHilbertWrite(spark: SparkSession, sfDir: String): DataFrame =
+    curveWriteScan(spark,
+      graft.sources.Etl.hilbertOrdersFixture(spark, sfDir))
+
+  /** Morton-curve twin of [[qHilbertWrite]] — same width-24 buckets,
+    * same rectangle, same zone-map protocol, on the PHYSICALLY WRITTEN
+    * Z-order table (`Etl.zorderOrdersFixture`). `n_rows`/`key_checksum`
+    * must equal the Hilbert run's (both prunes are exact — same
+    * answer); `n_buckets_scanned` is the measurement: how many written
+    * partitions each curve's zone maps let the same scan SKIP. The
+    * existing layout spec measures zone AREA on virtual buckets; this
+    * measures partitions actually pruned on disk — EtlSpec asserts
+    * hilbert_scanned < morton_scanned, non-vacuously (the width-24
+    * buckets are deliberately not power-of-4-aligned, where the curves
+    * would coincide). */
+  def qZorderWrite(spark: SparkSession, sfDir: String): DataFrame =
+    curveWriteScan(spark,
+      graft.sources.Etl.zorderOrdersFixture(spark, sfDir))
+
+  private def curveWriteScan(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val P = TextAnalysis.ChecksumP
     val (xLo, xHi, yLo, yHi) = HilbertRect
-    val path = graft.sources.Etl.hilbertOrdersFixture(spark, sfDir)
     val t = spark.read.parquet(
       s"$path/${graft.sources.Etl.HilbertTableDir}")
     // the zone-map table is WRITE-TIME metadata beside the data (≤ 2731

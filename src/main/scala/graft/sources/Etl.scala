@@ -114,10 +114,33 @@ object Etl {
   val HilbertTableDir = "table"
   val HilbertZonesDir = "zones"
 
-  def hilbertOrdersFixture(spark: SparkSession, sfDir: String): String =
-    cachedFixture(sfDir, "orders-hilbert-v3", s"$sfDir/orders.parquet") { tmp =>
+  def hilbertOrdersFixture(spark: SparkSession, sfDir: String): String = {
+    graft.functions.HilbertIndex.register(spark)
+    curveOrdersFixture(spark, sfDir, "orders-hilbert-v3",
+      "hilbert_xy2d(x8, y8)")
+  }
+
+  /** Morton (Z-order) twin of [[hilbertOrdersFixture]] — the SAME grid,
+    * bucket width (24), zone-map protocol, and directory layout, only
+    * the space-filling curve differs: bit-interleave instead of the
+    * quadrant-rotation walk. Exists so `q_zorder_write` can measure, on
+    * physically written tables, how many partitions each curve's zone
+    * maps let the same rectangle scan SKIP — the write-path version of
+    * the zone-AREA comparison the layout specs already make. */
+  def zorderOrdersFixture(spark: SparkSession, sfDir: String): String =
+    curveOrdersFixture(spark, sfDir, "orders-zorder-v1",
+      (0 until 8).map(i =>
+        s"(shiftleft(shiftrightunsigned(x8, $i) & 1, ${2 * i})) + " +
+          s"(shiftleft(shiftrightunsigned(y8, $i) & 1, ${2 * i + 1}))")
+        .mkString("(", " + ", ")"))
+
+  /** Shared curve-clustered write: orders → 8-bit grid → `idxSql` curve
+    * index → width-24 `hbucket` directory partitions, hidx-sorted within
+    * files, write-time zone maps beside the data. */
+  private def curveOrdersFixture(spark: SparkSession, sfDir: String,
+      key: String, idxSql: String): String =
+    cachedFixture(sfDir, key, s"$sfDir/orders.parquet") { tmp =>
       import org.apache.spark.sql.functions._
-      graft.functions.HilbertIndex.register(spark)
       val ord = graft.Tables.read(spark, sfDir, "orders")
         .select(col("o_orderkey"), col("o_custkey").cast("long").as("ck"),
           datediff(col("o_orderdate").cast("date"),
@@ -130,7 +153,7 @@ object Etl {
           expr("((ck - ck_min) * 256) div (ck_max - ck_min + 1)"))
         .withColumn("y8",
           expr("((day - day_min) * 256) div (day_max - day_min + 1)"))
-        .withColumn("hidx", expr("hilbert_xy2d(x8, y8)"))
+        .withColumn("hidx", expr(idxSql))
         .withColumn("hbucket", expr("hidx div 24"))
         .select("o_orderkey", "ck", "day", "x8", "y8", "hidx", "hbucket")
       laid
@@ -227,6 +250,7 @@ object Etl {
       .foreach(t => csvFixture(spark, sfDir, t))
     eventsByDayFixture(spark, sfDir)
     hilbertOrdersFixture(spark, sfDir)
+    zorderOrdersFixture(spark, sfDir)
     bucketedOrderTables(spark, sfDir)
     ()
   }

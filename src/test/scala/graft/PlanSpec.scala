@@ -294,19 +294,21 @@ class PlanSpec extends SparkSpec {
       s"rollup must partial-combine map-side:\n$p")
   }
 
-  test("q_hilbert_write: bucket list prunes partitions at plan time," +
-      " rectangle pushed to footers") {
+  test("q_hilbert_write/q_zorder_write: bucket list prunes partitions at" +
+      " plan time, rectangle pushed to footers") {
     // the zone-map consult must turn into PLAN-VISIBLE partition pruning
-    // on the hilbert-partitioned table (hbucket is a directory column:
+    // on the curve-partitioned table (hbucket is a directory column:
     // non-qualifying buckets are never listed, let alone read), and the
     // exact rectangle must reach the parquet scan for row-group pruning
-    val p = plan("q_hilbert_write")
-    assert(p.contains("PartitionFilters: [") &&
-      (p.contains("hbucket") && (p.contains("INSET") || p.contains(" IN ("))),
-      s"bucket candidates not applied as partition filters:\n$p")
-    assert(p.contains("GreaterThanOrEqual(x8,") ||
-      p.contains("PushedFilters: [IsNotNull(x8)"),
-      s"rectangle predicate not pushed to the parquet scan:\n$p")
+    Seq("q_hilbert_write", "q_zorder_write").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("PartitionFilters: [") &&
+        (p.contains("hbucket") && (p.contains("INSET") || p.contains(" IN ("))),
+        s"$q: bucket candidates not applied as partition filters:\n$p")
+      assert(p.contains("GreaterThanOrEqual(x8,") ||
+        p.contains("PushedFilters: [IsNotNull(x8)"),
+        s"$q: rectangle predicate not pushed to the parquet scan:\n$p")
+    }
   }
 
   test("q_grouping_sets: one Expand pass feeding one partial-combined agg") {
