@@ -251,6 +251,8 @@ object SparkEntry {
       TextAnalysis.importanceSample(s, d)),
     "ev_lateness_approx" -> ((s, d) => Events.latenessAuditApprox(s, d)),
     "q_zorder_write" -> ((s, d) => RefQueries.qZorderWrite(s, d)),
+    "stream_lateness" -> ((s, d) =>
+      graft.streaming.StreamingQueries.latenessEnforced(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -3021,6 +3023,58 @@ object SparkEntry {
                        ELSE 0 END) % 1000000007)::BIGINT
                AS late_ids_checksum
       FROM l GROUP BY event_type ORDER BY event_type ASC""",
+    // watermark-ENFORCEMENT replay: the stream observed what the
+    // ms-floor watermark prediction says it must — the oracle computes
+    // the prediction (batch granularity n/32, running-max ms-floor
+    // watermark base, drop iff late_us ≥ delay_ms·1000, delay = p99
+    // discrete order statistic DIV 1000 + 1), so the hash gate IS the
+    // predicted ≡ observed proof
+    "stream_lateness" -> """
+      WITH e AS (
+        SELECT event_type, event_id, epoch_us(ts) AS us,
+               (event_id % 4)::INT AS shard
+        FROM events
+      ), p AS (
+        SELECT greatest(count(*) // 32, 4) AS b FROM e
+      ), s AS (
+        SELECT e.*, row_number() OVER (PARTITION BY shard
+                                       ORDER BY event_id ASC) AS seq
+        FROM e
+      ), c AS (
+        SELECT s.*, ((seq - 1) // p.b)::BIGINT AS cycle FROM s, p
+      ), bm AS (
+        SELECT cycle, shard, (max(us) // 1000) AS bmax_ms
+        FROM c GROUP BY cycle, shard
+      ), hw AS (
+        SELECT cycle, shard,
+               max(bmax_ms) OVER (ORDER BY cycle ASC, shard ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS hwm_ms
+        FROM bm
+      ), l AS (
+        SELECT c.event_type, c.event_id,
+               greatest(coalesce(hw.hwm_ms * 1000 - c.us, 0), 0)::BIGINT
+                 AS late_us
+        FROM c JOIN hw USING (cycle, shard)
+      ), d AS (
+        SELECT (quantile_disc(late_us, 0.99) // 1000 + 1)::BIGINT
+                 AS delay_ms
+        FROM l
+      ), a AS (
+        SELECT l.event_type, l.event_id,
+               (l.late_us < d.delay_ms * 1000) AS admitted, d.delay_ms
+        FROM l, d
+      )
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             sum(CASE WHEN admitted THEN 1 ELSE 0 END)::BIGINT
+               AS n_admitted,
+             sum(CASE WHEN admitted THEN 0 ELSE 1 END)::BIGINT
+               AS n_dropped_late,
+             min(delay_ms)::BIGINT AS wm_delay_ms,
+             (sum(CASE WHEN admitted THEN event_id % 1000000007
+                  ELSE 0 END) % 1000000007)::BIGINT
+               AS admitted_ids_checksum
+      FROM a GROUP BY event_type ORDER BY event_type ASC""",
     // approx_percentile twin: exact values + a bound gate the oracle
     // re-checks as literal TRUE (the q_quantiles_approx discipline —
     // the sketch value itself is never exported)

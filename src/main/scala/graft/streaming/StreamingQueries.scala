@@ -429,6 +429,136 @@ object StreamingQueries {
     graft.operators.TextAnalysis.classifierFinalize(out)
   }
 
+  /** Shared derivation for the lateness ENFORCEMENT twin: the
+    * round-robin shard-merge replay at a micro-batch-friendly
+    * granularity (`targetBatches` = 8 → ≤ 32 deliveries at any corpus
+    * size), each event's lateness under Spark's ACTUAL watermark
+    * arithmetic — millisecond-FLOOR event-time stats
+    * (`floor(max_us/1000)`, what EventTimeStatsAccum tracks), watermark
+    * for batch i = running max over batches < i minus the delay — and
+    * the data-derived delay budget: the p99 DISCRETE order statistic of
+    * the lateness (integer, `percentile_disc` ≡ DuckDB `quantile_disc`
+    * — no interpolation, no ulp risk), floored to ms + 1 so the budget
+    * strictly admits the 99th percentile. Returns the (shard, cycle)
+    * sequenced events with `late_us` and the delay in ms. */
+  private def latenessDerivation(spark: SparkSession, sfDir: String,
+      nShards: Int, targetBatches: Long): (DataFrame, Long) = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.read(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"event_type")
+      .withColumn("shard", ($"event_id" % nShards).cast("int"))
+    val n = ev.count()
+    val b = math.max(n / (nShards * targetBatches), 4L)
+    val wSeq = Window.partitionBy($"shard").orderBy($"event_id".asc)
+    val seqd = ev.withColumn("seq", row_number().over(wSeq))
+      .withColumn("cycle", expr(s"CAST((seq - 1) DIV $b AS BIGINT)"))
+      .localCheckpoint(true) // feeds 32 delivery filters + the replay
+    // ms-floor batch maxima: floor(max(us)/1000) = max(floor(us/1000))
+    val bm = seqd.groupBy($"cycle", $"shard")
+      .agg(expr("max(unix_micros(ts)) DIV 1000").as("bmax_ms"))
+      .localCheckpoint(true) // ≤ 32-row table, feeds both join sides
+    val hwm = bm.as("a").join(bm.as("b"),
+        col("b.cycle") < col("a.cycle") ||
+          (col("b.cycle") === col("a.cycle") &&
+            col("b.shard") < col("a.shard")))
+      .groupBy(col("a.cycle").as("cycle"), col("a.shard").as("shard"))
+      .agg(max(col("b.bmax_ms")).as("hwm_ms"))
+    val late = seqd
+      .join(broadcast(hwm), Seq("cycle", "shard"), "left_outer")
+      .withColumn("late_us",
+        greatest(coalesce($"hwm_ms" * 1000L - unix_micros($"ts"), lit(0L)),
+          lit(0L)))
+      .localCheckpoint(true)
+    val p99 = late
+      .selectExpr(
+        "CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY late_us)" +
+          " AS LONG) AS p99")
+      .head().getLong(0)
+    (late, p99 / 1000L + 1L)
+  }
+
+  /** The per-type admission prediction — what `withWatermark(delay)` +
+    * a per-event stateful operator MUST drop under Spark's published
+    * watermark semantics: an event is dropped iff its time ≤ (watermark
+    * base − delay), i.e. iff `late_us ≥ delay_ms·1000` (events before
+    * any watermark exists are admitted). Shared shape with the DuckDB
+    * oracle; StreamingSpec asserts the REAL stream reproduces it
+    * row-for-row. */
+  private[graft] def latenessPredicted(spark: SparkSession, sfDir: String,
+      nShards: Int = 4, targetBatches: Long = 8L): DataFrame = {
+    import spark.implicits._
+    val P = graft.operators.TextAnalysis.ChecksumP
+    val (late, delayMs) =
+      latenessDerivation(spark, sfDir, nShards, targetBatches)
+    late
+      .withColumn("admitted", $"late_us" < delayMs * 1000L)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"admitted", 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(!$"admitted", 1L).otherwise(0L)).as("n_dropped_late"),
+        pmod(sum(when($"admitted", pmod($"event_id", lit(P)))
+          .otherwise(0L)).cast("decimal(38,0)"),
+          lit(P).cast("decimal(38,0)")).cast("long")
+          .as("admitted_ids_checksum"))
+      .select($"event_type", $"n_events", $"n_admitted", $"n_dropped_late",
+        lit(delayMs).as("wm_delay_ms"), $"admitted_ids_checksum")
+      .orderBy($"event_type".asc)
+  }
+
+  /** WATERMARK ENFORCEMENT — the `ev_lateness` recommendation made
+    * LOAD-BEARING: a REAL `withWatermark` query sized by the audit's
+    * p99 lateness runs over the replayed out-of-order arrival (one
+    * micro-batch per (cycle, shard) batch, delivered in arrival order
+    * through the file-stream source), and the declared output is what
+    * the stream OBSERVED: per type, how many events the watermark
+    * admitted vs dropped as late, with a mod-prime checksum of the
+    * admitted ids. The DuckDB oracle computes the same numbers from the
+    * batch-side PREDICTION (ms-floor watermark replay), so the hash
+    * gate IS the predicted ≡ observed proof — the same move
+    * `q_hilbert_write` made for the layout analysis.
+    *
+    * The stateful operator is `dropDuplicates(event_id)` on unique ids:
+    * identity on on-time rows, so every drop is attributable to the
+    * watermark alone. State is O(admitted ids) here (fixture-bounded,
+    * the dedup pass-through precedent); in production the same
+    * enforcement rides whatever stateful operator the pipeline already
+    * runs — the point proven is the drop RULE, not the state size. */
+  def latenessEnforced(spark: SparkSession, sfDir: String,
+      nShards: Int = 4, targetBatches: Long = 8L): DataFrame = {
+    import spark.implicits._
+    val P = graft.operators.TextAnalysis.ChecksumP
+    val (late, delayMs) =
+      latenessDerivation(spark, sfDir, nShards, targetBatches)
+    // delivery list in arrival order — (cycle, shard) lexicographic,
+    // only non-empty batches (an empty parquet delivery would just fire
+    // an empty micro-batch; skipping keeps the run ≤ 32 batches)
+    val present = late.select($"cycle", $"shard").distinct()
+      .as[(Long, Int)].collect().sorted
+    val deliveries = present.toSeq.map { case (c, s) =>
+      late.filter($"cycle" === c && $"shard" === s)
+        .select($"event_id", $"ts", $"event_type")
+    }
+    val out = runFileStream(spark, "lateness", deliveries,
+      OutputMode.Append()) { df =>
+      df.withWatermark("ts", s"$delayMs milliseconds")
+        .dropDuplicates("event_id")
+    }
+    val admitted = out.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_admitted"),
+        pmod(sum(pmod($"event_id", lit(P))).cast("decimal(38,0)"),
+          lit(P).cast("decimal(38,0)")).cast("long").as("cks"))
+    late.groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+      .join(admitted, Seq("event_type"), "left_outer")
+      .select($"event_type", $"n_events",
+        coalesce($"n_admitted", lit(0L)).as("n_admitted"),
+        ($"n_events" - coalesce($"n_admitted", lit(0L)))
+          .as("n_dropped_late"),
+        lit(delayMs).as("wm_delay_ms"),
+        coalesce($"cks", lit(0L)).as("admitted_ids_checksum"))
+      .orderBy($"event_type".asc)
+  }
+
   /** Streaming equi-width histogram + CDF — the distribution-profile
     * twin of the batch `q_histogram`: per-bucket COUNTS kept as
     * Complete-mode streaming aggregation state (counts are sums —

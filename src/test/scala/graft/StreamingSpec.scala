@@ -301,4 +301,28 @@ class StreamingSpec extends SparkSpec {
       .filter(col("nPar") === 2).count()
     assert(both > 0, "parity split never straddles a bucket — vacuous merge")
   }
+
+  test("lateness enforcement: the real withWatermark stream reproduces" +
+      " the ms-floor watermark prediction row-for-row, non-vacuously") {
+    // predicted (batch-side ms-floor watermark replay) ≡ observed (the
+    // actual streaming query's admitted set) — counts, delay budget,
+    // and the admitted-id checksum all equal, which pins Spark's real
+    // drop rule (event dropped iff ts ≤ watermark, watermark =
+    // floor(max_us/1000) − delay ms from strictly earlier batches)
+    val predicted =
+      graft.streaming.StreamingQueries.latenessPredicted(spark, sf)
+    val observed =
+      graft.streaming.StreamingQueries.latenessEnforced(spark, sf)
+    assertSameRows(predicted, observed)
+    // the enforcement must genuinely fire: some events dropped as late,
+    // and the p99 sizing must admit ≥ 99% GLOBALLY (its contract — the
+    // delay is the global p99, so per type the rate can dip slightly:
+    // view admits 97.9% at sf0.001)
+    val rows = observed.collect()
+    val dropped = rows.map(_.getLong(3)).sum
+    assert(dropped > 0L, "watermark dropped nothing — vacuous enforcement")
+    val admitted = rows.map(_.getLong(2)).sum
+    assert(admitted.toDouble / rows.map(_.getLong(1)).sum >= 0.99,
+      "the p99-sized budget admitted less than 99% of all arrivals")
+  }
 }
