@@ -90,11 +90,22 @@ object Bench {
         false
       }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // untimed warm-up pass: JIT + codegen compilation are per-query
-    // one-time costs; the timed passes below measure steady-state
-    // throughput (disable with SPARK_GRAFT_WARMUP=0).
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      ordered.foreach { case (name, fn) => run(name, fn) }
+    // warm-up pass: JIT + codegen compilation are per-query one-time
+    // costs; the timed passes below measure steady-state throughput
+    // (disable with SPARK_GRAFT_WARMUP=0). The pass is TIMED and
+    // reported as the separate `cold` metric — with per-JVM fitted-model
+    // caches (PCA Gramian, fixture schemas) the one-time model/build
+    // costs land exactly here and would otherwise vanish from the
+    // artifact (the r10 finding: embed_pca_power's warm median dropped
+    // 200× because the Gramian moved to the first pass).
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    val coldSecs = scala.collection.mutable.Map.empty[String, Double]
+    if (warmup)
+      ordered.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = run(name, fn)
+        if (ok) coldSecs(name) = (System.nanoTime() - t0) / 1e9
+      }
     // timed passes; physical metrics are attributed per query on the
     // LAST pass (drain -> reset -> run -> drain -> snapshot), when the
     // JVM is warmest — shuffle/spill volumes are plan properties, stable
@@ -166,11 +177,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // first-pass (cold) timings: -1 when the warm-up was disabled or the
+    // query failed there — same failure convention as the medians
+    val coldFull = results.map { case (k, _, _, _) =>
+      "\"" + k + "\":" + coldSecs.getOrElse(k, -1.0)
+    }.mkString("{", ",", "}")
+    val coldTotal =
+      if (warmup) coldSecs.values.sum else -1.0
     val met = results.map { case (k, _, _, _) =>
       val (sw, sm, sd, pk) = metrics.getOrElse(k, (-1L, -1L, -1L, -1L))
       s""""$k":{"shuffleWrite":$sw,"spillMem":$sm,"spillDisk":$sd,"peakMem":$pk}"""
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"etl":$etlSec,"failed":$failed,"sf":"$sfDir","queries":$qsFull,"spread":$spread,"taskMetrics":$met}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"etl":$etlSec,"coldTotal":$coldTotal,"failed":$failed,"sf":"$sfDir","queries":$qsFull,"cold":$coldFull,"spread":$spread,"taskMetrics":$met}"""
     // default lands next to the code: sbt runs main classes in-process,
     // so user.dir is the project root of whatever checkout ran the bench
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -200,7 +218,7 @@ object Bench {
       .filter { case (k, _, _, _) => headlineKeys.contains(k) }
       .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","passes":$passes,"etl":${fmt(etlSec, 1)},"failedCount":${failedNames.size},"failed":$failedBounded,"failedTruncated":$failedTruncated,"sf":"$sfDir","queries":$headlines,"artifact":"${new java.io.File(outFile).getName}","artifact_sha256":"$sha"}"""
+    val summary = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","passes":$passes,"etl":${fmt(etlSec, 1)},"cold":${fmt(coldTotal, 1)},"failedCount":${failedNames.size},"failed":$failedBounded,"failedTruncated":$failedTruncated,"sf":"$sfDir","queries":$headlines,"artifact":"${new java.io.File(outFile).getName}","artifact_sha256":"$sha"}"""
     // The driver parses this line from a bounded stdout TAIL. It must
     // arrive bare: `run` is forked, and sbt's default LoggedOutput
     // would re-log the forked stdout with an "[info] " prefix (the
