@@ -83,4 +83,39 @@ class PropertySpec extends AnyFunSuite {
       partA == partB
     })
   }
+
+  test("bounded top-k aggregation is partition-order independent and" +
+      " equals a global sort-take — both score directions, with ties") {
+    // The invariant behind the r11 two-stage ANN ranking
+    // (functions/TopKAggregator): top-k under the TOTAL order
+    // (score best-first, vec_id asc) is associative — merging
+    // per-partition partial top-ks of ANY split/permutation equals the
+    // top-k of the whole set. Scores are drawn from a SMALL integer
+    // range so tie-breaks are genuinely exercised.
+    val rows = Gen.listOfN(80,
+      Gen.zip(Gen.choose(0L, 999L), Gen.choose(0, 9).map(_.toDouble)))
+    val seed = Gen.choose(0L, Long.MaxValue)
+    val kGen = Gen.choose(1, 12)
+    def run(desc: Boolean, k: Int,
+        parts: Seq[Seq[(Long, Double)]]): Seq[(Long, Double, Long, Int)] = {
+      val agg = new graft.functions.TopKAggregator(k, desc)
+      val merged = parts
+        .map(_.foldLeft(agg.zero)((b, r) => agg.reduce(b, (r._1, r._2, 0L))))
+        .foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged).toSeq
+    }
+    check(Prop.forAll(rows, seed, kGen) { (rs0, s, k) =>
+      val rs = rs0.distinctBy(_._1) // unique vec_ids, like the real input
+      val rnd = new scala.util.Random(s)
+      val split = rnd.shuffle(rs).grouped(1 + rnd.nextInt(9)).toSeq
+      Seq(true, false).forall { desc =>
+        val got = run(desc, k, split)
+        val ord = if (desc) rs.sortBy { case (id, sc) => (-sc, id) }
+          else rs.sortBy { case (id, sc) => (sc, id) }
+        val want = ord.take(k).zipWithIndex
+          .map { case ((id, sc), i) => (id, sc, 0L, i + 1) }
+        got == want
+      }
+    })
+  }
 }
