@@ -279,19 +279,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("text_classifier_score: scoring is map-only — one rollup exchange," +
-      " no token explode") {
+  test("classifier apply/train/select: scoring is map-only — one rollup" +
+      " exchange, no token explode") {
     // the linear model is additive over tokens, so apply must fold the
     // dot product INSIDE the row: the only exchange is the ≤ |langs|
     // rollup. A regression to explode + (doc, bin) grouping re-ships
-    // document-sized data twice for the same integers.
-    val p = plan("text_classifier_score")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected one aggregate exchange, got $exchanges")
-    assert(!p.contains("Generate explode"),
-      s"scoring must not explode tokens into a shuffle:\n$p")
-    assert(p.contains("partial_count"),
-      s"rollup must partial-combine map-side:\n$p")
+    // document-sized data twice for the same integers. The TRAINED
+    // variants (r11) serve the fitted 64-weight table as plan literals,
+    // so their apply plans must keep the identical shape (training's
+    // own 64-cell aggregate runs separately at model-fit time).
+    Seq("text_classifier_score", "text_classifier_train",
+      "text_importance_sample").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"$q: expected one aggregate exchange, got $exchanges")
+      assert(!p.contains("Generate explode"),
+        s"$q: scoring must not explode tokens into a shuffle:\n$p")
+      assert(p.contains("partial_count"),
+        s"$q: rollup must partial-combine map-side:\n$p")
+    }
   }
 
   test("q_hilbert_write/q_zorder_write: bucket list prunes partitions at" +
