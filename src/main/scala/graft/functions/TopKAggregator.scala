@@ -30,11 +30,24 @@ final class TopKAggregator(k: Int, descending: Boolean)
     extends Aggregator[(Long, Double, Long), List[(Double, Long, Long)],
       Seq[(Long, Double, Long, Int)]] {
 
-  /** Strict total order, best first. */
+  /** Strict total order, best first. NaN is treated as the GREATEST
+    * score — the total order Spark SQL sorts by and DuckDB replays —
+    * so a NaN score (e.g. cosine of a zero vector, which no current
+    * fixture contains) would rank exactly where the window formulation
+    * ranked it, not silently last. −0.0 and 0.0 stay EQUAL (primitive
+    * comparison, Spark's comparison semantics), falling through to the
+    * vec_id tie-break — `java.lang.Double.compare` would order them. */
   private def better(a: (Double, Long, Long), b: (Double, Long, Long))
-      : Boolean =
-    if (a._1 != b._1) { if (descending) a._1 > b._1 else a._1 < b._1 }
-    else a._2 < b._2
+      : Boolean = {
+    val aNaN = a._1.isNaN
+    val bNaN = b._1.isNaN
+    if (aNaN || bNaN) {
+      if (aNaN != bNaN) { if (descending) aNaN else bNaN }
+      else a._2 < b._2
+    } else if (a._1 != b._1) {
+      if (descending) a._1 > b._1 else a._1 < b._1
+    } else a._2 < b._2
+  }
 
   private def insert(buf: List[(Double, Long, Long)],
       x: (Double, Long, Long)): List[(Double, Long, Long)] =

@@ -117,5 +117,16 @@ class PropertySpec extends AnyFunSuite {
         got == want
       }
     })
+    // NaN is the GREATEST score in the Spark/DuckDB total order: first
+    // under descending, last under ascending — pinned so a zero-vector
+    // cosine (NaN) could never silently diverge from the window
+    // formulation the aggregator replaced
+    val withNaN = Seq((1L, 0.5), (2L, Double.NaN), (3L, 0.9))
+    def ids(desc: Boolean) =
+      run(desc, 3, Seq(withNaN)).map(_._1)
+    assert(ids(desc = true) == Seq(2L, 3L, 1L),
+      "NaN must rank first under descending")
+    assert(ids(desc = false) == Seq(1L, 3L, 2L),
+      "NaN must rank last under ascending")
   }
 }
