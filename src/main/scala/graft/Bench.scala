@@ -182,8 +182,12 @@ object Bench {
     val coldFull = results.map { case (k, _, _, _) =>
       "\"" + k + "\":" + coldSecs.getOrElse(k, -1.0)
     }.mkString("{", ",", "}")
+    // -1 sentinel mirrors the per-query convention: a query that failed
+    // only during warm-up must not silently under-report the total
     val coldTotal =
-      if (warmup) coldSecs.values.sum else -1.0
+      if (warmup && results.forall { case (k, _, _, _) => coldSecs.contains(k) })
+        coldSecs.values.sum
+      else -1.0
     val met = results.map { case (k, _, _, _) =>
       val (sw, sm, sd, pk) = metrics.getOrElse(k, (-1L, -1L, -1L, -1L))
       s""""$k":{"shuffleWrite":$sw,"spillMem":$sm,"spillDisk":$sd,"peakMem":$pk}"""

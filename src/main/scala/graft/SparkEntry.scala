@@ -1265,13 +1265,14 @@ object SparkEntry {
     * must stay formula-identical to Similarity.semanticCellCount. */
   /** Adaptive IVF cell count kBody for the Lloyd CTE chain — the same
     * ceil(n/256) clamp as dedup_semantic (Similarity.ivfCells). */
-  private val ivfKSql =
-    "SELECT greatest(16, least(65536, (count(*) + 255) // 256)) AS k " +
-      "FROM embeddings"
-
   private val semanticKSql =
     "SELECT greatest(16, least(65536, (count(*) + 255) // 256)) AS k " +
       "FROM embeddings"
+
+  // one constant, two names: the IVF clamp is DELIBERATELY the same
+  // formula as dedup_semantic's — aliasing (not copying) the string
+  // makes silent drift impossible
+  private val ivfKSql = semanticKSql
 
   private def kmeansCtes(kBody: String) = s"""
     WITH kp AS ($kBody

@@ -30,6 +30,11 @@ final class TopKAggregator(k: Int, descending: Boolean)
     extends Aggregator[(Long, Double, Long), List[(Double, Long, Long)],
       Seq[(Long, Double, Long, Int)]] {
 
+  // fail at plan-build time: with k <= 0 the insert guard would read
+  // buf.last on an empty buffer and throw NoSuchElementException deep
+  // inside the aggregation instead of here with a clear message
+  require(k > 0, s"top-k requires k > 0, got $k")
+
   /** Strict total order, best first. NaN is treated as the GREATEST
     * score — the total order Spark SQL sorts by and DuckDB replays —
     * so a NaN score (e.g. cosine of a zero vector, which no current

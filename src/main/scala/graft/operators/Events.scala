@@ -622,55 +622,114 @@ object Events {
     * would drop exactly the events whose lateness exceeds X.
     *
     * All integer microseconds (`unix_micros` ↔ `epoch_us`) — hash-gated.
-    * Scale: the per-shard sequence is a shard-partitioned window; batch
-    * size derives from the corpus count so the BATCH table is bounded
-    * (≤ nShards·targetBatches rows at any corpus size), and the
-    * cross-batch running max is the triangular broadcast self-join over
-    * that bounded table (the `qHistogram` CDF pattern) — no
-    * unpartitioned window anywhere; events rejoin their batch by
-    * broadcast. */
-  /** The audit's per-event late stream: the round-robin shard-merge
-    * arrival replay → (cycle, shard) batches → cross-batch running-max
-    * watermark base → per-event `late_us` gap. Shared by the exact
-    * audit, its approx_percentile twin, and the streaming enforcement
-    * ([[graft.streaming.StreamingQueries]]). */
-  private[graft] def latenessLateStream(spark: SparkSession, sfDir: String,
-      nShards: Int, targetBatches: Long): DataFrame = {
+    * Scale: the per-shard sequence is the range-decomposed distributed
+    * prefix count in [[latenessReplay]] (never a corpus-wide window on
+    * the nShards-cardinality key); batch size derives from the corpus
+    * count so the BATCH table is bounded (≤ nShards·targetBatches rows
+    * at any corpus size), and the cross-batch running max is the
+    * triangular broadcast self-join over that bounded table (the
+    * `qHistogram` CDF pattern) — no unpartitioned window anywhere;
+    * events rejoin their batch by broadcast. */
+  /** The per-event late stream shared by the WHOLE lateness family —
+    * the exact audit, its approx_percentile twin, and the streaming
+    * enforcement ([[graft.streaming.StreamingQueries]]): round-robin
+    * shard-merge arrival replay → per-shard arrival sequence →
+    * (cycle, shard) batches → cross-batch running-max watermark base →
+    * per-event `late_us` gap. One derivation, one precision knob:
+    * `msFloor = false` is the audit's exact-µs arithmetic;
+    * `msFloor = true` is Spark's ACTUAL watermark arithmetic
+    * (EventTimeStatsAccum tracks millisecond-FLOOR event-time maxima,
+    * so the enforcement prediction must floor batch maxima to ms before
+    * the running max — calibrated against a real MemoryStream boundary
+    * probe in round 11).
+    *
+    * Scale shape: the per-shard arrival sequence is a RANGE-DECOMPOSED
+    * distributed prefix count (the `packSequences` pattern), NOT a
+    * corpus-wide `Window.partitionBy(shard)` — with nShards = 4 that
+    * window shuffles the entire table into 4 reducer partitions and
+    * sorts n/4 rows in each, the same few-partition funnel the ANN
+    * ranking rewrite killed. Here events group into ≤ 8192 coarse
+    * (shard, id-range) cells sized from the corpus count; per-cell
+    * arrival offsets come from a triangular broadcast join over that
+    * bounded cell table (offset = Σ counts of same-shard earlier
+    * ranges); the in-cell sequence is a window partitioned by
+    * (shard, rng) — thousands of bounded partitions, fully parallel at
+    * any corpus size. Seq values are IDENTICAL to the naive per-shard
+    * window (unique ids, ranges ordered by id), so every downstream
+    * oracle holds unchanged — PropertySpec proves range-width
+    * invariance, PlanSpec pins the plan shape.
+    *
+    * `materialize` eagerly checkpoints the sequenced stream for callers
+    * that re-filter it many times (the streaming enforcement's ≤ 32
+    * delivery filters); the single-pass batch audit leaves it lazy. */
+  private[graft] def latenessReplay(spark: SparkSession, sfDir: String,
+      nShards: Int, targetBatches: Long, msFloor: Boolean,
+      materialize: Boolean = false, rangeSize: Long = 0L): DataFrame = {
     import spark.implicits._
     val ev = Tables.read(spark, sfDir, "events")
-      .select($"event_type", $"event_id", unix_micros($"ts").as("us"))
+      .select($"event_id", $"ts", $"event_type")
       .withColumn("shard", ($"event_id" % nShards).cast("int"))
+      .withColumn("us", unix_micros($"ts"))
     val n = ev.count()
     // floor 4, not 1: with b = 1 and near-uniform shards the round-robin
     // merge reconstructs the global id order exactly (no lateness at all
     // on a tiny corpus) — a 4-event batch keeps the merge non-trivial at
     // any scale while changing nothing once n/2048 >= 4
     val b = math.max(n / (nShards * targetBatches), 4L)
-    val wSeq = Window.partitionBy($"shard").orderBy($"event_id".asc)
-    val seqd = ev.withColumn("seq", row_number().over(wSeq))
+    // per-shard arrival sequence, range-decomposed: cell width sized
+    // from the corpus count → ≤ 8192 ranges × nShards bounded cells
+    val width =
+      if (rangeSize > 0L) rangeSize
+      else math.max(nShards.toLong, (n + 8191L) / 8192L)
+    val ranged = ev.withColumn("rng", expr(s"event_id div $width"))
+    val cells = ranged.groupBy($"shard", $"rng")
+      .agg(count(lit(1)).as("rc"))
+    val offsets = cells.as("a")
+      .join(broadcast(cells.as("b")),
+        col("a.shard") === col("b.shard") && col("b.rng") < col("a.rng"),
+        "left_outer")
+      .groupBy(col("a.shard").as("shard"), col("a.rng").as("rng"))
+      .agg(coalesce(sum(col("b.rc")), lit(0L)).as("seq_off"))
+    val wSeq = Window.partitionBy($"shard", $"rng").orderBy($"event_id".asc)
+    val seqd0 = ranged.join(broadcast(offsets), Seq("shard", "rng"))
+      .withColumn("seq", $"seq_off" + row_number().over(wSeq))
       .withColumn("cycle", expr(s"CAST((seq - 1) DIV $b AS BIGINT)"))
+      .drop("rng", "seq_off")
+    val seqd = if (materialize) seqd0.localCheckpoint(true) else seqd0
+    // batch maxima at the chosen precision: for msFloor,
+    // floor(max(us)/1000) = max(floor(us/1000)) — same value either way
     val batches = seqd.groupBy($"cycle", $"shard")
-      .agg(max($"us").as("bmax"))
+      .agg((if (msFloor) expr("max(us) DIV 1000") else expr("max(us)"))
+        .as("bmax"))
       .localCheckpoint(true) // bounded table, feeds both join sides
     // watermark base per batch: max over all EARLIER-ARRIVING batches
-    // ((cycle, shard) lexicographic) — triangular join, never a window
-    val hwm = batches.as("a").join(batches.as("b"),
+    // ((cycle, shard) lexicographic) — triangular join, never a window.
+    // The broadcast hint is load-bearing: the table is ≤ nShards ×
+    // (targetBatches + 1) rows BY CONSTRUCTION, but its post-checkpoint
+    // lineage runs through a join, whose multiplied size estimate would
+    // otherwise push the non-equi pair past the auto-broadcast threshold
+    // and degrade it to a CartesianProduct
+    val hwm = batches.as("a").join(broadcast(batches.as("b")),
         col("b.cycle") < col("a.cycle") ||
           (col("b.cycle") === col("a.cycle") &&
             col("b.shard") < col("a.shard")))
       .groupBy(col("a.cycle").as("cycle"), col("a.shard").as("shard"))
       .agg(max(col("b.bmax")).as("hwm"))
-    seqd
+    val hwmUs = if (msFloor) $"hwm" * 1000L else $"hwm"
+    val late = seqd
       .join(broadcast(hwm), Seq("cycle", "shard"), "left_outer")
       .withColumn("late_us",
-        greatest(coalesce($"hwm" - $"us", lit(0L)), lit(0L)))
+        greatest(coalesce(hwmUs - $"us", lit(0L)), lit(0L)))
+      .select($"event_id", $"ts", $"event_type", $"shard", $"cycle",
+        $"seq", $"late_us")
+    if (materialize) late.localCheckpoint(true) else late
   }
 
   def latenessAudit(spark: SparkSession, sfDir: String, nShards: Int = 4,
       targetBatches: Long = 512L): DataFrame = {
     import spark.implicits._
     val P = graft.operators.TextAnalysis.ChecksumP
-    latenessLateStream(spark, sfDir, nShards, targetBatches)
+    latenessReplay(spark, sfDir, nShards, targetBatches, msFloor = false)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(when($"late_us" > 0, 1L).otherwise(0L)).as("n_late"),
@@ -711,7 +770,8 @@ object Events {
   def latenessAuditApprox(spark: SparkSession, sfDir: String,
       nShards: Int = 4, targetBatches: Long = 512L): DataFrame = {
     import spark.implicits._
-    val late = latenessLateStream(spark, sfDir, nShards, targetBatches)
+    val late = latenessReplay(spark, sfDir, nShards, targetBatches,
+      msFloor = false)
     val exact = late.groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(when($"late_us" > 0, 1L).otherwise(0L)).as("n_late"),

@@ -443,33 +443,12 @@ object StreamingQueries {
     * sequenced events with `late_us` and the delay in ms. */
   private def latenessDerivation(spark: SparkSession, sfDir: String,
       nShards: Int, targetBatches: Long): (DataFrame, Long) = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.read(spark, sfDir, "events")
-      .select($"event_id", $"ts", $"event_type")
-      .withColumn("shard", ($"event_id" % nShards).cast("int"))
-    val n = ev.count()
-    val b = math.max(n / (nShards * targetBatches), 4L)
-    val wSeq = Window.partitionBy($"shard").orderBy($"event_id".asc)
-    val seqd = ev.withColumn("seq", row_number().over(wSeq))
-      .withColumn("cycle", expr(s"CAST((seq - 1) DIV $b AS BIGINT)"))
-      .localCheckpoint(true) // feeds 32 delivery filters + the replay
-    // ms-floor batch maxima: floor(max(us)/1000) = max(floor(us/1000))
-    val bm = seqd.groupBy($"cycle", $"shard")
-      .agg(expr("max(unix_micros(ts)) DIV 1000").as("bmax_ms"))
-      .localCheckpoint(true) // ≤ 32-row table, feeds both join sides
-    val hwm = bm.as("a").join(bm.as("b"),
-        col("b.cycle") < col("a.cycle") ||
-          (col("b.cycle") === col("a.cycle") &&
-            col("b.shard") < col("a.shard")))
-      .groupBy(col("a.cycle").as("cycle"), col("a.shard").as("shard"))
-      .agg(max(col("b.bmax_ms")).as("hwm_ms"))
-    val late = seqd
-      .join(broadcast(hwm), Seq("cycle", "shard"), "left_outer")
-      .withColumn("late_us",
-        greatest(coalesce($"hwm_ms" * 1000L - unix_micros($"ts"), lit(0L)),
-          lit(0L)))
-      .localCheckpoint(true)
+    // ONE derivation for the whole lateness family — the ms-floor knob
+    // is the only difference from the batch audit's exact-µs arithmetic
+    // (Events.latenessReplay documents the calibration); materialize
+    // because the enforcement re-filters this stream ≤ 32 times
+    val late = graft.operators.Events.latenessReplay(spark, sfDir,
+      nShards, targetBatches, msFloor = true, materialize = true)
     val p99 = late
       .selectExpr(
         "CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY late_us)" +

@@ -1196,6 +1196,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(totLate < ev.length, "every event late — replay degenerated")
   }
 
+  test("lateness replay: range-decomposed arrival sequence is" +
+      " range-width invariant and equals the naive per-shard rank") {
+    // the sequencer's contract: per-shard seq = rank of event_id within
+    // the shard, whatever cell width the prefix-count decomposition
+    // picks — tiny cells (many ranges), one giant cell (the naive
+    // single-window shape), and the corpus-derived default must agree
+    // bit-for-bit, at BOTH precision knobs
+    def dump(msFloor: Boolean, rangeSize: Long): Seq[String] =
+      graft.operators.Events.latenessReplay(spark, sf, nShards = 4,
+          targetBatches = 512L, msFloor = msFloor, rangeSize = rangeSize)
+        .select("event_id", "shard", "seq", "cycle", "late_us")
+        .orderBy("event_id")
+        .collect().map(_.toString).toSeq
+    for (msFloor <- Seq(false, true)) {
+      val dflt = dump(msFloor, 0L)
+      val naive = dump(msFloor, Long.MaxValue / 4)
+      val tiny = dump(msFloor, 7L)
+      assert(dflt == naive, s"msFloor=$msFloor: default vs naive")
+      assert(tiny == naive, s"msFloor=$msFloor: tiny cells vs naive")
+      // and the naive shape itself must equal an in-memory per-shard rank
+      val ids = Tables.read(spark, sf, "events").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      val expSeq = ids.groupBy(_ % 4).iterator.flatMap { case (_, xs) =>
+        xs.sorted.iterator.zipWithIndex
+          .map { case (id, i) => id -> (i + 1L) }
+      }.toMap
+      val gotSeq = graft.operators.Events.latenessReplay(spark, sf, 4,
+          512L, msFloor = msFloor)
+        .select("event_id", "seq").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotSeq == expSeq, s"msFloor=$msFloor: seq != in-memory rank")
+    }
+  }
+
   test("hash features: sparse vectors bit-match an in-memory hashing" +
       " replay") {
     val P = 1000000007L
@@ -1475,9 +1509,8 @@ class PipelineOpsSpec extends SparkSpec {
     // (measured 544 vs 556). The zone-AREA spec above is the same claim
     // on virtual buckets; this is the write-path version the
     // q_hilbert_write protocol actually exercises.
-    val sf001 = "/root/testdata/sf0.01"
-    val hd = graft.operators.RefQueries.qHilbertWrite(spark, sf001).head()
-    val zd = graft.operators.RefQueries.qZorderWrite(spark, sf001).head()
+    val hd = graft.operators.RefQueries.qHilbertWrite(spark, SparkSpec.sfDense).head()
+    val zd = graft.operators.RefQueries.qZorderWrite(spark, SparkSpec.sfDense).head()
     assert(hd.getLong(2) == zd.getLong(2) && hd.getLong(3) == zd.getLong(3))
     info(s"sf0.01 buckets scanned: hilbert ${hd.getLong(1)} of " +
       s"${hd.getLong(0)}, morton ${zd.getLong(1)} of ${zd.getLong(0)}")

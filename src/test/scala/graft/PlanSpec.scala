@@ -700,12 +700,24 @@ class PlanSpec extends SparkSpec {
       s"the 7-row dim must broadcast, not shuffle:\n$p")
   }
 
-  test("ev_lateness: shard-partitioned sequence window, triangular" +
-      " broadcast batch max, no global window") {
+  test("ev_lateness: range-decomposed arrival sequence — windows" +
+      " partition on (shard, rng) cells, never on the nShards-cardinality" +
+      " key alone; triangular broadcast batch max") {
+    // the r11 scale-killer shape: row_number().over(Window.partitionBy(
+    // shard)) with nShards = 4 shuffled the ENTIRE events table into 4
+    // reducer partitions and sorted n/4 rows in each. The replay now
+    // sequences within ≤ 8192 bounded (shard, id-range) cells with
+    // broadcast per-cell offsets, so every window's partition spec must
+    // carry BOTH keys — a spec whose second token is the ORDER column
+    // (event_id) means the funnel came back.
     val p = plan("ev_lateness")
-    val specs = "windowspecdefinition\\(\\w+".r.findAllIn(p).toSeq.distinct
-    assert(specs.nonEmpty && specs.forall(_.endsWith("shard")),
-      s"the per-shard sequence must be the ONLY window, got $specs:\n$p")
+    val specs = """windowspecdefinition\((\w+)#\d+L?, (\w+)#\d+L?""".r
+      .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq.distinct
+    assert(specs.nonEmpty && specs.forall {
+        case (a, b) => a == "shard" && b == "rng"
+      },
+      s"every sequence window must partition on (shard, rng), got" +
+        s" $specs:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"the cross-batch running max must be the triangular broadcast" +
         s" join over the bounded batch table:\n$p")

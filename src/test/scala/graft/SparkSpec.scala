@@ -20,6 +20,9 @@ object SparkSpec {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+  /** The denser second-scale fixture for tests whose claim only holds
+    * past the sparse-grid regime (curve-layout comparisons etc.). */
+  val sfDense: String = "/root/testdata/sf0.01"
 }
 
 abstract class SparkSpec extends AnyFunSuite {
