@@ -253,6 +253,7 @@ object SparkEntry {
     "q_zorder_write" -> ((s, d) => RefQueries.qZorderWrite(s, d)),
     "stream_lateness" -> ((s, d) =>
       graft.streaming.StreamingQueries.latenessEnforced(s, d)),
+    "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -757,6 +758,59 @@ object SparkEntry {
                  AS w
         FROM bins, tot
       )""")
+
+  /** PII-scrub replay: the SAME planted-source construction as
+    * TextAnalysis.piiScrub (ids continue from max(doc_id); i%3==0 email,
+    * i%3==1 phone+IP, i%3==2 clean), then the same three regex tiers —
+    * counts on the raw text, redaction in the fixed email → ip → phone
+    * order — rolled up per source. The regexes interpolate from the ONE
+    * set of constants the Spark side uses (Java regex ≡ RE2 on this
+    * syntax subset); regexp_replace carries the 'g' flag (DuckDB
+    * replaces first-only by default, Spark replaces all). */
+  private lazy val piiScrubOracle = s"""
+      WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      planted AS (
+        SELECT m + 1 + i AS doc_id, 'planted' AS source,
+          CASE WHEN i % 3 = 0 THEN
+                 'reach user' || i::VARCHAR || ' at user' || i::VARCHAR ||
+                 '@example.com today'
+               WHEN i % 3 = 1 THEN
+                 'dial 55512345' || i::VARCHAR || ' from 10.0.' ||
+                 i::VARCHAR || '.' || (i * 7 % 256)::VARCHAR || ' now'
+               ELSE 'clean text no contact info here' END AS text
+        FROM range(20) AS t(i), mx
+      ), corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL SELECT doc_id, source, text FROM planted
+      ), scored AS (
+        SELECT doc_id, source,
+          len(regexp_extract_all(text,
+            '${graft.operators.TextAnalysis.PiiEmailRe}'))::BIGINT
+            AS n_email,
+          len(regexp_extract_all(text,
+            '${graft.operators.TextAnalysis.PiiIpRe}'))::BIGINT AS n_ip,
+          len(regexp_extract_all(text,
+            '${graft.operators.TextAnalysis.PiiPhoneRe}'))::BIGINT
+            AS n_phone,
+          length(text) - length(regexp_replace(regexp_replace(
+            regexp_replace(text,
+              '${graft.operators.TextAnalysis.PiiEmailRe}', '<EMAIL>', 'g'),
+              '${graft.operators.TextAnalysis.PiiIpRe}', '<IP>', 'g'),
+              '${graft.operators.TextAnalysis.PiiPhoneRe}', '<PHONE>', 'g'))
+            AS delta
+        FROM corpus
+      )
+      SELECT source, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END)
+          ::BIGINT AS n_pii_docs,
+        sum(n_email)::BIGINT AS n_email,
+        sum(n_ip)::BIGINT AS n_ip,
+        sum(n_phone)::BIGINT AS n_phone,
+        sum(delta)::BIGINT AS redact_delta,
+        (sum(CASE WHEN n_email + n_ip + n_phone > 0
+             THEN doc_id % 1000000007 ELSE 0 END) % 1000000007)::BIGINT
+          AS pii_ids_checksum
+      FROM scored GROUP BY source ORDER BY source ASC"""
 
   /** DSIR importance-selection replay: same bin features, target = the
     * 'en' slice vs the RAW corpus distribution (cneg = all tokens),
@@ -3145,6 +3199,7 @@ object SparkEntry {
     "stream_classifier_score" -> classifierScoreOracle,
     "text_classifier_train" -> classifierTrainOracle,
     "text_importance_sample" -> importanceSampleOracle,
+    "text_pii_scrub" -> piiScrubOracle,
     "text_tfidf_topk" -> """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(

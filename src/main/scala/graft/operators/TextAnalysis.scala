@@ -1516,4 +1516,92 @@ object TextAnalysis {
       nBins: Int = 64, targetLang: String = "en"): DataFrame =
     importanceSampleOn(Tables.read(spark, sfDir, "documents"),
       nBins, targetLang)
+
+  /** Regex tiers for the PII scrub — the patterns every regex-tier
+    * curation pass starts from (C4/Gopher/RefinedWeb all run one before
+    * anything model-based). Kept to syntax that Java regex (Spark) and
+    * RE2 (DuckDB) interpret IDENTICALLY: explicit char classes, greedy
+    * bounded repetition, no word boundaries, no backreferences — the
+    * hash gate replays find AND replace in both engines. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PiiPhoneRe = "[0-9]{7,}"
+
+  /** Per-document PII detection + redaction: per-tier match counts on
+    * the RAW text (tiers counted independently) and the scrubbed text
+    * from a FIXED replace order (email → ip → phone, so an IP is never
+    * half-eaten by the digit-run tier). Map-only — zero bytes per doc
+    * reach any exchange. */
+  private[graft] def piiScrubbedDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", $"source", $"text",
+      regexp_count($"text", lit(PiiEmailRe)).cast("long").as("n_email"),
+      regexp_count($"text", lit(PiiIpRe)).cast("long").as("n_ip"),
+      regexp_count($"text", lit(PiiPhoneRe)).cast("long").as("n_phone"),
+      regexp_replace(regexp_replace(regexp_replace($"text",
+        lit(PiiEmailRe), lit("<EMAIL>")),
+        lit(PiiIpRe), lit("<IP>")),
+        lit(PiiPhoneRe), lit("<PHONE>")).as("scrubbed"))
+  }
+
+  /** PII scrub report over an arbitrary (doc_id, source, text) corpus:
+    * per source, how many documents carry PII, per-tier match totals,
+    * the total character delta redaction produced, and a mod-prime
+    * checksum of the AFFECTED doc ids (the membership discipline — the
+    * oracle confirms WHICH docs were flagged, not just how many).
+    * One low-cardinality aggregate after the map-only scan. */
+  def piiScrubOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P = ChecksumP
+    piiScrubbedDocs(docs)
+      .withColumn("pii", $"n_email" + $"n_ip" + $"n_phone" > 0L)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"pii", 1L).otherwise(0L)).as("n_pii_docs"),
+        sum($"n_email").as("n_email"),
+        sum($"n_ip").as("n_ip"),
+        sum($"n_phone").as("n_phone"),
+        sum(length($"text") - length($"scrubbed")).as("redact_delta"),
+        pmod(sum(when($"pii", pmod($"doc_id", lit(P))).otherwise(0L))
+          .cast("decimal(38,0)"), lit(P).cast("decimal(38,0)"))
+          .cast("long").as("pii_ids_checksum"))
+      .orderBy($"source".asc)
+  }
+
+  /** How many synthetic PII carriers [[piiScrub]] appends. */
+  val PiiPlantCount = 20L
+
+  /** The declared PII-scrub query: the fixture text is digit-free word
+    * salad (zero matches on every tier — verified, and exactly what a
+    * CLEAN corpus should report), so the fixture alone would gate
+    * nothing. The corpus is therefore documents ∪ a 20-row deterministic
+    * planted source ('planted', ids continuing from max(doc_id)):
+    * i%3==0 rows carry an email, i%3==1 a phone digit-run AND an IP,
+    * i%3==2 nothing — all constructed by the SAME arithmetic in the
+    * DuckDB oracle, so the hash gate proves both engines agree on regex
+    * find + replace over real AND planted rows: every real source must
+    * report all-zero, the planted source 14/20 flagged with exact
+    * per-tier counts, deltas, and the affected-id checksum.
+    * PipelineOpsSpec proves precision/recall 1.0 on the planted set and
+    * redaction idempotency. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text")
+    val maxId = base.agg(max($"doc_id")).head().getLong(0)
+    val planted = spark.range(0, PiiPlantCount)
+      .select(($"id" + maxId + 1L).as("doc_id"),
+        lit("planted").as("source"),
+        when($"id" % 3 === 0,
+          concat(lit("reach user"), $"id".cast("string"), lit(" at user"),
+            $"id".cast("string"), lit("@example.com today")))
+        .when($"id" % 3 === 1,
+          concat(lit("dial 55512345"), $"id".cast("string"),
+            lit(" from 10.0."), $"id".cast("string"), lit("."),
+            ($"id" * 7 % 256).cast("string"), lit(" now")))
+        .otherwise(lit("clean text no contact info here")).as("text"))
+    piiScrubOn(base.unionByName(planted))
+  }
 }

@@ -1420,6 +1420,68 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pii scrub: precision/recall 1.0 on a planted corpus, redaction" +
+      " idempotent, clean fixture sources report all-zero") {
+    import spark.implicits._
+    val T = graft.operators.TextAnalysis
+    // planted in-memory corpus: exact ground truth per doc — ids 0-3
+    // carry PII (email / ip / phone / all three), 4-7 are clean decoys
+    // chosen to STRESS the tiers (an @ without a domain, a short digit
+    // run, a two-dot version string, plain prose)
+    val toy = Seq(
+      (0L, "s0", "write to jane.doe+spam@mail.example.org for details"),
+      (1L, "s0", "server at 192.168.001.7 answered"),
+      (2L, "s1", "call 08001234567 now"),
+      (3L, "s1", "bob@x.io or 10.0.0.1 or 5551234567"),
+      (4L, "s0", "meet @ the cafe at 5"),
+      (5L, "s0", "room 123456 floor 12"),
+      (6L, "s1", "version 1.2.3 shipped"),
+      (7L, "s1", "no contact information whatsoever")
+    ).toDF("doc_id", "source", "text")
+    val perDoc = T.piiScrubbedDocs(toy).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val flagged = perDoc.collect {
+      case (id, r) if r.getLong(3) + r.getLong(4) + r.getLong(5) > 0 => id
+    }.toSet
+    assert(flagged == Set(0L, 1L, 2L, 3L),
+      s"precision/recall must be 1.0 on the planted set, flagged $flagged")
+    // tier attribution on the all-three doc
+    val d3 = perDoc(3L)
+    assert((d3.getLong(3), d3.getLong(4), d3.getLong(5)) == ((1L, 1L, 1L)),
+      "doc 3 must count one match per tier")
+    assert(d3.getString(6) == "<EMAIL> or <IP> or <PHONE>",
+      s"redaction order must leave tokens intact: '${d3.getString(6)}'")
+    // no PII survives its own scrub, and scrubbing is idempotent
+    val rescrubbed = T.piiScrubbedDocs(
+      T.piiScrubbedDocs(toy).select($"doc_id", $"source",
+        $"scrubbed".as("text"))).collect()
+    rescrubbed.foreach { r =>
+      assert(r.getLong(3) + r.getLong(4) + r.getLong(5) == 0L,
+        s"doc ${r.getLong(0)}: PII survived the scrub")
+      assert(r.getString(6) == r.getString(2),
+        s"doc ${r.getLong(0)}: scrub not idempotent")
+    }
+    // clean decoys untouched
+    Seq(4L, 5L, 6L, 7L).foreach { id =>
+      assert(perDoc(id).getString(6) == perDoc(id).getString(2),
+        s"clean doc $id was modified")
+    }
+    // fixture: the real corpus is digit-free word salad — every real
+    // source must report all-zero (a clean bill IS the signal there);
+    // the planted source carries the full non-vacuous contract
+    val fix = T.piiScrub(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    fix.foreach { case (src, r) =>
+      if (src != "planted")
+        assert(r.getLong(2) == 0L && r.getLong(6) == 0L && r.getLong(7) == 0L,
+          s"real source $src must be PII-free on this fixture")
+    }
+    val p = fix("planted")
+    assert(p.getLong(1) == T.PiiPlantCount && p.getLong(2) == 14L &&
+      p.getLong(3) == 7L && p.getLong(4) == 7L && p.getLong(5) == 7L,
+      s"planted rollup off: ${p.toString}")
+  }
+
   test("phash clusters: survival rollup matches a union-find over the" +
       " declared pair graph") {
     val pairs = graft.operators.Multimodal.phashDedup(spark, sf).collect()

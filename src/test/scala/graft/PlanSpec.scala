@@ -301,6 +301,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_pii_scrub: detection and redaction are map-only — one" +
+      " per-source rollup exchange, no explode, no join on the corpus") {
+    val p = plan("text_pii_scrub")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected one rollup exchange, got $exchanges:\n$p")
+    assert(!p.contains("Generate explode"),
+      s"regex tiers must evaluate in-row, never explode:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the planted union must not shuffle the corpus into a join:\n$p")
+    assert(p.contains("partial_count"),
+      s"the per-source rollup must partial-combine map-side:\n$p")
+  }
+
   test("q_hilbert_write/q_zorder_write: bucket list prunes partitions at" +
       " plan time, rectangle pushed to footers") {
     // the zone-map consult must turn into PLAN-VISIBLE partition pruning
