@@ -254,6 +254,7 @@ object SparkEntry {
     "stream_lateness" -> ((s, d) =>
       graft.streaming.StreamingQueries.latenessEnforced(s, d)),
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
+    "mm_audio_dedup" -> ((s, d) => Multimodal.audioDedup(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2882,6 +2883,92 @@ object SparkEntry {
              sum(CASE WHEN removed THEN n_chars ELSE 0 END)::BIGINT
                AS bytes_saved
       FROM d GROUP BY lang ORDER BY lang ASC""",
+    // audio fingerprint dedup replay: same planted-twin construction as
+    // Multimodal.audioDedup (12 smallest >=64-byte docs, first sample
+    // perturbed, twin id = src + max + 1), then the frame-energy
+    // signature bit-for-bit — segment(p) = (p-1)*64 // n over the text
+    // bytes (samples = bytes, the WavCodec round-trip contract), energy
+    // Σ(c-128)², bit = 64·e > Σe — banded hamming ≤ 10 candidates, the
+    // recursive min-reachable CC walk, per-lang survival rollup
+    "mm_audio_dedup" -> """
+      WITH RECURSIVE mx AS (SELECT max(doc_id) AS m FROM documents),
+      src AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE length(text) >= 64 ORDER BY doc_id ASC LIMIT 12
+      ),
+      planted AS (
+        SELECT s.doc_id + mx.m + 1 AS doc_id, s.lang,
+               'z' || substr(s.text, 2) AS text
+        FROM src s, mx
+      ),
+      corpus AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL SELECT doc_id, lang, text FROM planted
+      ),
+      d AS (
+        SELECT doc_id, text, length(text) AS n FROM corpus
+        WHERE length(text) >= 64
+      ),
+      seg AS (
+        SELECT doc_id, ((u.p - 1) * 64) // n AS k,
+               sum((ascii(substr(text, u.p::int, 1)) - 128)
+                   * (ascii(substr(text, u.p::int, 1)) - 128)) AS e
+        FROM d, unnest(generate_series(1, n)) u(p)
+        GROUP BY doc_id, ((u.p - 1) * 64) // n
+      ),
+      tot AS (SELECT doc_id, sum(e) AS s FROM seg GROUP BY doc_id),
+      sig AS (
+        SELECT seg.doc_id,
+               sum(CASE WHEN k < 32 AND 64 * e > s
+                   THEN (1::BIGINT << k::int) ELSE 0 END)::BIGINT AS w0,
+               sum(CASE WHEN k >= 32 AND 64 * e > s
+                   THEN (1::BIGINT << (k - 32)::int) ELSE 0 END)::BIGINT
+                 AS w1
+        FROM seg JOIN tot USING (doc_id) GROUP BY seg.doc_id
+      ),
+      banded AS (
+        SELECT doc_id, w0, w1, band,
+               CASE WHEN band = 0 THEN w0 & 65535
+                    WHEN band = 1 THEN (w0 >> 16) & 65535
+                    WHEN band = 2 THEN w1 & 65535
+                    ELSE (w1 >> 16) & 65535 END AS bsig
+        FROM sig CROSS JOIN generate_series(0, 3) t(band)
+      ),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b USING (band, bsig)
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.w0, b.w0))
+              + bit_count(xor(a.w1, b.w1)) <= 10
+      ),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+      ),
+      nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+      walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON w.doc_id = e.b
+      ),
+      lab AS (
+        SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id
+      ),
+      dup AS (SELECT doc_id FROM lab WHERE cluster_id <> doc_id),
+      r AS (
+        SELECT doc_id, lang, length(text)::BIGINT AS bytes,
+               doc_id IN (SELECT doc_id FROM dup) AS removed
+        FROM corpus
+      )
+      SELECT lang, count(*)::BIGINT AS n_auds,
+             sum(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+             sum(CASE WHEN NOT removed THEN 1 ELSE 0 END)::BIGINT
+               AS n_kept,
+             sum(CASE WHEN NOT removed THEN bytes ELSE 0 END)::BIGINT
+               AS bytes_kept,
+             sum(CASE WHEN removed THEN bytes ELSE 0 END)::BIGINT
+               AS bytes_saved
+      FROM r GROUP BY lang ORDER BY lang ASC""",
     "mm_crossmodal_join" -> """
       WITH v AS (
         SELECT vec_id AS doc_id,

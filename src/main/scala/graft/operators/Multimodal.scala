@@ -392,6 +392,18 @@ object Multimodal {
         }
       }
     }.toDF("doc_id", "w0", "w1")
+    bandedHammingPairs(sigs, maxHamming)
+  }
+
+  /** The shared banded-hamming candidate stage every 64-bit-signature
+    * dedup tier rides (images via [[phashDedup]], audio via
+    * [[audioDedup]]): 4×16-bit band buckets propose candidates, exact
+    * `bit_count(xor)` hamming confirms — pairs scale with bucket
+    * occupancy, never corpus². Input: (doc_id, w0, w1) sign words. */
+  private def bandedHammingPairs(sigs: DataFrame, maxHamming: Int)
+      : DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
     val banded = sigs.select($"doc_id", $"w0", $"w1",
       explode(array((0 until 4).map { b =>
         val word = if (b < 2) $"w0" else $"w1"
@@ -598,4 +610,115 @@ object Multimodal {
       .select($"doc_id", $"n_bytes", $"first_byte", $"feat_hash")
       .orderBy($"doc_id".asc)
   }
+
+  /** 64-bit frame-energy audio fingerprint over the DECODED WAV stream —
+    * the [[phashDedup]] recipe on `WavCodec` output, closing the
+    * per-modality dedup matrix (text → simhash/minhash, images → phash,
+    * audio → this): each clip's samples split into 64 length-relative
+    * segments (sample p → segment p·64 div n, so the fingerprint is
+    * duration-invariant like a real audio fingerprint's time
+    * normalization), integer energy Σ(s−128)² per segment, bit = segment
+    * strictly above the 64-segment mean (the phash `64·e > Σ` integer
+    * rule), packed into two 32-bit sign-safe words. Clips under 64
+    * samples have no stable segmentation and drop out (the phash h ≥ 8
+    * precedent). Deterministic integer math end-to-end — the DuckDB
+    * oracle replays every bit from the text bytes. Samples never leave
+    * the scan partition; only the 16-byte signature shuffles. */
+  private[graft] def audioFingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val bytes =
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val audio = graft.functions.WavCodec
+            .decode(graft.functions.WavCodec.encode(bytes))
+          val s = audio.samples
+          val n = s.length
+          if (n < 64) None
+          else {
+            val e = new Array[Long](64)
+            var p = 0
+            while (p < n) {
+              val c = (s(p) & 0xff) - 128L
+              e((p.toLong * 64L / n).toInt) += c * c
+              p += 1
+            }
+            val tot = e.sum
+            var w0 = 0L
+            var w1 = 0L
+            var k = 0
+            while (k < 64) {
+              if (64L * e(k) > tot) {
+                if (k < 32) w0 |= (1L << k) else w1 |= (1L << (k - 32))
+              }
+              k += 1
+            }
+            Some((id, w0, w1))
+          }
+        }
+      }.toDF("doc_id", "w0", "w1")
+  }
+
+  /** How many near-dup audio twins [[audioDedup]] plants. */
+  val AudioPlantCount = 12
+
+  /** Audio near-dup dedup + cluster survival — the audio twin of
+    * [[phashClusters]]: [[audioFingerprints]] signatures → the SHARED
+    * [[bandedHammingPairs]] candidate stage → the SHARED hub-skew-safe
+    * `Dedup.connectedComponentsStar` resolver (one CC implementation
+    * serves text, images AND audio), keeper = component min id, per-lang
+    * survival + byte-savings rollup.
+    *
+    * The fixture corpus is word salad with no true audio near-dups
+    * (measured: 3 coincidental band pairs at sf0.001, zero at sf0.01),
+    * so — the `text_pii_scrub` precedent — the declared corpus is
+    * documents ∪ 12 planted near-dup twins: the 12 smallest ≥ 64-byte
+    * docs re-recorded with their first sample perturbed (1-char
+    * substitution — a genuine near-dup, not an exact copy), twin id =
+    * source id + max(doc_id) + 1. Both engines build the same twins, so
+    * the hash gate proves the fingerprint DETECTS perturbed
+    * re-recordings (every twin must cluster with its source and be
+    * removed) while the rest of the corpus stays clean. Spec runs the
+    * union-find differential and asserts planted recall 1.0.
+    *
+    * Scale: pairs are band-bucketed (never all-pairs), the CC iterate is
+    * bounded by the dup-pair graph, and the rollup is one ≤ |langs|
+    * map-side-combined aggregate. Samples never travel — signatures,
+    * pairs, and labels are the only shuffle payloads. */
+  def audioDedup(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 10): DataFrame = {
+    import spark.implicits._
+    val base = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"text")
+    val maxId = base.agg(max($"doc_id")).head().getLong(0)
+    val planted = base.filter(length($"text") >= 64)
+      .orderBy($"doc_id".asc).limit(AudioPlantCount)
+      .select(($"doc_id" + maxId + 1L).as("doc_id"), $"lang",
+        concat(lit("z"), expr("substring(text, 2)")).as("text"))
+    val corpus = base.unionByName(planted)
+    val pairs = audioDedupPairs(corpus, maxHamming)
+    val (labels, _) = Dedup.connectedComponentsStar(
+      pairs.select($"doc_a", $"doc_b"))
+    val dupFlag = labels
+      .select($"doc_id", ($"label" =!= $"doc_id").as("dup"))
+    corpus
+      .select($"doc_id", $"lang", length($"text").cast("long").as("bytes"))
+      .join(dupFlag, Seq("doc_id"), "left_outer")
+      .withColumn("removed", coalesce($"dup", lit(false)))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_auds"),
+        sum(when($"removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!$"removed", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!$"removed", $"bytes").otherwise(0L)).as("bytes_kept"),
+        sum(when($"removed", $"bytes").otherwise(0L)).as("bytes_saved"))
+      .orderBy($"lang".asc)
+  }
+
+  /** The pair stage of [[audioDedup]], exposed for the union-find
+    * differential spec. */
+  private[graft] def audioDedupPairs(corpus: DataFrame,
+      maxHamming: Int = 10): DataFrame =
+    bandedHammingPairs(audioFingerprints(corpus), maxHamming)
 }
