@@ -255,6 +255,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.latenessEnforced(s, d)),
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "mm_audio_dedup" -> ((s, d) => Multimodal.audioDedup(s, d)),
+    "stream_classifier_train" -> ((s, d) =>
+      graft.streaming.StreamingQueries.classifierTrainStream(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -3285,6 +3287,10 @@ object SparkEntry {
     "text_classifier_score" -> classifierScoreOracle,
     "stream_classifier_score" -> classifierScoreOracle,
     "text_classifier_train" -> classifierTrainOracle,
+    // the trained-model streaming twin shares the batch training oracle
+    // verbatim: batch-fit weights applied through the Complete-mode
+    // rollup must reproduce the one-shot batch report cell for cell
+    "stream_classifier_train" -> classifierTrainOracle,
     "text_importance_sample" -> importanceSampleOracle,
     "text_pii_scrub" -> piiScrubOracle,
     "text_tfidf_topk" -> """

@@ -429,6 +429,36 @@ object StreamingQueries {
     graft.operators.TextAnalysis.classifierFinalize(out)
   }
 
+  /** STREAMING apply of the TRAINED classifier — the production split of
+    * the quality-filter loop made explicit: the Naive-Bayes weights are
+    * FIT BATCH-SIDE (`TextAnalysis.trainedBinWeights`, the fitted-model
+    * precedent — a model trains on yesterday's corpus, not inside the
+    * serving stream) and the ≤ 64 quantized weights then ride the stream
+    * as plan literals through the SAME row-local scoring column and the
+    * SAME merge-order-invariant Complete-mode survival rollup as
+    * [[classifierStream]]. Same doc_id-parity delivery split (every
+    * language in both batches — cells genuinely merge), same shared
+    * finalizer; oracle = the batch `text_classifier_train` SQL, so the
+    * hash gate IS stream ≡ batch for the trained model end-to-end. */
+  def classifierTrainStream(spark: SparkSession, sfDir: String,
+      nBins: Int = 64, posLang: String = "en"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"text")
+    val w = graft.operators.TextAnalysis
+      .trainedBinWeights(docs, nBins, posLang, vsAll = false)
+    val out = runFileStream(spark, "classifier_train",
+      Seq(docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1)),
+      OutputMode.Complete()) { df =>
+      graft.operators.TextAnalysis.classifierRollup(
+        df.select($"lang",
+          graft.operators.TextAnalysis
+            .classifierDocScore(spark, nBins, w.toIndexedSeq)
+            .as("score")))
+    }
+    graft.operators.TextAnalysis.classifierFinalize(out)
+  }
+
   /** Shared derivation for the lateness ENFORCEMENT twin: the
     * round-robin shard-merge replay at a micro-batch-friendly
     * granularity (`targetBatches` = 8 → ≤ 32 deliveries at any corpus

@@ -280,6 +280,23 @@ class StreamingSpec extends SparkSpec {
     assert(langsBoth > 0, "parity split never straddles a language")
   }
 
+  test("streaming TRAINED classifier: batch-fit weights applied through" +
+      " Complete-mode state equal the one-shot training report") {
+    // the production split: the NB model fits batch-side, the stream
+    // only applies — its rollup must merge across the parity batches
+    // onto the batch text_classifier_train report cell for cell
+    val got = graft.streaming.StreamingQueries
+      .classifierTrainStream(spark, sf)
+    val want = graft.operators.TextAnalysis.classifierTrain(spark, sf)
+    assertSameRows(got, want)
+    // non-vacuous: the trained weights differ from the fixed table on
+    // this fixture (else the twin just re-runs stream_classifier_score)
+    val fixedScore = graft.streaming.StreamingQueries
+      .classifierStream(spark, sf).collect().map(_.toString).toSeq
+    assert(got.collect().map(_.toString).toSeq != fixedScore,
+      "trained stream coincides with the fixed-weight stream — vacuous")
+  }
+
   test("streaming histogram buckets merge across batches onto the batch" +
       " CDF exactly") {
     // bucket counts are sums; the parity split puts rows of MOST buckets
