@@ -257,6 +257,8 @@ object SparkEntry {
     "mm_audio_dedup" -> ((s, d) => Multimodal.audioDedup(s, d)),
     "stream_classifier_train" -> ((s, d) =>
       graft.streaming.StreamingQueries.classifierTrainStream(s, d)),
+    "stream_ivf_cells" -> ((s, d) =>
+      graft.streaming.StreamingQueries.ivfCellsStream(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2146,6 +2148,10 @@ object SparkEntry {
       SELECT q_id, vec_id, round(dist, 6) AS pq_dist, rnk::INTEGER AS rnk
       FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC""",
     "embed_kmeans_clusters" -> embedKmeansClustersOracle,
+    // the streaming maintenance twin shares the batch oracle verbatim:
+    // Complete-mode per-cell counts finalized through the shared report
+    // must reproduce the one-shot batch summary cell for cell
+    "stream_ivf_cells" -> embedKmeansClustersOracle,
     // PQ-training replay: per-subspace Lloyd unrolled twice over the
     // exploded subvector stream (same fixed-point update as the IVF
     // kmeans CTEs), then the standard ADC chain on the refined codebook

@@ -394,6 +394,16 @@ object Similarity {
     val counts = assignCells(spark, emb, centroids)
       .groupBy($"cell_id")
       .agg(count(lit(1)).as("n_vecs"))
+    kmeansCellReport(spark, cents, counts)
+  }
+
+  /** Finalize a per-cell count table into the [[kmeansClusters]] report
+    * (empty cells 0, centroid norms from the fitted model) — shared by
+    * the batch summary and its streaming maintenance twin so the two
+    * cannot drift. */
+  private[graft] def kmeansCellReport(spark: SparkSession,
+      cents: Array[(Int, Array[Double])], counts: DataFrame): DataFrame = {
+    import spark.implicits._
     val norms = cents.toSeq.map { case (id, v) =>
       var ss = 0.0
       var i = 0
@@ -405,6 +415,29 @@ object Similarity {
       .select($"cell_id", coalesce($"n_vecs", lit(0L)).as("n_vecs"),
         $"centroid_norm")
       .orderBy($"cell_id".asc)
+  }
+
+  /** ROW-LOCAL cell assignment against a FITTED centroid set — the
+    * streaming-safe formulation of [[assignCells]]'s crossJoin + max_by
+    * (a streaming query gets ONE aggregation; the assignment must
+    * therefore fold inside the row, the `classifierDocScore` precedent):
+    * the ≤ nCells centroids ride as plan literals, `transform` scores
+    * all of them per row, and `array_position(array_max)` picks the
+    * best — first maximum = lowest cell_id on ties, exactly
+    * `max_by(struct(cos, -cell_id))`'s order. Zero bytes per vector to
+    * any exchange. */
+  private[graft] def cellAssignCol(spark: SparkSession,
+      cents: Array[(Int, Array[Double])]): Column = {
+    graft.functions.CosineSimilarity.register(spark)
+    val centArr = array(cents.sortBy(_._1).map { case (id, v) =>
+      struct(lit(id).as("cell_id"),
+        array(v.map(lit): _*).as("centroid"))
+    }.toIndexedSeq: _*)
+    val scores = transform(centArr,
+      c => call_function("cosine_sim", col("vec"), c.getField("centroid")))
+    element_at(centArr,
+      array_position(scores, array_max(scores)).cast("int"))
+      .getField("cell_id")
   }
 
   /** Product-quantization ANN (PQ + asymmetric distance, the FAISS

@@ -568,6 +568,45 @@ object StreamingQueries {
       .orderBy($"event_type".asc)
   }
 
+  /** STREAMING IVF cell maintenance — the index-freshness twin of the
+    * batch `embed_kmeans_clusters` summary: the k-means model FITS
+    * BATCH-SIDE (`Similarity.kmeansCentroids` — the fitted-model
+    * precedent, same as [[classifierTrainStream]]'s weights), and the
+    * stream keeps the per-cell population live as Complete-mode state:
+    * each arriving vector assigns to its nearest centroid ROW-LOCALLY
+    * (`Similarity.cellAssignCol` — centroids as plan literals, the
+    * argmax folded inside the row, zero bytes per vector to any
+    * exchange), and the one aggregation is the ≤ nCells count table —
+    * merge-order-invariant like every Complete-mode twin here. The
+    * fixture delivers in vec_id-parity halves (both hit most cells, so
+    * cells genuinely SUM across batches), then finalizes through the
+    * SHARED `kmeansCellReport` (empty cells 0, fitted norms). Oracle =
+    * the batch `embed_kmeans_clusters` SQL verbatim — stream ≡ batch,
+    * cell for cell.
+    *
+    * The 100 TB shape: an ingest feed maintains the IVF index's cell
+    * occupancy forever with ≤ nCells counters and no raw retention —
+    * the statistic that tells an ANN service when cells skewed enough
+    * to re-fit. */
+  def ivfCellsStream(spark: SparkSession, sfDir: String,
+      nCells: Int = 16): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.read(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val cents = graft.operators.Similarity
+      .kmeansCentroids(spark, sfDir, nCells)
+    val out = runFileStream(spark, "ivf_cells",
+      Seq(emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1)),
+      OutputMode.Complete()) { df =>
+      df.select(graft.operators.Similarity.cellAssignCol(spark, cents)
+          .as("cell_id"))
+        .groupBy($"cell_id")
+        .agg(count(lit(1)).as("n_vecs"))
+    }
+    graft.operators.Similarity.kmeansCellReport(spark, cents,
+      out.select($"cell_id", $"n_vecs"))
+  }
+
   /** Streaming equi-width histogram + CDF — the distribution-profile
     * twin of the batch `q_histogram`: per-bucket COUNTS kept as
     * Complete-mode streaming aggregation state (counts are sums —

@@ -297,6 +297,30 @@ class StreamingSpec extends SparkSpec {
       "trained stream coincides with the fixed-weight stream — vacuous")
   }
 
+  test("streaming IVF cell maintenance merges across batches onto the" +
+      " batch cluster summary exactly") {
+    // per-cell counts are sums (merge-order-invariant); the row-local
+    // assignment column must agree with the batch crossJoin+max_by
+    // formulation vector for vector, so the Complete-mode state
+    // finalized through the shared report equals the one-shot summary
+    val got = graft.streaming.StreamingQueries.ivfCellsStream(spark, sf)
+    val want = graft.operators.Similarity.kmeansClusters(spark, sf)
+    assertSameRows(got, want)
+    // the parity split is a real cross-batch merge: at least one cell
+    // draws vectors from both parities on this fixture
+    import org.apache.spark.sql.functions._
+    val cents = graft.operators.Similarity.kmeansCentroids(spark, sf, 16)
+    val emb = Tables.read(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("vec"))
+    val both = emb
+      .select(graft.operators.Similarity.cellAssignCol(spark, cents)
+        .as("cell_id"), (col("vec_id") % 2).as("par"))
+      .groupBy("cell_id").agg(countDistinct("par").as("nPar"))
+      .filter(col("nPar") === 2).count()
+    assert(both > 0, "parity split never straddles a cell")
+  }
+
   test("streaming histogram buckets merge across batches onto the batch" +
       " CDF exactly") {
     // bucket counts are sums; the parity split puts rows of MOST buckets
