@@ -259,6 +259,7 @@ object SparkEntry {
       graft.streaming.StreamingQueries.classifierTrainStream(s, d)),
     "stream_ivf_cells" -> ((s, d) =>
       graft.streaming.StreamingQueries.ivfCellsStream(s, d)),
+    "q_cbo_reorder" -> ((s, d) => RefQueries.qCboReorder(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -4137,6 +4138,20 @@ object SparkEntry {
                AS orphan_rate
       FROM e ORDER BY edge ASC""",
     // set ops: the same INTERSECT/EXCEPT/UNION over behavior triples
+    // CBO reorder: the ANSWER is plan-invariant by definition — the
+    // oracle replays the 3-table star rollup; the join-order flip itself
+    // is PlanSpec's job (optimizer surfaces can't hash)
+    "q_cbo_reorder" -> """
+      SELECT o.o_orderpriority AS priority,
+             count(*)::BIGINT AS n_items,
+             round(sum(l.l_extendedprice::DECIMAL(20,6)), 4)::DOUBLE
+               AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderpriority
+      ORDER BY priority ASC""",
     "q_set_ops" -> s"""
       WITH w1 AS (
         SELECT DISTINCT user_id, event_type,

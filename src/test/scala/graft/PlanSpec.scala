@@ -301,6 +301,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_cbo_reorder: catalog stats + CBO flip the written join order," +
+      " answer invariant") {
+    val R = graft.operators.RefQueries
+    // written order is deliberately worst: (lineitem ⋈ orders) ⋈
+    // σ(customer). Without CBO Catalyst keeps it left-deep as written —
+    // lineitem's relation appears BEFORE customer's in the optimized
+    // tree. With stats + joinReorder the selective dimension must join
+    // first, pushing lineitem below customer.
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    val off = R.cboQuery(spark, sf)
+    val offPlan = off.queryExecution.optimizedPlan.toString
+    val offRows = off.collect().map(_.toString).toSeq
+    val on = R.qCboReorder(spark, sf) // sets the CBO confs
+    val onPlan = on.queryExecution.optimizedPlan.toString
+    assert(offPlan.indexOf("cbo_lineitem") >= 0 &&
+      offPlan.indexOf("cbo_customer") >= 0, s"missing relations:\n$offPlan")
+    assert(offPlan.indexOf("cbo_lineitem") < offPlan.indexOf("cbo_customer"),
+      s"without CBO the written left-deep order must survive:\n$offPlan")
+    assert(onPlan.indexOf("cbo_customer") < onPlan.indexOf("cbo_lineitem"),
+      s"CBO did not reorder the dimension join first:\n$onPlan")
+    // a plan transformation must never touch the answer
+    assert(on.collect().map(_.toString).toSeq == offRows,
+      "join reorder changed the result")
+  }
+
   test("text_pii_scrub: detection and redaction are map-only — one" +
       " per-source rollup exchange, no explode, no join on the corpus") {
     val p = plan("text_pii_scrub")
