@@ -260,6 +260,7 @@ object SparkEntry {
     "stream_ivf_cells" -> ((s, d) =>
       graft.streaming.StreamingQueries.ivfCellsStream(s, d)),
     "q_cbo_reorder" -> ((s, d) => RefQueries.qCboReorder(s, d)),
+    "ev_secondary_sort" -> ((s, d) => Events.secondarySortTyped(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -4138,6 +4139,40 @@ object SparkEntry {
                AS orphan_rate
       FROM e ORDER BY edge ASC""",
     // set ops: the same INTERSECT/EXCEPT/UNION over behavior triples
+    // secondary-sort replay: the typed one-pass running state re-derived
+    // declaratively — running max via an unbounded-preceding window on
+    // the same (us, event_id) order, advance = first row or vq above the
+    // prior max, ordered checksum via the list_reduce fold (per-step
+    // mod, congruent to the Spark loop), last id as the ordered argmax
+    "ev_secondary_sort" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+        FROM events
+      ), o AS (
+        SELECT user_id, event_id, us, vq,
+               max(vq) OVER (PARTITION BY user_id
+                             ORDER BY us ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_max
+        FROM e
+      ), a AS (
+        SELECT user_id, event_id, us, vq,
+               (prev_max IS NULL OR vq > prev_max) AS adv
+        FROM o
+      )
+      SELECT user_id, count(*)::BIGINT AS n_events,
+             round(sum(vq)::DOUBLE / 1000000, 4) AS value_sum,
+             sum(CASE WHEN adv THEN 1 ELSE 0 END)::BIGINT
+               AS n_max_advances,
+             list_reduce(list_prepend(0::BIGINT,
+               list(event_id % 1000000007 ORDER BY us ASC, event_id ASC)
+                 FILTER (WHERE adv)),
+               (acc, x) -> (acc * 31 + x) % 1000000007)::BIGINT
+               AS advance_cks,
+             first(event_id ORDER BY us DESC, event_id DESC)
+               AS last_event_id
+      FROM a GROUP BY user_id ORDER BY user_id ASC""",
     // CBO reorder: the ANSWER is plan-invariant by definition — the
     // oracle replays the 3-table star rollup; the join-order flip itself
     // is PlanSpec's job (optimizer surfaces can't hash)

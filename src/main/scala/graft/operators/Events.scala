@@ -604,6 +604,76 @@ object Events {
       .orderBy($"event_type".asc, $"variant".asc)
   }
 
+  /** RDD-era SECONDARY SORT as a typed one-pass operator — the O-family
+    * completion: `repartition(key)` + `sortWithinPartitions(key, time)`
+    * co-locates and orders each user's events so ONE `mapPartitions`
+    * pass computes order-dependent running state (running max, advance
+    * points, ordered checksum) with zero windows and zero extra
+    * shuffles — the classic MapReduce secondary-sort idiom expressed
+    * with Spark's physical primitives. The same statistics via
+    * `Window.partitionBy(user)` would be equivalent here; the point of
+    * the port is the TYPED formulation (arbitrary imperative per-group
+    * state a window frame can't express — multi-variable, early-exit,
+    * heap-bounded — at the same one-shuffle cost).
+    *
+    * Values quantize to integer micros (`floor(v·1e6 + 0.5)`) so the
+    * running comparisons and sums are exact; the advance checksum folds
+    * `event_id mod P` IN ARRIVAL ORDER (per-step mod — congruent to the
+    * DuckDB `list_reduce` replay over the window-ordered list), so the
+    * oracle confirms the exact scan order, not just totals. First event
+    * always advances. Output is one row per user.
+    *
+    * Scale: one hash exchange on user_id (the same shuffle any per-user
+    * window pays), in-partition sort, streaming state of O(1) per open
+    * user — no driver collection, no corpus-sized window. */
+  def secondarySortTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val P = graft.operators.TextAnalysis.ChecksumP
+    val ev = Tables.read(spark, sfDir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        floor($"value" * 1000000.0 + 0.5).cast("long").as("vq"))
+    ev.repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"us", $"event_id")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ListBuffer
+          .empty[(Long, Long, Long, Long, Long, Long)]
+        var user = 0L
+        var open = false
+        var n = 0L
+        var sumQ = 0L
+        var runMax = Long.MinValue
+        var nAdv = 0L
+        var cks = 0L
+        var lastId = 0L
+        def flush(): Unit =
+          if (open) out += ((user, n, sumQ, nAdv, cks, lastId))
+        it.foreach { case (u, id, _, vq) =>
+          if (!open || u != user) {
+            flush()
+            user = u; open = true; n = 0L; sumQ = 0L
+            runMax = Long.MinValue; nAdv = 0L; cks = 0L
+          }
+          n += 1L
+          sumQ += vq
+          if (vq > runMax) {
+            runMax = vq
+            nAdv += 1L
+            cks = (cks * 31L + id % P) % P
+          }
+          lastId = id
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("user_id", "n_events", "sum_q", "n_max_advances",
+        "advance_cks", "last_event_id")
+      .select($"user_id", $"n_events",
+        round($"sum_q" / 1000000.0, 4).as("value_sum"),
+        $"n_max_advances", $"advance_cks", $"last_event_id")
+      .orderBy($"user_id".asc)
+  }
+
   /** Lateness / out-of-orderness audit — the statistic that SIZES a
     * streaming pipeline's watermark before any batch operator here turns
     * into its `stream_*` twin. The fixture's event_id order is perfectly

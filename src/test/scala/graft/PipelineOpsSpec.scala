@@ -1196,6 +1196,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(totLate < ev.length, "every event late — replay degenerated")
   }
 
+  test("secondary sort: one-pass running state bit-matches an in-memory" +
+      " ordered replay") {
+    val P = 1000000007L
+    val ev = Tables.read(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = ev.groupBy(_._1).map { case (u, xs) =>
+      val ordered = xs.sortBy(x => (x._3, x._2))
+      var runMax = Long.MinValue
+      var nAdv = 0L
+      var cks = 0L
+      var sumQ = 0L
+      ordered.foreach { case (_, id, _, v) =>
+        val vq = math.floor(v * 1000000.0 + 0.5).toLong
+        sumQ += vq
+        if (vq > runMax) {
+          runMax = vq; nAdv += 1L; cks = (cks * 31L + id % P) % P
+        }
+      }
+      u -> (ordered.length.toLong,
+        BigDecimal(sumQ) / 1000000, nAdv, cks, ordered.last._2)
+    }
+    val got = graft.operators.Events.secondarySortTyped(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), BigDecimal(r.getDouble(2)), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (u, e) =>
+      val g = got(u)
+      assert(g._1 == e._1 && g._3 == e._3 && g._4 == e._4 && g._5 == e._5,
+        s"user $u: $g != $e")
+      assert((g._2 - e._2).abs < BigDecimal("0.0001"), s"user $u value_sum")
+    }
+    // the order-dependence is real on this fixture: some user's max
+    // advances more than once but not every event (else the statistic
+    // degenerates and the checksum gates nothing)
+    assert(expect.values.exists(e => e._3 > 1L && e._3 < e._1),
+      "running-max advances are degenerate — statistic gates nothing")
+  }
+
   test("lateness replay: range-decomposed arrival sequence is" +
       " range-width invariant and equals the naive per-shard rank") {
     // the sequencer's contract: per-shard seq = rank of event_id within

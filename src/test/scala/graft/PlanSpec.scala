@@ -301,6 +301,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ev_secondary_sort: one hash exchange, in-partition sort, no" +
+      " window") {
+    // the secondary-sort contract: repartition(user) + sortWithin is
+    // the ONLY data movement — a Window or a second hash exchange means
+    // the typed port regressed to the declarative plan it exists to
+    // complement
+    val p = plan("ev_secondary_sort")
+    assert(!p.contains("Window"),
+      s"typed running state must not plan a window:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly the repartition exchange, got $exchanges:\n$p")
+    assert(p.contains("Sort [user_id"),
+      s"expected the in-partition secondary sort:\n$p")
+  }
+
   test("q_cbo_reorder: catalog stats + CBO flip the written join order," +
       " answer invariant") {
     val R = graft.operators.RefQueries
