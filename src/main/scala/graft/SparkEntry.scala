@@ -261,6 +261,7 @@ object SparkEntry {
       graft.streaming.StreamingQueries.ivfCellsStream(s, d)),
     "q_cbo_reorder" -> ((s, d) => RefQueries.qCboReorder(s, d)),
     "ev_secondary_sort" -> ((s, d) => Events.secondarySortTyped(s, d)),
+    "q_sample_blocks" -> ((s, d) => Sketches.sampleBlocks(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -4139,6 +4140,53 @@ object SparkEntry {
                AS orphan_rate
       FROM e ORDER BY edge ASC""",
     // set ops: the same INTERSECT/EXCEPT/UNION over behavior triples
+    // block-sampling replay: corpus-sized key-range blocks, the
+    // splitmix64 selection gate via the UHUGEINT wrap-around chain
+    // (seedRankCtes recipe, signed pmod), the SRS expansion and the
+    // 3-SE integer inequality in HUGEINT — term-for-term the Spark
+    // DECIMAL(38,0) arithmetic
+    "q_sample_blocks" -> """
+      WITH mx AS (SELECT max(l_orderkey) AS mk FROM lineitem),
+      w AS (SELECT greatest(1, (mk + 256) // 256) AS bw FROM mx),
+      r AS (
+        SELECT (l_orderkey // bw) AS blk,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem, w
+      ),
+      b AS (SELECT blk, sum(cents)::BIGINT AS bs FROM r GROUP BY blk),
+      z0 AS (SELECT blk, bs, ((blk::UHUGEINT + 11400714819323198485)
+               % 18446744073709551616)::UBIGINT AS z FROM b),
+      z1 AS (SELECT blk, bs,
+               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                % 18446744073709551616)::UBIGINT AS z FROM z0),
+      z2 AS (SELECT blk, bs,
+               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                % 18446744073709551616)::UBIGINT AS z FROM z1),
+      s AS (
+        SELECT blk, bs,
+          ((CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+             THEN (xor(z, z >> 31)::HUGEINT - 18446744073709551616)::BIGINT
+             ELSE xor(z, z >> 31)::BIGINT END % 8) + 8) % 8 = 0 AS sampled
+        FROM z2
+      ),
+      agg AS (
+        SELECT count(*)::BIGINT AS n_blocks,
+               sum(CASE WHEN sampled THEN 1 ELSE 0 END)::BIGINT AS m,
+               sum(bs)::BIGINT AS t,
+               sum(CASE WHEN sampled THEN bs ELSE 0 END)::BIGINT AS sx,
+               sum(CASE WHEN sampled THEN bs::HUGEINT * bs
+                   ELSE 0::HUGEINT END) AS sxx
+        FROM s
+      )
+      SELECT n_blocks, m,
+        round(t::DOUBLE / 100, 4) AS exact_revenue,
+        round(sx::DOUBLE * n_blocks / m / 100, 4) AS est_revenue,
+        ((sx::HUGEINT * n_blocks - t::HUGEINT * m)
+         * (sx::HUGEINT * n_blocks - t::HUGEINT * m)
+         * (m - 1)
+         <= 16::HUGEINT * n_blocks * (n_blocks - m)
+            * (m::HUGEINT * sxx - sx::HUGEINT * sx)) AS est_ok
+      FROM agg""",
     // secondary-sort replay: the typed one-pass running state re-derived
     // declaratively — running max via an unbounded-preceding window on
     // the same (us, event_id) order, advance = first row or vq above the

@@ -91,4 +91,48 @@ class SketchSpec extends SparkSpec {
         s"${r.getString(0)}: HLL est $est vs exact $exact")
     }
   }
+
+  test("block sampling: deterministic selection replays in-memory," +
+      " estimate inside its own 4-SE bound, gate non-vacuous") {
+    val P = BigInt("18446744073709551616")
+    def mix64(x0: Long): Long = { // independent splitmix64 reference
+      var z = (BigInt(x0) + BigInt("11400714819323198485")).mod(P)
+      z = ((z ^ (z >> 30)) * BigInt("13787848793156543929")).mod(P)
+      z = ((z ^ (z >> 27)) * BigInt("10723151780598845931")).mod(P)
+      (z ^ (z >> 31)).toLong
+    }
+    val li = Tables.read(spark, sf, "lineitem")
+      .select("l_orderkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val mk = li.map(_._1).max
+    val bw = math.max(1L, (mk + 256L) / 256L)
+    val blockSums = li.groupBy(x => x._1 / bw).view.mapValues(
+      _.map(x => math.floor(x._2 * 100.0 + 0.5).toLong).sum).toMap
+    val sampled = blockSums.filter { case (b, _) =>
+      ((mix64(b) % 8) + 8) % 8 == 0 }
+    val n = blockSums.size
+    val m = sampled.size
+    val t = blockSums.values.sum
+    val sx = sampled.values.sum
+    val out = graft.operators.Sketches.sampleBlocks(spark, sf).head()
+    assert(out.getLong(0) == n.toLong && out.getLong(1) == m.toLong,
+      s"block/sample counts ${(out.getLong(0), out.getLong(1))} !=" +
+        s" replay ${(n, m)}")
+    // declared columns are round(x, 4): half-ulp tolerance 5e-5
+    assert(math.abs(out.getDouble(2) - t / 100.0) < 6e-5, "exact total")
+    assert(math.abs(out.getDouble(3) -
+      sx.toDouble * n / m / 100.0) < 6e-5, "expansion estimate")
+    assert(out.getBoolean(4), "estimate fell outside its own 4-SE bound")
+    // non-vacuous in BOTH directions: real sampling error exists (the
+    // bound gates something) and the sample is a strict minority
+    assert(out.getDouble(3) != out.getDouble(2),
+      "estimate coincides with exact — the bound gates nothing")
+    assert(m > 1 && m < n, s"degenerate sample $m of $n")
+    // and the inequality itself replays in integers
+    val bigSx = BigInt(sx); val bigT = BigInt(t)
+    val sxx = sampled.values.map(v => BigInt(v) * BigInt(v)).sum
+    val lhs = (bigSx * n - bigT * m).pow(2) * (m - 1)
+    val rhs = BigInt(16) * n * (n - m) * (BigInt(m) * sxx - bigSx * bigSx)
+    assert((lhs <= rhs) == out.getBoolean(4), "4-SE inequality replay")
+  }
 }
