@@ -4179,8 +4179,8 @@ object SparkEntry {
         FROM s
       )
       SELECT n_blocks, m,
-        round(t::DOUBLE / 100, 4) AS exact_revenue,
-        round(sx::DOUBLE * n_blocks / m / 100, 4) AS est_revenue,
+        t AS exact_revenue_cents,
+        ((sx::HUGEINT * n_blocks) // m)::BIGINT AS est_revenue_cents,
         ((sx::HUGEINT * n_blocks - t::HUGEINT * m)
          * (sx::HUGEINT * n_blocks - t::HUGEINT * m)
          * (m - 1)

@@ -575,8 +575,8 @@ object Sketches {
     *
     * The gate is the `q_quantiles_approx` discipline made STRONGER:
     * everything here is deterministic, so the estimate itself is
-    * exported (cents-exact integers; the one double expression is the
-    * same IEEE sequence in both engines) alongside the exact total, and
+    * exported alongside the exact total — BOTH as integer cents
+    * (floor((Sx·N)/m); no doubles anywhere in the operator), and
     * `est_ok` asserts (est − exact)² ≤ 16·Var̂(est) — the 4-SE bound
     * computed from the SAMPLE's own block variance, cleared of
     * denominators into pure integer arithmetic (DECIMAL(38,0) here,
@@ -613,9 +613,15 @@ object Sketches {
         sum(when($"sampled", d($"bs") * d($"bs"))
           .otherwise(d(lit(0L)))).as("sxx"))
       .select($"n_blocks", $"m",
-        round($"t".cast("double") / 100.0, 4).as("exact_revenue"),
-        round($"sx".cast("double") * $"n_blocks" / $"m" / 100.0, 4)
-          .as("est_revenue"),
+        $"t".as("exact_revenue_cents"),
+        // integer expansion floor((Sx·N)/m): cents-exact in BOTH
+        // engines — a round(double, 4) here would be FALSE precision
+        // (at a 3e11-dollar total the 4th decimal sits below the
+        // double's ulp, and the two engines' round() diverge by one
+        // last digit — measured at the 10× corpus). Long-safe:
+        // Sx·N ≤ total-cents · 256, inside Long to ~3.6e16 cents.
+        expr("(sx * CAST(n_blocks AS BIGINT)) DIV m")
+          .as("est_revenue_cents"),
         ((d($"sx") * d($"n_blocks") - d($"t") * d($"m"))
           * (d($"sx") * d($"n_blocks") - d($"t") * d($"m"))
           * (d($"m") - d(lit(1L)))

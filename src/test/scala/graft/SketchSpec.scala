@@ -118,14 +118,13 @@ class SketchSpec extends SparkSpec {
     assert(out.getLong(0) == n.toLong && out.getLong(1) == m.toLong,
       s"block/sample counts ${(out.getLong(0), out.getLong(1))} !=" +
         s" replay ${(n, m)}")
-    // declared columns are round(x, 4): half-ulp tolerance 5e-5
-    assert(math.abs(out.getDouble(2) - t / 100.0) < 6e-5, "exact total")
-    assert(math.abs(out.getDouble(3) -
-      sx.toDouble * n / m / 100.0) < 6e-5, "expansion estimate")
+    assert(out.getLong(2) == t, "exact total cents")
+    assert(out.getLong(3) == (BigInt(sx) * n / m).toLong,
+      "integer expansion estimate")
     assert(out.getBoolean(4), "estimate fell outside its own 4-SE bound")
     // non-vacuous in BOTH directions: real sampling error exists (the
     // bound gates something) and the sample is a strict minority
-    assert(out.getDouble(3) != out.getDouble(2),
+    assert(out.getLong(3) != out.getLong(2),
       "estimate coincides with exact — the bound gates nothing")
     assert(m > 1 && m < n, s"degenerate sample $m of $n")
     // and the inequality itself replays in integers
