@@ -2980,10 +2980,14 @@ object SparkEntry {
              sum(CASE WHEN removed THEN bytes ELSE 0 END)::BIGINT
                AS bytes_saved,
              -- decode failures are counted per-row Spark-side
-             -- (WavCodec.decodeOpt); every declared payload is
-             -- well-formed by construction, so the oracle re-checks the
-             -- clean bill as a literal (the wm_p99_ok gate discipline)
-             0::BIGINT AS n_undecodable
+             -- (WavCodec.decodeOpt); for the text stand-in payload the
+             -- ONLY malformed case is an empty asset (empty text →
+             -- empty payload, audioScanText), so the oracle DERIVES the
+             -- count from the corpus instead of hard-coding 0 — a
+             -- future fixture with empty docs stays hash-green instead
+             -- of failing with a confusing mismatch
+             sum(CASE WHEN bytes = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_undecodable
       FROM r GROUP BY lang ORDER BY lang ASC""",
     "mm_crossmodal_join" -> """
       WITH v AS (
@@ -4143,8 +4147,10 @@ object SparkEntry {
     // block-sampling replay: corpus-sized key-range blocks, the
     // splitmix64 selection gate via the UHUGEINT wrap-around chain
     // (seedRankCtes recipe, signed pmod), the SRS expansion and the
-    // 3-SE integer inequality in HUGEINT — term-for-term the Spark
-    // DECIMAL(38,0) arithmetic
+    // 4-SE integer inequality in HUGEINT (factor 16 = 4²) — term-for-
+    // term the Spark DECIMAL(38,0) arithmetic, incl. the m < 2 NULL
+    // guard (zero sampled blocks would divide by zero; one makes the
+    // variance side vacuous)
     "q_sample_blocks" -> """
       WITH mx AS (SELECT max(l_orderkey) AS mk FROM lineitem),
       w AS (SELECT greatest(1, (mk + 256) // 256) AS bw FROM mx),
@@ -4180,12 +4186,15 @@ object SparkEntry {
       )
       SELECT n_blocks, m,
         t AS exact_revenue_cents,
-        ((sx::HUGEINT * n_blocks) // m)::BIGINT AS est_revenue_cents,
-        ((sx::HUGEINT * n_blocks - t::HUGEINT * m)
-         * (sx::HUGEINT * n_blocks - t::HUGEINT * m)
-         * (m - 1)
-         <= 16::HUGEINT * n_blocks * (n_blocks - m)
-            * (m::HUGEINT * sxx - sx::HUGEINT * sx)) AS est_ok
+        CASE WHEN m >= 2
+          THEN ((sx::HUGEINT * n_blocks) // m)::BIGINT END
+          AS est_revenue_cents,
+        CASE WHEN m >= 2
+          THEN ((sx::HUGEINT * n_blocks - t::HUGEINT * m)
+            * (sx::HUGEINT * n_blocks - t::HUGEINT * m)
+            * (m - 1)
+            <= 16::HUGEINT * n_blocks * (n_blocks - m)
+               * (m::HUGEINT * sxx - sx::HUGEINT * sx)) END AS est_ok
       FROM agg""",
     // secondary-sort replay: the typed one-pass running state re-derived
     // declaratively — running max via an unbounded-preceding window on

@@ -1478,15 +1478,24 @@ object RefQueries {
     * answer's invariance; the declared output is the priority revenue
     * rollup, hash-gated like any other query.
     *
-    * The CBO confs are set SESSION-WIDE and deliberately left on: Spark
-    * optimizes a DataFrame when the CALLER executes it, so restoring the
-    * conf here would silently undo the reorder before the plan ever
-    * runs. Leaving CBO on is safe for every other query in the suite —
-    * cost-based rules only fire where catalog stats exist, and only the
-    * `cbo_*` tables carry any. */
+    * The CBO confs live on a CHILD session (`spark.newSession()`), never
+    * the caller's: Spark optimizes a DataFrame lazily when the CALLER
+    * executes it, so a set-then-restore on the parent would silently
+    * undo the reorder before the plan ever runs — but leaving CBO on
+    * session-wide (the r12 shape) switches Catalyst to
+    * `BasicStatsPlanVisitor` for EVERY subsequent plan, changing
+    * size/rowCount estimation (and potentially broadcast decisions) for
+    * all other queries in the process (measured: q3_joinchain +27% with
+    * zero q3 code change). A child session has its OWN SQLConf but
+    * SHARES the external catalog, so the `cbo_*` tables and their
+    * ANALYZE statistics stay visible, and the returned DataFrame
+    * executes on the child with CBO live while the parent session — and
+    * every other bench/verify query — keeps the defaults. PlanSpec
+    * asserts the parent's conf is untouched after building the query. */
   def qCboReorder(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    cboQuery(spark, sfDir)
+    val child = spark.newSession()
+    child.conf.set("spark.sql.cbo.enabled", "true")
+    child.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    cboQuery(child, sfDir)
   }
 }

@@ -620,13 +620,20 @@ object Sketches {
         // double's ulp, and the two engines' round() diverge by one
         // last digit — measured at the 10× corpus). Long-safe:
         // Sx·N ≤ total-cents · 256, inside Long to ~3.6e16 cents.
-        expr("(sx * CAST(n_blocks AS BIGINT)) DIV m")
+        // m < 2 guard: a corpus whose deterministic draw selects zero
+        // blocks would divide by zero under ANSI, and m = 1 makes the
+        // sample variance degenerate (0 ≤ 0, a vacuous bound) — both
+        // surface as NULL estimate/bound, never a throw or a false
+        // "within 4 SE" claim. The committed fixtures draw m ≥ 2 at
+        // every sf, so the declared rows are unchanged.
+        when($"m" >= 2L, expr("(sx * CAST(n_blocks AS BIGINT)) DIV m"))
           .as("est_revenue_cents"),
-        ((d($"sx") * d($"n_blocks") - d($"t") * d($"m"))
-          * (d($"sx") * d($"n_blocks") - d($"t") * d($"m"))
-          * (d($"m") - d(lit(1L)))
-          <= d(lit(16L)) * d($"n_blocks") * (d($"n_blocks") - d($"m"))
-             * (d($"m") * $"sxx" - d($"sx") * d($"sx")))
+        when($"m" >= 2L,
+          (d($"sx") * d($"n_blocks") - d($"t") * d($"m"))
+            * (d($"sx") * d($"n_blocks") - d($"t") * d($"m"))
+            * (d($"m") - d(lit(1L)))
+            <= d(lit(16L)) * d($"n_blocks") * (d($"n_blocks") - d($"m"))
+               * (d($"m") * $"sxx" - d($"sx") * d($"sx")))
           .as("est_ok"))
   }
 }

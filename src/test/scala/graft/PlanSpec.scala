@@ -330,8 +330,18 @@ class PlanSpec extends SparkSpec {
     val off = R.cboQuery(spark, sf)
     val offPlan = off.queryExecution.optimizedPlan.toString
     val offRows = off.collect().map(_.toString).toSeq
-    val on = R.qCboReorder(spark, sf) // sets the CBO confs
+    val on = R.qCboReorder(spark, sf) // CBO confs live on a CHILD session
     val onPlan = on.queryExecution.optimizedPlan.toString
+    // the r12 weak: setting CBO session-wide switched Catalyst to
+    // BasicStatsPlanVisitor for EVERY later plan in the session. The
+    // child-session scoping must leave the parent's confs untouched
+    // after building (and collecting) the reordered query.
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "false",
+      "qCboReorder leaked spark.sql.cbo.enabled into the parent session")
+    assert(spark.conf.get("spark.sql.cbo.joinReorder.enabled") == "false",
+      "qCboReorder leaked cbo.joinReorder.enabled into the parent session")
+    assert(on.sparkSession ne spark,
+      "the reordered query must execute on its own child session")
     assert(offPlan.indexOf("cbo_lineitem") >= 0 &&
       offPlan.indexOf("cbo_customer") >= 0, s"missing relations:\n$offPlan")
     assert(offPlan.indexOf("cbo_lineitem") < offPlan.indexOf("cbo_customer"),
