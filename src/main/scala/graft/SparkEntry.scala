@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_exact_twopass" -> ((s, d) => Dedup.exactDedupTwoPass(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_star" -> ((s, d) => Dedup.dedupClustersStar(s, d)),
     "dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
@@ -1941,6 +1942,17 @@ object SparkEntry {
     "dedup_exact_twopass" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_minhash_lsh" -> dedupMinhashOracle,
+    // incremental-dedup oracle: the FULL-corpus minhash recompute
+    // restricted to pairs touching the new shard (odd doc_ids) — an
+    // independent derivation of the delta identity the incremental path
+    // banks on (Δ×index + Δ×Δ = all-pairs ∖ index×index); the Spark side
+    // never materializes an index×index candidate, the oracle never
+    // skips one
+    "dedup_incremental" -> s"""
+      WITH pr AS ($dedupMinhashOracle)
+      SELECT doc_a, doc_b, est_jaccard FROM pr
+      WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+      ORDER BY doc_a ASC, doc_b ASC""",
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_star" -> dedupClustersOracle,
     "dedup_pagerank" -> dedupPagerankOracle,

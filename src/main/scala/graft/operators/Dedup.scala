@@ -233,17 +233,35 @@ object Dedup {
   def minHashLsh(spark: SparkSession, sfDir: String,
       estThreshold: Double = 0.5): DataFrame = {
     import spark.implicits._
+    val banded = minhashBanded(Tables.read(spark, sfDir, "documents"))
+    val left = banded.select($"doc_id".as("doc_a"), $"sig".as("sig_a"),
+      $"band", $"bsig")
+    val right = banded.select($"doc_id".as("doc_b"), $"sig".as("sig_b"),
+      $"band", $"bsig")
+    estimatedPairs(left.join(right, Seq("band", "bsig"))
+      .filter($"doc_a" < $"doc_b"), estThreshold)
+  }
+
+  /** The minhash band-bucket SIGNATURE INDEX for a docs(doc_id, text)
+    * corpus — (doc_id, sig, band, bsig), 4 rows per doc: exactly the
+    * table a production near-dup pipeline persists between ingest
+    * batches. Shared by [[minHashLsh]] (self-join) and
+    * [[dedupIncremental]] (delta-vs-index join).
+    *
+    * Shingle stream without materializing per-doc arrays: posexplode
+    * tokens → window lead(1)/lead(2) → concat. Everything stays in
+    * WholeStageCodegen (the transform()/array_distinct() HOF route is
+    * interpreted and measured ~5× slower at sf0.1); duplicate shingles
+    * are harmless because min() ignores them. The group-by shuffles only
+    * per-partition partial mins — #docs × 16 longs. */
+  private[graft] def minhashBanded(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val nPerm = 16
     val bands = 4
     val rowsPerBand = nPerm / bands
     graft.functions.PolyHash.register(spark)
-    // Shingle stream without materializing per-doc arrays: posexplode
-    // tokens → window lead(1)/lead(2) → concat. Everything stays in
-    // WholeStageCodegen (the transform()/array_distinct() HOF route is
-    // interpreted and measured ~5× slower at sf0.1); duplicate shingles
-    // are harmless because min() ignores them. The group-by shuffles only
-    // per-partition partial mins — #docs × 16 longs.
-    val toks = Tables.read(spark, sfDir, "documents")
+    val toks = docs
       .withColumn("norm", normText)
       .select($"doc_id", posexplode(split($"norm", " ")).as(Seq("pos", "tok")))
     val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
@@ -263,28 +281,88 @@ object Dedup {
         array((0 until nPerm).map(p => col(s"mh_$p")): _*))
       .select($"doc_id", $"sig")
     // explode into (band_id, band_signature) buckets
-    val banded = sig.select($"doc_id", $"sig",
+    sig.select($"doc_id", $"sig",
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           concat_ws(":", (0 until rowsPerBand).map(r =>
             col("sig")(b * rowsPerBand + r)): _*).as("bsig"))): _*)).as("bb"))
       .select($"doc_id", $"sig", $"bb.band", $"bb.bsig")
-    val left = banded.select($"doc_id".as("doc_a"), $"sig".as("sig_a"),
-      $"band", $"bsig")
-    val right = banded.select($"doc_id".as("doc_b"), $"sig".as("sig_b"),
-      $"band", $"bsig")
-    left.join(right, Seq("band", "bsig"))
-      .filter($"doc_a" < $"doc_b")
+  }
+
+  /** Candidate rows (doc_a, sig_a, doc_b, sig_b, one row per shared band
+    * bucket) → deduped estimated-Jaccard pairs above the threshold. */
+  private def estimatedPairs(cands: DataFrame,
+      estThreshold: Double): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands
       .select($"doc_a", $"doc_b",
         round(expr(
           """aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)),
-                       0, (a, x) -> a + x)""").cast("double") / nPerm,
+                       0, (a, x) -> a + x)""").cast("double") / 16,
           4).as("est_jaccard"))
       .groupBy($"doc_a", $"doc_b")
       .agg(max($"est_jaccard").as("est_jaccard"))
       .filter($"est_jaccard" >= estThreshold)
       .orderBy($"doc_a".asc, $"doc_b".asc)
   }
+
+  /** INCREMENTAL near-dup dedup — the production ingest shape: dedup a
+    * NEW shard (here the odd doc_ids — the driver-visible stand-in for
+    * "today's crawl") against the PERSISTED signature index of the
+    * existing corpus (even doc_ids), never recomputing or self-joining
+    * the index. Candidate pairs follow the `q_delta_join` delta
+    * identity: pairs(index ∪ Δ) ∖ pairs(index) = Δ×index + Δ×Δ — the
+    * index×index term is exactly the work a full recompute wastes, and
+    * at 100 TB it is ~all of the work (|Δ| ≪ |index|).
+    *
+    * Mechanics: the index's band-bucket table ([[minhashBanded]] over
+    * the even docs) is eagerly localCheckpoint'ed — the in-process
+    * stand-in for the parquet signature index a warehouse persists (the
+    * fitted-model precedent); the shard's signatures are computed fresh
+    * (one pass over Δ only) and checkpointed because the single
+    * candidate join references Δ on both sides. ONE (band, bsig) join:
+    * Δ probes index ∪ Δ; post-join admission keeps (Δ, index) pairs
+    * always and (Δ, Δ) pairs once (id_a < id_b) — an (index, index)
+    * pair is unrepresentable because the probe side is Δ-only BY
+    * CONSTRUCTION (PlanSpec asserts the shape; DedupSpec proves the
+    * result ≡ the full-corpus pairs restricted to Δ-touching ones, and
+    * that a planted index-index twin is found by the full run but
+    * correctly NOT re-examined by the incremental one).
+    *
+    * Scale: candidate volume is Δ's bucket occupancy, not the corpus's;
+    * the index is read once (bucket-joined, no self-pairs); signatures
+    * only — no document text — cross the exchange. */
+  private[graft] def incrementalPairs(docs: DataFrame, isDelta: Column,
+      estThreshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val indexB = minhashBanded(docs.filter(!isDelta)).localCheckpoint(true)
+    val deltaB = minhashBanded(docs.filter(isDelta)).localCheckpoint(true)
+    val probe = deltaB.select($"doc_id".as("id_a"), $"sig".as("sig_a"),
+      $"band", $"bsig")
+    val build = indexB.withColumn("is_delta", lit(false))
+      .unionByName(deltaB.withColumn("is_delta", lit(true)))
+      .select($"doc_id".as("id_b"), $"sig".as("sig_b"), $"is_delta",
+        $"band", $"bsig")
+    val cands = probe.join(build, Seq("band", "bsig"))
+      .filter(!$"is_delta" || $"id_a" < $"id_b")
+      .select(least($"id_a", $"id_b").as("doc_a"),
+        greatest($"id_a", $"id_b").as("doc_b"),
+        when($"id_a" <= $"id_b", $"sig_a").otherwise($"sig_b").as("sig_a"),
+        when($"id_a" <= $"id_b", $"sig_b").otherwise($"sig_a").as("sig_b"))
+    estimatedPairs(cands, estThreshold)
+  }
+
+  /** Declared incremental-dedup query: new shard = odd doc_ids, index =
+    * even doc_ids (see [[incrementalPairs]]). Oracle = the full-corpus
+    * minhash replay restricted to pairs touching the shard — an
+    * independent recompute of the identity the incremental path banks
+    * on. */
+  def dedupIncremental(spark: SparkSession, sfDir: String,
+      estThreshold: Double = 0.5): DataFrame =
+    incrementalPairs(Tables.read(spark, sfDir, "documents"),
+      col("doc_id") % 2 === 1, estThreshold)
 
   /** Near-dup cluster resolution — the step AFTER pair generation that
     * every dedup pipeline needs: connected components over the

@@ -495,4 +495,52 @@ class DedupSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(2) > 150000L))
     assert(out.map(_.getLong(2)).distinct.length > 1)
   }
+
+  test("incremental dedup: finds every delta-touching twin, and the" +
+      " planted index-index twin is SKIPPED by construction, not missed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // three planted twin pairs, one per parity class, each an exact
+    // duplicate modulo case (identical normalized shingles → identical
+    // signatures → est 1.0, deterministic — no minhash-variance flake):
+    // (10,12) index×index, (20,21) index×delta, (31,33) delta×delta;
+    // 40/41 are unrelated noise in each half
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "ALPHA BETA GAMMA DELTA EPSILON ZETA ETA THETA IOTA KAPPA"),
+      (20L, "maple birch cedar willow aspen spruce alder poplar rowan elm"),
+      (21L, "MAPLE BIRCH CEDAR WILLOW ASPEN SPRUCE ALDER POPLAR ROWAN ELM"),
+      (31L, "copper nickel cobalt silver tungsten iron zinc chrome lead tin"),
+      (33L, "COPPER NICKEL COBALT SILVER TUNGSTEN IRON ZINC CHROME LEAD TIN"),
+      (40L, "totally unrelated words about parquet row groups and pages"),
+      (41L, "another unrelated line mentioning shuffle exchanges and sorts"),
+    ).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // isDelta ≡ true degenerates to the FULL self-dedup (index empty,
+    // Δ×Δ = all pairs) — the reference the incremental run is cut from
+    val full = pairSet(Dedup.incrementalPairs(docs, lit(true), 0.5))
+    assert(full == Set((10L, 12L), (20L, 21L), (31L, 33L)),
+      s"full self-dedup must find exactly the three twins, got $full")
+    val inc = pairSet(
+      Dedup.incrementalPairs(docs, col("doc_id") % 2 === 1, 0.5))
+    assert(inc == Set((20L, 21L), (31L, 33L)),
+      s"incremental must keep exactly the delta-touching twins, got $inc")
+    // the hard assertion: the index twin EXISTS (full found it) and the
+    // incremental run did not re-examine it — skipped work, not a miss
+    assert(full((10L, 12L)) && !inc((10L, 12L)),
+      "index-index twin must be found by full and skipped by incremental")
+  }
+
+  test("incremental dedup ≡ full-corpus pairs restricted to the shard" +
+      " (sf fixture differential)") {
+    val full = Dedup.minHashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    val inc = Dedup.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == expected,
+      s"incremental drifted from the restricted full recompute:" +
+        s" only-inc=${inc.diff(expected)} only-full=${expected.diff(inc)}")
+  }
 }

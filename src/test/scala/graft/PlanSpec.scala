@@ -791,6 +791,26 @@ class PlanSpec extends SparkSpec {
       s"the per-type report must partial-combine map-side:\n$p")
   }
 
+  test("dedup_incremental: ONE band-bucket join over frozen signature" +
+      " tables — the index never self-joins") {
+    val df = SparkEntry.queries("dedup_incremental")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // both signature tables are eager checkpoints (the persisted-index
+    // stand-in): the final plan must read frozen scans, not replay the
+    // shingle pipeline against parquet
+    assert(!p.toLowerCase.contains("parquet"),
+      s"candidate join must read the frozen signature index, not re-scan" +
+        s" parquet:\n$p")
+    // exactly ONE equi-join: Δ probing (index ∪ Δ). A second join —
+    // or any cartesian — means an index×index candidate path exists,
+    // the exact work the incremental identity removes
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).length
+    assert(joins == 1,
+      s"expected exactly the delta-probe join, got $joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
+  }
+
   test("dedup_pagerank: contributions partial-combine map-side, iterates" +
       " run on frozen inputs") {
     val df = SparkEntry.queries("dedup_pagerank")(spark, sf)
