@@ -239,6 +239,7 @@ object SparkEntry {
     "mm_shot_stats" -> ((s, d) => Multimodal.shotStats(s, d)),
     "ev_ab_assign" -> ((s, d) => Events.abAssign(s, d)),
     "q_delta_join" -> ((s, d) => RefQueries.qDeltaJoin(s, d)),
+    "q_forget" -> ((s, d) => Forget.qForget(s, d)),
     "q_hilbert_layout" -> ((s, d) => RefQueries.qHilbertLayout(s, d)),
     "mm_image_stats" -> ((s, d) => Multimodal.imageStats(s, d)),
     "q_dpp_join" -> ((s, d) => Events.dppJoin(s, d)),
@@ -3122,6 +3123,131 @@ object SparkEntry {
                    ::double /
                    greatest(count(first_click), 1), 4) AS conversion
       FROM per_user""",
+    // delete-propagation oracle: replay the splitmix64 tombstone draw
+    // (UHUGEINT chain, signed pmod 19), then each surface independently —
+    // documents, the minhash pair graph with a RE-RESOLVED recursive
+    // min-reachable walk over the induced (both-alive) subgraph, the
+    // packed-sequence bins (naive single cumsum vs Spark's distributed
+    // decomposition), and the per-lang rollup with the poly-hash fold.
+    // Checksums: cs1 = Σ(k mod P)² mod P; cs2 = Σ(((k1 mod P)·31 +
+    // k2 mod P) mod P)² mod P — identical integer arithmetic both sides.
+    "q_forget" -> s"""
+      WITH RECURSIVE
+      z0 AS (SELECT doc_id, lang,
+               ((doc_id::UHUGEINT + 11400714819323198485)
+                % 18446744073709551616)::UBIGINT AS z FROM documents),
+      z1 AS (SELECT doc_id, lang,
+               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                % 18446744073709551616)::UBIGINT AS z FROM z0),
+      z2 AS (SELECT doc_id, lang,
+               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                % 18446744073709551616)::UBIGINT AS z FROM z1),
+      dd AS (
+        SELECT doc_id, lang,
+          ((CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+             THEN (xor(z, z >> 31)::HUGEINT - 18446744073709551616)::BIGINT
+             ELSE xor(z, z >> 31)::BIGINT END % 19) + 19) % 19 = 0 AS dead
+        FROM z2
+      ),
+      s1 AS (
+        SELECT '1_documents' AS surface, count(*)::BIGINT AS n_before,
+          sum(CASE WHEN dead THEN 1 ELSE 0 END)::BIGINT AS n_purged,
+          sum(CASE WHEN NOT dead THEN 1 ELSE 0 END)::BIGINT AS n_after,
+          (sum(CASE WHEN NOT dead THEN
+             ((doc_id % 1000000007) * (doc_id % 1000000007)) % 1000000007
+           END)::HUGEINT % 1000000007)::BIGINT AS survivor_checksum
+        FROM dd
+      ),
+      pr AS ($dedupMinhashOracle),
+      mem AS (SELECT DISTINCT doc_id FROM
+        (SELECT doc_a AS doc_id FROM pr
+         UNION ALL SELECT doc_b FROM pr)),
+      alive AS (
+        SELECT doc_a, doc_b FROM pr
+        WHERE doc_a NOT IN (SELECT doc_id FROM dd WHERE dead)
+          AND doc_b NOT IN (SELECT doc_id FROM dd WHERE dead)
+      ),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM alive
+        UNION ALL SELECT doc_b, doc_a FROM alive
+      ),
+      nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+      walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON w.doc_id = e.b
+      ),
+      lab AS (SELECT doc_id, min(label) AS label FROM walk GROUP BY doc_id),
+      labt AS (
+        SELECT (((doc_id % 1000000007) * 31 + (label % 1000000007))
+                % 1000000007) AS term
+        FROM lab
+      ),
+      s2 AS (
+        SELECT '2_dup_graph' AS surface,
+          (SELECT count(*) FROM mem)::BIGINT AS n_before,
+          (SELECT count(*) FROM mem JOIN dd USING (doc_id)
+           WHERE dead)::BIGINT AS n_purged,
+          (SELECT count(*) FROM lab)::BIGINT AS n_after,
+          coalesce((SELECT (sum((term * term) % 1000000007)::HUGEINT
+                            % 1000000007)::BIGINT FROM labt),
+                   0)::BIGINT AS survivor_checksum
+      ),
+      t AS (
+        SELECT doc_id,
+               len(string_split(regexp_replace(lower(trim(text)),
+                 '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+        FROM documents
+      ),
+      c AS (
+        SELECT doc_id,
+               coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM t
+      ),
+      bins AS (
+        SELECT (cum_before // ${TextAnalysis.PackSeqLen})::BIGINT AS bin_id,
+               bool_or(dead) AS dead
+        FROM c JOIN dd USING (doc_id) GROUP BY 1
+      ),
+      s3 AS (
+        SELECT '3_packs' AS surface, count(*)::BIGINT AS n_before,
+          sum(CASE WHEN dead THEN 1 ELSE 0 END)::BIGINT AS n_purged,
+          sum(CASE WHEN NOT dead THEN 1 ELSE 0 END)::BIGINT AS n_after,
+          (sum(CASE WHEN NOT dead THEN
+             ((bin_id % 1000000007) * (bin_id % 1000000007)) % 1000000007
+           END)::HUGEINT % 1000000007)::BIGINT AS survivor_checksum
+        FROM bins
+      ),
+      lr AS (
+        SELECT lang,
+               sum(CASE WHEN NOT dead THEN 1 ELSE 0 END)::BIGINT AS n_alive
+        FROM dd GROUP BY lang
+      ),
+      lrt AS (
+        SELECT n_alive,
+          (list_reduce(list_prepend(0::BIGINT,
+              list_transform(generate_series(1, length(lang)),
+                i -> ascii(substr(lang, i, 1))::BIGINT)),
+              (a, x) -> (a * 31 + x) % 1000000007) * 31
+            + (n_alive % 1000000007)) % 1000000007 AS term
+        FROM lr
+      ),
+      s4 AS (
+        SELECT '4_lang_rollup' AS surface,
+          (SELECT count(*) FROM lr)::BIGINT AS n_before,
+          (SELECT sum(CASE WHEN n_alive = 0 THEN 1 ELSE 0 END)::BIGINT
+           FROM lr) AS n_purged,
+          (SELECT sum(CASE WHEN n_alive > 0 THEN 1 ELSE 0 END)::BIGINT
+           FROM lr) AS n_after,
+          (SELECT (sum(CASE WHEN n_alive > 0 THEN (term * term) % 1000000007
+                       END)::HUGEINT % 1000000007)::BIGINT
+           FROM lrt) AS survivor_checksum
+      )
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+      ORDER BY surface ASC""",
     // delta-join oracle: ONE full join with base/delta flags — an
     // independent algorithm for the 4-term incremental decomposition,
     // so the hash match proves (A∪ΔA)⋈(B∪ΔB) = A⋈B + the deltas

@@ -429,6 +429,21 @@ object TextAnalysis {
   def packSequences(spark: SparkSession, sfDir: String,
       seqLen: Long = PackSeqLen, rangeSize: Long = 0L): DataFrame = {
     import spark.implicits._
+    packAssignments(spark, sfDir, seqLen, rangeSize)
+      .groupBy($"bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"bin_id".asc)
+  }
+
+  /** The per-document bin assignment behind [[packSequences]] —
+    * (doc_id, n_tokens, bin_id) — exposed because delete propagation
+    * (`q_forget`) must know WHICH packed sequences a tombstoned doc
+    * contributed to. Same distributed prefix-sum derivation (see the
+    * [[packSequences]] scaladoc for the scale shape). */
+  private[graft] def packAssignments(spark: SparkSession, sfDir: String,
+      seqLen: Long = PackSeqLen, rangeSize: Long = 0L): DataFrame = {
+    import spark.implicits._
     val base = Tables.read(spark, sfDir, "documents")
     // parquet row-count is footer metadata — this is not a data scan
     val width =
@@ -458,10 +473,7 @@ object TextAnalysis {
       .withColumn("cum_before",
         $"rng_offset" + coalesce(sum($"n_tokens").over(wDoc), lit(0L)))
       .withColumn("bin_id", expr(s"cum_before div $seqLen"))
-      .groupBy($"bin_id")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"),
-        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-      .orderBy($"bin_id".asc)
+      .select($"doc_id", $"n_tokens", $"bin_id")
   }
 
   /** Benchmark decontamination — the pre-training step that removes eval
