@@ -264,6 +264,7 @@ object SparkEntry {
     "q_cbo_reorder" -> ((s, d) => RefQueries.qCboReorder(s, d)),
     "ev_secondary_sort" -> ((s, d) => Events.secondarySortTyped(s, d)),
     "q_sample_blocks" -> ((s, d) => Sketches.sampleBlocks(s, d)),
+    "q_compact_scan" -> ((s, d) => RefQueries.qCompactScan(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -1891,6 +1892,64 @@ object SparkEntry {
       SELECT zc.n_buckets_total, zc.n_buckets_scanned,
              m.n_rows, m.key_checksum
       FROM zc, m""",
+    // compaction replay: the bin-pack is DETERMINISTIC (bucket counts →
+    // prefix sum → bin = cum_before // target, target = max(64,
+    // ceil(n/256))), so the oracle derives the exact file layout —
+    // n_files_before = #buckets (one file per bucket by construction),
+    // n_files_after = #bins — and the Spark side reports ON-DISK counts;
+    // a writer that splits a bin across files fails the hash gate.
+    // Row/checksum invariance + the rectangle re-run through per-BIN
+    // zone maps prove compaction changed layout only.
+    "q_compact_scan" -> s"""
+      WITH $hilbertGridCtes, hb AS (
+        SELECT o_orderkey, x8, y8, (hidx // 24) AS hbucket FROM h
+      ), bc AS (
+        SELECT hbucket, count(*)::BIGINT AS bc FROM hb GROUP BY hbucket
+      ), tgt AS (
+        SELECT count(*)::BIGINT AS n_buckets,
+               greatest(64, (sum(bc)::BIGINT + 255) // 256)::BIGINT
+                 AS target
+        FROM bc
+      ), bins AS (
+        SELECT hbucket,
+               (coalesce(sum(bc) OVER (ORDER BY hbucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // target)::BIGINT AS cbin
+        FROM bc, tgt
+      ), r2 AS (
+        SELECT hb.o_orderkey, hb.x8, hb.y8, b.cbin
+        FROM hb JOIN bins b USING (hbucket)
+      ), z AS (
+        SELECT cbin, min(x8) AS x_lo, max(x8) AS x_hi,
+               min(y8) AS y_lo, max(y8) AS y_hi
+        FROM r2 GROUP BY cbin
+      ), zc AS (
+        SELECT count(*)::BIGINT AS n_files_after,
+               sum(CASE WHEN x_hi >= ${RefQueries.HilbertRect._1}
+                         AND x_lo <= ${RefQueries.HilbertRect._2}
+                         AND y_hi >= ${RefQueries.HilbertRect._3}
+                         AND y_lo <= ${RefQueries.HilbertRect._4}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_bins_scanned
+        FROM z
+      ), m AS (
+        SELECT count(*)::BIGINT AS n_rows,
+               (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                    % 1000000007) % 1000000007)::BIGINT AS key_checksum
+        FROM r2
+      ), rc AS (
+        SELECT count(*)::BIGINT AS n_rect_rows,
+               (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                    % 1000000007) % 1000000007)::BIGINT AS rect_checksum
+        FROM r2
+        WHERE x8 BETWEEN ${RefQueries.HilbertRect._1}
+                     AND ${RefQueries.HilbertRect._2}
+          AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                     AND ${RefQueries.HilbertRect._4}
+      )
+      SELECT (SELECT n_buckets FROM tgt) AS n_files_before,
+             zc.n_files_after, zc.n_bins_scanned,
+             m.n_rows, m.key_checksum, rc.n_rect_rows, rc.rect_checksum
+      FROM zc, m, rc""",
     // Morton write-path twin: same grid, width-24 buckets, rectangle,
     // and zone-map protocol — only the curve index differs (the
     // q_zorder_layout bit-interleave instead of the Hilbert fold)

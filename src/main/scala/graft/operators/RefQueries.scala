@@ -911,6 +911,68 @@ object RefQueries {
           .cast("long").as("key_checksum"))
   }
 
+  /** Recursive part-file census of a written table directory — driver
+    * metadata listing (the compaction op's before/after evidence), never
+    * a data read. */
+  private def countPartFiles(dir: java.io.File): Long = {
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+    kids.count(f => f.isFile && f.getName.startsWith("part-")).toLong +
+      kids.filter(_.isDirectory).map(countPartFiles).sum
+  }
+
+  /** Small-file COMPACTION made load-bearing — the OPTIMIZE pass a real
+    * warehouse runs after a fine-grained clustered write: the Hilbert
+    * fixture's ~2731 per-bucket files are bin-packed into ~256
+    * target-size files of CONTIGUOUS bucket ranges
+    * (`Etl.compactHilbertFixture`), and this query proves the pass
+    * changed LAYOUT ONLY:
+    *  - `n_files_before` / `n_files_after` are ON-DISK part-file counts
+    *    (driver metadata listing), hash-gated against the oracle's
+    *    derived bucket/bin counts — the gate fails if the writer ever
+    *    splits a bin across files (or a bucket across tasks);
+    *  - `n_rows` / `key_checksum` over the full compacted table must
+    *    equal the source table's (row + checksum invariance);
+    *  - the `q_hilbert_write` rectangle re-runs through the COMPACTED
+    *    per-bin zone maps (`n_bins_scanned` records the coarser prune —
+    *    the compaction trade), and `n_rect_rows`/`rect_checksum` must
+    *    equal the uncompacted scan's answer.
+    * Scale: compaction cost is one shuffle of the table into ~256
+    * writer tasks; the bin table is grid-bounded (≤ 2731 rows) so its
+    * prefix sum is the triangular broadcast pattern, never a
+    * corpus-sized sort. */
+  def qCompactScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val P = TextAnalysis.ChecksumP
+    val (xLo, xHi, yLo, yHi) = HilbertRect
+    val basePath = graft.sources.Etl.hilbertOrdersFixture(spark, sfDir)
+    val compPath = graft.sources.Etl.compactHilbertFixture(spark, sfDir)
+    val dir = graft.sources.Etl.HilbertTableDir
+    val nBefore = countPartFiles(new java.io.File(s"$basePath/$dir"))
+    val nAfter = countPartFiles(new java.io.File(s"$compPath/$dir"))
+    val t = spark.read.parquet(s"$compPath/$dir")
+    val zones = spark.read
+      .parquet(s"$compPath/${graft.sources.Etl.HilbertZonesDir}")
+      .select($"cbin",
+        ($"x_hi" >= xLo && $"x_lo" <= xHi &&
+          $"y_hi" >= yLo && $"y_lo" <= yHi).as("hit"))
+      .as[(Long, Boolean)].collect()
+    val cands = zones.filter(_._2).map(_._1).sorted
+    def checksum(c: Column): Column =
+      pmod(sum((pmod(c, lit(P)) * pmod(c, lit(P)) % P).cast("decimal(38,0)")),
+        lit(P).cast("decimal(38,0)")).cast("long")
+    val full = t.agg(count(lit(1)).as("n_rows"),
+      checksum($"o_orderkey").as("key_checksum"))
+    val rect = t.filter($"cbin".isin(cands: _*) &&
+        $"x8".between(xLo, xHi) && $"y8".between(yLo, yHi))
+      .agg(count(lit(1)).as("n_rect_rows"),
+        checksum($"o_orderkey").as("rect_checksum"))
+    full.crossJoin(rect)
+      .select(lit(nBefore).as("n_files_before"),
+        lit(nAfter).as("n_files_after"),
+        lit(cands.length.toLong).as("n_bins_scanned"),
+        $"n_rows", $"key_checksum", $"n_rect_rows", $"rect_checksum")
+  }
+
   /** Incremental JOIN maintenance — the delta identity behind every
     * materialized-view refresh: with both sides split into base + delta
     * (a load boundary at `cutoff`),

@@ -177,6 +177,61 @@ object Etl {
         new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
     }
 
+  /** COMPACTED (bin-packed) copy of the Hilbert table — the OPTIMIZE /
+    * small-file-compaction pass every real warehouse runs after a
+    * fine-grained clustered write: [[hilbertOrdersFixture]] deliberately
+    * writes ~2731 tiny per-bucket files (zone-map granularity); this
+    * pass bin-packs CONTIGUOUS hbucket ranges into ~256 target-size
+    * output files (rows stand in for bytes at fixture scale), keeping
+    * rows hidx-sorted within each file so footer zone maps stay tight,
+    * and writes per-BIN zone maps beside the data. Bin assignment is
+    * deterministic — running row count over the ≤ 2731-row bucket-count
+    * table (triangular broadcast join, the packSequences offset
+    * pattern), bin = cum_before div target — so the DuckDB oracle
+    * replays the exact file layout, and `q_compact_scan` hash-gates the
+    * on-disk file count against the oracle's derived bin count (each
+    * bin lands in exactly one task → exactly one file).
+    * Zone-map soundness: bins are contiguous hidx-bucket ranges, so a
+    * bin's bbox is the union of its members' — pruning stays exact,
+    * just coarser (the compaction trade measured by `n_bins_scanned`). */
+  def compactHilbertFixture(spark: SparkSession, sfDir: String): String = {
+    val src = hilbertOrdersFixture(spark, sfDir)
+    cachedFixture(sfDir, "orders-hilbert-compact-v1",
+        s"$sfDir/orders.parquet") { tmp =>
+      import org.apache.spark.sql.functions._
+      val t = spark.read.parquet(s"$src/$HilbertTableDir")
+        .withColumn("hbucket", col("hbucket").cast("long"))
+      val counts = t.groupBy(col("hbucket"))
+        .agg(count(lit(1)).as("bc"))
+      val total = counts.agg(coalesce(sum(col("bc")), lit(0L)))
+        .head().getLong(0)
+      val target = math.max(64L, (total + 255L) / 256L)
+      val bins = counts.as("a")
+        .join(broadcast(counts.as("b")),
+          col("b.hbucket") < col("a.hbucket"), "left_outer")
+        .groupBy(col("a.hbucket").as("hbucket"))
+        .agg(coalesce(sum(col("b.bc")), lit(0L)).as("cum_before"))
+        .select(col("hbucket"),
+          expr(s"cum_before div $target").as("cbin"))
+      val laid = t.join(broadcast(bins), Seq("hbucket"))
+      laid
+        .repartition(col("cbin"))
+        .sortWithinPartitions(col("cbin"), col("hidx"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cbin")
+        .parquet(new java.io.File(tmp, HilbertTableDir).getAbsolutePath)
+      laid.groupBy(col("cbin").cast("long").as("cbin"))
+        .agg(min(col("x8")).as("x_lo"), max(col("x8")).as("x_hi"),
+          min(col("y8")).as("y_lo"), max(col("y8")).as("y_hi"),
+          min(col("hbucket")).as("hb_lo"), max(col("hbucket")).as("hb_hi"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(tmp, HilbertZonesDir).getAbsolutePath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+  }
+
   /** Per-process private warehouse for graft-built tables (bucketed join
     * slices), deleted on JVM exit. Isolation is deliberate: BUCKETING
     * METADATA lives only in the session's in-memory catalog, so a fresh
@@ -251,6 +306,7 @@ object Etl {
     eventsByDayFixture(spark, sfDir)
     hilbertOrdersFixture(spark, sfDir)
     zorderOrdersFixture(spark, sfDir)
+    compactHilbertFixture(spark, sfDir)
     bucketedOrderTables(spark, sfDir)
     ()
   }

@@ -1683,6 +1683,49 @@ class PipelineOpsSpec extends SparkSpec {
         s"than morton (${zd.getLong(1)}) on the dense grid")
   }
 
+  test("compaction: fewer files, full row/checksum + rectangle" +
+      " invariance, and each compacted file holds a disjoint contiguous" +
+      " hbucket range") {
+    val h = graft.operators.RefQueries.qHilbertWrite(spark, sf).head()
+    val c = graft.operators.RefQueries.qCompactScan(spark, sf).head()
+    // (n_files_before, n_files_after, n_bins_scanned, n_rows,
+    //  key_checksum, n_rect_rows, rect_checksum)
+    assert(c.getLong(1) < c.getLong(0),
+      s"compaction must reduce files: ${c.getLong(0)} -> ${c.getLong(1)}")
+    assert(c.getLong(1) > 1L,
+      "a single-file result would make the layout claims vacuous")
+    // the rectangle answer must be EXACTLY the uncompacted scan's
+    assert(c.getLong(5) == h.getLong(2) && c.getLong(6) == h.getLong(3),
+      "compacted rectangle scan diverged from the uncompacted answer")
+    assert(c.getLong(2) > 0L && c.getLong(2) < c.getLong(1),
+      "compacted zone maps show no pruning evidence")
+    // full-table invariance against the SOURCE orders table
+    val P = 1000000007L
+    val keys = Tables.read(spark, sf, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(c.getLong(3) == keys.length.toLong, "row count changed")
+    val cks = keys.map(k => (k % P) * (k % P) % P)
+      .foldLeft(0L)((a, x) => (a + x) % P)
+    assert(c.getLong(4) == cks, "key checksum changed")
+    // zone-map soundness ON DISK: per-file hbucket ranges are pairwise
+    // disjoint (bins are contiguous bucket ranges; an overlap would make
+    // a bin's bbox unsound for pruning)
+    val comp = graft.sources.Etl.compactHilbertFixture(spark, sf)
+    val perFile = spark.read
+      .parquet(s"$comp/${graft.sources.Etl.HilbertTableDir}")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("hbucket").cast("long")).as("lo"),
+        max(col("hbucket").cast("long")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length.toLong == c.getLong(1),
+      "file census disagrees with the declared n_files_after")
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file bucket ranges overlap: hi=$hi1 lo=$lo2")
+      case _ =>
+    }
+  }
+
   test("peaks: every reported day is a strict local maximum") {
     val daily = Tables.read(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))

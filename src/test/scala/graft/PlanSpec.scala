@@ -384,6 +384,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_compact_scan: bin candidates prune compacted partitions at" +
+      " plan time, rectangle pushed to footers") {
+    // compaction must not cost the prune: the per-BIN zone-map consult
+    // lands as partition filters on the cbin directory column, and the
+    // rectangle still reaches the parquet footers
+    val p = plan("q_compact_scan")
+    assert(p.contains("PartitionFilters: [") && p.contains("cbin") &&
+      (p.contains("INSET") || p.contains(" IN (")),
+      s"bin candidates not applied as partition filters:\n$p")
+    assert(p.contains("GreaterThanOrEqual(x8,") ||
+      p.contains("PushedFilters: [IsNotNull(x8)"),
+      s"rectangle predicate not pushed to the parquet scan:\n$p")
+  }
+
   test("q_grouping_sets: one Expand pass feeding one partial-combined agg") {
     // two sideways breakdowns in a single scan: Expand duplicates each
     // row once per set (2×), then ONE aggregate with map-side partials —
