@@ -100,6 +100,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> ((s, d) => Similarity.topKBruteForce(s, d)),
     "sim_topk_lsh" -> ((s, d) => Similarity.topKLsh(s, d)),
     "sim_topk_ivf" -> ((s, d) => Similarity.topKIvf(s, d)),
+    "sim_topk_batch" -> ((s, d) => Similarity.topKBatch(s, d)),
     "sim_topk_ivf_kmeans" -> ((s, d) => Similarity.topKIvfKmeans(s, d)),
     "sim_topk_pq" -> ((s, d) => Similarity.topKPq(s, d)),
     "sim_topk_binary" -> ((s, d) => Similarity.topKBinary(s, d)),
@@ -1277,7 +1278,12 @@ object SparkEntry {
         FROM embeddings)
     )"""
 
-  private val simTopKIvfOracle = s"""
+  /** Seeded-IVF replay, parameterized by the query-set bound — ONE
+    * source of truth for the per-query path (`sim_topk_ivf`, nq = 3)
+    * and the batched serving shape (`sim_topk_batch`, nq = 64): only
+    * the probe filter differs, which is exactly the batch claim (same
+    * cells, probes, and rerank per query at any batch size). */
+  private def simTopKIvfOracleFor(nq: Int) = s"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), $ivfParamCte, $seedRankCtes, centroids AS (
@@ -1298,7 +1304,7 @@ object SparkEntry {
                row_number() OVER (PARTITION BY ev.vec_id
                  ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
                           c.cell_id ASC) AS r
-        FROM e ev CROSS JOIN centroids c WHERE ev.vec_id < 3
+        FROM e ev CROSS JOIN centroids c WHERE ev.vec_id < $nq
       ) WHERE r <= (SELECT np FROM kp)
     ), cand AS (
       SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a USING (cell_id)
@@ -1316,6 +1322,8 @@ object SparkEntry {
     )
     SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk::INTEGER AS rnk
     FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
+
+  private val simTopKIvfOracle = simTopKIvfOracleFor(3)
 
   /** Shared unrolled-Lloyd CTE prefix: the integer-quantized k-means
     * update (Similarity.kmeansCentroids) is bit-reproducible, so DuckDB
@@ -2140,6 +2148,7 @@ object SparkEntry {
     "sim_topk_native" -> simTopKOracle,
     "sim_topk_lsh" -> simTopKLshOracle,
     "sim_topk_ivf" -> simTopKIvfOracle,
+    "sim_topk_batch" -> simTopKIvfOracleFor(64),
     "sim_topk_ivf_kmeans" -> simTopKIvfKmeansOracle,
     // binary-quantized ANN replay: identical sign-bit packing (two
     // 32-bit words — bit 63 is the BIGINT sign bit on both engines),

@@ -216,6 +216,52 @@ object Similarity {
     ivfFlow(spark, emb, centroids, k, nQueries, ivfNprobe(nc, nprobe))
   }
 
+  /** BATCHED ANN serving — the production shape when queries arrive as
+    * a TABLE (an hourly batch of user/query embeddings), not a handful
+    * of literals: every query's probe list is computed in one
+    * broadcast-centroids pass over the query table (window partitioned
+    * by q_id — |q| partitions, fully parallel), explodes to (q_id,
+    * cell) probe pairs, and ALL queries then probe the cell-assigned
+    * corpus through ONE equi-join on cell_id — the join count is
+    * CONSTANT in |queries| (per-query plans would grow linearly and
+    * re-scan the corpus per query). Ranking is the shared k-bounded
+    * [[TopKAggregator]] keyed by q_id. No broadcast hint on the probe
+    * side: at fixture scale Catalyst broadcasts it by size; at serving
+    * scale (millions of queries) the same plan degrades gracefully to a
+    * shuffle join on cell_id against the bucketed corpus — the shape,
+    * not the size decision, is what this operator pins (PlanSpec:
+    * exactly one cell_id-keyed join at any |q|).
+    *
+    * Per-query results are IDENTICAL to [[topKIvf]]'s for the same
+    * query id (same centroids, probes, rerank — proven by spec), so the
+    * batch recall equals the per-query path's by construction. */
+  def topKBatch(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 64, nCells: Int = 0, nprobe: Int = 0): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = corpus(spark, sfDir)
+    val nc = ivfCells(emb, nCells)
+    val centroids = broadcast(
+      seedVectors(spark, emb, nc).toSeq
+        .map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "centroid"))
+    val assigned = assignCells(spark, emb, centroids)
+    val wProbe = Window.partitionBy($"q_id")
+      .orderBy($"probe_cos".desc, $"cell_id".asc)
+    val probes = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"vec".as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("probe_cos", expr("cosine_sim(q_vec, centroid)"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter($"r" <= ivfNprobe(nc, nprobe))
+      .select($"q_id", $"q_vec", $"cell_id")
+    val scored = assigned.join(probes, Seq("cell_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", expr("cosine_sim(vec, q_vec)").as("score"))
+    rankTopK(scored, k, descending = true, "cos_sim")
+      .select($"q_id", $"vec_id", $"cos_sim", $"rnk")
+      .orderBy($"q_id".asc, $"rnk".asc)
+  }
+
   /** Corpus-derived IVF cell count: explicit override, else the
     * [[semanticCellCount]] ceil(n/256) clamp on a metadata-cheap count
     * probe (parquet footers — no data columns read). */

@@ -384,6 +384,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_topk_batch: ONE cell_id-keyed join against the assigned" +
+      " corpus, join count constant in the batch size") {
+    // the serving-shape claim: all queries probe the corpus through one
+    // equi-join on cell_id — a per-query formulation would add a join
+    // (and a corpus scan) per query
+    def joinCensus(nq: Int): (Int, Int) = {
+      val p = graft.operators.Similarity.topKBatch(spark, sf,
+        nQueries = nq).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
+      val cellJoins =
+        "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell_id".r
+          .findAllIn(p).length
+      val allJoins = "Join".r.findAllIn(p).length
+      (cellJoins, allJoins)
+    }
+    val (cell8, all8) = joinCensus(8)
+    val (cell64, all64) = joinCensus(64)
+    assert(cell8 == 1 && cell64 == 1,
+      s"expected exactly one cell_id probe join, got $cell8/$cell64")
+    assert(all8 == all64,
+      s"join count must not grow with the batch size: $all8 vs $all64")
+  }
+
   test("q_compact_scan: bin candidates prune compacted partitions at" +
       " plan time, rectangle pushed to footers") {
     // compaction must not cost the prune: the per-BIN zone-map consult

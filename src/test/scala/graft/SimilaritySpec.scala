@@ -96,6 +96,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfRecall >= 0.4, f"IVF recall@5 $ivfRecall%.2f below floor")
   }
 
+  test("batched serving shape: per-query results identical to the" +
+      " per-query IVF path; every corpus vector in the batch window is" +
+      " served") {
+    // same centroids, probe selection, and rerank per query — so the
+    // batch result restricted to the per-query path's query ids must be
+    // ROW-IDENTICAL (ids, cosines, ranks), which makes batch recall
+    // equal to per-query recall by construction
+    val batch = Similarity.topKBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val perQuery = Similarity.topKIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(batch.filter(_._1 < 3).sortBy(x => (x._1, x._4)).toSeq ==
+      perQuery.sortBy(x => (x._1, x._4)).toSeq,
+      "batch results drifted from the per-query IVF path")
+    // non-vacuity: the batch genuinely serves a SET (every corpus vector
+    // under the id-64 window got its k results), not just the 3 literals
+    val nQ = batch.map(_._1).distinct.length
+    val expected = math.min(64L,
+      Tables.read(spark, sf, "embeddings").count())
+    assert(nQ.toLong == expected,
+      s"expected $expected served queries, got $nQ")
+    // k-bounded per query; a sparse probed-cell set may return < k, but
+    // never zero (each query's own cell holds at least one other vector
+    // on this corpus) and never more than k
+    assert(batch.groupBy(_._1).values
+        .forall(g => g.length >= 1 && g.length <= 5),
+      "per-query result count outside [1, k]")
+  }
+
   test("IVF with nprobe = nCells is EXACTLY brute force — both variants") {
     // probing every cell degrades IVF to an exact scan regardless of
     // where the centroids sit: the output must equal the brute-force
