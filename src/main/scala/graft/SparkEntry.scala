@@ -266,6 +266,7 @@ object SparkEntry {
     "ev_secondary_sort" -> ((s, d) => Events.secondarySortTyped(s, d)),
     "q_sample_blocks" -> ((s, d) => Sketches.sampleBlocks(s, d)),
     "q_compact_scan" -> ((s, d) => RefQueries.qCompactScan(s, d)),
+    "q_runtime_filter" -> ((s, d) => RefQueries.qRuntimeFilter(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -3316,6 +3317,18 @@ object SparkEntry {
       SELECT * FROM s1 UNION ALL SELECT * FROM s2
       UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
       ORDER BY surface ASC""",
+    // runtime-filter oracle: the plain join rollup — the bloom filter is
+    // a PLAN transformation (might_contain prunes non-joining fact rows
+    // before the exchange); the answer must be bit-identical to the
+    // unfiltered join, which is exactly what this gate checks
+    "q_runtime_filter" -> """
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             count(*)::BIGINT AS n_items,
+             CAST(round(sum(CAST(l_extendedprice AS decimal(20,6))), 4)
+               AS DOUBLE) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'
+      GROUP BY 1 ORDER BY 1 ASC""",
     // delta-join oracle: ONE full join with base/delta flags — an
     // independent algorithm for the 4-term incremental decomposition,
     // so the hash match proves (A∪ΔA)⋈(B∪ΔB) = A⋈B + the deltas

@@ -911,6 +911,60 @@ object RefQueries {
           .cast("long").as("key_checksum"))
   }
 
+  /** RUNTIME-FILTER join pushdown — the second stats/optimizer surface
+    * (after [[qCboReorder]]) a 100 TB warehouse leans on: with
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled`, Catalyst builds
+    * a Bloom filter from the SELECTIVE side of a shuffle join
+    * (σ(priority)·orders → bloom over o_orderkey) at runtime and
+    * injects `might_contain` into the FACT side's scan filter — rows
+    * that cannot join die before the exchange, shrinking the shuffle by
+    * the filter's selectivity (~20% survives here). Spark only injects
+    * on SHUFFLE joins (a broadcast join already prunes through its hash
+    * table), so the child session also pins autoBroadcastJoinThreshold
+    * = -1 — which is the realistic 100 TB shape anyway: neither side of
+    * a fact⋈fact join broadcasts.
+    *
+    * Conf scoping: the PERF.md CBO lesson applied — all three confs
+    * live on a `spark.newSession()` child (lazy execution would undo a
+    * set-then-restore; session-wide they would flip every other
+    * query's join strategy). The two thresholds exist because the
+    * DEFAULTS (10 MB creation / 10 GB application-side scan) correctly
+    * veto injection on a fixture-scale corpus — at 100 TB the defaults
+    * inject on their own; here they are lowered INSIDE THE CHILD so the
+    * declared query exercises the real mechanism end-to-end. PlanSpec
+    * asserts the injected filter reaches the fact side, the join stays
+    * a shuffle join, the answer is invariant, and the parent session's
+    * confs are untouched. */
+  def qRuntimeFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val child = spark.newSession()
+    child.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    child.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+      ".applicationSideScanSizeThreshold", "0")
+    child.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+      ".creationSideThreshold", "100MB")
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    runtimeFilterQuery(child, sfDir)
+  }
+
+  /** The join [[qRuntimeFilter]] runs — exposed so PlanSpec can compare
+    * the same plan with the runtime filter off (answer invariance, like
+    * the CBO flip guard). */
+  private[graft] def runtimeFilterQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_shipdate", $"l_extendedprice")
+    val ord = Tables.read(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderpriority")
+      .filter($"o_orderpriority" === "1-URGENT")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        expr("CAST(round(sum(CAST(l_extendedprice AS decimal(20,6))), 4)" +
+          " AS double)").as("revenue"))
+      .orderBy($"ship_month".asc)
+  }
+
   /** Recursive part-file census of a written table directory — driver
     * metadata listing (the compaction op's before/after evidence), never
     * a data read. */

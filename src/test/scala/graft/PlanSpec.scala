@@ -384,6 +384,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_runtime_filter: injected bloom filter reaches the fact side of" +
+      " a shuffle join, answer invariant, parent session untouched") {
+    val R = graft.operators.RefQueries
+    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // reference: the same join on the PARENT session (runtime filter
+    // vetoed by the default 10GB application-side threshold)
+    val off = R.runtimeFilterQuery(spark, sf)
+    val offPlan = off.queryExecution.executedPlan.toString
+    assert(!offPlan.toLowerCase.contains("might_contain"),
+      s"default thresholds must veto injection at fixture scale:\n$offPlan")
+    val offRows = off.collect().map(_.toString).toSeq
+    val on = SparkEntry.queries("q_runtime_filter")(spark, sf)
+    val onPlan = on.queryExecution.executedPlan.toString
+    // the mechanism: a bloom built from the selective orders side is
+    // applied to lineitem BEFORE its exchange — rows that cannot join
+    // never shuffle
+    assert(onPlan.toLowerCase.contains("might_contain"),
+      s"no runtime bloom filter in the fact scan:\n$onPlan")
+    assert(onPlan.contains("SortMergeJoin") ||
+      onPlan.contains("ShuffledHashJoin"),
+      s"runtime filters only inject on shuffle joins:\n$onPlan")
+    // a plan transformation must never touch the answer
+    assert(on.collect().map(_.toString).toSeq == offRows,
+      "runtime filter changed the result")
+    // the PERF.md CBO lesson applied: confs live on the child session
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      == bcBefore,
+      "qRuntimeFilter leaked autoBroadcastJoinThreshold into the parent")
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold") != "0",
+      "qRuntimeFilter leaked the application-side threshold")
+  }
+
   test("sim_topk_batch: ONE cell_id-keyed join against the assigned" +
       " corpus, join count constant in the batch size") {
     // the serving-shape claim: all queries probe the corpus through one
