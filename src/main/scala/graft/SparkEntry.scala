@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "dedup_incremental_cc" -> ((s, d) => Dedup.dedupIncrementalCc(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_star" -> ((s, d) => Dedup.dedupClustersStar(s, d)),
     "dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
@@ -2024,6 +2025,11 @@ object SparkEntry {
       ORDER BY doc_a ASC, doc_b ASC""",
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_star" -> dedupClustersOracle,
+    // incremental cluster maintenance reuses the FULL-recompute oracle
+    // VERBATIM: merging star(index labels) + delta pairs must land on
+    // exactly the labels a from-scratch walk over all pairs produces —
+    // the hash gate is the cross-engine incremental ≡ recompute proof
+    "dedup_incremental_cc" -> dedupClustersOracle,
     "dedup_pagerank" -> dedupPagerankOracle,
     // end-to-end pipeline: the SHARED cluster oracle (one definition —
     // a second inlined copy of the recursive walk could silently drift)

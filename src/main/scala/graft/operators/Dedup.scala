@@ -364,6 +364,65 @@ object Dedup {
     incrementalPairs(Tables.read(spark, sfDir, "documents"),
       col("doc_id") % 2 === 1, estThreshold)
 
+  /** The CLUSTER-MAINTENANCE half of incremental dedup: merge a new
+    * shard into PERSISTED cluster labels without ever reloading the
+    * index's pair graph. A connected component is
+    * connectivity-equivalent to a STAR on its canonical label, so the
+    * persisted (member → label) table IS a lossless compression of
+    * every index edge — the merge runs the shared star-CC resolver over
+    * just `star(index labels) ∪ Δ-touching pairs`
+    * ([[incrementalPairs]]), and the result is PROVABLY identical to
+    * the full recompute over all pairs (index pairs ∪ Δ pairs = the
+    * full pair set; replacing a connected subgraph by its star changes
+    * no component). The declared output therefore reuses the
+    * `dedup_clusters` schema AND its recursive-walk oracle verbatim:
+    * the hash gate is a cross-engine proof that incremental
+    * maintenance ≡ recompute.
+    *
+    * Handles the hard merge cases by construction (DedupSpec plants
+    * them on the merge core): a Δ doc with a smaller id than an
+    * existing keeper re-canonicalizes the cluster, and a Δ doc pairing
+    * into TWO existing clusters bridges them into one.
+    *
+    * Scale: the merge input is |index members| star edges (labels, not
+    * pairs — pre-collapsed to depth 1, so chains the full CC would
+    * iterate over are already flat) + Δ's bucket-occupancy pairs; the
+    * index corpus is never re-shingled, re-signed, or re-paired. */
+  def dedupIncrementalCc(spark: SparkSession, sfDir: String,
+      estThreshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.read(spark, sfDir, "documents")
+    val isDelta = col("doc_id") % 2 === 1
+    // persisted state stand-in (built once, frozen — the signature-index
+    // precedent): labels over the INDEX-only pair graph. An all-delta
+    // predicate degenerates incrementalPairs to the full self-dedup of
+    // the index corpus.
+    val indexPairs = incrementalPairs(docs.filter(!isDelta), lit(true),
+      estThreshold).select($"doc_a", $"doc_b")
+    val (indexLabels, _) = connectedComponentsStar(indexPairs)
+    val deltaPairs = incrementalPairs(docs, isDelta, estThreshold)
+      .select($"doc_a", $"doc_b")
+    mergeLabels(indexLabels.localCheckpoint(true), deltaPairs)
+  }
+
+  /** The merge core of [[dedupIncrementalCc]], exposed for the planted
+    * keeper-change / cluster-bridge specs: star edges from the persisted
+    * labels + the shard's pairs → re-resolved (doc_id, cluster_id,
+    * is_keeper). */
+  private[graft] def mergeLabels(indexLabels: DataFrame,
+      deltaPairs: DataFrame): DataFrame = {
+    val spark = indexLabels.sparkSession
+    import spark.implicits._
+    val starEdges = indexLabels.filter($"doc_id" =!= $"label")
+      .select($"doc_id".as("doc_a"), $"label".as("doc_b"))
+    val (merged, _) = connectedComponentsStar(
+      starEdges.unionByName(deltaPairs.select($"doc_a", $"doc_b")))
+    merged
+      .select($"doc_id", $"label".as("cluster_id"),
+        ($"doc_id" === $"label").as("is_keeper"))
+      .orderBy($"doc_id".asc)
+  }
+
   /** Near-dup cluster resolution — the step AFTER pair generation that
     * every dedup pipeline needs: connected components over the
     * `minHashLsh` pair graph, each doc labeled with its component's min

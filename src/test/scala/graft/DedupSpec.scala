@@ -532,6 +532,47 @@ class DedupSpec extends SparkSpec {
       "index-index twin must be found by full and skipped by incremental")
   }
 
+  test("incremental cluster maintenance: merge core handles the keeper" +
+      " change and the two-cluster bridge") {
+    import spark.implicits._
+    // persisted state: clusters {2,4} (keeper 2) and {6,8} (keeper 6)
+    val indexLabels = Seq((2L, 2L), (4L, 2L), (6L, 6L), (8L, 6L))
+      .toDF("doc_id", "label")
+    // new shard: doc 1 pairs into {2,4} with a SMALLER id than the
+    // keeper (re-canonicalization), doc 5 pairs into BOTH clusters
+    // (bridge — the persisted components must merge into one)
+    val deltaPairs = Seq((1L, 2L), (4L, 5L), (5L, 8L))
+      .toDF("doc_a", "doc_b")
+    val merged = Dedup.mergeLabels(indexLabels, deltaPairs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(merged.keySet == Set(1L, 2L, 4L, 5L, 6L, 8L))
+    // everything collapses to ONE cluster under the new minimum id 1:
+    // the bridge doc 5 carried {6,8} into {1,2,4}'s component
+    merged.foreach { case (id, (cluster, keeper)) =>
+      assert(cluster == 1L, s"doc $id landed in cluster $cluster, not 1")
+      assert(keeper == (id == 1L), s"doc $id keeper flag wrong")
+    }
+    // and WITHOUT the bridge, the keeper change stays contained: {6,8}
+    // keeps its old label while {1,2,4} re-canonicalizes under 1
+    val noBridge = Dedup.mergeLabels(indexLabels,
+        Seq((1L, 2L)).toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(noBridge == Map(1L -> 1L, 2L -> 1L, 4L -> 1L,
+      6L -> 6L, 8L -> 6L))
+  }
+
+  test("incremental cluster maintenance ≡ full recompute (sf fixture" +
+      " differential)") {
+    val full = Dedup.dedupClustersStar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val inc = Dedup.dedupIncrementalCc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(inc == full,
+      s"merged labels drifted from the full recompute:" +
+        s" only-inc=${inc.diff(full)} only-full=${full.diff(inc)}")
+    assert(full.nonEmpty, "fixture pair graph must be non-empty")
+  }
+
   test("incremental dedup ≡ full-corpus pairs restricted to the shard" +
       " (sf fixture differential)") {
     val full = Dedup.minHashLsh(spark, sf).collect()
