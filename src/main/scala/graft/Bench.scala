@@ -11,16 +11,23 @@ object Bench {
     val spillMem = new java.util.concurrent.atomic.AtomicLong
     val spillDisk = new java.util.concurrent.atomic.AtomicLong
     val peakMem = new java.util.concurrent.atomic.AtomicLong
+    // summed task CPU nanoseconds — the LOAD-INVARIANT cost: wall time on
+    // a busy machine inflates sub-second planning-bound queries 2-7x
+    // while CPU-seconds stay flat, so round-over-round comparisons read
+    // cpu when `noisy` is non-empty (PERF.md documents the read)
+    val cpuTime = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
       Option(t.taskMetrics).foreach { m =>
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spillMem.addAndGet(m.memoryBytesSpilled)
         spillDisk.addAndGet(m.diskBytesSpilled)
-        peakMem.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _)): Unit
+        peakMem.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+        cpuTime.addAndGet(m.executorCpuTime): Unit
       }
     def reset(): Unit = {
       shuffleWrite.set(0); spillMem.set(0); spillDisk.set(0); peakMem.set(0)
+      cpuTime.set(0)
     }
   }
 
@@ -113,7 +120,8 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val failedNames = scala.collection.mutable.Set.empty[String]
-    val metrics = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
+    val metrics =
+      scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long, Long)]
     for (pass <- 1 to passes) {
       val last = pass == passes
       ordered.foreach { case (name, fn) =>
@@ -134,8 +142,9 @@ object Bench {
           metrics(name) =
             if (ok && !failedNames.contains(name) && preClean && postClean)
               (listener.shuffleWrite.get, listener.spillMem.get,
-                listener.spillDisk.get, listener.peakMem.get)
-            else (-1L, -1L, -1L, -1L)
+                listener.spillDisk.get, listener.peakMem.get,
+                listener.cpuTime.get)
+            else (-1L, -1L, -1L, -1L, -1L)
         }
       }
     }
@@ -199,10 +208,18 @@ object Bench {
         coldSecs.values.sum
       else -1.0
     val met = results.map { case (k, _, _, _) =>
-      val (sw, sm, sd, pk) = metrics.getOrElse(k, (-1L, -1L, -1L, -1L))
-      s""""$k":{"shuffleWrite":$sw,"spillMem":$sm,"spillDisk":$sd,"peakMem":$pk}"""
+      val (sw, sm, sd, pk, cpu) =
+        metrics.getOrElse(k, (-1L, -1L, -1L, -1L, -1L))
+      s""""$k":{"shuffleWrite":$sw,"spillMem":$sm,"spillDisk":$sd,"peakMem":$pk,"cpuNs":$cpu}"""
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"etl":$etlSec,"coldTotal":$coldTotal,"failed":$failed,"sf":"$sfDir","queries":$qsFull,"cold":$coldFull,"spread":$spread,"noisy":$noisy,"noisyCount":${noisyNames.size},"taskMetrics":$met}"""
+    // CPU-seconds beside the wall-time map — attributed on the last pass
+    // like the other physical metrics (plan property, stable across
+    // passes); -1 follows the per-query failure convention
+    val cpuFull = results.map { case (k, _, _, _) =>
+      val cpu = metrics.getOrElse(k, (-1L, -1L, -1L, -1L, -1L))._5
+      "\"" + k + "\":" + (if (cpu < 0) "-1" else (cpu / 1e9).toString)
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"etl":$etlSec,"coldTotal":$coldTotal,"failed":$failed,"sf":"$sfDir","queries":$qsFull,"cold":$coldFull,"spread":$spread,"noisy":$noisy,"noisyCount":${noisyNames.size},"cpuSec":$cpuFull,"taskMetrics":$met}"""
     // default lands next to the code: sbt runs main classes in-process,
     // so user.dir is the project root of whatever checkout ran the bench
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

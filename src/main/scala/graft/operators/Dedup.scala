@@ -20,6 +20,14 @@ object Dedup {
 
   private def normText: Column = graft.functions.TextNorm.normCol
 
+  /** MinHash geometry — single source of truth shared by the signature
+    * builder ([[minhashBanded]]), the estimate divisor
+    * ([[estimatedPairs]]), and the streaming index twin: a width change
+    * here re-derives every consumer (a drifting hard-coded divisor would
+    * silently skew every est_jaccard). */
+  private[graft] val NPerm = 16
+  private[graft] val NBands = 4
+
   /** Release the storage blocks behind an eager `localCheckpoint` once a
     * later iterate has materialized — without this, an iterative loop
     * pins EVERY generation's full data for the operator's lifetime
@@ -257,8 +265,8 @@ object Dedup {
   private[graft] def minhashBanded(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val nPerm = 16
-    val bands = 4
+    val nPerm = NPerm
+    val bands = NBands
     val rowsPerBand = nPerm / bands
     graft.functions.PolyHash.register(spark)
     val toks = docs
@@ -299,7 +307,7 @@ object Dedup {
       .select($"doc_a", $"doc_b",
         round(expr(
           """aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)),
-                       0, (a, x) -> a + x)""").cast("double") / 16,
+                       0, (a, x) -> a + x)""").cast("double") / NPerm,
           4).as("est_jaccard"))
       .groupBy($"doc_a", $"doc_b")
       .agg(max($"est_jaccard").as("est_jaccard"))

@@ -733,26 +733,75 @@ object Events {
     * `materialize` eagerly checkpoints the sequenced stream for callers
     * that re-filter it many times (the streaming enforcement's ≤ 32
     * delivery filters); the single-pass batch audit leaves it lazy. */
+  /** Once-per-JVM memo of the 4-column events projection every lateness
+    * query re-reads — the eagerly localCheckpoint'ed projection plus its
+    * row count, keyed by (sfDir, nShards), the only inputs it depends
+    * on. The memo is the projection's lifetime OWNER (the r13 `persist`
+    * had none — every parameterization left a session-lifetime
+    * CacheManager entry): checkpoint blocks are NOT CacheManager entries
+    * (`spark.catalog.clearCache` never sees them; a fresh session
+    * inherits nothing), retention is explicit and BOUNDED — at most
+    * [[EvProjMax]] parameterizations, oldest-evicted with its storage
+    * blocks released through the LogicalRDD handle (the Dedup
+    * dropCheckpoint idiom) — and an entry from a stopped or foreign
+    * SparkContext is rebuilt. What the r13 persist bought is preserved:
+    * ONE corpus scan per (sfDir, nShards) per JVM, shared by the
+    * 3-query lateness family, repeated bench passes, and the streaming
+    * enforcement's ≤ 32 delivery filters. */
+  private val evProjMemo = new java.util.LinkedHashMap[
+    (String, Int), (DataFrame, Long)]
+  private val EvProjMax = 4
+
+  private[graft] def releaseEventsProjections(): Unit =
+    evProjMemo.synchronized {
+      evProjMemo.values.forEach { case (df, _) => dropCheckpoint(df) }
+      evProjMemo.clear()
+    }
+
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false): Unit)
+
+  private def eventsProjection(spark: SparkSession, sfDir: String,
+      nShards: Int): (DataFrame, Long) = evProjMemo.synchronized {
+    import spark.implicits._
+    val key = (sfDir, nShards)
+    val hit = Option(evProjMemo.get(key))
+      .filter { case (df, _) =>
+        df.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.exists(r => (r.context eq spark.sparkContext) &&
+          !r.context.isStopped)
+      }
+    hit.getOrElse {
+      val ev = Tables.read(spark, sfDir, "events")
+        .select($"event_id", $"ts", $"event_type")
+        .withColumn("shard", ($"event_id" % nShards).cast("int"))
+        .withColumn("us", unix_micros($"ts"))
+        .localCheckpoint(true)
+      val built = (ev, ev.count())
+      evProjMemo.remove(key)
+      evProjMemo.put(key, built)
+      while (evProjMemo.size() > EvProjMax) {
+        val oldest = evProjMemo.keySet().iterator().next()
+        Option(evProjMemo.remove(oldest))
+          .foreach { case (df, _) => dropCheckpoint(df) }
+      }
+      built
+    }
+  }
+
   private[graft] def latenessReplay(spark: SparkSession, sfDir: String,
       nShards: Int, targetBatches: Long, msFloor: Boolean,
       materialize: Boolean = false, rangeSize: Long = 0L): DataFrame = {
     import spark.implicits._
-    // ONE corpus pass for the whole family: the projection is persisted
-    // and the sizing count() is the action that materializes it, so the
-    // main plan's three consumers (cells, the sequencing join, batch
-    // maxima) read the cached 4-column projection instead of re-scanning
-    // parquet — previously the count was a separate full parquet scan
-    // before the main job (the r12 +29% fixture-scale cost). The cache
-    // entry is keyed by plan, so the audit, its approx twin, and the
-    // streaming enforcement (and repeated bench passes) all share it;
-    // MEMORY_AND_DISK spills rather than evicts at scale, and the cached
-    // payload is 4 narrow columns, not the full events row.
-    val ev = Tables.read(spark, sfDir, "events")
-      .select($"event_id", $"ts", $"event_type")
-      .withColumn("shard", ($"event_id" % nShards).cast("int"))
-      .withColumn("us", unix_micros($"ts"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = ev.count()
+    // ONE corpus pass for the whole family, owned by the JVM-level memo
+    // above: the sizing count() is free (memoized beside the checkpoint)
+    // and the main plan's three consumers (cells, the sequencing join,
+    // batch maxima) read the checkpointed 4-column projection instead of
+    // re-scanning parquet.
+    val (ev, n) = eventsProjection(spark, sfDir, nShards)
     // floor 4, not 1: with b = 1 and near-uniform shards the round-robin
     // merge reconstructs the global id order exactly (no lateness at all
     // on a tiny corpus) — a 4-event batch keeps the merge non-trivial at
