@@ -242,6 +242,7 @@ object SparkEntry {
     "ev_ab_assign" -> ((s, d) => Events.abAssign(s, d)),
     "q_delta_join" -> ((s, d) => RefQueries.qDeltaJoin(s, d)),
     "q_forget" -> ((s, d) => Forget.qForget(s, d)),
+    "dedup_forget_cc" -> ((s, d) => Forget.qDedupForgetCc(s, d)),
     "q_hilbert_layout" -> ((s, d) => RefQueries.qHilbertLayout(s, d)),
     "mm_image_stats" -> ((s, d) => Multimodal.imageStats(s, d)),
     "q_dpp_join" -> ((s, d) => Events.dppJoin(s, d)),
@@ -267,6 +268,7 @@ object SparkEntry {
     "ev_secondary_sort" -> ((s, d) => Events.secondarySortTyped(s, d)),
     "q_sample_blocks" -> ((s, d) => Sketches.sampleBlocks(s, d)),
     "q_compact_scan" -> ((s, d) => RefQueries.qCompactScan(s, d)),
+    "q_compact_scan_z" -> ((s, d) => RefQueries.qCompactScanZ(s, d)),
     "q_runtime_filter" -> ((s, d) => RefQueries.qRuntimeFilter(s, d)),
   )
 
@@ -671,6 +673,87 @@ object SparkEntry {
         FROM g
       )"""
   }
+
+  /** The orders → 8-bit grid → Morton (Z-order) width-24 bucket CTE chain
+    * (o, s, g, hb with `hb(o_orderkey, x8, y8, hbucket)`) — the
+    * bit-interleave twin of [[hilbertGridCtes]], shared by the
+    * `q_zorder_write` zone-map protocol and the Z compaction replay. */
+  private val mortonBucketCtes = """o AS (
+        SELECT o_orderkey, o_custkey AS ck,
+               date_diff('day', DATE '1992-01-01',
+                         cast(o_orderdate AS date)) AS day
+        FROM orders
+      ), s AS (
+        SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+               min(day) AS day_min, max(day) AS day_max FROM o
+      ), g AS (
+        SELECT o_orderkey, ck, day,
+               ((ck - ck_min) * 256) // (ck_max - ck_min + 1) AS x8,
+               ((day - day_min) * 256) // (day_max - day_min + 1) AS y8
+        FROM o, s
+      ), hb AS (
+        SELECT o_orderkey, x8, y8,
+               (list_sum(list_transform(generate_series(0, 7),
+                 i -> (((x8 >> i) & 1) << (2*i)) +
+                      (((y8 >> i) & 1) << (2*i + 1)))) // 24) AS hbucket
+        FROM g
+      )"""
+
+  /** Compaction replay, parameterized on the curve: everything from the
+    * bucket-count table down (prefix sum, bin = cum_before // target,
+    * per-bin zone maps, rectangle re-run) is identical for Hilbert and
+    * Morton — only the CTE chain producing
+    * `hb(o_orderkey, x8, y8, hbucket)` differs. The bin-pack is
+    * DETERMINISTIC, so the oracle derives the exact file layout and the
+    * Spark side's ON-DISK part-file counts must land on it. */
+  private def compactScanOracle(hbChain: String): String = s"""
+      WITH $hbChain, bc AS (
+        SELECT hbucket, count(*)::BIGINT AS bc FROM hb GROUP BY hbucket
+      ), tgt AS (
+        SELECT count(*)::BIGINT AS n_buckets,
+               greatest(64, (sum(bc)::BIGINT + 255) // 256)::BIGINT
+                 AS target
+        FROM bc
+      ), bins AS (
+        SELECT hbucket,
+               (coalesce(sum(bc) OVER (ORDER BY hbucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // target)::BIGINT AS cbin
+        FROM bc, tgt
+      ), r2 AS (
+        SELECT hb.o_orderkey, hb.x8, hb.y8, b.cbin
+        FROM hb JOIN bins b USING (hbucket)
+      ), z AS (
+        SELECT cbin, min(x8) AS x_lo, max(x8) AS x_hi,
+               min(y8) AS y_lo, max(y8) AS y_hi
+        FROM r2 GROUP BY cbin
+      ), zc AS (
+        SELECT count(*)::BIGINT AS n_files_after,
+               sum(CASE WHEN x_hi >= ${RefQueries.HilbertRect._1}
+                         AND x_lo <= ${RefQueries.HilbertRect._2}
+                         AND y_hi >= ${RefQueries.HilbertRect._3}
+                         AND y_lo <= ${RefQueries.HilbertRect._4}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_bins_scanned
+        FROM z
+      ), m AS (
+        SELECT count(*)::BIGINT AS n_rows,
+               (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                    % 1000000007) % 1000000007)::BIGINT AS key_checksum
+        FROM r2
+      ), rc AS (
+        SELECT count(*)::BIGINT AS n_rect_rows,
+               (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                    % 1000000007) % 1000000007)::BIGINT AS rect_checksum
+        FROM r2
+        WHERE x8 BETWEEN ${RefQueries.HilbertRect._1}
+                     AND ${RefQueries.HilbertRect._2}
+          AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                     AND ${RefQueries.HilbertRect._4}
+      )
+      SELECT (SELECT n_buckets FROM tgt) AS n_files_before,
+             zc.n_files_after, zc.n_bins_scanned,
+             m.n_rows, m.key_checksum, rc.n_rect_rows, rc.rect_checksum
+      FROM zc, m, rc"""
 
   /** Classifier replay scaffold (per-token poly_hash % 64 bins → per-doc
     * (bin, cnt) vectors → per-doc dot with the `w(bin, w)` CTE supplied
@@ -1902,88 +1985,23 @@ object SparkEntry {
       SELECT zc.n_buckets_total, zc.n_buckets_scanned,
              m.n_rows, m.key_checksum
       FROM zc, m""",
-    // compaction replay: the bin-pack is DETERMINISTIC (bucket counts →
-    // prefix sum → bin = cum_before // target, target = max(64,
-    // ceil(n/256))), so the oracle derives the exact file layout —
-    // n_files_before = #buckets (one file per bucket by construction),
-    // n_files_after = #bins — and the Spark side reports ON-DISK counts;
-    // a writer that splits a bin across files fails the hash gate.
-    // Row/checksum invariance + the rectangle re-run through per-BIN
-    // zone maps prove compaction changed layout only.
-    "q_compact_scan" -> s"""
-      WITH $hilbertGridCtes, hb AS (
+    // compaction replay (see compactScanOracle): n_files_before =
+    // #buckets (one file per bucket by construction), n_files_after =
+    // #derived bins — the Spark side reports ON-DISK counts, so a writer
+    // that splits a bin across files fails the hash gate. Row/checksum
+    // invariance + the rectangle re-run through per-BIN zone maps prove
+    // compaction changed layout only.
+    "q_compact_scan" -> compactScanOracle(s"""$hilbertGridCtes, hb AS (
         SELECT o_orderkey, x8, y8, (hidx // 24) AS hbucket FROM h
-      ), bc AS (
-        SELECT hbucket, count(*)::BIGINT AS bc FROM hb GROUP BY hbucket
-      ), tgt AS (
-        SELECT count(*)::BIGINT AS n_buckets,
-               greatest(64, (sum(bc)::BIGINT + 255) // 256)::BIGINT
-                 AS target
-        FROM bc
-      ), bins AS (
-        SELECT hbucket,
-               (coalesce(sum(bc) OVER (ORDER BY hbucket
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                // target)::BIGINT AS cbin
-        FROM bc, tgt
-      ), r2 AS (
-        SELECT hb.o_orderkey, hb.x8, hb.y8, b.cbin
-        FROM hb JOIN bins b USING (hbucket)
-      ), z AS (
-        SELECT cbin, min(x8) AS x_lo, max(x8) AS x_hi,
-               min(y8) AS y_lo, max(y8) AS y_hi
-        FROM r2 GROUP BY cbin
-      ), zc AS (
-        SELECT count(*)::BIGINT AS n_files_after,
-               sum(CASE WHEN x_hi >= ${RefQueries.HilbertRect._1}
-                         AND x_lo <= ${RefQueries.HilbertRect._2}
-                         AND y_hi >= ${RefQueries.HilbertRect._3}
-                         AND y_lo <= ${RefQueries.HilbertRect._4}
-                        THEN 1 ELSE 0 END)::BIGINT AS n_bins_scanned
-        FROM z
-      ), m AS (
-        SELECT count(*)::BIGINT AS n_rows,
-               (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
-                    % 1000000007) % 1000000007)::BIGINT AS key_checksum
-        FROM r2
-      ), rc AS (
-        SELECT count(*)::BIGINT AS n_rect_rows,
-               (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
-                    % 1000000007) % 1000000007)::BIGINT AS rect_checksum
-        FROM r2
-        WHERE x8 BETWEEN ${RefQueries.HilbertRect._1}
-                     AND ${RefQueries.HilbertRect._2}
-          AND y8 BETWEEN ${RefQueries.HilbertRect._3}
-                     AND ${RefQueries.HilbertRect._4}
-      )
-      SELECT (SELECT n_buckets FROM tgt) AS n_files_before,
-             zc.n_files_after, zc.n_bins_scanned,
-             m.n_rows, m.key_checksum, rc.n_rect_rows, rc.rect_checksum
-      FROM zc, m, rc""",
+      )"""),
+    // the Z-order table under the SAME curve-agnostic compaction pass —
+    // only the hb chain differs
+    "q_compact_scan_z" -> compactScanOracle(mortonBucketCtes),
     // Morton write-path twin: same grid, width-24 buckets, rectangle,
     // and zone-map protocol — only the curve index differs (the
     // q_zorder_layout bit-interleave instead of the Hilbert fold)
     "q_zorder_write" -> s"""
-      WITH o AS (
-        SELECT o_orderkey, o_custkey AS ck,
-               date_diff('day', DATE '1992-01-01',
-                         cast(o_orderdate AS date)) AS day
-        FROM orders
-      ), s AS (
-        SELECT min(ck) AS ck_min, max(ck) AS ck_max,
-               min(day) AS day_min, max(day) AS day_max FROM o
-      ), g AS (
-        SELECT o_orderkey, ck, day,
-               ((ck - ck_min) * 256) // (ck_max - ck_min + 1) AS x8,
-               ((day - day_min) * 256) // (day_max - day_min + 1) AS y8
-        FROM o, s
-      ), hb AS (
-        SELECT o_orderkey, x8, y8,
-               (list_sum(list_transform(generate_series(0, 7),
-                 i -> (((x8 >> i) & 1) << (2*i)) +
-                      (((y8 >> i) & 1) << (2*i + 1)))) // 24) AS hbucket
-        FROM g
-      ), z AS (
+      WITH $mortonBucketCtes, z AS (
         SELECT hbucket, min(x8) AS x_lo, max(x8) AS x_hi,
                min(y8) AS y_lo, max(y8) AS y_hi
         FROM hb GROUP BY hbucket
@@ -3228,9 +3246,9 @@ object SparkEntry {
         SELECT '1_documents' AS surface, count(*)::BIGINT AS n_before,
           sum(CASE WHEN dead THEN 1 ELSE 0 END)::BIGINT AS n_purged,
           sum(CASE WHEN NOT dead THEN 1 ELSE 0 END)::BIGINT AS n_after,
-          (sum(CASE WHEN NOT dead THEN
+          coalesce((sum(CASE WHEN NOT dead THEN
              ((doc_id % 1000000007) * (doc_id % 1000000007)) % 1000000007
-           END)::HUGEINT % 1000000007)::BIGINT AS survivor_checksum
+           END)::HUGEINT % 1000000007), 0)::BIGINT AS survivor_checksum
         FROM dd
       ),
       pr AS ($dedupMinhashOracle),
@@ -3290,9 +3308,9 @@ object SparkEntry {
         SELECT '3_packs' AS surface, count(*)::BIGINT AS n_before,
           sum(CASE WHEN dead THEN 1 ELSE 0 END)::BIGINT AS n_purged,
           sum(CASE WHEN NOT dead THEN 1 ELSE 0 END)::BIGINT AS n_after,
-          (sum(CASE WHEN NOT dead THEN
+          coalesce((sum(CASE WHEN NOT dead THEN
              ((bin_id % 1000000007) * (bin_id % 1000000007)) % 1000000007
-           END)::HUGEINT % 1000000007)::BIGINT AS survivor_checksum
+           END)::HUGEINT % 1000000007), 0)::BIGINT AS survivor_checksum
         FROM bins
       ),
       lr AS (
@@ -3316,13 +3334,57 @@ object SparkEntry {
            FROM lr) AS n_purged,
           (SELECT sum(CASE WHEN n_alive > 0 THEN 1 ELSE 0 END)::BIGINT
            FROM lr) AS n_after,
-          (SELECT (sum(CASE WHEN n_alive > 0 THEN (term * term) % 1000000007
-                       END)::HUGEINT % 1000000007)::BIGINT
+          (SELECT coalesce((sum(CASE WHEN n_alive > 0
+                            THEN (term * term) % 1000000007
+                       END)::HUGEINT % 1000000007), 0)::BIGINT
            FROM lrt) AS survivor_checksum
       )
       SELECT * FROM s1 UNION ALL SELECT * FROM s2
       UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
       ORDER BY surface ASC""",
+    // incremental-forget oracle: the FULL re-resolution — the splitmix64
+    // tombstone draw, the minhash pair replay, and the recursive
+    // min-reachable walk over the ENTIRE induced (both-alive) subgraph.
+    // The Spark side re-resolves ONLY tombstone-touched components and
+    // passes untouched components' persisted labels through verbatim, so
+    // the hash gate IS the scoped ≡ full proof (deletions can only split
+    // or shrink components, never merge them).
+    "dedup_forget_cc" -> s"""
+      WITH RECURSIVE
+      z0 AS (SELECT doc_id,
+               ((doc_id::UHUGEINT + 11400714819323198485)
+                % 18446744073709551616)::UBIGINT AS z FROM documents),
+      z1 AS (SELECT doc_id,
+               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                % 18446744073709551616)::UBIGINT AS z FROM z0),
+      z2 AS (SELECT doc_id,
+               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                % 18446744073709551616)::UBIGINT AS z FROM z1),
+      dead AS (
+        SELECT doc_id FROM z2
+        WHERE ((CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+             THEN (xor(z, z >> 31)::HUGEINT - 18446744073709551616)::BIGINT
+             ELSE xor(z, z >> 31)::BIGINT END % 19) + 19) % 19 = 0
+      ),
+      pr AS ($dedupMinhashOracle),
+      alive AS (
+        SELECT doc_a, doc_b FROM pr
+        WHERE doc_a NOT IN (SELECT doc_id FROM dead)
+          AND doc_b NOT IN (SELECT doc_id FROM dead)
+      ),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM alive
+        UNION ALL SELECT doc_b, doc_a FROM alive
+      ),
+      nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+      walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON w.doc_id = e.b
+      )
+      SELECT doc_id, min(label) AS cluster_id,
+             doc_id = min(label) AS is_keeper
+      FROM walk GROUP BY doc_id ORDER BY doc_id ASC""",
     // runtime-filter oracle: the plain join rollup — the bloom filter is
     // a PLAN transformation (might_contain prunes non-joining fact rows
     // before the exchange); the answer must be bit-identical to the

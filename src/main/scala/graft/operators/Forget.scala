@@ -28,19 +28,22 @@ object Forget {
 
   /** Σ (k mod P)² mod P over a column — order-independent survivor
     * checksum, overflow-proof through the DECIMAL sum (the
-    * `curveWriteScan` idiom). */
-  private def cs1(k: Column): Column =
+    * `curveWriteScan` idiom). Coalesced to 0 so the degenerate
+    * all-purged surface stays well-typed (a getLong consumer must never
+    * NPE on an empty survivor set) — every surface and the oracle agree
+    * on the same convention. */
+  private def cs1(k: Column): Column = coalesce(
     pmod(sum((pmod(k, lit(P)) * pmod(k, lit(P)) % P).cast("decimal(38,0)")),
-      lit(P).cast("decimal(38,0)")).cast("long")
+      lit(P).cast("decimal(38,0)")).cast("long"), lit(0L))
 
   /** Two-key variant: term = ((k1 mod P)·31 + k2 mod P) mod P, then the
     * same squared fold — binds VALUE pairs (member → keeper, lang →
     * count), so a survivor keeping its row but changing its label still
-    * changes the checksum. */
+    * changes the checksum. Same coalesce-to-0 convention as [[cs1]]. */
   private def cs2(k1: Column, k2: Column): Column = {
     val term = (pmod(k1, lit(P)) * 31 + pmod(k2, lit(P))) % P
-    pmod(sum((term * term % P).cast("decimal(38,0)")),
-      lit(P).cast("decimal(38,0)")).cast("long")
+    coalesce(pmod(sum((term * term % P).cast("decimal(38,0)")),
+      lit(P).cast("decimal(38,0)")).cast("long"), lit(0L))
   }
 
   /** The propagation core, parameterized on every input so the spec can
@@ -102,7 +105,7 @@ object Forget {
     val s2 = mDead.agg(count(lit(1)).as("n_before"),
       sum(when($"dead", 1L).otherwise(0L)).as("n_purged"))
       .crossJoin(relabeled.agg(count(lit(1)).as("n_after"),
-        coalesce(cs2($"doc_id", $"label"), lit(0L)).as("survivor_checksum")))
+        cs2($"doc_id", $"label").as("survivor_checksum")))
       .select(lit("2_dup_graph").as("surface"), $"n_before", $"n_purged",
         $"n_after", $"survivor_checksum")
 
@@ -131,6 +134,83 @@ object Forget {
 
     s1.unionByName(s2).unionByName(s3).unionByName(s4)
       .orderBy($"surface".asc)
+  }
+
+  /** INCREMENTAL forget — [[propagate]]'s dup-graph surface scoped to
+    * TOMBSTONE-TOUCHED components only, against the persisted
+    * member→label state `Dedup.dedupIncrementalCc` maintains. The
+    * correctness lever is one-directional monotonicity: deletions can
+    * only SPLIT or SHRINK a connected component, never merge two — so a
+    * component with zero tombstoned members keeps every member, every
+    * pair, and its keeper, and its persisted labels pass through
+    * VERBATIM (never recomputed, never even read back from the pair
+    * store). Only touched components re-resolve, over their induced
+    * both-alive pair subgraph, through the shared star-CC resolver.
+    *
+    * Inputs model the production state a daily compliance batch reads:
+    *  - `labels`: the persisted (doc_id, label) table,
+    *  - `labeledPairs`: the pair store tagged with its component label —
+    *    at 100 TB this table is PARTITIONED by label, so the touched-only
+    *    semi-join below is a partition-pruned read (ForgetSpec proves
+    *    functional independence by handing this function a pair store
+    *    that simply lacks the untouched components' pairs),
+    *  - `tombs`: the compliance-sized forget list (broadcast — the
+    *    corpus never shuffles to learn who died).
+    *
+    * Output = `dedup_clusters` shape (doc_id, cluster_id, is_keeper);
+    * the declared oracle is the FULL re-resolution walk over the whole
+    * induced alive subgraph, so the hash gate IS scoped ≡ full — the
+    * `dedup_incremental_cc` proof in reverse. */
+  private[graft] def forgetLabelsScoped(labels: DataFrame,
+      labeledPairs: DataFrame, tombs: DataFrame): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val tomb = broadcast(tombs.select($"doc_id").distinct())
+    // touched components: labels owning >= 1 tombstoned member —
+    // compliance-batch-sized by construction, broadcast everywhere below
+    val touched = broadcast(
+      labels.join(tomb, Seq("doc_id"), "left_semi")
+        .select($"label").distinct())
+    val untouched = labels.join(touched, Seq("label"), "left_anti")
+      .select($"doc_id", $"label")
+    // touched components' pairs with both endpoints alive — the ONLY
+    // edges the resolver ever sees
+    val alive = labeledPairs
+      .join(touched, Seq("label"), "left_semi")
+      .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+        "left_anti")
+      .join(tomb.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+        "left_anti")
+      .select($"doc_a", $"doc_b")
+    val (relabeled, _) = Dedup.connectedComponentsStar(alive)
+    untouched.unionByName(relabeled.select($"doc_id", $"label"))
+      .select($"doc_id", $"label".as("cluster_id"),
+        ($"doc_id" === $"label").as("is_keeper"))
+      .orderBy($"doc_id".asc)
+  }
+
+  /** Declared incremental-forget query: persisted state = the full-corpus
+    * minhash labels plus the pair store tagged with its component label
+    * (built once and frozen via localCheckpoint — the signature-index
+    * precedent); tombstones = the same `mix64(doc_id) mod 19 = 0` draw
+    * as [[qForget]]. The oracle re-resolves the ENTIRE induced alive
+    * subgraph from scratch. */
+  def qDedupForgetCc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.Mix64.register(spark)
+    val pairs = Dedup.minHashLsh(spark, sfDir)
+      .select($"doc_a", $"doc_b").localCheckpoint(true)
+    val (labels0, _) = Dedup.connectedComponentsStar(pairs)
+    val labels = labels0.localCheckpoint(true)
+    // pairs stay inside one component, so doc_a's label IS the pair's
+    // component label
+    val labeledPairs = pairs
+      .join(labels.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .select($"doc_a", $"doc_b", $"label").localCheckpoint(true)
+    val tombs = Tables.read(spark, sfDir, "documents")
+      .filter(pmod(call_function("mix64", $"doc_id"), lit(19L)) === 0L)
+      .select($"doc_id")
+    forgetLabelsScoped(labels, labeledPairs, tombs)
   }
 
   /** Declared query: tombstones = docs whose splitmix64 draw lands on

@@ -967,11 +967,23 @@ object RefQueries {
 
   /** Recursive part-file census of a written table directory — driver
     * metadata listing (the compaction op's before/after evidence), never
-    * a data read. */
-  private def countPartFiles(dir: java.io.File): Long = {
-    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
-    kids.count(f => f.isFile && f.getName.startsWith("part-")).toLong +
-      kids.filter(_.isDirectory).map(countPartFiles).sum
+    * a data read. Listed through the path's own Hadoop FileSystem (from
+    * the session's conf), so the census works unchanged against
+    * hdfs://|s3a:// warehouse URIs — a `java.io.File` walk would
+    * silently report 0 there and fail the hash gate confusingly. A
+    * missing directory is an explicit error, not a 0. */
+  private def countPartFiles(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.getFileStatus(path).isDirectory,
+      s"part-file census target is not a directory: $dir")
+    val it = fs.listFiles(path, true)
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.startsWith("part-")) n += 1L
+    }
+    n
   }
 
   /** Small-file COMPACTION made load-bearing — the OPTIMIZE pass a real
@@ -994,15 +1006,29 @@ object RefQueries {
     * writer tasks; the bin table is grid-bounded (≤ 2731 rows) so its
     * prefix sum is the triangular broadcast pattern, never a
     * corpus-sized sort. */
-  def qCompactScan(spark: SparkSession, sfDir: String): DataFrame = {
+  def qCompactScan(spark: SparkSession, sfDir: String): DataFrame =
+    curveCompactScan(spark,
+      graft.sources.Etl.hilbertOrdersFixture(spark, sfDir),
+      graft.sources.Etl.compactHilbertFixture(spark, sfDir))
+
+  /** Z-order twin of [[qCompactScan]] — the same compaction gate (on-disk
+    * file counts vs the oracle's derived bin layout, row/checksum
+    * invariance, rectangle re-run through the coarser per-bin zone maps)
+    * on the Morton table: the bin-pack pass is curve-agnostic, and this
+    * row proves it against the second physically-written curve layout. */
+  def qCompactScanZ(spark: SparkSession, sfDir: String): DataFrame =
+    curveCompactScan(spark,
+      graft.sources.Etl.zorderOrdersFixture(spark, sfDir),
+      graft.sources.Etl.compactZorderFixture(spark, sfDir))
+
+  private def curveCompactScan(spark: SparkSession, basePath: String,
+      compPath: String): DataFrame = {
     import spark.implicits._
     val P = TextAnalysis.ChecksumP
     val (xLo, xHi, yLo, yHi) = HilbertRect
-    val basePath = graft.sources.Etl.hilbertOrdersFixture(spark, sfDir)
-    val compPath = graft.sources.Etl.compactHilbertFixture(spark, sfDir)
     val dir = graft.sources.Etl.HilbertTableDir
-    val nBefore = countPartFiles(new java.io.File(s"$basePath/$dir"))
-    val nAfter = countPartFiles(new java.io.File(s"$compPath/$dir"))
+    val nBefore = countPartFiles(spark, s"$basePath/$dir")
+    val nAfter = countPartFiles(spark, s"$compPath/$dir")
     val t = spark.read.parquet(s"$compPath/$dir")
     val zones = spark.read
       .parquet(s"$compPath/${graft.sources.Etl.HilbertZonesDir}")

@@ -194,10 +194,27 @@ object Etl {
     * Zone-map soundness: bins are contiguous hidx-bucket ranges, so a
     * bin's bbox is the union of its members' — pruning stays exact,
     * just coarser (the compaction trade measured by `n_bins_scanned`). */
-  def compactHilbertFixture(spark: SparkSession, sfDir: String): String = {
-    val src = hilbertOrdersFixture(spark, sfDir)
-    cachedFixture(sfDir, "orders-hilbert-compact-v1",
-        s"$sfDir/orders.parquet") { tmp =>
+  def compactHilbertFixture(spark: SparkSession, sfDir: String): String =
+    compactCurveFixture(spark, sfDir, "orders-hilbert-compact-v1",
+      hilbertOrdersFixture(spark, sfDir))
+
+  /** Morton twin of [[compactHilbertFixture]] — the same curve-agnostic
+    * bin-pack (the pass is a prefix sum over bucket counts; nothing in it
+    * knows which curve produced `hbucket`/`hidx`) applied to the Z-order
+    * table, closing the write-path symmetry: every clustered table gets
+    * its OPTIMIZE pass, not just the Hilbert one. */
+  def compactZorderFixture(spark: SparkSession, sfDir: String): String =
+    compactCurveFixture(spark, sfDir, "orders-zorder-compact-v1",
+      zorderOrdersFixture(spark, sfDir))
+
+  /** The shared curve-agnostic compaction writer (see
+    * [[compactHilbertFixture]] for the full protocol): reads a
+    * [[curveOrdersFixture]] layout at `src`, bin-packs contiguous
+    * `hbucket` ranges into ~256 target-size files, rows `hidx`-sorted
+    * within files, per-bin zone maps beside the data. */
+  private def compactCurveFixture(spark: SparkSession, sfDir: String,
+      key: String, src: String): String = {
+    cachedFixture(sfDir, key, s"$sfDir/orders.parquet") { tmp =>
       import org.apache.spark.sql.functions._
       val t = spark.read.parquet(s"$src/$HilbertTableDir")
         .withColumn("hbucket", col("hbucket").cast("long"))
@@ -307,6 +324,7 @@ object Etl {
     hilbertOrdersFixture(spark, sfDir)
     zorderOrdersFixture(spark, sfDir)
     compactHilbertFixture(spark, sfDir)
+    compactZorderFixture(spark, sfDir)
     bucketedOrderTables(spark, sfDir)
     ()
   }

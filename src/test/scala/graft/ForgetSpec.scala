@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Forget
+import org.apache.spark.sql.functions.lit
 
 /** Planted-corpus semantics for delete propagation: a tombstone hitting a
   * cluster KEEPER (forcing re-canonicalization), a tombstone on a BRIDGE
@@ -65,6 +66,54 @@ class ForgetSpec extends SparkSpec {
       (graft.functions.PolyHash.hash("en", 1 << 20), 6L),
       (graft.functions.PolyHash.hash("de", 1 << 20), 1L)))
     assert(out("4_lang_rollup") == ((3L, 1L, 2L, langCs)))
+  }
+
+  test("forgetLabelsScoped: tombstoned keeper re-canonicalizes, bridge" +
+      " split inside a touched component, untouched component's label" +
+      " provably never recomputes") {
+    import spark.implicits._
+    // persisted state: cluster A {2,4,6} label 2; chain {10,12,14,16,18}
+    // label 10; UNTOUCHED component {100,102} label 100
+    val labels = Seq((2L, 2L), (4L, 2L), (6L, 2L), (10L, 10L), (12L, 10L),
+      (14L, 10L), (16L, 10L), (18L, 10L), (100L, 100L), (102L, 100L))
+      .toDF("doc_id", "label")
+    // the pair store handed to the scoped resolver DELIBERATELY LACKS the
+    // untouched component's (100,102) pair — the production
+    // partitioned-by-label store would prune that partition away, so if
+    // the resolver needed it, it could not produce the row at all: the
+    // untouched label surviving below PROVES it is passed through from
+    // the persisted state, never recomputed from pairs
+    val labeledPairs = Seq(
+      (2L, 4L, 2L), (4L, 6L, 2L),
+      (10L, 12L, 10L), (12L, 14L, 10L), (14L, 16L, 10L), (16L, 18L, 10L))
+      .toDF("doc_a", "doc_b", "label")
+    // 2 = cluster A's KEEPER (survivors re-canonicalize under 4);
+    // 14 = the chain's bridge (component splits into {10,12} and {16,18})
+    val tombs = Seq(2L, 14L).toDF("doc_id")
+    val got = Forget.forgetLabelsScoped(labels, labeledPairs, tombs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq
+    assert(got == Seq(
+      (4L, 4L, true), (6L, 4L, false),
+      (10L, 10L, true), (12L, 10L, false),
+      (16L, 16L, true), (18L, 16L, false),
+      (100L, 100L, true), (102L, 100L, false)))
+    // scoped ≡ full: the full re-resolution over ALL alive pairs
+    // (including the untouched component's own edge) lands on the same
+    // labels — the identity the declared query's oracle hash-gates
+    val allPairs = labeledPairs.select($"doc_a", $"doc_b")
+      .union(Seq((100L, 102L)).toDF("doc_a", "doc_b"))
+    val full = Forget.propagate(
+      labels.select($"doc_id").withColumn("lang", lit("en")),
+      tombs, allPairs,
+      labels.select($"doc_id").withColumn("bin_id", lit(0L))).collect()
+      .filter(_.getString(0) == "2_dup_graph").head.getLong(4)
+    val scopedCs = got.map { case (d, c, _) =>
+      val t = ((d % 1000000007L) * 31 + (c % 1000000007L)) % 1000000007L
+      t * t % 1000000007L
+    }.sum % 1000000007L
+    assert(scopedCs == full,
+      "scoped re-resolution disagrees with the full recompute")
   }
 
   test("empty tombstone list: nothing purged, dup-graph membership" +

@@ -1686,8 +1686,28 @@ class PipelineOpsSpec extends SparkSpec {
   test("compaction: fewer files, full row/checksum + rectangle" +
       " invariance, and each compacted file holds a disjoint contiguous" +
       " hbucket range") {
-    val h = graft.operators.RefQueries.qHilbertWrite(spark, sf).head()
-    val c = graft.operators.RefQueries.qCompactScan(spark, sf).head()
+    compactionGate(
+      graft.operators.RefQueries.qHilbertWrite(spark, sf).head(),
+      graft.operators.RefQueries.qCompactScan(spark, sf).head(),
+      graft.sources.Etl.compactHilbertFixture(spark, sf))
+  }
+
+  test("compaction (Z-order): the shared curve-agnostic pass holds the" +
+      " identical gate on the Morton layout") {
+    compactionGate(
+      graft.operators.RefQueries.qZorderWrite(spark, sf).head(),
+      graft.operators.RefQueries.qCompactScanZ(spark, sf).head(),
+      graft.sources.Etl.compactZorderFixture(spark, sf))
+  }
+
+  /** The full compaction evidence, shared by both curves: fewer files,
+    * rectangle answer identical to the uncompacted scan's, zone-map
+    * pruning non-vacuous, full row/checksum invariance against the
+    * SOURCE orders table, and per-file hbucket ranges pairwise disjoint
+    * ON DISK. `h` = the uncompacted write-scan row, `c` = the compact
+    * scan row, `comp` = the compacted fixture path. */
+  private def compactionGate(h: org.apache.spark.sql.Row,
+      c: org.apache.spark.sql.Row, comp: String): Unit = {
     // (n_files_before, n_files_after, n_bins_scanned, n_rows,
     //  key_checksum, n_rect_rows, rect_checksum)
     assert(c.getLong(1) < c.getLong(0),
@@ -1710,7 +1730,6 @@ class PipelineOpsSpec extends SparkSpec {
     // zone-map soundness ON DISK: per-file hbucket ranges are pairwise
     // disjoint (bins are contiguous bucket ranges; an overlap would make
     // a bin's bbox unsound for pruning)
-    val comp = graft.sources.Etl.compactHilbertFixture(spark, sf)
     val perFile = spark.read
       .parquet(s"$comp/${graft.sources.Etl.HilbertTableDir}")
       .groupBy(input_file_name().as("f"))

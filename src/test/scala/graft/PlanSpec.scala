@@ -440,6 +440,36 @@ class PlanSpec extends SparkSpec {
       s"join count must not grow with the batch size: $all8 vs $all64")
   }
 
+  test("sim_topk_batch: serving-scale degradation — broadcast vetoed, the" +
+      " probe join becomes a SHUFFLE join on cell_id, census still one," +
+      " answer invariant") {
+    // the graceful-degradation claim made checkable (the q_runtime_filter
+    // twin-plan pattern): at serving scale (millions of queries) the
+    // probe side outgrows any broadcast threshold — vetoing broadcast on
+    // a child session must yield the SAME single cell_id-keyed join as a
+    // shuffle join, with the same answer, and leak nothing to the parent
+    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val base = graft.operators.Similarity.topKBatch(spark, sf, nQueries = 8)
+    val baseRows = base.collect().map(_.toString).toSeq
+    val child = spark.newSession()
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val served = graft.operators.Similarity.topKBatch(child, sf,
+      nQueries = 8)
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
+    val shuffleCellJoins =
+      "(SortMergeJoin|ShuffledHashJoin) \\[cell_id".r.findAllIn(p).length
+    val bcastCellJoins =
+      "BroadcastHashJoin \\[cell_id".r.findAllIn(p).length
+    assert(shuffleCellJoins == 1 && bcastCellJoins == 0,
+      s"expected exactly one SHUFFLE cell_id probe join under the veto," +
+        s" got shuffle=$shuffleCellJoins bcast=$bcastCellJoins:\n$p")
+    assert(served.collect().map(_.toString).toSeq == baseRows,
+      "the shuffle-join degradation changed the answer")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      == bcBefore, "the veto leaked into the parent session")
+  }
+
   test("q_compact_scan: bin candidates prune compacted partitions at" +
       " plan time, rectangle pushed to footers") {
     // compaction must not cost the prune: the per-BIN zone-map consult
