@@ -264,6 +264,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.classifierTrainStream(s, d)),
     "stream_ivf_cells" -> ((s, d) =>
       graft.streaming.StreamingQueries.ivfCellsStream(s, d)),
+    "stream_minhash_index" -> ((s, d) =>
+      graft.streaming.StreamingQueries.minhashIndexStream(s, d)),
     "q_cbo_reorder" -> ((s, d) => RefQueries.qCboReorder(s, d)),
     "ev_secondary_sort" -> ((s, d) => Events.secondarySortTyped(s, d)),
     "q_sample_blocks" -> ((s, d) => Sketches.sampleBlocks(s, d)),
@@ -568,8 +570,11 @@ object SparkEntry {
     * (`h_p(s) = ((2p+1)·polyhash(s) + 7919p) mod 1e9+7`), so DuckDB
     * independently recomputes signatures, band buckets, candidate pairs,
     * and the matching-minhash estimate. */
-  private val dedupMinhashOracle = """
-    WITH d AS (
+  /** The minhash signature + band-bucket CTE chain (d, t, sh, ph, mh,
+    * sigs, banded — ending in `banded(doc_id, sig, band, bsig)`):
+    * shared by the pair oracles below and the streaming signature-index
+    * twin, so one definition can never drift from the other. */
+  private val minhashBandedCtes = """d AS (
       SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
       FROM documents
     ), t AS (
@@ -596,7 +601,10 @@ object SparkEntry {
              concat_ws(':', sig[4*band+1], sig[4*band+2], sig[4*band+3],
                        sig[4*band+4]) AS bsig
       FROM sigs CROSS JOIN generate_series(0, 3) b(band)
-    ), pairs AS (
+    )"""
+
+  private val dedupMinhashOracle = s"""
+    WITH $minhashBandedCtes, pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sig_a, b.sig AS sig_b
       FROM banded a JOIN banded b USING (band, bsig)
@@ -2261,6 +2269,18 @@ object SparkEntry {
     // Complete-mode per-cell counts finalized through the shared report
     // must reproduce the one-shot batch summary cell for cell
     "stream_ivf_cells" -> embedKmeansClustersOracle,
+    // streaming signature-index oracle: the BATCH minhash banded chain
+    // (shared CTE text with every pair oracle) grouped to (band, bsig)
+    // occupancy cells — stream ≡ batch, cell for cell, member checksum
+    // included (the squared mod-prime fold, merge-order-invariant)
+    "stream_minhash_index" -> s"""
+      WITH $minhashBandedCtes
+      SELECT band, bsig, count(*)::BIGINT AS n_docs,
+             (sum((doc_id % 1000000007) * (doc_id % 1000000007)
+                  % 1000000007) % 1000000007)::BIGINT AS member_checksum
+      FROM banded
+      GROUP BY band, bsig
+      ORDER BY band ASC, bsig ASC""",
     // PQ-training replay: per-subspace Lloyd unrolled twice over the
     // exploded subvector stream (same fixed-point update as the IVF
     // kmeans CTEs), then the standard ADC chain on the refined codebook

@@ -297,6 +297,62 @@ object Dedup {
       .select($"doc_id", $"sig", $"bb.band", $"bb.bsig")
   }
 
+  /** ROW-LOCAL twin of [[minhashBanded]] — identical signatures and band
+    * buckets, computed with ZERO shuffles: shingles via the HOF route
+    * over the in-row token array ([[shinglesExpr]]) and each permutation
+    * min as an array fold, so a STREAMING micro-batch can band documents
+    * map-only (Structured Streaming forbids the window the batch path
+    * uses, and an extra per-doc aggregate would be a second streaming
+    * agg). The batch path keeps the window route for throughput (the
+    * HOF lambdas are interpreted — measured ~5× slower per doc at
+    * sf0.1); DedupSpec proves the two routes produce the IDENTICAL
+    * (doc_id, sig, band, bsig) set on the fixture corpus. Docs with
+    * < 3 tokens have no shingles and drop out — same as the batch
+    * path's empty group. */
+  private[graft] def minhashBandedRowLocal(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.PolyHash.register(spark)
+    val rowsPerBand = NPerm / NBands
+    val sigExpr =
+      s"""transform(sequence(0, ${NPerm - 1}), p ->
+            array_min(transform(shingles, s ->
+              (poly_hash(s, ${1 << 20}) * (2*p + 1) + 7919*p)
+                % 1000000007)))"""
+    docs
+      .withColumn("norm", normText)
+      .withColumn("toks", expr("split(norm, ' ')"))
+      .filter(expr("size(toks) >= 3"))
+      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("sig", expr(sigExpr))
+      .select($"doc_id", $"sig",
+        explode(array((0 until NBands).map(b =>
+          struct(lit(b).as("band"),
+            concat_ws(":", (0 until rowsPerBand).map(r =>
+              col("sig")(b * rowsPerBand + r)): _*).as("bsig"))): _*))
+          .as("bb"))
+      .select($"doc_id", $"sig", $"bb.band", $"bb.bsig")
+  }
+
+  /** Band-bucket occupancy cells over a banded signature table — one row
+    * per (band, bsig) with member count and the mod-prime member
+    * checksum: the signature INDEX summary a streaming ingest maintains
+    * (counts and the squared-fold checksum are merge-order-invariant
+    * sums, so Complete-mode state holds exactly these cells whatever the
+    * micro-batch slicing). Shared by the batch index and the
+    * `stream_minhash_index` twin — the finalize-through-shared-code
+    * discipline. */
+  private[graft] def bandCells(banded: DataFrame): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val P = TextAnalysis.ChecksumP
+    banded.groupBy($"band", $"bsig")
+      .agg(count(lit(1)).as("n_docs"),
+        pmod(sum((pmod($"doc_id", lit(P)) * pmod($"doc_id", lit(P)) % P)
+          .cast("decimal(38,0)")), lit(P).cast("decimal(38,0)"))
+          .cast("long").as("member_checksum"))
+  }
+
   /** Candidate rows (doc_a, sig_a, doc_b, sig_b, one row per shared band
     * bucket) → deduped estimated-Jaccard pairs above the threshold. */
   private def estimatedPairs(cands: DataFrame,

@@ -607,6 +607,45 @@ object StreamingQueries {
       out.select($"cell_id", $"n_vecs"))
   }
 
+  /** STREAMING signature-index maintenance — the ingest half of the
+    * incremental-dedup loop kept live: `dedup_incremental` probes the
+    * persisted minhash band-bucket index, and THIS query is what keeps
+    * that index fresh as shards arrive. Each arriving document is
+    * signed and banded ROW-LOCALLY (`Dedup.minhashBandedRowLocal` —
+    * shingles, 16 permutation minima, and the 4 band buckets all fold
+    * inside the row; zero bytes to any exchange before the one
+    * aggregation), and the per-(band, bsig) occupancy cells — member
+    * count + mod-prime member checksum — are Complete-mode streaming
+    * state: both are merge-order-invariant sums, so the stream maintains
+    * the exact-same-cells index summary whatever the micro-batch slicing
+    * (the `stream_ivf_cells`/`stream_hll_distinct` argument). The
+    * fixture delivers in doc_id-parity halves — near-dup buckets hold
+    * consecutive ids, so cells genuinely MERGE across batches
+    * (StreamingSpec plants and proves one) — and the cells aggregate
+    * through the SHARED `Dedup.bandCells` used on the batch index.
+    * Oracle = the batch minhash banded CTE chain grouped the same way —
+    * stream ≡ batch, cell for cell.
+    *
+    * The 100 TB shape: the signature index is the ONE table the
+    * incremental dedup path reads; maintaining its occupancy as
+    * streaming state (O(buckets), no raw retention) is what makes the
+    * Δ-probe join's bucket statistics — skew, fill, candidate volume —
+    * readable at any time without a corpus pass. */
+  def minhashIndexStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val out = runFileStream(spark, "minhash_index",
+      Seq(docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1)),
+      OutputMode.Complete()) { df =>
+      graft.operators.Dedup.bandCells(
+        graft.operators.Dedup.minhashBandedRowLocal(df))
+    }
+    out.select($"band".cast("long").as("band"), $"bsig", $"n_docs",
+        $"member_checksum")
+      .orderBy($"band".asc, $"bsig".asc)
+  }
+
   /** Streaming equi-width histogram + CDF — the distribution-profile
     * twin of the batch `q_histogram`: per-bucket COUNTS kept as
     * Complete-mode streaming aggregation state (counts are sums —

@@ -584,4 +584,30 @@ class DedupSpec extends SparkSpec {
       s"incremental drifted from the restricted full recompute:" +
         s" only-inc=${inc.diff(expected)} only-full=${expected.diff(inc)}")
   }
+
+  test("row-local banded signatures ≡ the window-route batch builder" +
+      " (sf fixture differential)") {
+    import org.apache.spark.sql.functions.col
+    // the streaming twin signs documents without the per-doc shuffle;
+    // the two routes must agree on every (doc_id, sig, band, bsig) row —
+    // a shingle-indexing or permutation drift here would silently change
+    // every bucket the stream maintains
+    val docs = Tables.read(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getSeq[Long](1).mkString(","), r.getInt(2),
+        r.getString(3))
+    }.toSet
+    val window = key(Dedup.minhashBanded(docs)
+      .select(col("doc_id"), col("sig"), col("band").cast("int"),
+        col("bsig")))
+    val rowLocal = key(Dedup.minhashBandedRowLocal(docs)
+      .select(col("doc_id"), col("sig"), col("band").cast("int"),
+        col("bsig")))
+    assert(window.nonEmpty, "banded signature table must be non-empty")
+    assert(rowLocal == window,
+      s"row-local route drifted: only-rowlocal=" +
+        s"${rowLocal.diff(window).take(3)} only-window=" +
+        s"${window.diff(rowLocal).take(3)}")
+  }
 }

@@ -321,6 +321,34 @@ class StreamingSpec extends SparkSpec {
     assert(both > 0, "parity split never straddles a cell")
   }
 
+  test("streaming minhash index cells merge across batches onto the" +
+      " batch band-bucket table exactly") {
+    import org.apache.spark.sql.functions._
+    // cell counts and the squared mod-prime member checksum are both
+    // sums (merge-order-invariant); the row-local signing inside the
+    // stream must agree with the batch window-route signatures doc for
+    // doc, so the Complete-mode state equals the one-shot index summary
+    val got = graft.streaming.StreamingQueries
+      .minhashIndexStream(spark, sf)
+    val docs = Tables.read(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val want = graft.operators.Dedup.bandCells(
+      graft.operators.Dedup.minhashBanded(docs))
+      .select(col("band").cast("long").as("band"), col("bsig"),
+        col("n_docs"), col("member_checksum"))
+      .orderBy(col("band").asc, col("bsig").asc)
+    assertSameRows(got, want)
+    // the parity split is a real cross-batch merge: at least one band
+    // bucket draws docs from both parities (near-dup planted pairs have
+    // mixed-parity ids on this fixture)
+    val both = graft.operators.Dedup.minhashBanded(docs)
+      .select(col("band"), col("bsig"), (col("doc_id") % 2).as("par"))
+      .groupBy("band", "bsig").agg(countDistinct("par").as("nPar"))
+      .filter(col("nPar") === 2).count()
+    assert(both > 0, "parity split never straddles a band bucket — " +
+      "vacuous merge")
+  }
+
   test("streaming histogram buckets merge across batches onto the batch" +
       " CDF exactly") {
     // bucket counts are sums; the parity split puts rows of MOST buckets
