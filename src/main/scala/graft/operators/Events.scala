@@ -763,7 +763,7 @@ object Events {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(false): Unit)
 
-  private def eventsProjection(spark: SparkSession, sfDir: String,
+  private[graft] def eventsProjection(spark: SparkSession, sfDir: String,
       nShards: Int): (DataFrame, Long) = evProjMemo.synchronized {
     import spark.implicits._
     val key = (sfDir, nShards)
