@@ -260,6 +260,7 @@ object SparkEntry {
       graft.streaming.StreamingQueries.latenessEnforced(s, d)),
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "mm_audio_dedup" -> ((s, d) => Multimodal.audioDedup(s, d)),
+    "mm_video_dedup" -> ((s, d) => Multimodal.videoDedup(s, d)),
     "stream_classifier_train" -> ((s, d) =>
       graft.streaming.StreamingQueries.classifierTrainStream(s, d)),
     "stream_ivf_cells" -> ((s, d) =>
@@ -3115,6 +3116,100 @@ object SparkEntry {
              sum(CASE WHEN bytes = 0 THEN 1 ELSE 0 END)::BIGINT
                AS n_undecodable
       FROM r GROUP BY lang ORDER BY lang ASC""",
+    // video-dedup replay: planted twins, the mm_frame_sample 48-byte
+    // frame hash per frame, 4 temporal segment folds as LSH band keys,
+    // 16 sampled-frame-hash confirmation (>= 8 integer matches), the
+    // recursive min-reachable cluster walk, per-lang survival — every
+    // value derived straight from the text bytes
+    "mm_video_dedup" -> s"""
+      WITH RECURSIVE mx AS (SELECT max(doc_id) AS m FROM documents),
+      src AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE length(text) >= ${16 * Multimodal.VideoMinFrames * 2}
+        ORDER BY doc_id ASC LIMIT ${Multimodal.VideoPlantCount}
+      ),
+      planted AS (
+        SELECT s.doc_id + mx.m + 1 AS doc_id, s.lang,
+               'z' || substr(s.text, 2) AS text
+        FROM src s, mx
+      ),
+      corpus AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL SELECT doc_id, lang, text FROM planted
+      ),
+      d AS (
+        SELECT doc_id, lang, text, (length(text) // 16) AS h FROM corpus
+      ),
+      fh AS (
+        SELECT doc_id, h, u.r AS r,
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(generate_series(1, 48),
+                   i -> ascii(substr(text,
+                     (r * 16 + ((i - 1) // 3) + 1)::int, 1))::BIGINT)),
+                 (a, x) -> (a * 31 + x) % 1000000007) AS fh
+        FROM d, unnest(range(0, h)) u(r)
+        WHERE h >= ${Multimodal.VideoMinFrames}
+      ),
+      sg AS (
+        SELECT doc_id, ((4 * r) // h)::int AS band,
+               list_reduce(list_prepend(0::BIGINT,
+                 list(fh ORDER BY r ASC)),
+                 (a, x) -> (a * 31 + x) % 1000000007) AS bsig
+        FROM fh GROUP BY doc_id, ((4 * r) // h)
+      ),
+      sm AS (
+        SELECT doc_id, list(fh ORDER BY i ASC) AS smp FROM (
+          SELECT d2.doc_id AS doc_id, t.i AS i, f.fh AS fh
+          FROM (SELECT doc_id, h FROM d
+                WHERE h >= ${Multimodal.VideoMinFrames}) d2,
+               unnest(generate_series(0, 15)) t(i), fh f
+          WHERE f.doc_id = d2.doc_id
+            AND f.r = (t.i * (d2.h - 1)) // 15
+        ) GROUP BY doc_id
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sg a JOIN sg b USING (band, bsig)
+        WHERE a.doc_id < b.doc_id
+      ),
+      conf AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sm sa ON sa.doc_id = cand.doc_a
+        JOIN sm sb ON sb.doc_id = cand.doc_b
+        WHERE list_sum(list_transform(generate_series(1, 16),
+                i -> CASE WHEN sa.smp[i] = sb.smp[i]
+                     THEN 1 ELSE 0 END)) >= ${Multimodal.VideoMatchFloor}
+      ),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM conf
+        UNION ALL SELECT doc_b, doc_a FROM conf
+      ),
+      nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+      walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON w.doc_id = e.b
+      ),
+      lab AS (
+        SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id
+      ),
+      dup AS (SELECT doc_id FROM lab WHERE cluster_id <> doc_id),
+      rr AS (
+        SELECT doc_id, lang, (length(text) // 16)::BIGINT AS frames,
+               doc_id IN (SELECT doc_id FROM dup) AS removed
+        FROM corpus
+      )
+      SELECT lang, count(*)::BIGINT AS n_vids,
+             sum(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT
+               AS n_removed,
+             sum(CASE WHEN NOT removed THEN 1 ELSE 0 END)::BIGINT
+               AS n_kept,
+             sum(CASE WHEN NOT removed THEN frames ELSE 0 END)::BIGINT
+               AS frames_kept,
+             sum(CASE WHEN removed THEN frames ELSE 0 END)::BIGINT
+               AS frames_saved
+      FROM rr GROUP BY lang ORDER BY lang ASC""",
     "mm_crossmodal_join" -> """
       WITH v AS (
         SELECT vec_id AS doc_id,

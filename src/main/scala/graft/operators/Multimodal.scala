@@ -774,4 +774,159 @@ object Multimodal {
       audioScanText(corpus).filter(col("status") === FpOk)
         .select(col("doc_id"), col("w0"), col("w1")),
       maxHamming)
+
+  /** Planted-twin count for [[videoDedup]] — the [[audioDedup]]
+    * protocol: the first N sufficiently-long videos re-enter with one
+    * changed payload byte. */
+  val VideoPlantCount = 12
+  /** Frames below this have no stable 4-segment split — unsigned (they
+    * stay in the corpus as keepers), like `phashDedup`'s h ≥ 8. */
+  val VideoMinFrames = 8
+  /** Confirmation contract: of the 16 sampled frame hashes, at least
+    * this many must match — a half-changed video is a different video. */
+  val VideoMatchFloor = 8
+
+  /** VIDEO near-dup dedup — the frame-SEQUENCE tier that completes the
+    * modality matrix (text shingles / image grids / audio segment
+    * energies / video frame sequences): a 64-bit per-frame signature is
+    * the wrong shape here (a short clip has too few frames to fill one —
+    * every short video would collide into a giant bucket), so the
+    * sequence itself is the signature. Per decoded video
+    * ([[frameSample]]'s contract: one 16-px row per frame):
+    *  - each frame's 48 decoded channel bytes fold into the
+    *    [[frameSample]] rolling hash — pixels never leave the scan
+    *    partition, ~8 bytes per frame thereafter;
+    *  - the frame-hash sequence splits into 4 TEMPORAL SEGMENTS (frame r
+    *    → segment 4r div h) whose rolling hashes are the LSH band keys:
+    *    two videos sharing ANY unchanged quarter become a candidate pair
+    *    through one (band, bsig) equi-join — a re-cut, re-intro'd, or
+    *    locally-edited copy keeps ≥ 3 quarters intact, while unrelated
+    *    videos collide only at hash-collision odds (no near-miss
+    *    buckets, unlike bit-signature banding on short content);
+    *  - candidates CONFIRM on 16 frame hashes sampled at
+    *    r = i·(h−1) div 15: `n_match` of 16 must reach
+    *    [[VideoMatchFloor]] (integer — no float in the gate).
+    * Pairs then feed the SHARED star-CC resolver and the per-language
+    * survival rollup (n_vids / n_removed / n_kept, frames kept/saved) —
+    * one dedup pipeline shape across all four modalities.
+    *
+    * Planted twins ([[audioDedup]]'s protocol) make recall
+    * non-vacuous: each twin differs in frame 0 only, so segment 0's key
+    * changes but segments 1-3 propose the pair and 15/16 samples match.
+    *
+    * Scale: the only shuffle payloads are (doc_id, 4 segment hashes,
+    * 16 sample hashes) — ~170 bytes per video whatever its length;
+    * candidates are bucket-join-sized; the CC iterate is bounded by the
+    * dup graph. All integer arithmetic end-to-end, so the DuckDB oracle
+    * replays every frame hash, segment fold, sample match, and the
+    * recursive cluster walk straight from the text bytes. */
+  def videoDedup(spark: SparkSession, sfDir: String,
+      matchFloor: Int = VideoMatchFloor): DataFrame = {
+    import spark.implicits._
+    val base = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"text")
+    val maxId = base.agg(max($"doc_id")).head().getLong(0)
+    val planted = base.filter(length($"text") >= 16L * VideoMinFrames * 2)
+      .orderBy($"doc_id".asc).limit(VideoPlantCount)
+      .select(($"doc_id" + maxId + 1L).as("doc_id"), $"lang",
+        concat(lit("z"), expr("substring(text, 2)")).as("text"))
+    videoDedupRollup(base.unionByName(planted), matchFloor)
+  }
+
+  /** Per-video scan table: (doc_id, lang, frames, signed, segs[4],
+    * samples[16]) — one decode pass per partition, nothing pixel-sized
+    * ever shuffles. Videos under [[VideoMinFrames]] frames carry empty
+    * signature arrays (`signed = false`) and skip the pair stage. */
+  private[graft] def videoScan(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val P = 1000000007L
+    corpus.select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, lang, text) =>
+          grayImage(text) match {
+            case Some(img) if img.h >= VideoMinFrames =>
+              val fh = new Array[Long](img.h)
+              var r = 0
+              while (r < img.h) {
+                var hsh = 0L
+                var i = r * img.w * 3
+                val end = i + img.w * 3
+                while (i < end) {
+                  hsh = (hsh * 31 + (img.rgb(i) & 0xff)) % P
+                  i += 1
+                }
+                fh(r) = hsh
+                r += 1
+              }
+              val segs = new Array[Long](4)
+              r = 0
+              while (r < img.h) {
+                val b = 4 * r / img.h
+                segs(b) = (segs(b) * 31 + fh(r)) % P
+                r += 1
+              }
+              val samples = (0 until 16)
+                .map(i => fh(i * (img.h - 1) / 15))
+              (id, lang, img.h.toLong, true, segs.toSeq, samples)
+            case Some(img) =>
+              (id, lang, img.h.toLong, false, Seq.empty[Long],
+                Seq.empty[Long])
+            case None =>
+              (id, lang, 0L, false, Seq.empty[Long], Seq.empty[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "lang", "frames", "signed", "segs", "samples")
+  }
+
+  /** The candidate + confirm pair stage of [[videoDedup]], exposed for
+    * the planted-recall spec: segment-hash LSH proposes, sampled
+    * frame-hash agreement confirms. */
+  private[graft] def videoDedupPairs(scan: DataFrame,
+      matchFloor: Int = VideoMatchFloor): DataFrame = {
+    val spark = scan.sparkSession
+    import spark.implicits._
+    val sigs = scan.filter($"signed")
+    val banded = sigs.select($"doc_id", $"samples",
+      posexplode($"segs").as(Seq("band", "bsig")))
+    val l = banded.select($"doc_id".as("doc_a"), $"samples".as("sa"),
+      $"band", $"bsig")
+    val r = banded.select($"doc_id".as("doc_b"), $"samples".as("sb"),
+      $"band", $"bsig")
+    l.join(r, Seq("band", "bsig"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        expr("""aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1, 0)),
+                          0, (a, x) -> a + x)""").as("n_match"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max($"n_match").cast("int").as("n_match"))
+      .filter($"n_match" >= matchFloor)
+      .orderBy($"doc_a".asc, $"doc_b".asc)
+  }
+
+  /** Dedup + survival over a [[videoScan]] table — the payload-agnostic
+    * core, shared by the declared query and the planted-recall spec. */
+  private[graft] def videoDedupRollup(corpus: DataFrame,
+      matchFloor: Int = VideoMatchFloor): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scan = videoScan(corpus)
+    val pairs = videoDedupPairs(scan, matchFloor)
+      .select($"doc_a", $"doc_b")
+    val (labels, _) = Dedup.connectedComponentsStar(pairs)
+    val dupFlag = labels
+      .select($"doc_id", ($"label" =!= $"doc_id").as("dup"))
+    scan
+      .join(dupFlag, Seq("doc_id"), "left_outer")
+      .withColumn("removed", coalesce($"dup", lit(false)))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_vids"),
+        sum(when($"removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!$"removed", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!$"removed", $"frames").otherwise(0L)).as("frames_kept"),
+        sum(when($"removed", $"frames").otherwise(0L)).as("frames_saved"))
+      .orderBy($"lang".asc)
+  }
 }

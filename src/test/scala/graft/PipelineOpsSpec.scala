@@ -1657,6 +1657,72 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("video dedup: planted twins detected with recall 1.0; survival" +
+      " rollup matches a union-find over the declared pair graph") {
+    import spark.implicits._
+    val M = graft.operators.Multimodal
+    val base = Tables.read(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"text")
+    val maxId = base.agg(max($"doc_id")).head().getLong(0)
+    // rebuild the declared corpus exactly as the operator does
+    val planted = base
+      .filter(length($"text") >= 16L * M.VideoMinFrames * 2)
+      .orderBy($"doc_id".asc).limit(M.VideoPlantCount)
+      .select(($"doc_id" + maxId + 1L).as("doc_id"), $"lang",
+        concat(lit("z"), expr("substring(text, 2)")).as("text"))
+    val corpus = base.unionByName(planted)
+    val scan = M.videoScan(corpus).localCheckpoint(true)
+    val pairs = M.videoDedupPairs(scan).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty, "no video near-dup pair — vacuous")
+    // recall 1.0 on the planted set: the twin's one changed byte lives
+    // in frame 0, so segment 0's key changes but segments 1-3 propose
+    // the pair and >= 15 of 16 sampled frame hashes still match
+    val plantedIds = planted.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    plantedIds.foreach { twin =>
+      val src = twin - maxId - 1L
+      assert(pairSet.contains((src, twin)),
+        s"planted twin $twin of $src not detected")
+    }
+    // every confirmed pair clears the integer match floor
+    pairs.foreach { case (a, b, m) =>
+      assert(m >= M.VideoMatchFloor && m <= 16, s"($a,$b) n_match=$m")
+    }
+    // union-find differential over the FULL declared pair graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val removed = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+      .filter(d => find(d) != d).toSet
+    assert(plantedIds.forall(removed),
+      "a planted twin survived dedup — keeper convention broken")
+    val docs = scan.select($"doc_id", $"lang", $"frames").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy(_._2).view.mapValues { xs =>
+      val rem = xs.filter(d => removed(d._1))
+      val kept = xs.filterNot(d => removed(d._1))
+      (xs.size.toLong, rem.size.toLong, kept.size.toLong,
+        kept.map(_._3).sum, rem.map(_._3).sum)
+    }.toMap
+    val out = M.videoDedup(spark, sf).collect()
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) == e, s"lang ${r.getString(0)}")
+    }
+  }
+
   test("hilbert write: zone-map prune is partial, exact, and matches a" +
       " pruning-free replay") {
     val P = 1000000007L
