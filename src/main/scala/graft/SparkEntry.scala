@@ -272,6 +272,7 @@ object SparkEntry {
     "q_sample_blocks" -> ((s, d) => Sketches.sampleBlocks(s, d)),
     "q_compact_scan" -> ((s, d) => RefQueries.qCompactScan(s, d)),
     "q_compact_scan_z" -> ((s, d) => RefQueries.qCompactScanZ(s, d)),
+    "q_delete_rewrite" -> ((s, d) => RefQueries.qDeleteRewrite(s, d)),
     "q_runtime_filter" -> ((s, d) => RefQueries.qRuntimeFilter(s, d)),
   )
 
@@ -2006,6 +2007,52 @@ object SparkEntry {
     // the Z-order table under the SAME curve-agnostic compaction pass —
     // only the hb chain differs
     "q_compact_scan_z" -> compactScanOracle(mortonBucketCtes),
+    // copy-on-write DELETE replay: zone-map candidates (touched), the
+    // predicate-row delete, the derived post-delete file census (buckets
+    // minus fully-deleted buckets — untouched partitions keep their one
+    // file, touched survivors rewrite to one), survivor checksum, and
+    // the zero-row rectangle re-scan
+    "q_delete_rewrite" -> s"""
+      WITH $hilbertGridCtes, hb AS (
+        SELECT o_orderkey, x8, y8, (hidx // 24) AS hbucket FROM h
+      ), z AS (
+        SELECT hbucket, min(x8) AS x_lo, max(x8) AS x_hi,
+               min(y8) AS y_lo, max(y8) AS y_hi
+        FROM hb GROUP BY hbucket
+      ), tt AS (
+        SELECT hbucket FROM z
+        WHERE x_hi >= ${RefQueries.HilbertRect._1}
+          AND x_lo <= ${RefQueries.HilbertRect._2}
+          AND y_hi >= ${RefQueries.HilbertRect._3}
+          AND y_lo <= ${RefQueries.HilbertRect._4}
+      ), fd AS (
+        SELECT count(*)::BIGINT AS c FROM (
+          SELECT hbucket FROM hb GROUP BY hbucket
+          HAVING sum(CASE WHEN x8 BETWEEN ${RefQueries.HilbertRect._1}
+                                      AND ${RefQueries.HilbertRect._2}
+                           AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                                      AND ${RefQueries.HilbertRect._4}
+                          THEN 0 ELSE 1 END) = 0)
+      ), m AS (
+        SELECT count(*)::BIGINT AS n_rows_after,
+               coalesce((sum((o_orderkey % 1000000007)
+                   * (o_orderkey % 1000000007) % 1000000007)
+                 % 1000000007), 0)::BIGINT AS survivor_checksum
+        FROM hb
+        WHERE NOT (x8 BETWEEN ${RefQueries.HilbertRect._1}
+                          AND ${RefQueries.HilbertRect._2}
+               AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                          AND ${RefQueries.HilbertRect._4})
+      )
+      SELECT (SELECT count(*) FROM z)::BIGINT AS n_files_before,
+             (SELECT count(*) FROM tt)::BIGINT AS n_buckets_touched,
+             ((SELECT count(*) FROM z) - fd.c)::BIGINT AS n_files_after,
+             (SELECT count(*) FROM hb)::BIGINT AS n_rows_before,
+             ((SELECT count(*) FROM hb) - m.n_rows_after)::BIGINT
+               AS n_rows_deleted,
+             m.n_rows_after, m.survivor_checksum,
+             0::BIGINT AS n_rect_rows_after
+      FROM fd, m""",
     // Morton write-path twin: same grid, width-24 buckets, rectangle,
     // and zone-map protocol — only the curve index differs (the
     // q_zorder_layout bit-interleave instead of the Hilbert fold)

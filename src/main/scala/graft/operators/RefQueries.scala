@@ -1053,6 +1053,70 @@ object RefQueries {
         $"n_rows", $"key_checksum", $"n_rect_rows", $"rect_checksum")
   }
 
+  /** COPY-ON-WRITE DELETE made load-bearing — the DML pass every
+    * lakehouse table runs, gated end-to-end (`Etl.deleteRewriteFixture`
+    * builds the post-delete table; this query proves what the pass did
+    * and did NOT touch):
+    *  - `n_files_before`/`n_files_after` are ON-DISK part-file censuses,
+    *    hash-gated against the oracle's derived layout: after = buckets
+    *    − fully-deleted buckets, because untouched partitions carry over
+    *    their single file and every touched surviving bucket rewrites to
+    *    exactly one (the repartition-by-partition-key layout identity);
+    *  - `n_buckets_touched` is the zone-map candidate count — the
+    *    partitions the delete READ; everything else was never read,
+    *    decoded, or rewritten (PlanSpec guards the PartitionFilters,
+    *    PipelineOpsSpec proves untouched files carry over byte-named
+    *    intact and dead dirs vanish);
+    *  - row counts + the survivor checksum prove the delete removed
+    *    EXACTLY the predicate rows;
+    *  - `n_rect_rows_after` re-runs the rectangle scan through the
+    *    REFRESHED zone maps — a correct delete leaves zero.
+    * Scale: the rewrite touches |candidate buckets| partitions; the
+    * fully-dead census and zone refresh run over the checkpointed
+    * survivor set; the untouched majority of a 100 TB table costs a
+    * manifest re-point. */
+  def qDeleteRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val P = TextAnalysis.ChecksumP
+    val (xLo, xHi, yLo, yHi) = HilbertRect
+    val srcPath = graft.sources.Etl.hilbertOrdersFixture(spark, sfDir)
+    val cowPath = graft.sources.Etl.deleteRewriteFixture(spark, sfDir)
+    val dir = graft.sources.Etl.HilbertTableDir
+    val nBefore = countPartFiles(spark, s"$srcPath/$dir")
+    val nAfter = countPartFiles(spark, s"$cowPath/$dir")
+    val nTouched = spark.read
+      .parquet(s"$srcPath/${graft.sources.Etl.HilbertZonesDir}")
+      .filter($"x_hi" >= xLo && $"x_lo" <= xHi &&
+        $"y_hi" >= yLo && $"y_lo" <= yHi)
+      .count()
+    def checksum(c: Column): Column =
+      pmod(sum((pmod(c, lit(P)) * pmod(c, lit(P)) % P).cast("decimal(38,0)")),
+        lit(P).cast("decimal(38,0)")).cast("long")
+    val before = spark.read.parquet(s"$srcPath/$dir")
+      .agg(count(lit(1)).as("n_rows_before"))
+    val t = spark.read.parquet(s"$cowPath/$dir")
+      .withColumn("hbucket", $"hbucket".cast("long"))
+    val after = t.agg(count(lit(1)).as("n_rows_after"),
+      checksum($"o_orderkey").as("survivor_checksum"))
+    // rectangle re-scan through the REFRESHED zone maps (the
+    // curveWriteScan protocol) — must come back empty
+    val candsAfter = spark.read
+      .parquet(s"$cowPath/${graft.sources.Etl.HilbertZonesDir}")
+      .filter($"x_hi" >= xLo && $"x_lo" <= xHi &&
+        $"y_hi" >= yLo && $"y_lo" <= yHi)
+      .select($"hbucket").as[Long].collect().sorted
+    val rectAfter = t.filter($"hbucket".isin(candsAfter: _*) &&
+        $"x8".between(xLo, xHi) && $"y8".between(yLo, yHi))
+      .agg(count(lit(1)).as("n_rect_rows_after"))
+    before.crossJoin(after).crossJoin(rectAfter)
+      .select(lit(nBefore).as("n_files_before"),
+        lit(nTouched).as("n_buckets_touched"),
+        lit(nAfter).as("n_files_after"),
+        $"n_rows_before",
+        ($"n_rows_before" - $"n_rows_after").as("n_rows_deleted"),
+        $"n_rows_after", $"survivor_checksum", $"n_rect_rows_after")
+  }
+
   /** Incremental JOIN maintenance — the delta identity behind every
     * materialized-view refresh: with both sides split into base + delta
     * (a load boundary at `cutoff`),

@@ -249,6 +249,111 @@ object Etl {
     }
   }
 
+  /** COPY-ON-WRITE DELETE fixture — the DML half of the table-lifecycle
+    * story (`q_compact_scan` is the OPTIMIZE half): the post-delete
+    * Hilbert table for the [[graft.operators.RefQueries.HilbertRect]]
+    * predicate, built the way a lakehouse DELETE actually executes:
+    *  - untouched bucket partitions carry over AS IS (the file copy here
+    *    stands in for a manifest re-point, which costs a real table
+    *    format zero I/O — nothing outside the predicate's zone-map
+    *    candidates is read, decoded, or rewritten);
+    *  - touched buckets are rewritten from their SURVIVING rows through
+    *    per-write dynamic partition overwrite (only partitions present
+    *    in the written data are replaced — the Spark-native COW
+    *    mechanism, scoped to this write via `.option(...)`, no session
+    *    conf);
+    *  - buckets whose every row dies have their directories removed
+    *    (dynamic overwrite never visits an absent partition);
+    *  - zone maps refresh for touched buckets only.
+    * Deterministic end-to-end (the survivor set and the
+    * one-file-per-bucket layout both derive from the grid), so the
+    * DuckDB oracle computes the exact post-delete file census. */
+  def deleteRewriteFixture(spark: SparkSession, sfDir: String): String = {
+    val src = hilbertOrdersFixture(spark, sfDir)
+    cachedFixture(sfDir, "orders-hilbert-cow-v1",
+        s"$sfDir/orders.parquet") { tmp =>
+      copyDir(new java.io.File(src), tmp)
+      // the copied root carries the source's _SUCCESS; cachedFixture
+      // re-stamps it below either way
+      cowDeleteRect(spark, src, tmp,
+        graft.operators.RefQueries.HilbertRect)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+  }
+
+  /** Recursive file copy — the manifest-re-point stand-in for
+    * [[deleteRewriteFixture]] (driver metadata work over ≤ ~2731 files;
+    * a real table format writes a new manifest instead). */
+  private[graft] def copyDir(from: java.io.File, to: java.io.File): Unit =
+    if (from.isDirectory) {
+      to.mkdirs()
+      Option(from.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(f => copyDir(f, new java.io.File(to, f.getName)))
+    } else {
+      java.nio.file.Files.copy(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+
+  /** The survivor scan of the COW delete — zone-map candidates only
+    * (plan-time PartitionFilters; PlanSpec guards that untouched
+    * partitions are never read), minus the predicate rows. Exposed so
+    * the plan guard and the physical spec exercise exactly the
+    * production read. */
+  private[graft] def cowSurvivors(spark: SparkSession, srcRoot: String,
+      rect: (Long, Long, Long, Long)): (DataFrame, Array[Long]) = {
+    import org.apache.spark.sql.functions._
+    val (xLo, xHi, yLo, yHi) = rect
+    val touched = spark.read.parquet(s"$srcRoot/$HilbertZonesDir")
+      .filter(col("x_hi") >= xLo && col("x_lo") <= xHi &&
+        col("y_hi") >= yLo && col("y_lo") <= yHi)
+      .select(col("hbucket")).collect().map(_.getLong(0)).sorted
+    val surv = spark.read.parquet(s"$srcRoot/$HilbertTableDir")
+      .withColumn("hbucket", col("hbucket").cast("long"))
+      .filter(col("hbucket").isin(touched: _*))
+      .filter(!(col("x8").between(xLo, xHi) &&
+        col("y8").between(yLo, yHi)))
+    (surv, touched)
+  }
+
+  /** The COW DELETE pass over a copied layout at `dstRoot` (see
+    * [[deleteRewriteFixture]]): rewrite touched partitions from
+    * survivors, drop fully-deleted partition dirs, refresh touched zone
+    * maps. Exposed for the physical spec (untouched files bit-identical,
+    * touched replaced, dead dirs gone). */
+  private[graft] def cowDeleteRect(spark: SparkSession, srcRoot: String,
+      dstRoot: java.io.File, rect: (Long, Long, Long, Long)): Unit = {
+    import org.apache.spark.sql.functions._
+    val (surv0, touched) = cowSurvivors(spark, srcRoot, rect)
+    // three consumers (write, liveness census, zone refresh) — one scan
+    val surv = surv0.localCheckpoint(true)
+    val dstTable = new java.io.File(dstRoot, HilbertTableDir)
+    surv
+      .repartition(col("hbucket"))
+      .sortWithinPartitions(col("hbucket"), col("hidx"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("hbucket")
+      .parquet(dstTable.getAbsolutePath)
+    // dynamic overwrite never visits a partition absent from the data:
+    // fully-deleted buckets drop here (bounded: touched-bucket count)
+    val alive = surv.select(col("hbucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    touched.filterNot(alive).foreach { b =>
+      deleteRecursively(new java.io.File(dstTable, s"hbucket=$b"))
+    }
+    // zone maps: untouched rows carry over, touched recompute from the
+    // survivors (fully-dead buckets simply have no row anymore)
+    val zones = spark.read.parquet(s"$srcRoot/$HilbertZonesDir")
+    zones.filter(!col("hbucket").isin(touched: _*))
+      .unionByName(surv.groupBy(col("hbucket"))
+        .agg(min(col("x8")).as("x_lo"), max(col("x8")).as("x_hi"),
+          min(col("y8")).as("y_lo"), max(col("y8")).as("y_hi")))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new java.io.File(dstRoot, HilbertZonesDir).getAbsolutePath)
+  }
+
   /** Per-process private warehouse for graft-built tables (bucketed join
     * slices), deleted on JVM exit. Isolation is deliberate: BUCKETING
     * METADATA lives only in the session's in-memory catalog, so a fresh
@@ -325,6 +430,7 @@ object Etl {
     zorderOrdersFixture(spark, sfDir)
     compactHilbertFixture(spark, sfDir)
     compactZorderFixture(spark, sfDir)
+    deleteRewriteFixture(spark, sfDir)
     bucketedOrderTables(spark, sfDir)
     ()
   }

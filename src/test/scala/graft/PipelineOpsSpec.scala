@@ -1845,6 +1845,72 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("delete rewrite (COW): untouched partition files carry over" +
+      " intact, touched partitions hold only fresh files, fully-dead" +
+      " dirs removed, survivors equal a predicate-delete replay") {
+    val E = graft.sources.Etl
+    val R = graft.operators.RefQueries
+    val src = E.hilbertOrdersFixture(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_cow_spec")
+      .toFile
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    try {
+      E.copyDir(new java.io.File(src), root)
+      val table = new java.io.File(root, E.HilbertTableDir)
+      def snapshot(): Map[String, (Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(table).filter(_.getName.startsWith("part-"))
+          .map(f => f.getAbsolutePath.stripPrefix(table.getAbsolutePath)
+            -> ((f.length, f.lastModified))).toMap
+      }
+      val before = snapshot()
+      val (_, touched) = E.cowSurvivors(spark, src, R.HilbertRect)
+      val touchedSet = touched.toSet
+      E.cowDeleteRect(spark, src, root, R.HilbertRect)
+      val after = snapshot()
+      def bucketOf(p: String): Long =
+        "hbucket=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+      // untouched partitions: identical file sets, sizes AND mtimes
+      // unchanged — the physical proof the delete never rewrote them
+      val ub = before.filter { case (p, _) => !touchedSet(bucketOf(p)) }
+      val ua = after.filter { case (p, _) => !touchedSet(bucketOf(p)) }
+      assert(ub.nonEmpty, "no untouched partition — prune vacuous")
+      assert(ua == ub, "untouched partition files changed")
+      // touched partitions: dynamic overwrite replaced every old file
+      val tb = before.keySet.filter(p => touchedSet(bucketOf(p)))
+      val ta = after.keySet.filter(p => touchedSet(bucketOf(p)))
+      assert(tb.nonEmpty && ta.nonEmpty, "no touched partition — vacuous")
+      assert(tb.intersect(ta).isEmpty,
+        "a touched partition kept a stale file")
+      // survivors equal the predicate-delete replay over the source
+      val (xLo, xHi, yLo, yHi) = R.HilbertRect
+      val expect = spark.read.parquet(s"$src/${E.HilbertTableDir}")
+        .filter(!(col("x8").between(xLo, xHi) &&
+          col("y8").between(yLo, yHi)))
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      val got = spark.read.parquet(table.getAbsolutePath)
+      val gotKeys = got.select("o_orderkey").collect()
+        .map(_.getLong(0)).sorted
+      assert(java.util.Arrays.equals(gotKeys, expect),
+        "survivors differ from the predicate-delete replay")
+      // fully-deleted buckets left no directory behind
+      val alive = got.select(col("hbucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      touchedSet.diff(alive).foreach { b =>
+        assert(!new java.io.File(table, s"hbucket=$b").exists(),
+          s"fully-deleted bucket dir hbucket=$b survived")
+      }
+    } finally rm(root)
+  }
+
   test("peaks: every reported day is a strict local maximum") {
     val daily = Tables.read(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))

@@ -484,6 +484,24 @@ class PlanSpec extends SparkSpec {
       s"rectangle predicate not pushed to the parquet scan:\n$p")
   }
 
+  test("q_delete_rewrite: the survivor scan reads ONLY zone-candidate" +
+      " partitions, predicate pushed to footers") {
+    // the COW delete's cost claim: everything outside the zone-map
+    // candidates is never read — the survivor scan must carry hbucket
+    // PartitionFilters (plan-time prune) with the rectangle predicate
+    // reaching the parquet scan
+    val (surv, touched) = graft.sources.Etl.cowSurvivors(spark,
+      graft.sources.Etl.hilbertOrdersFixture(spark, sf),
+      graft.operators.RefQueries.HilbertRect)
+    assert(touched.nonEmpty, "no zone candidate — prune vacuous")
+    val p = surv.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("hbucket") &&
+      (p.contains("INSET") || p.contains(" IN (")),
+      s"zone candidates not applied as partition filters:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("x8"),
+      s"delete predicate not pushed to the parquet scan:\n$p")
+  }
+
   test("q_grouping_sets: one Expand pass feeding one partial-combined agg") {
     // two sideways breakdowns in a single scan: Expand duplicates each
     // row once per set (2×), then ONE aggregate with map-side partials —
