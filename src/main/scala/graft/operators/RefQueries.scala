@@ -967,16 +967,43 @@ object RefQueries {
 
   /** Recursive part-file census of a written table directory — driver
     * metadata listing (the compaction op's before/after evidence), never
-    * a data read. Listed through the path's own Hadoop FileSystem (from
-    * the session's conf), so the census works unchanged against
-    * hdfs://|s3a:// warehouse URIs — a `java.io.File` walk would
-    * silently report 0 there and fail the hash gate confusingly. A
-    * missing directory is an explicit error, not a 0. */
-  private def countPartFiles(spark: SparkSession, dir: String): Long = {
+    * a data read. The filesystem is resolved from the path's own scheme
+    * via the session's Hadoop conf, so the census works unchanged
+    * against hdfs://|s3a:// warehouse URIs — a bare `java.io.File` walk
+    * would silently report 0 there and fail the hash gate confusingly.
+    * A missing directory is an explicit error, not a 0.
+    *
+    * Local paths deliberately take a plain JVM walk instead of
+    * `fs.listFiles`: `RawLocalFileSystem` materializes each entry's
+    * permissions by EXEC'ING a process per file (~6 ms each — measured
+    * 17 s over the 2731-partition Hilbert table, ~1000× the JVM walk
+    * that counts the identical files). PipelineOpsSpec pins the two
+    * branches count-identical on a real fixture. */
+  private[graft] def countPartFiles(spark: SparkSession,
+      dir: String): Long = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.getFileStatus(path).isDirectory,
       s"part-file census target is not a directory: $dir")
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+          _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        def walk(f: java.io.File): Long = {
+          val kids = Option(f.listFiles())
+            .getOrElse(Array.empty[java.io.File])
+          kids.count(k => k.isFile && k.getName.startsWith("part-"))
+            .toLong + kids.filter(_.isDirectory).map(walk).sum
+        }
+        walk(new java.io.File(path.toUri.getPath))
+      case _ =>
+        hadoopPartFileCount(fs, path)
+    }
+  }
+
+  /** The remote-FS branch of [[countPartFiles]], exposed so the spec can
+    * pin it count-identical to the JVM walk on a local fixture. */
+  private[graft] def hadoopPartFileCount(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Long = {
     val it = fs.listFiles(path, true)
     var n = 0L
     while (it.hasNext) {
@@ -1092,23 +1119,27 @@ object RefQueries {
     def checksum(c: Column): Column =
       pmod(sum((pmod(c, lit(P)) * pmod(c, lit(P)) % P).cast("decimal(38,0)")),
         lit(P).cast("decimal(38,0)")).cast("long")
-    val before = spark.read.parquet(s"$srcPath/$dir")
+    // pre-delete row count from the COMPACT source parquet (one file) —
+    // the clustered table is a 1:1 re-layout of orders, and a 2731-file
+    // scan for one count would cost more than the rest of the query
+    val before = Tables.read(spark, sfDir, "orders")
       .agg(count(lit(1)).as("n_rows_before"))
-    val t = spark.read.parquet(s"$cowPath/$dir")
-      .withColumn("hbucket", $"hbucket".cast("long"))
-    val after = t.agg(count(lit(1)).as("n_rows_after"),
-      checksum($"o_orderkey").as("survivor_checksum"))
-    // rectangle re-scan through the REFRESHED zone maps (the
-    // curveWriteScan protocol) — must come back empty
+    // the REFRESHED zone maps drive the rectangle re-scan (the
+    // curveWriteScan protocol) — must come back empty; folded into the
+    // same single pass as the survivor aggregate
     val candsAfter = spark.read
       .parquet(s"$cowPath/${graft.sources.Etl.HilbertZonesDir}")
       .filter($"x_hi" >= xLo && $"x_lo" <= xHi &&
         $"y_hi" >= yLo && $"y_lo" <= yHi)
       .select($"hbucket").as[Long].collect().sorted
-    val rectAfter = t.filter($"hbucket".isin(candsAfter: _*) &&
-        $"x8".between(xLo, xHi) && $"y8".between(yLo, yHi))
-      .agg(count(lit(1)).as("n_rect_rows_after"))
-    before.crossJoin(after).crossJoin(rectAfter)
+    val after = spark.read.parquet(s"$cowPath/$dir")
+      .withColumn("hbucket", $"hbucket".cast("long"))
+      .agg(count(lit(1)).as("n_rows_after"),
+        checksum($"o_orderkey").as("survivor_checksum"),
+        sum(when($"hbucket".isin(candsAfter: _*) &&
+            $"x8".between(xLo, xHi) && $"y8".between(yLo, yHi),
+          1L).otherwise(0L)).as("n_rect_rows_after"))
+    before.crossJoin(after)
       .select(lit(nBefore).as("n_files_before"),
         lit(nTouched).as("n_buckets_touched"),
         lit(nAfter).as("n_files_after"),

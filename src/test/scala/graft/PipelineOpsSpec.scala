@@ -1911,6 +1911,22 @@ class PipelineOpsSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("part-file census: the JVM walk and the Hadoop listing agree on" +
+      " a real fixture") {
+    // countPartFiles dispatches on the path's FS scheme (local → JVM
+    // walk, remote → Hadoop listing); the two branches must count the
+    // same files or the object-store path silently drifts
+    val R = graft.operators.RefQueries
+    val dir = s"${graft.sources.Etl.compactHilbertFixture(spark, sf)}/" +
+      graft.sources.Etl.HilbertTableDir
+    val viaWalk = R.countPartFiles(spark, dir)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(viaWalk > 0L)
+    assert(viaWalk == R.hadoopPartFileCount(fs, path),
+      "census branches disagree")
+  }
+
   test("peaks: every reported day is a strict local maximum") {
     val daily = Tables.read(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
