@@ -274,6 +274,9 @@ object SparkEntry {
     "q_compact_scan_z" -> ((s, d) => RefQueries.qCompactScanZ(s, d)),
     "q_delete_rewrite" -> ((s, d) => RefQueries.qDeleteRewrite(s, d)),
     "q_runtime_filter" -> ((s, d) => RefQueries.qRuntimeFilter(s, d)),
+    "dedup_forget_index" -> ((s, d) => Dedup.dedupForgetIndex(s, d)),
+    "q_time_travel" -> ((s, d) => RefQueries.qTimeTravel(s, d)),
+    "q_merge_rewrite" -> ((s, d) => RefQueries.qMergeRewrite(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -649,7 +652,10 @@ object SparkEntry {
     * protocol. The xy2d quadrant-rotation loop replays as a packed-state
     * (d·2^16 + x·2^8 + y) list_reduce fold over levels 7..0 — pure
     * integer arithmetic, bit-identical to the codegen'd expression. */
-  private lazy val hilbertGridCtes: String = {
+  /** The xy2d quadrant-rotation fold as a DuckDB expression over a
+    * packed `x*256 + y` coordinate — factored so the MERGE oracle can
+    * re-place RELOCATED rows with the identical curve arithmetic. */
+  private def hilbertFoldSql(xy: String): String = {
     val X = "((st // 256) % 256)"
     val Y = "(st % 256)"
     val D = "(st // 65536)"
@@ -661,6 +667,13 @@ object SparkEntry {
       s" WHEN $RX = 1 THEN 255 - $Y ELSE $Y END)"
     val NY = s"(CASE WHEN $RY = 1 THEN $Y" +
       s" WHEN $RX = 1 THEN 255 - $X ELSE $X END)"
+    s"""(list_reduce(list_prepend($xy,
+          [7, 6, 5, 4, 3, 2, 1, 0]),
+          (st, i) -> $ND * 65536 + $NX * 256 + $NY)
+        // 65536)"""
+  }
+
+  private lazy val hilbertGridCtes: String =
     s"""o AS (
         SELECT o_orderkey, o_custkey AS ck,
                date_diff('day', DATE '1992-01-01',
@@ -676,13 +689,9 @@ object SparkEntry {
         FROM o, s
       ), h AS (
         SELECT o_orderkey, ck, day, x8, y8,
-               (list_reduce(list_prepend(x8 * 256 + y8,
-                  [7, 6, 5, 4, 3, 2, 1, 0]),
-                  (st, i) -> $ND * 65536 + $NX * 256 + $NY)
-                // 65536) AS hidx
+               ${hilbertFoldSql("x8 * 256 + y8")} AS hidx
         FROM g
       )"""
-  }
 
   /** The orders → 8-bit grid → Morton (Z-order) width-24 bucket CTE chain
     * (o, s, g, hb with `hb(o_orderkey, x8, y8, hbucket)`) — the
@@ -2053,6 +2062,125 @@ object SparkEntry {
              m.n_rows_after, m.survivor_checksum,
              0::BIGINT AS n_rect_rows_after
       FROM fd, m""",
+    // copy-on-write MERGE replay: the splitmix64 insert draw, the stripe
+    // update with the RELOCATION fold re-run on the shifted coordinate,
+    // the derived post-merge bucket census (one file per surviving
+    // bucket), the touched set (stripe zone candidates ∪ incoming
+    // buckets), and the (key, hidx) position checksum that pins every
+    // relocated row to its recomputed curve position
+    "q_merge_rewrite" -> s"""
+      WITH $hilbertGridCtes, hb AS (
+        SELECT o_orderkey, day, x8, y8, hidx FROM h
+      ),
+      k0 AS (SELECT o_orderkey,
+               ((o_orderkey::UHUGEINT + 11400714819323198485)
+                % 18446744073709551616)::UBIGINT AS z FROM orders),
+      k1 AS (SELECT o_orderkey,
+               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                % 18446744073709551616)::UBIGINT AS z FROM k0),
+      k2 AS (SELECT o_orderkey,
+               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                % 18446744073709551616)::UBIGINT AS z FROM k1),
+      insk AS (
+        SELECT o_orderkey FROM k2
+        WHERE ((CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+             THEN (xor(z, z >> 31)::HUGEINT - 18446744073709551616)::BIGINT
+             ELSE xor(z, z >> 31)::BIGINT END
+             % ${RefQueries.MergeInsertMod})
+             + ${RefQueries.MergeInsertMod})
+             % ${RefQueries.MergeInsertMod} = 0
+      ),
+      mv AS (
+        SELECT o_orderkey, x8,
+               (((day - day_min + ${RefQueries.MergeDayShift})
+                 % (day_max - day_min + 1)) * 256)
+                 // (day_max - day_min + 1) AS y8
+        FROM hb, s
+        WHERE x8 BETWEEN ${RefQueries.MergeStripe._1}
+                     AND ${RefQueries.MergeStripe._2}
+      ),
+      mv2 AS (
+        SELECT o_orderkey, x8, y8,
+               ${hilbertFoldSql("x8 * 256 + y8")} AS hidx
+        FROM mv
+      ),
+      ins AS (
+        SELECT hb.o_orderkey + ${RefQueries.MergeKeyOffset} AS o_orderkey,
+               x8, y8, hidx
+        FROM hb JOIN insk USING (o_orderkey)
+      ),
+      fin AS (
+        SELECT o_orderkey, x8, y8, hidx FROM hb
+        WHERE NOT (x8 BETWEEN ${RefQueries.MergeStripe._1}
+                          AND ${RefQueries.MergeStripe._2})
+        UNION ALL SELECT o_orderkey, x8, y8, hidx FROM mv2
+        UNION ALL SELECT o_orderkey, x8, y8, hidx FROM ins
+      ),
+      zz AS (
+        SELECT (hidx // 24) AS hbucket, min(x8) AS x_lo, max(x8) AS x_hi
+        FROM hb GROUP BY 1
+      ),
+      srcc AS (
+        SELECT hbucket FROM zz
+        WHERE x_hi >= ${RefQueries.MergeStripe._1}
+          AND x_lo <= ${RefQueries.MergeStripe._2}
+      ),
+      incb AS (
+        SELECT DISTINCT (hidx // 24) AS hbucket FROM
+        (SELECT hidx FROM mv2 UNION ALL SELECT hidx FROM ins)
+      ),
+      m AS (
+        SELECT count(*)::BIGINT AS n_rows_after,
+               (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                    % 1000000007) % 1000000007)::BIGINT AS key_checksum,
+               (sum((((o_orderkey % 1000000007) * 31 + (hidx % 1000000007))
+                       % 1000000007)
+                    * (((o_orderkey % 1000000007) * 31 + (hidx % 1000000007))
+                       % 1000000007) % 1000000007)
+                % 1000000007)::BIGINT AS pos_checksum
+        FROM fin
+      )
+      SELECT (SELECT count(*) FROM zz)::BIGINT AS n_files_before,
+             (SELECT count(DISTINCT hidx // 24) FROM fin)::BIGINT
+               AS n_files_after,
+             (SELECT count(*) FROM
+                (SELECT hbucket FROM srcc UNION SELECT hbucket FROM incb)
+              )::BIGINT AS n_buckets_touched,
+             (SELECT count(*) FROM hb)::BIGINT AS n_rows_before,
+             (SELECT count(*) FROM mv2)::BIGINT AS n_updated,
+             (SELECT count(*) FROM ins)::BIGINT AS n_inserted,
+             m.n_rows_after, m.key_checksum, m.pos_checksum
+      FROM m""",
+    // time-travel replay: version 0 derives from the source orders (a
+    // hash match proves the COW delete left history byte-complete);
+    // version 1 is the survivor set with a zero rectangle — one row per
+    // snapshot, each a versioned zone-map-pruned read on the Spark side
+    "q_time_travel" -> s"""
+      WITH $hilbertGridCtes, hb AS (
+        SELECT o_orderkey, x8, y8 FROM h
+      ), v0 AS (
+        SELECT 0 AS version, count(*)::BIGINT AS n_rows,
+               (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                    % 1000000007) % 1000000007)::BIGINT AS key_checksum,
+               sum(CASE WHEN x8 BETWEEN ${RefQueries.HilbertRect._1}
+                                    AND ${RefQueries.HilbertRect._2}
+                         AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                                    AND ${RefQueries.HilbertRect._4}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_rect_rows
+        FROM hb
+      ), v1 AS (
+        SELECT 1 AS version, count(*)::BIGINT AS n_rows,
+               coalesce((sum((o_orderkey % 1000000007)
+                   * (o_orderkey % 1000000007) % 1000000007)
+                 % 1000000007), 0)::BIGINT AS key_checksum,
+               0::BIGINT AS n_rect_rows
+        FROM hb
+        WHERE NOT (x8 BETWEEN ${RefQueries.HilbertRect._1}
+                          AND ${RefQueries.HilbertRect._2}
+               AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                          AND ${RefQueries.HilbertRect._4})
+      )
+      SELECT * FROM v0 UNION ALL SELECT * FROM v1 ORDER BY version ASC""",
     // Morton write-path twin: same grid, width-24 buckets, rectangle,
     // and zone-map protocol — only the curve index differs (the
     // q_zorder_layout bit-interleave instead of the Hilbert fold)
@@ -3547,6 +3675,36 @@ object SparkEntry {
       SELECT doc_id, min(label) AS cluster_id,
              doc_id = min(label) AS is_keeper
       FROM walk GROUP BY doc_id ORDER BY doc_id ASC""",
+    // signature-index forget oracle: REBUILD the band-bucket occupancy
+    // cells from scratch over the alive corpus (tombstones = the same
+    // splitmix64 mod-19 draw as q_forget). The Spark side never re-signs
+    // the alive corpus — it subtracts the tombstoned docs' contributions
+    // from the persisted cells — so the hash gate is the
+    // subtract-maintenance ≡ rebuild proof.
+    "dedup_forget_index" -> s"""
+      WITH
+      z0 AS (SELECT doc_id,
+               ((doc_id::UHUGEINT + 11400714819323198485)
+                % 18446744073709551616)::UBIGINT AS z FROM documents),
+      z1 AS (SELECT doc_id,
+               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                % 18446744073709551616)::UBIGINT AS z FROM z0),
+      z2 AS (SELECT doc_id,
+               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                % 18446744073709551616)::UBIGINT AS z FROM z1),
+      dead AS (
+        SELECT doc_id FROM z2
+        WHERE ((CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+             THEN (xor(z, z >> 31)::HUGEINT - 18446744073709551616)::BIGINT
+             ELSE xor(z, z >> 31)::BIGINT END % 19) + 19) % 19 = 0
+      ), $minhashBandedCtes
+      SELECT band, bsig, count(*)::BIGINT AS n_docs,
+             (sum((doc_id % 1000000007) * (doc_id % 1000000007)
+                  % 1000000007) % 1000000007)::BIGINT AS member_checksum
+      FROM banded
+      WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+      GROUP BY band, bsig
+      ORDER BY band ASC, bsig ASC""",
     // runtime-filter oracle: the plain join rollup — the bloom filter is
     // a PLAN transformation (might_contain prunes non-joining fact rows
     // before the exchange); the answer must be bit-identical to the

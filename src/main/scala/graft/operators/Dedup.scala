@@ -353,6 +353,60 @@ object Dedup {
           .cast("long").as("member_checksum"))
   }
 
+  /** FORGET applied to the persisted SIGNATURE INDEX — the lifecycle op
+    * that completes the index story ([[minhashBanded]] builds it,
+    * `stream_minhash_index` maintains it on arrival, [[dedupIncremental]]
+    * probes it): a compliance tombstone batch must also REMOVE the
+    * forgotten docs' signatures, or the index keeps proposing candidate
+    * pairs against content the pipeline already purged. The cell summary
+    * (member count + mod-P member checksum) is a pair of SUBTRACTABLE
+    * sums, so maintenance is O(|tombstones|): re-sign ONLY the tombstoned
+    * docs (one pass over the compliance-sized batch — signatures are
+    * per-doc, so a doc's signature over its own text alone is identical
+    * to its contribution in the full build) and subtract their per-cell
+    * contributions, broadcast, from the persisted cells; a cell whose
+    * members all die drops out at n_docs = 0. The alive corpus is never
+    * re-shingled, re-signed, or even READ — PlanSpec asserts the final
+    * plan scans `documents` exactly once (the tombstone side; the
+    * persisted index is a frozen checkpoint). The oracle REBUILDS the
+    * index from scratch over the alive corpus, so the hash gate is the
+    * subtract-maintenance ≡ rebuild proof — the `dedup_incremental_cc`
+    * discipline applied to deletion.
+    *
+    * Tombstones = the same `mix64(doc_id) mod 19 = 0` draw as `q_forget`
+    * (~5% of the corpus), so the forget surfaces and the index stay on
+    * one compliance batch. */
+  def dedupForgetIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.Mix64.register(spark)
+    val docs = Tables.read(spark, sfDir, "documents")
+    // persisted state stand-in: occupancy cells over the full corpus,
+    // built once and frozen (the signature-index precedent)
+    val cells = bandCells(minhashBanded(docs)).localCheckpoint(true)
+    val tombs = docs.filter(
+      pmod(call_function("mix64", $"doc_id"), lit(19L)) === 0L)
+    forgetIndexCells(cells, bandCells(minhashBanded(tombs)))
+  }
+
+  /** The subtract core of [[dedupForgetIndex]], exposed for the planted
+    * vanishing-cell / shared-cell specs: persisted cells minus the
+    * tombstoned docs' cell contributions, empty cells dropped. */
+  private[graft] def forgetIndexCells(cells: DataFrame,
+      deadCells: DataFrame): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val P = TextAnalysis.ChecksumP
+    val dead = broadcast(deadCells.select($"band", $"bsig",
+      $"n_docs".as("dead_n"), $"member_checksum".as("dead_cs")))
+    cells.join(dead, Seq("band", "bsig"), "left_outer")
+      .select($"band".cast("long").as("band"), $"bsig",
+        ($"n_docs" - coalesce($"dead_n", lit(0L))).as("n_docs"),
+        pmod($"member_checksum" - coalesce($"dead_cs", lit(0L)) + lit(P),
+          lit(P)).as("member_checksum"))
+      .filter($"n_docs" > 0L)
+      .orderBy($"band".asc, $"bsig".asc)
+  }
+
   /** Candidate rows (doc_a, sig_a, doc_b, sig_b, one row per shared band
     * bucket) → deduped estimated-Jaccard pairs above the threshold. */
   private def estimatedPairs(cands: DataFrame,

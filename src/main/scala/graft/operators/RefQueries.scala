@@ -843,6 +843,18 @@ object RefQueries {
     * with the DuckDB oracle. */
   val HilbertRect: (Long, Long, Long, Long) = (40L, 150L, 90L, 200L)
 
+  /** The MERGE batch geometry (`Etl.cowMergeStripe`, `q_merge_rewrite`),
+    * shared with the DuckDB oracle: UPDATEs hit the x8 stripe
+    * [[MergeStripe]] (full-height — a predicate aligned with the
+    * clustering column, so the update read is zone-map-pruned) and shift
+    * the order day by [[MergeDayShift]] wrapped into the day span;
+    * INSERTs re-key every order whose `mix64(o_orderkey) mod
+    * MergeInsertMod = 0` by [[MergeKeyOffset]]. */
+  val MergeStripe: (Long, Long) = (200L, 207L)
+  val MergeDayShift = 450L
+  val MergeInsertMod = 211L
+  val MergeKeyOffset = 30000000L
+
   /** Hilbert layout MADE LOAD-BEARING — the write-path twin of
     * [[qHilbertLayout]]: orders are physically written partitioned by
     * `hbucket = hilbert_xy2d(x8, y8) div 24` (`Etl.hilbertOrdersFixture`
@@ -1146,6 +1158,106 @@ object RefQueries {
         $"n_rows_before",
         ($"n_rows_before" - $"n_rows_after").as("n_rows_deleted"),
         $"n_rows_after", $"survivor_checksum", $"n_rect_rows_after")
+  }
+
+  /** COPY-ON-WRITE MERGE (upsert) made load-bearing — the DML half
+    * `q_delete_rewrite` doesn't cover (`Etl.mergeRewriteFixture` builds
+    * the post-merge table; this query proves what the pass did):
+    *  - UPDATEs relocate rows on the curve (a date shift changes y8 →
+    *    hidx → hbucket), so the rewrite touches BOTH the stripe's
+    *    zone-map candidate partitions (rows leave) and the destination
+    *    partitions (rows arrive — their existing rows rewrite with the
+    *    incoming ones, the part of clustered MERGE that's harder than
+    *    DELETE);
+    *  - INSERTs place new keys with the table's frozen layout stats;
+    *  - `n_files_before`/`n_files_after` are ON-DISK part-file censuses
+    *    hash-gated against the oracle's derived post-merge bucket set
+    *    (one file per surviving bucket — the repartition-by-key layout
+    *    identity);
+    *  - `n_buckets_touched`/`n_updated`/`n_inserted` read the COMMIT
+    *    MANIFEST the pass wrote, gated against the oracle's independent
+    *    replay — the metadata a table format records with each commit;
+    *  - `key_checksum` proves the key set changed by exactly the
+    *    inserts; `pos_checksum` binds (key, hidx) VALUE pairs, so every
+    *    relocated row must sit at exactly its recomputed curve position.
+    * Scale: the pass reads |stripe candidates| + |destination buckets|
+    * partitions; everything else is a manifest re-point. */
+  def qMergeRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val P = TextAnalysis.ChecksumP
+    val srcPath = graft.sources.Etl.hilbertOrdersFixture(spark, sfDir)
+    val mrgPath = graft.sources.Etl.mergeRewriteFixture(spark, sfDir)
+    val dir = graft.sources.Etl.HilbertTableDir
+    val nBefore = countPartFiles(spark, s"$srcPath/$dir")
+    val nAfter = countPartFiles(spark, s"$mrgPath/$dir")
+    val manifest = spark.read
+      .parquet(s"$mrgPath/${graft.sources.Etl.MergeManifestDir}")
+      .select($"n_buckets_touched", $"n_updated", $"n_inserted").head()
+    def checksum(c: Column): Column =
+      pmod(sum((pmod(c, lit(P)) * pmod(c, lit(P)) % P).cast("decimal(38,0)")),
+        lit(P).cast("decimal(38,0)")).cast("long")
+    val posTerm = (pmod($"o_orderkey", lit(P)) * 31 +
+      pmod($"hidx", lit(P))) % P
+    val before = Tables.read(spark, sfDir, "orders")
+      .agg(count(lit(1)).as("n_rows_before"))
+    val after = spark.read.parquet(s"$mrgPath/$dir")
+      .agg(count(lit(1)).as("n_rows_after"),
+        checksum($"o_orderkey").as("key_checksum"),
+        pmod(sum((posTerm * posTerm % P).cast("decimal(38,0)")),
+          lit(P).cast("decimal(38,0)")).cast("long").as("pos_checksum"))
+    before.crossJoin(after)
+      .select(lit(nBefore).as("n_files_before"),
+        lit(nAfter).as("n_files_after"),
+        lit(manifest.getLong(0)).as("n_buckets_touched"),
+        $"n_rows_before",
+        lit(manifest.getLong(1)).as("n_updated"),
+        lit(manifest.getLong(2)).as("n_inserted"),
+        $"n_rows_after", $"key_checksum", $"pos_checksum")
+  }
+
+  /** TIME TRAVEL over the copy-on-write table — the read-side payoff of
+    * COW DML: because `q_delete_rewrite` never mutates version 0's files
+    * (untouched partitions carry over; touched ones are REWRITTEN into
+    * the new snapshot, the old files left behind), both versions remain
+    * fully readable, and a reader pins a version by root path — exactly
+    * how a lakehouse table format serves `VERSION AS OF`. One row per
+    * snapshot, each computed in ONE scan of that snapshot:
+    *  - `n_rows` / `key_checksum` prove version 0 is byte-complete AFTER
+    *    the delete created version 1 (the oracle derives v0 from the
+    *    source `orders` directly, so a hash match means history did not
+    *    drift), and that version 1 is exactly the survivor set;
+    *  - `n_rect_rows` re-runs the rectangle scan through each version's
+    *    OWN zone maps — metadata is versioned with the data (v0 still
+    *    finds every predicate row; v1 finds zero).
+    * Scale: time travel costs nothing at write time beyond what COW
+    * already pays — old snapshots are the files the rewrite didn't
+    * delete; each versioned read is zone-map-pruned like any other. */
+  def qTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val P = TextAnalysis.ChecksumP
+    val (xLo, xHi, yLo, yHi) = HilbertRect
+    val v0 = graft.sources.Etl.hilbertOrdersFixture(spark, sfDir)
+    val v1 = graft.sources.Etl.deleteRewriteFixture(spark, sfDir)
+    def checksum(c: Column): Column =
+      pmod(sum((pmod(c, lit(P)) * pmod(c, lit(P)) % P).cast("decimal(38,0)")),
+        lit(P).cast("decimal(38,0)")).cast("long")
+    def snapshot(root: String, version: Int): DataFrame = {
+      val cands = spark.read
+        .parquet(s"$root/${graft.sources.Etl.HilbertZonesDir}")
+        .filter($"x_hi" >= xLo && $"x_lo" <= xHi &&
+          $"y_hi" >= yLo && $"y_lo" <= yHi)
+        .select($"hbucket").as[Long].collect().sorted
+      spark.read.parquet(s"$root/${graft.sources.Etl.HilbertTableDir}")
+        .withColumn("hbucket", $"hbucket".cast("long"))
+        .agg(count(lit(1)).as("n_rows"),
+          checksum($"o_orderkey").as("key_checksum"),
+          sum(when($"hbucket".isin(cands: _*) &&
+              $"x8".between(xLo, xHi) && $"y8".between(yLo, yHi),
+            1L).otherwise(0L)).as("n_rect_rows"))
+        .select(lit(version).as("version"),
+          $"n_rows", $"key_checksum", $"n_rect_rows")
+    }
+    snapshot(v0, 0).unionByName(snapshot(v1, 1)).orderBy($"version".asc)
   }
 
   /** Incremental JOIN maintenance — the delta identity behind every

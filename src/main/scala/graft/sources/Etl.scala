@@ -134,6 +134,31 @@ object Etl {
           s"(shiftleft(shiftrightunsigned(y8, $i) & 1, ${2 * i + 1}))")
         .mkString("(", " + ", ")"))
 
+  /** The curve-laid orders rows (o_orderkey, ck, day, x8, y8, hidx,
+    * hbucket) for a given curve-index SQL — the shared derivation behind
+    * [[curveOrdersFixture]]'s write and the MERGE pass's insert feed
+    * (both must place rows with the SAME frozen layout stats, or an
+    * upsert would drift off the clustering). */
+  private[graft] def curveLaid(spark: SparkSession, sfDir: String,
+      idxSql: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ord = graft.Tables.read(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("day"))
+    val stats = ord.agg(
+      min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
+      min(col("day")).as("day_min"), max(col("day")).as("day_max"))
+    ord.crossJoin(broadcast(stats))
+      .withColumn("x8",
+        expr("((ck - ck_min) * 256) div (ck_max - ck_min + 1)"))
+      .withColumn("y8",
+        expr("((day - day_min) * 256) div (day_max - day_min + 1)"))
+      .withColumn("hidx", expr(idxSql))
+      .withColumn("hbucket", expr("hidx div 24"))
+      .select("o_orderkey", "ck", "day", "x8", "y8", "hidx", "hbucket")
+  }
+
   /** Shared curve-clustered write: orders → 8-bit grid → `idxSql` curve
     * index → width-24 `hbucket` directory partitions, hidx-sorted within
     * files, write-time zone maps beside the data. */
@@ -141,21 +166,7 @@ object Etl {
       key: String, idxSql: String): String =
     cachedFixture(sfDir, key, s"$sfDir/orders.parquet") { tmp =>
       import org.apache.spark.sql.functions._
-      val ord = graft.Tables.read(spark, sfDir, "orders")
-        .select(col("o_orderkey"), col("o_custkey").cast("long").as("ck"),
-          datediff(col("o_orderdate").cast("date"),
-            lit("1992-01-01").cast("date")).cast("long").as("day"))
-      val stats = ord.agg(
-        min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
-        min(col("day")).as("day_min"), max(col("day")).as("day_max"))
-      val laid = ord.crossJoin(broadcast(stats))
-        .withColumn("x8",
-          expr("((ck - ck_min) * 256) div (ck_max - ck_min + 1)"))
-        .withColumn("y8",
-          expr("((day - day_min) * 256) div (day_max - day_min + 1)"))
-        .withColumn("hidx", expr(idxSql))
-        .withColumn("hbucket", expr("hidx div 24"))
-        .select("o_orderkey", "ck", "day", "x8", "y8", "hidx", "hbucket")
+      val laid = curveLaid(spark, sfDir, idxSql)
       laid
         .repartition(col("hbucket"))
         .sortWithinPartitions(col("hbucket"), col("hidx"))
@@ -354,6 +365,154 @@ object Etl {
       .parquet(new java.io.File(dstRoot, HilbertZonesDir).getAbsolutePath)
   }
 
+  /** Subdirectory of [[mergeRewriteFixture]] holding the commit manifest
+    * — the metadata a table format records with every DML commit (how
+    * many partitions the MERGE touched, rows updated, rows inserted),
+    * read back by `q_merge_rewrite` and hash-gated against the oracle's
+    * independent replay of the whole pass. */
+  val MergeManifestDir = "manifest"
+
+  /** COPY-ON-WRITE MERGE (upsert) fixture — the DML pass
+    * `q_delete_rewrite` doesn't cover: a CDC batch applied to the
+    * clustered table as UPDATEs that MOVE rows on the curve plus
+    * INSERTs of new keys, executed the way a lakehouse MERGE actually
+    * runs (see [[cowMergeStripe]]). Deterministic end-to-end, so the
+    * DuckDB oracle derives the exact post-merge layout, counts, and
+    * position checksum. */
+  def mergeRewriteFixture(spark: SparkSession, sfDir: String): String = {
+    val src = hilbertOrdersFixture(spark, sfDir)
+    cachedFixture(sfDir, "orders-hilbert-merge-v1",
+        s"$sfDir/orders.parquet") { tmp =>
+      copyDir(new java.io.File(src), tmp)
+      cowMergeStripe(spark, sfDir, src, tmp): Unit
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+  }
+
+  /** The COW MERGE pass over a copied layout at `dstRoot`:
+    *  - UPDATE half: rows in the x8 stripe `RefQueries.MergeStripe`
+    *    shift their order date by `MergeDayShift` (wrapped into the
+    *    table's day span), which RELOCATES them on the curve — new y8,
+    *    new hidx, new hbucket. Source partitions are zone-map candidates
+    *    for the stripe (the only partitions the update half reads);
+    *    their retained rows rewrite with the bucket.
+    *  - INSERT half: a CDC feed of re-keyed sampled orders
+    *    (`mix64(o_orderkey) mod MergeInsertMod = 0`, key +
+    *    `MergeKeyOffset`), placed with the SAME frozen layout stats the
+    *    original ingest used ([[curveLaid]]).
+    *  - DESTINATION partitions that receive relocated/inserted rows are
+    *    read (partition-pruned by bucket list) and rewritten together
+    *    with the incoming rows — the part of clustered MERGE that makes
+    *    it harder than DELETE: a bucket can be rewritten because rows
+    *    ARRIVE, not just because rows leave. Fully-vacated buckets drop
+    *    their directories; zone maps refresh for touched buckets only;
+    *    a commit manifest records (touched, updated, inserted).
+    * Scale: the pass reads |stripe candidates| + |destination buckets|
+    * partitions; the untouched majority of a 100 TB table costs a
+    * manifest re-point, exactly like the DELETE.
+    *
+    * Returns (stripe zone candidates, full touched set) so the physical
+    * spec can prove untouched partitions carried over bit-identical. */
+  /** The MERGE update-half read — stripe zone-map candidates only
+    * (plan-time PartitionFilters; PlanSpec guards that partitions
+    * outside the stripe's candidates are never read). Exposed so the
+    * plan guard exercises exactly the production read. */
+  private[graft] def mergeStripeCands(spark: SparkSession,
+      srcRoot: String): (DataFrame, Array[Long]) = {
+    import org.apache.spark.sql.functions._
+    val (sLo, sHi) = graft.operators.RefQueries.MergeStripe
+    val srcCands = spark.read.parquet(s"$srcRoot/$HilbertZonesDir")
+      .filter(col("x_hi") >= sLo && col("x_lo") <= sHi)
+      .select(col("hbucket")).collect().map(_.getLong(0)).sorted
+    val candRows = spark.read.parquet(s"$srcRoot/$HilbertTableDir")
+      .withColumn("hbucket", col("hbucket").cast("long"))
+      .filter(col("hbucket").isin(srcCands: _*))
+    (candRows, srcCands)
+  }
+
+  private[graft] def cowMergeStripe(spark: SparkSession, sfDir: String,
+      srcRoot: String, dstRoot: java.io.File): (Array[Long], Array[Long]) = {
+    import org.apache.spark.sql.functions._
+    val R = graft.operators.RefQueries
+    graft.functions.HilbertIndex.register(spark)
+    graft.functions.Mix64.register(spark)
+    val (sLo, sHi) = R.MergeStripe
+    // frozen layout stats — the same aggregate the original ingest ran
+    val st = graft.Tables.read(spark, sfDir, "orders")
+      .select(datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")).cast("long").as("day"))
+      .agg(min(col("day")), max(col("day"))).head()
+    val dayMin = st.getLong(0)
+    val span = st.getLong(1) - dayMin + 1L
+    // update half reads ONLY the stripe's zone-map candidates
+    val (candRows, srcCands) = mergeStripeCands(spark, srcRoot)
+    val movers = candRows.filter(col("x8").between(sLo, sHi))
+      .withColumn("off", (col("day") - dayMin + R.MergeDayShift) % span)
+      .withColumn("day", col("off") + dayMin)
+      .withColumn("y8", expr(s"(off * 256) div $span"))
+      .withColumn("hidx",
+        call_function("hilbert_xy2d", col("x8"), col("y8")))
+      .withColumn("hbucket", expr("hidx div 24"))
+      .drop("off")
+    val retained = candRows.filter(!col("x8").between(sLo, sHi))
+    // the CDC insert feed, placed with the frozen stats
+    val ins = curveLaid(spark, sfDir, "hilbert_xy2d(x8, y8)")
+      .filter(pmod(call_function("mix64", col("o_orderkey")),
+        lit(R.MergeInsertMod)) === 0L)
+      .withColumn("o_orderkey", col("o_orderkey") + R.MergeKeyOffset)
+    // two consumers (bucket census, final union) — one computation
+    val incoming = movers.unionByName(ins).localCheckpoint(true)
+    val inBuckets = incoming.select(col("hbucket")).distinct()
+      .collect().map(_.getLong(0))
+    val touched = (srcCands ++ inBuckets).distinct.sorted
+    val destOnly = inBuckets.filterNot(srcCands.toSet).sorted
+    val existingDest = spark.read.parquet(s"$srcRoot/$HilbertTableDir")
+      .withColumn("hbucket", col("hbucket").cast("long"))
+      .filter(col("hbucket").isin(destOnly: _*))
+    // three consumers (write, liveness census, zone refresh) — one scan
+    val finalRows = retained.unionByName(existingDest)
+      .unionByName(incoming).localCheckpoint(true)
+    val dstTable = new java.io.File(dstRoot, HilbertTableDir)
+    finalRows
+      .repartition(col("hbucket"))
+      .sortWithinPartitions(col("hbucket"), col("hidx"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("hbucket")
+      .parquet(dstTable.getAbsolutePath)
+    // fully-vacated buckets: dynamic overwrite never visits them
+    val alive = finalRows.select(col("hbucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    touched.filterNot(alive).foreach { b =>
+      deleteRecursively(new java.io.File(dstTable, s"hbucket=$b"))
+    }
+    // zone maps: untouched carry over; touched recompute from the
+    // written rows (new buckets appear, vacated ones drop out)
+    val zones = spark.read.parquet(s"$srcRoot/$HilbertZonesDir")
+    zones.filter(!col("hbucket").isin(touched: _*))
+      .unionByName(finalRows.groupBy(col("hbucket"))
+        .agg(min(col("x8")).as("x_lo"), max(col("x8")).as("x_hi"),
+          min(col("y8")).as("y_lo"), max(col("y8")).as("y_hi")))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new java.io.File(dstRoot, HilbertZonesDir).getAbsolutePath)
+    // the commit manifest: what this MERGE touched (driver metadata —
+    // the counts a table format records with the commit)
+    val counted = incoming
+      .agg(sum(when(col("o_orderkey") < R.MergeKeyOffset, 1L)
+          .otherwise(0L)),
+        sum(when(col("o_orderkey") >= R.MergeKeyOffset, 1L)
+          .otherwise(0L))).head()
+    import spark.implicits._
+    Seq((touched.length.toLong, counted.getLong(0), counted.getLong(1)))
+      .toDF("n_buckets_touched", "n_updated", "n_inserted")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new java.io.File(dstRoot, MergeManifestDir).getAbsolutePath)
+    (srcCands, touched.toArray)
+  }
+
   /** Per-process private warehouse for graft-built tables (bucketed join
     * slices), deleted on JVM exit. Isolation is deliberate: BUCKETING
     * METADATA lives only in the session's in-memory catalog, so a fresh
@@ -431,6 +590,7 @@ object Etl {
     compactHilbertFixture(spark, sfDir)
     compactZorderFixture(spark, sfDir)
     deleteRewriteFixture(spark, sfDir)
+    mergeRewriteFixture(spark, sfDir)
     bucketedOrderTables(spark, sfDir)
     ()
   }

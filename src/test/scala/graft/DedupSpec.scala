@@ -610,4 +610,64 @@ class DedupSpec extends SparkSpec {
         s"${rowLocal.diff(window).take(3)} only-window=" +
         s"${window.diff(rowLocal).take(3)}")
   }
+
+  private def cellSet(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, String, Long, Long)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("signature-index forget: the vanishing cell vanishes, the shared" +
+      " cell shrinks, and subtraction ≡ rebuild on planted docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // (10,12): exact twins modulo case — identical signatures, so their
+    // band cells each hold BOTH docs; 40: alone in its cells
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "ALPHA BETA GAMMA DELTA EPSILON ZETA ETA THETA IOTA KAPPA"),
+      (40L, "totally unrelated words about parquet row groups and pages"),
+    ).toDF("doc_id", "text")
+    val cells = Dedup.bandCells(Dedup.minhashBanded(docs))
+    val tombs = docs.filter(col("doc_id").isin(12L, 40L))
+    val kept = cellSet(Dedup.forgetIndexCells(
+      cells.select(col("band").cast("long").as("band"), col("bsig"),
+        col("n_docs"), col("member_checksum")),
+      Dedup.bandCells(Dedup.minhashBanded(tombs))))
+    val rebuilt = cellSet(
+      Dedup.bandCells(Dedup.minhashBanded(docs.filter(col("doc_id") === 10L)))
+        .select(col("band").cast("long").as("band"), col("bsig"),
+          col("n_docs"), col("member_checksum")))
+    assert(kept == rebuilt,
+      s"subtracted cells drifted from the alive-only rebuild:" +
+        s" only-kept=${kept.diff(rebuilt)} only-rebuilt=${rebuilt.diff(kept)}")
+    // doc 40's cells vanished (n_docs hit 0); the twins' shared cells
+    // shrank to n_docs = 1 with doc 10's checksum — both planted cases
+    assert(kept.nonEmpty && kept.forall(_._3 == 1L),
+      s"every surviving cell should hold exactly doc 10, got $kept")
+    val all = cellSet(cells.select(col("band").cast("long").as("band"),
+      col("bsig"), col("n_docs"), col("member_checksum")))
+    assert(all.exists(_._3 == 2L),
+      "the twins must share at least one pre-forget cell")
+  }
+
+  test("signature-index forget ≡ alive-corpus rebuild (sf fixture" +
+      " differential)") {
+    import org.apache.spark.sql.functions.{call_function, col, lit, pmod}
+    graft.functions.Mix64.register(spark)
+    val docs = Tables.read(spark, sf, "documents")
+    val alive = docs.filter(
+      pmod(call_function("mix64", col("doc_id")), lit(19L)) =!= 0L)
+    val rebuilt = cellSet(Dedup.bandCells(Dedup.minhashBanded(alive))
+      .select(col("band").cast("long").as("band"), col("bsig"),
+        col("n_docs"), col("member_checksum")))
+    val kept = cellSet(Dedup.dedupForgetIndex(spark, sf))
+    assert(kept == rebuilt,
+      s"index forget drifted from the rebuild: only-kept=" +
+        s"${kept.diff(rebuilt).take(3)} only-rebuilt=" +
+        s"${rebuilt.diff(kept).take(3)}")
+    // the batch genuinely removed cells (tombstoned docs existed)
+    val before = Dedup.bandCells(Dedup.minhashBanded(docs)).count()
+    assert(kept.size < before,
+      s"forget must drop at least one cell ($before -> ${kept.size})")
+  }
 }

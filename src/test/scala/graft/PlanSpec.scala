@@ -502,6 +502,25 @@ class PlanSpec extends SparkSpec {
       s"delete predicate not pushed to the parquet scan:\n$p")
   }
 
+  test("q_merge_rewrite: the update-half read touches ONLY stripe" +
+      " zone-candidate partitions, stripe predicate pushed to footers") {
+    // the MERGE cost claim mirrors the delete's: rows can only LEAVE
+    // partitions the stripe's zone maps nominate — that read must be a
+    // plan-time partition prune with the stripe filter at the scan
+    val (sLo, sHi) = graft.operators.RefQueries.MergeStripe
+    val (candRows, srcCands) = graft.sources.Etl.mergeStripeCands(spark,
+      graft.sources.Etl.hilbertOrdersFixture(spark, sf))
+    assert(srcCands.nonEmpty, "no stripe zone candidate — prune vacuous")
+    val p = candRows
+      .filter(org.apache.spark.sql.functions.col("x8").between(sLo, sHi))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("hbucket") &&
+      (p.contains("INSET") || p.contains(" IN (")),
+      s"stripe candidates not applied as partition filters:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("x8"),
+      s"stripe predicate not pushed to the parquet scan:\n$p")
+  }
+
   test("q_grouping_sets: one Expand pass feeding one partial-combined agg") {
     // two sideways breakdowns in a single scan: Expand duplicates each
     // row once per set (2×), then ONE aggregate with map-side partials —
@@ -926,6 +945,27 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p).length
     assert(joins == 1,
       s"expected exactly the delta-probe join, got $joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
+  }
+
+  test("dedup_forget_index: the alive corpus is never re-signed — one" +
+      " parquet scan (the tombstone side), subtraction broadcast") {
+    val df = SparkEntry.queries("dedup_forget_index")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the persisted cells are a frozen checkpoint; the ONLY parquet read
+    // in the final plan is the tombstone batch being re-signed — a
+    // second scan would mean the maintenance re-reads the corpus it
+    // promised never to touch
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"expected exactly the tombstone-side documents scan, got $scans:\n$p")
+    // the dead contributions are compliance-sized: the subtract join
+    // must broadcast them, never shuffle the persisted index
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell subtraction must broadcast the dead contributions:\n$p")
+    val shuffles = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).length
+    assert(shuffles == 0,
+      s"no shuffle join belongs in index maintenance, got $shuffles:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
   }
 
