@@ -277,6 +277,8 @@ object SparkEntry {
     "dedup_forget_index" -> ((s, d) => Dedup.dedupForgetIndex(s, d)),
     "q_time_travel" -> ((s, d) => RefQueries.qTimeTravel(s, d)),
     "q_merge_rewrite" -> ((s, d) => RefQueries.qMergeRewrite(s, d)),
+    "sim_topk_ivf_incremental" -> ((s, d) =>
+      Similarity.topKIvfIncremental(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -1319,10 +1321,10 @@ object SparkEntry {
     * domain — the `text_cap_per_source` convention), and ranks
     * ascending with vec_id tiebreak: `seeds(vec_id, seed_rank)` is the
     * skew-immune model-seed sample Similarity.seedVectors collects. */
-  private val seedRankCtes = """mz AS (
+  private def seedRankCtesFrom(src: String) = s"""mz AS (
       SELECT vec_id, ((vec_id::UHUGEINT + 11400714819323198485)
                % 18446744073709551616)::UBIGINT AS z
-      FROM e
+      FROM $src
     ), m1 AS (
       SELECT vec_id, ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
                % 18446744073709551616)::UBIGINT AS z FROM mz
@@ -1339,6 +1341,8 @@ object SparkEntry {
                 vec_id ASC) - 1)::INTEGER AS seed_rank
       FROM m2
     )"""
+
+  private lazy val seedRankCtes = seedRankCtesFrom("e")
 
   /** One per-subspace Lloyd step for the PQ-training oracle (requires
     * `sv(vec_id, s, sv)` upstream): L2-argmin assignment against `prev`,
@@ -1428,6 +1432,59 @@ object SparkEntry {
     FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
 
   private val simTopKIvfOracle = simTopKIvfOracleFor(3)
+
+  /** Incremental-IVF replay: the FULL REBUILD under the frozen index
+    * model — centroids seeded and geometry (cell count, probe width)
+    * sized from the INDEX half (even vec_ids) alone, assignment over the
+    * whole corpus (assignment is a row-local argmax, so index ∪ Δ under
+    * the same centroids IS the rebuild), then the standard probe/rerank.
+    * The Spark side never re-reads the index on ingest, so the hash gate
+    * is the incremental ≡ rebuild proof. */
+  private lazy val simTopKIvfIncrementalOracle = s"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ei AS (
+      SELECT vec_id, v FROM e WHERE vec_id % 2 = 0
+    ), kp AS (
+      SELECT k, greatest(4, k // 4) AS np FROM (
+        SELECT greatest(16, least(65536, (count(*) + 255) // 256)) AS k
+        FROM ei)
+    ), ${seedRankCtesFrom("ei")}, centroids AS (
+      SELECT s.seed_rank AS cell_id, e.v AS cv
+      FROM seeds s JOIN e ON e.vec_id = s.vec_id
+      WHERE s.seed_rank < (SELECT k FROM kp)
+    ), assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT ev.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
+                          c.cell_id ASC) AS r
+        FROM e ev CROSS JOIN centroids c
+      ) WHERE r = 1
+    ), probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT ev.vec_id AS q_id, c.cell_id,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
+                          c.cell_id ASC) AS r
+        FROM e ev CROSS JOIN centroids c WHERE ev.vec_id < 3
+      ) WHERE r <= (SELECT np FROM kp)
+    ), cand AS (
+      SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a USING (cell_id)
+      WHERE a.vec_id != p.q_id
+    ), scored AS (
+      SELECT c.q_id, c.vec_id, list_cosine_similarity(e1.v, e2.v) AS cos
+      FROM cand c
+      JOIN e e1 ON e1.vec_id = c.vec_id
+      JOIN e e2 ON e2.vec_id = c.q_id
+    ), r AS (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk::INTEGER AS rnk
+    FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
 
   /** Shared unrolled-Lloyd CTE prefix: the integer-quantized k-means
     * update (Similarity.kmeansCentroids) is bit-reproducible, so DuckDB
@@ -2358,6 +2415,7 @@ object SparkEntry {
     "sim_topk_lsh" -> simTopKLshOracle,
     "sim_topk_ivf" -> simTopKIvfOracle,
     "sim_topk_batch" -> simTopKIvfOracleFor(64),
+    "sim_topk_ivf_incremental" -> simTopKIvfIncrementalOracle,
     "sim_topk_ivf_kmeans" -> simTopKIvfKmeansOracle,
     // binary-quantized ANN replay: identical sign-bit packing (two
     // 32-bit words — bit 63 is the BIGINT sign bit on both engines),

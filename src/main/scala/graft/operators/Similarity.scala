@@ -262,10 +262,52 @@ object Similarity {
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
+  /** INCREMENTAL IVF index growth — the ingest half of the ANN serving
+    * lifecycle (`dedup_incremental`'s shape on the vector side): a new
+    * embedding shard (odd vec_ids — today's batch) joins the PERSISTED
+    * cell-assigned index (even vec_ids) without re-training or
+    * re-assigning anything:
+    *  - the centroid model is FROZEN from the index corpus alone
+    *    ([[seedVectors]] over even ids — production never re-seeds per
+    *    shard, or every cell id in the serving layer would shift);
+    *  - the index geometry (cell count, probe width) is frozen from the
+    *    index corpus's size at build time for the same reason;
+    *  - the shard takes ONE broadcast-centroids pass ([[assignCells]]
+    *    over Δ only — row-local argmax, so index ∪ Δ assignment is
+    *    provably the full-corpus assignment under the same centroids);
+    *  - serving runs the standard probe join over the MERGED index.
+    * The oracle replays the full rebuild — index-seeded centroids,
+    * full-corpus assignment, probes, rerank — so the hash gate is the
+    * incremental ≡ rebuild proof, and the PlanSpec guard pins the
+    * frozen-index claim (the final plan scans embeddings exactly twice:
+    * the Δ assignment and the query probes — never the index).
+    *
+    * Scale: the index corpus is never re-read on ingest; the shard pass
+    * is O(|Δ| · nCells) map-side work; at 100 TB the merged table is the
+    * cell_id-bucketed union a real vector store maintains per segment. */
+  def topKIvfIncremental(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = corpus(spark, sfDir)
+    val isDelta = $"vec_id" % 2 === 1
+    val index = emb.filter(!isDelta)
+    val nc = ivfCells(index, 0)
+    val centroids = broadcast(
+      seedVectors(spark, index, nc).toSeq
+        .map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "centroid"))
+    // the persisted cell-assigned index — built once, frozen
+    val assignedIndex = assignCells(spark, index, centroids)
+      .localCheckpoint(true)
+    // the arriving shard: one broadcast-centroids pass over Δ only
+    val deltaAssigned = assignCells(spark, emb.filter(isDelta), centroids)
+    ivfServe(spark, emb, assignedIndex.unionByName(deltaAssigned),
+      centroids, k, nQueries, ivfNprobe(nc, 0))
+  }
+
   /** Corpus-derived IVF cell count: explicit override, else the
     * [[semanticCellCount]] ceil(n/256) clamp on a metadata-cheap count
     * probe (parquet footers — no data columns read). */
-  private def ivfCells(emb: DataFrame, nCells: Int): Int =
+  private[graft] def ivfCells(emb: DataFrame, nCells: Int): Int =
     if (nCells > 0) nCells else semanticCellCount(emb.count())
 
   /** Probe width scaled to the adaptive cell count: a constant QUARTER
@@ -303,7 +345,7 @@ object Similarity {
   }
 
   /** The seed sample's (rank, vector) pairs — model centroids/codewords. */
-  private def seedVectors(spark: SparkSession, emb: DataFrame, n: Int)
+  private[graft] def seedVectors(spark: SparkSession, emb: DataFrame, n: Int)
       : Array[(Int, Array[Double])] =
     seedSample(spark, emb, n).map { case (i, _, v) => (i, v) }
 
@@ -316,7 +358,7 @@ object Similarity {
     * nCells-expanded stream still carrying the 64-double payload: 16×
     * the wire at nCells=16 for the same argmax. Same deterministic
     * struct-ordered tie-break as the PQ encode `min_by` ([[pqFlow]]). */
-  private def assignCells(spark: SparkSession, emb: DataFrame,
+  private[graft] def assignCells(spark: SparkSession, emb: DataFrame,
       centroids: DataFrame): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
@@ -347,11 +389,19 @@ object Similarity {
 
   /** Shared IVF flow: assign corpus to cells, probe, exact-rerank. */
   private def ivfFlow(spark: SparkSession, emb: DataFrame,
-      centroids: DataFrame, k: Int, nQueries: Int, nprobe: Int): DataFrame = {
+      centroids: DataFrame, k: Int, nQueries: Int, nprobe: Int): DataFrame =
+    ivfServe(spark, emb, assignCells(spark, emb, centroids), centroids,
+      k, nQueries, nprobe)
+
+  /** The serving half of the IVF flow over an ALREADY cell-assigned
+    * corpus — shared by [[ivfFlow]] (assign-then-serve) and
+    * [[topKIvfIncremental]] (serve over the persisted index ∪ the
+    * newly-assigned shard). */
+  private[graft] def ivfServe(spark: SparkSession, emb: DataFrame,
+      assigned: DataFrame, centroids: DataFrame, k: Int, nQueries: Int,
+      nprobe: Int): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
-    // corpus → nearest centroid (1 broadcast join + map-side argmax)
-    val assigned = assignCells(spark, emb, centroids)
     // query → nprobe nearest centroids
     val wProbe = Window.partitionBy($"q_id")
       .orderBy($"probe_cos".desc, $"cell_id".asc)

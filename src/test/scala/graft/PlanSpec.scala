@@ -969,6 +969,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
   }
 
+  test("sim_topk_ivf_incremental: the index is never re-read on ingest —" +
+      " embeddings scanned exactly twice (Δ assignment + query probes)") {
+    val df = SparkEntry.queries("sim_topk_ivf_incremental")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the persisted cell-assigned index is a frozen checkpoint: the only
+    // parquet reads in the final plan are the arriving shard being
+    // assigned and the query vectors probing — a third scan would mean
+    // ingest re-reads the index corpus it promised never to touch
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2,
+      s"expected exactly the Δ-assignment and query-probe scans," +
+        s" got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
+  }
+
   test("dedup_pagerank: contributions partial-combine map-side, iterates" +
       " run on frozen inputs") {
     val df = SparkEntry.queries("dedup_pagerank")(spark, sf)
