@@ -279,6 +279,7 @@ object SparkEntry {
     "q_merge_rewrite" -> ((s, d) => RefQueries.qMergeRewrite(s, d)),
     "sim_topk_ivf_incremental" -> ((s, d) =>
       Similarity.topKIvfIncremental(s, d)),
+    "q_vacuum" -> ((s, d) => RefQueries.qVacuum(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2119,6 +2120,38 @@ object SparkEntry {
              m.n_rows_after, m.survivor_checksum,
              0::BIGINT AS n_rect_rows_after
       FROM fd, m""",
+    // vacuum dry-run replay: all five counts derive from the delete's
+    // zone-map arithmetic — total buckets (one file each), touched
+    // candidates (their v0 files are the garbage), fully-dead buckets
+    // (touched minus them are the fresh rewrites); shared = untouched
+    "q_vacuum" -> s"""
+      WITH $hilbertGridCtes, hb AS (
+        SELECT o_orderkey, x8, y8, (hidx // 24) AS hbucket FROM h
+      ), z AS (
+        SELECT hbucket, min(x8) AS x_lo, max(x8) AS x_hi,
+               min(y8) AS y_lo, max(y8) AS y_hi
+        FROM hb GROUP BY hbucket
+      ), tt AS (
+        SELECT count(*)::BIGINT AS touched FROM z
+        WHERE x_hi >= ${RefQueries.HilbertRect._1}
+          AND x_lo <= ${RefQueries.HilbertRect._2}
+          AND y_hi >= ${RefQueries.HilbertRect._3}
+          AND y_lo <= ${RefQueries.HilbertRect._4}
+      ), fd AS (
+        SELECT count(*)::BIGINT AS dead FROM (
+          SELECT hbucket FROM hb GROUP BY hbucket
+          HAVING sum(CASE WHEN x8 BETWEEN ${RefQueries.HilbertRect._1}
+                                      AND ${RefQueries.HilbertRect._2}
+                           AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                                      AND ${RefQueries.HilbertRect._4}
+                          THEN 0 ELSE 1 END) = 0)
+      ), tot AS (SELECT count(*)::BIGINT AS total FROM z)
+      SELECT tot.total AS n_files_v0,
+             (tot.total - fd.dead)::BIGINT AS n_files_v1,
+             (tot.total - tt.touched)::BIGINT AS n_shared,
+             tt.touched AS n_garbage,
+             (tt.touched - fd.dead)::BIGINT AS n_fresh
+      FROM tot, tt, fd""",
     // copy-on-write MERGE replay: the splitmix64 insert draw, the stripe
     // update with the RELOCATION fold re-run on the shifted coordinate,
     // the derived post-merge bucket census (one file per surviving

@@ -992,7 +992,14 @@ object RefQueries {
     * that counts the identical files). PipelineOpsSpec pins the two
     * branches count-identical on a real fixture. */
   private[graft] def countPartFiles(spark: SparkSession,
-      dir: String): Long = {
+      dir: String): Long = listPartFiles(spark, dir).length.toLong
+
+  /** The census's underlying listing: table-RELATIVE paths of every
+    * part file under `dir` (≤ ~2731 entries — the manifest a table
+    * format holds in metadata), shared by the count gates and the
+    * [[qVacuum]] cross-version file diff. */
+  private[graft] def listPartFiles(spark: SparkSession,
+      dir: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.getFileStatus(path).isDirectory,
@@ -1000,29 +1007,33 @@ object RefQueries {
     fs match {
       case _: org.apache.hadoop.fs.LocalFileSystem |
           _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        def walk(f: java.io.File): Long = {
+        val root = new java.io.File(path.toUri.getPath)
+        def walk(f: java.io.File): Seq[String] = {
           val kids = Option(f.listFiles())
-            .getOrElse(Array.empty[java.io.File])
-          kids.count(k => k.isFile && k.getName.startsWith("part-"))
-            .toLong + kids.filter(_.isDirectory).map(walk).sum
+            .getOrElse(Array.empty[java.io.File]).toSeq
+          kids.filter(k => k.isFile && k.getName.startsWith("part-"))
+            .map(_.getAbsolutePath.stripPrefix(root.getAbsolutePath)) ++
+            kids.filter(_.isDirectory).flatMap(walk)
         }
-        walk(new java.io.File(path.toUri.getPath))
+        walk(root)
       case _ =>
-        hadoopPartFileCount(fs, path)
+        hadoopPartFiles(fs, path)
     }
   }
 
-  /** The remote-FS branch of [[countPartFiles]], exposed so the spec can
-    * pin it count-identical to the JVM walk on a local fixture. */
-  private[graft] def hadoopPartFileCount(fs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path): Long = {
+  /** The remote-FS branch of [[listPartFiles]], exposed so the spec can
+    * pin it listing-identical to the JVM walk on a local fixture. */
+  private[graft] def hadoopPartFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Seq[String] = {
+    val rootUri = path.toUri.getPath
     val it = fs.listFiles(path, true)
-    var n = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.startsWith("part-")) n += 1L
+      if (st.isFile && st.getPath.getName.startsWith("part-"))
+        out += st.getPath.toUri.getPath.stripPrefix(rootUri)
     }
-    n
+    out.toSeq
   }
 
   /** Small-file COMPACTION made load-bearing — the OPTIMIZE pass a real
@@ -1258,6 +1269,35 @@ object RefQueries {
           $"n_rows", $"key_checksum", $"n_rect_rows")
     }
     snapshot(v0, 0).unionByName(snapshot(v1, 1)).orderBy($"version".asc)
+  }
+
+  /** VACUUM (dry run) over the copy-on-write table — the retention
+    * housekeeping every lakehouse runs after DML: once version 0's
+    * retention expires, the files ONLY version 0 references are garbage;
+    * files both versions share must survive or time travel to v1 breaks.
+    * The classification is a pure MANIFEST DIFF (table-relative part
+    * paths, ≤ ~2731 entries per version, driver metadata — zero data
+    * I/O, exactly what `VACUUM ... DRY RUN` costs):
+    *  - shared  = names in both snapshots — the untouched partitions the
+    *    COW delete carried over (v1's copy is the manifest re-point);
+    *  - garbage = v0-only names — the pre-delete files of every touched
+    *    bucket (rewritten buckets got fresh part names; fully-dead
+    *    buckets got nothing);
+    *  - fresh   = v1-only names — the rewritten survivors.
+    * The oracle derives all four counts from the delete's zone-map
+    * arithmetic alone (total buckets, touched candidates, fully-dead),
+    * so a wrong classification — vacuuming a shared file, keeping a
+    * dead one — fails the hash gate. */
+  def qVacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v0 = graft.sources.Etl.hilbertOrdersFixture(spark, sfDir)
+    val v1 = graft.sources.Etl.deleteRewriteFixture(spark, sfDir)
+    val dir = graft.sources.Etl.HilbertTableDir
+    val f0 = listPartFiles(spark, s"$v0/$dir").toSet
+    val f1 = listPartFiles(spark, s"$v1/$dir").toSet
+    Seq((f0.size.toLong, f1.size.toLong, (f0 & f1).size.toLong,
+        (f0 -- f1).size.toLong, (f1 -- f0).size.toLong))
+      .toDF("n_files_v0", "n_files_v1", "n_shared", "n_garbage", "n_fresh")
   }
 
   /** Incremental JOIN maintenance — the delta identity behind every

@@ -2041,11 +2041,11 @@ class PipelineOpsSpec extends SparkSpec {
     val R = graft.operators.RefQueries
     val dir = s"${graft.sources.Etl.compactHilbertFixture(spark, sf)}/" +
       graft.sources.Etl.HilbertTableDir
-    val viaWalk = R.countPartFiles(spark, dir)
+    val viaWalk = R.listPartFiles(spark, dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    assert(viaWalk > 0L)
-    assert(viaWalk == R.hadoopPartFileCount(fs, path),
+    assert(viaWalk.nonEmpty)
+    assert(viaWalk.sorted == R.hadoopPartFiles(fs, path).sorted,
       "census branches disagree")
   }
 
