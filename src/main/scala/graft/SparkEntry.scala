@@ -649,15 +649,12 @@ object SparkEntry {
            doc_id = min(label) AS is_keeper
     FROM walk GROUP BY doc_id ORDER BY doc_id ASC"""
 
-  /** The orders → 8-bit grid → Hilbert index CTE chain (o, s, g, h with
-    * `h(o_orderkey, ck, day, x8, y8, hidx)`), shared by the
-    * `q_hilbert_layout` analysis and the `q_hilbert_write` zone-map
-    * protocol. The xy2d quadrant-rotation loop replays as a packed-state
-    * (d·2^16 + x·2^8 + y) list_reduce fold over levels 7..0 — pure
-    * integer arithmetic, bit-identical to the codegen'd expression. */
   /** The xy2d quadrant-rotation fold as a DuckDB expression over a
-    * packed `x*256 + y` coordinate — factored so the MERGE oracle can
-    * re-place RELOCATED rows with the identical curve arithmetic. */
+    * packed `x*256 + y` coordinate: a packed-state (d·2^16 + x·2^8 + y)
+    * list_reduce fold over levels 7..0 — pure integer arithmetic,
+    * bit-identical to the codegen'd expression. Factored so the MERGE
+    * oracle can re-place RELOCATED rows with the identical curve
+    * arithmetic. */
   private def hilbertFoldSql(xy: String): String = {
     val X = "((st // 256) % 256)"
     val Y = "(st % 256)"
@@ -676,6 +673,10 @@ object SparkEntry {
         // 65536)"""
   }
 
+  /** The orders → 8-bit grid → Hilbert index CTE chain (o, s, g, h with
+    * `h(o_orderkey, ck, day, x8, y8, hidx)`), shared by the
+    * `q_hilbert_layout` analysis, the `q_hilbert_write` zone-map
+    * protocol, and the DML-family oracles. */
   private lazy val hilbertGridCtes: String =
     s"""o AS (
         SELECT o_orderkey, o_custkey AS ck,
@@ -2194,8 +2195,12 @@ object SparkEntry {
                ${hilbertFoldSql("x8 * 256 + y8")} AS hidx
         FROM mv
       ),
+      koff AS (
+        SELECT ((max(o_orderkey) // 10000000) + 1) * 10000000 AS koff
+        FROM orders
+      ),
       ins AS (
-        SELECT hb.o_orderkey + ${RefQueries.MergeKeyOffset} AS o_orderkey,
+        SELECT hb.o_orderkey + (SELECT koff FROM koff) AS o_orderkey,
                x8, y8, hidx
         FROM hb JOIN insk USING (o_orderkey)
       ),

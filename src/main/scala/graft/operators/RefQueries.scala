@@ -849,11 +849,21 @@ object RefQueries {
     * clustering column, so the update read is zone-map-pruned) and shift
     * the order day by [[MergeDayShift]] wrapped into the day span;
     * INSERTs re-key every order whose `mix64(o_orderkey) mod
-    * MergeInsertMod = 0` by [[MergeKeyOffset]]. */
+    * MergeInsertMod = 0` by `Etl.mergeKeyOffset` (derived above the
+    * table's max key — a fixed constant would collide at some SF). */
   val MergeStripe: (Long, Long) = (200L, 207L)
   val MergeDayShift = 450L
   val MergeInsertMod = 211L
-  val MergeKeyOffset = 30000000L
+
+  /** Mod-P sum-of-squares checksum over a key column — the shared gate
+    * arithmetic (the curveWriteScan idiom, decimal-sum overflow-proof)
+    * used by every census/DML row; ONE definition so the protocol can
+    * never drift between operators or away from the oracles. */
+  private def keyChecksum(c: Column): Column = {
+    val P = TextAnalysis.ChecksumP
+    pmod(sum((pmod(c, lit(P)) * pmod(c, lit(P)) % P).cast("decimal(38,0)")),
+      lit(P).cast("decimal(38,0)")).cast("long")
+  }
 
   /** Hilbert layout MADE LOAD-BEARING — the write-path twin of
     * [[qHilbertLayout]]: orders are physically written partitioned by
@@ -899,7 +909,6 @@ object RefQueries {
 
   private def curveWriteScan(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val P = TextAnalysis.ChecksumP
     val (xLo, xHi, yLo, yHi) = HilbertRect
     val t = spark.read.parquet(
       s"$path/${graft.sources.Etl.HilbertTableDir}")
@@ -918,9 +927,7 @@ object RefQueries {
         lit(zones.length.toLong).as("n_buckets_total"),
         lit(cands.length.toLong).as("n_buckets_scanned"),
         count(lit(1)).as("n_rows"),
-        pmod(sum((pmod($"o_orderkey", lit(P)) * pmod($"o_orderkey", lit(P))
-          % P).cast("decimal(38,0)")), lit(P).cast("decimal(38,0)"))
-          .cast("long").as("key_checksum"))
+        keyChecksum($"o_orderkey").as("key_checksum"))
   }
 
   /** RUNTIME-FILTER join pushdown — the second stats/optimizer surface
@@ -1074,7 +1081,6 @@ object RefQueries {
   private def curveCompactScan(spark: SparkSession, basePath: String,
       compPath: String): DataFrame = {
     import spark.implicits._
-    val P = TextAnalysis.ChecksumP
     val (xLo, xHi, yLo, yHi) = HilbertRect
     val dir = graft.sources.Etl.HilbertTableDir
     val nBefore = countPartFiles(spark, s"$basePath/$dir")
@@ -1087,15 +1093,12 @@ object RefQueries {
           $"y_hi" >= yLo && $"y_lo" <= yHi).as("hit"))
       .as[(Long, Boolean)].collect()
     val cands = zones.filter(_._2).map(_._1).sorted
-    def checksum(c: Column): Column =
-      pmod(sum((pmod(c, lit(P)) * pmod(c, lit(P)) % P).cast("decimal(38,0)")),
-        lit(P).cast("decimal(38,0)")).cast("long")
     val full = t.agg(count(lit(1)).as("n_rows"),
-      checksum($"o_orderkey").as("key_checksum"))
+      keyChecksum($"o_orderkey").as("key_checksum"))
     val rect = t.filter($"cbin".isin(cands: _*) &&
         $"x8".between(xLo, xHi) && $"y8".between(yLo, yHi))
       .agg(count(lit(1)).as("n_rect_rows"),
-        checksum($"o_orderkey").as("rect_checksum"))
+        keyChecksum($"o_orderkey").as("rect_checksum"))
     full.crossJoin(rect)
       .select(lit(nBefore).as("n_files_before"),
         lit(nAfter).as("n_files_after"),
@@ -1127,7 +1130,6 @@ object RefQueries {
     * manifest re-point. */
   def qDeleteRewrite(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val P = TextAnalysis.ChecksumP
     val (xLo, xHi, yLo, yHi) = HilbertRect
     val srcPath = graft.sources.Etl.hilbertOrdersFixture(spark, sfDir)
     val cowPath = graft.sources.Etl.deleteRewriteFixture(spark, sfDir)
@@ -1139,9 +1141,6 @@ object RefQueries {
       .filter($"x_hi" >= xLo && $"x_lo" <= xHi &&
         $"y_hi" >= yLo && $"y_lo" <= yHi)
       .count()
-    def checksum(c: Column): Column =
-      pmod(sum((pmod(c, lit(P)) * pmod(c, lit(P)) % P).cast("decimal(38,0)")),
-        lit(P).cast("decimal(38,0)")).cast("long")
     // pre-delete row count from the COMPACT source parquet (one file) —
     // the clustered table is a 1:1 re-layout of orders, and a 2731-file
     // scan for one count would cost more than the rest of the query
@@ -1158,7 +1157,7 @@ object RefQueries {
     val after = spark.read.parquet(s"$cowPath/$dir")
       .withColumn("hbucket", $"hbucket".cast("long"))
       .agg(count(lit(1)).as("n_rows_after"),
-        checksum($"o_orderkey").as("survivor_checksum"),
+        keyChecksum($"o_orderkey").as("survivor_checksum"),
         sum(when($"hbucket".isin(candsAfter: _*) &&
             $"x8".between(xLo, xHi) && $"y8".between(yLo, yHi),
           1L).otherwise(0L)).as("n_rect_rows_after"))
@@ -1204,18 +1203,16 @@ object RefQueries {
     val manifest = spark.read
       .parquet(s"$mrgPath/${graft.sources.Etl.MergeManifestDir}")
       .select($"n_buckets_touched", $"n_updated", $"n_inserted").head()
-    def checksum(c: Column): Column =
-      pmod(sum((pmod(c, lit(P)) * pmod(c, lit(P)) % P).cast("decimal(38,0)")),
-        lit(P).cast("decimal(38,0)")).cast("long")
+    // posTerm is already reduced mod P, so keyChecksum's inner pmod is
+    // a no-op and the squared fold applies to the pair term directly
     val posTerm = (pmod($"o_orderkey", lit(P)) * 31 +
       pmod($"hidx", lit(P))) % P
     val before = Tables.read(spark, sfDir, "orders")
       .agg(count(lit(1)).as("n_rows_before"))
     val after = spark.read.parquet(s"$mrgPath/$dir")
       .agg(count(lit(1)).as("n_rows_after"),
-        checksum($"o_orderkey").as("key_checksum"),
-        pmod(sum((posTerm * posTerm % P).cast("decimal(38,0)")),
-          lit(P).cast("decimal(38,0)")).cast("long").as("pos_checksum"))
+        keyChecksum($"o_orderkey").as("key_checksum"),
+        keyChecksum(posTerm).as("pos_checksum"))
     before.crossJoin(after)
       .select(lit(nBefore).as("n_files_before"),
         lit(nAfter).as("n_files_after"),
@@ -1245,13 +1242,9 @@ object RefQueries {
     * delete; each versioned read is zone-map-pruned like any other. */
   def qTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val P = TextAnalysis.ChecksumP
     val (xLo, xHi, yLo, yHi) = HilbertRect
     val v0 = graft.sources.Etl.hilbertOrdersFixture(spark, sfDir)
     val v1 = graft.sources.Etl.deleteRewriteFixture(spark, sfDir)
-    def checksum(c: Column): Column =
-      pmod(sum((pmod(c, lit(P)) * pmod(c, lit(P)) % P).cast("decimal(38,0)")),
-        lit(P).cast("decimal(38,0)")).cast("long")
     def snapshot(root: String, version: Int): DataFrame = {
       val cands = spark.read
         .parquet(s"$root/${graft.sources.Etl.HilbertZonesDir}")
@@ -1261,7 +1254,7 @@ object RefQueries {
       spark.read.parquet(s"$root/${graft.sources.Etl.HilbertTableDir}")
         .withColumn("hbucket", $"hbucket".cast("long"))
         .agg(count(lit(1)).as("n_rows"),
-          checksum($"o_orderkey").as("key_checksum"),
+          keyChecksum($"o_orderkey").as("key_checksum"),
           sum(when($"hbucket".isin(cands: _*) &&
               $"x8".between(xLo, xHi) && $"y8".between(yLo, yHi),
             1L).otherwise(0L)).as("n_rect_rows"))

@@ -134,26 +134,55 @@ object Etl {
           s"(shiftleft(shiftrightunsigned(y8, $i) & 1, ${2 * i + 1}))")
         .mkString("(", " + ", ")"))
 
+  /** The frozen layout stats of the clustered orders table —
+    * (ck_min, ck_max, day_min, day_max) as one Row. ONE definition
+    * shared by the ingest ([[curveLaid]]) and the MERGE update half
+    * ([[cowMergeStripe]]), so a drift between them — which would shift
+    * relocated rows' y8 relative to inserted rows' placement — is
+    * impossible by construction. */
+  private[graft] def orderLayoutStats(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.read(spark, sfDir, "orders")
+      .select(col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("day"))
+      .agg(min(col("ck")), max(col("ck")), min(col("day")), max(col("day")))
+      .head()
+  }
+
+  /** Insert re-key offset for the MERGE batch: the smallest multiple of
+    * 10^7 strictly above the table's max order key. Derived, not a
+    * fixed constant — a constant bakes in a scale ceiling (TPC-H keys
+    * reach 6M·SF, crossing any literal at some SF and colliding re-keyed
+    * inserts with real keys). Deterministic and replayed by the oracle
+    * with the same integer arithmetic. */
+  private[graft] def mergeKeyOffset(spark: SparkSession,
+      sfDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    val mx = graft.Tables.read(spark, sfDir, "orders")
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    (mx / 10000000L + 1L) * 10000000L
+  }
+
   /** The curve-laid orders rows (o_orderkey, ck, day, x8, y8, hidx,
     * hbucket) for a given curve-index SQL — the shared derivation behind
     * [[curveOrdersFixture]]'s write and the MERGE pass's insert feed
-    * (both must place rows with the SAME frozen layout stats, or an
-    * upsert would drift off the clustering). */
+    * (both place rows with the SAME [[orderLayoutStats]]). */
   private[graft] def curveLaid(spark: SparkSession, sfDir: String,
       idxSql: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ord = graft.Tables.read(spark, sfDir, "orders")
+    val st = orderLayoutStats(spark, sfDir)
+    val (ckMin, ckMax) = (st.getLong(0), st.getLong(1))
+    val (dayMin, dayMax) = (st.getLong(2), st.getLong(3))
+    graft.Tables.read(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey").cast("long").as("ck"),
         datediff(col("o_orderdate").cast("date"),
           lit("1992-01-01").cast("date")).cast("long").as("day"))
-    val stats = ord.agg(
-      min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
-      min(col("day")).as("day_min"), max(col("day")).as("day_max"))
-    ord.crossJoin(broadcast(stats))
       .withColumn("x8",
-        expr("((ck - ck_min) * 256) div (ck_max - ck_min + 1)"))
+        expr(s"((ck - $ckMin) * 256) div (${ckMax - ckMin + 1})"))
       .withColumn("y8",
-        expr("((day - day_min) * 256) div (day_max - day_min + 1)"))
+        expr(s"((day - $dayMin) * 256) div (${dayMax - dayMin + 1})"))
       .withColumn("hidx", expr(idxSql))
       .withColumn("hbucket", expr("hidx div 24"))
       .select("o_orderkey", "ck", "day", "x8", "y8", "hidx", "hbucket")
@@ -281,8 +310,11 @@ object Etl {
     * DuckDB oracle computes the exact post-delete file census. */
   def deleteRewriteFixture(spark: SparkSession, sfDir: String): String = {
     val src = hilbertOrdersFixture(spark, sfDir)
-    cachedFixture(sfDir, "orders-hilbert-cow-v1",
-        s"$sfDir/orders.parquet") { tmp =>
+    // staleness tracks the SOURCE FIXTURE's build stamp, not just the
+    // raw table: q_vacuum diffs file NAMES across the two snapshots, so
+    // a rebuilt v0 (fresh part UUIDs) must rebuild this copy too
+    cachedFixture(sfDir, "orders-hilbert-cow-v2",
+        s"$src/_SUCCESS") { tmp =>
       copyDir(new java.io.File(src), tmp)
       // the copied root carries the source's _SUCCESS; cachedFixture
       // re-stamps it below either way
@@ -334,30 +366,41 @@ object Etl {
     * touched replaced, dead dirs gone). */
   private[graft] def cowDeleteRect(spark: SparkSession, srcRoot: String,
       dstRoot: java.io.File, rect: (Long, Long, Long, Long)): Unit = {
-    import org.apache.spark.sql.functions._
     val (surv0, touched) = cowSurvivors(spark, srcRoot, rect)
     // three consumers (write, liveness census, zone refresh) — one scan
-    val surv = surv0.localCheckpoint(true)
+    cowRewrite(spark, srcRoot, dstRoot, surv0.localCheckpoint(true),
+      touched.toSeq)
+  }
+
+  /** The shared COW rewrite tail (DELETE and MERGE run the identical
+    * protocol — one implementation so they can never physically
+    * diverge): write `finalRows` through per-write dynamic partition
+    * overwrite (hbucket directory partitions, hidx-sorted within files),
+    * drop the directories of touched buckets that ended up with no rows
+    * (dynamic overwrite never visits a partition absent from the data),
+    * and refresh zone maps — untouched rows carry over, touched buckets
+    * recompute from the written rows. `finalRows` must be checkpointed
+    * by the caller (three consumers — one scan). */
+  private def cowRewrite(spark: SparkSession, srcRoot: String,
+      dstRoot: java.io.File, finalRows: DataFrame,
+      touched: Seq[Long]): Unit = {
+    import org.apache.spark.sql.functions._
     val dstTable = new java.io.File(dstRoot, HilbertTableDir)
-    surv
+    finalRows
       .repartition(col("hbucket"))
       .sortWithinPartitions(col("hbucket"), col("hidx"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("hbucket")
       .parquet(dstTable.getAbsolutePath)
-    // dynamic overwrite never visits a partition absent from the data:
-    // fully-deleted buckets drop here (bounded: touched-bucket count)
-    val alive = surv.select(col("hbucket")).distinct()
+    val alive = finalRows.select(col("hbucket")).distinct()
       .collect().map(_.getLong(0)).toSet
     touched.filterNot(alive).foreach { b =>
       deleteRecursively(new java.io.File(dstTable, s"hbucket=$b"))
     }
-    // zone maps: untouched rows carry over, touched recompute from the
-    // survivors (fully-dead buckets simply have no row anymore)
     val zones = spark.read.parquet(s"$srcRoot/$HilbertZonesDir")
     zones.filter(!col("hbucket").isin(touched: _*))
-      .unionByName(surv.groupBy(col("hbucket"))
+      .unionByName(finalRows.groupBy(col("hbucket"))
         .agg(min(col("x8")).as("x_lo"), max(col("x8")).as("x_hi"),
           min(col("y8")).as("y_lo"), max(col("y8")).as("y_hi")))
       .coalesce(1)
@@ -381,8 +424,10 @@ object Etl {
     * position checksum. */
   def mergeRewriteFixture(spark: SparkSession, sfDir: String): String = {
     val src = hilbertOrdersFixture(spark, sfDir)
-    cachedFixture(sfDir, "orders-hilbert-merge-v1",
-        s"$sfDir/orders.parquet") { tmp =>
+    // staleness tracks the source fixture's build stamp (the q_vacuum
+    // file-name-identity argument — see deleteRewriteFixture)
+    cachedFixture(sfDir, "orders-hilbert-merge-v2",
+        s"$src/_SUCCESS") { tmp =>
       copyDir(new java.io.File(src), tmp)
       cowMergeStripe(spark, sfDir, src, tmp): Unit
       java.nio.file.Files.writeString(
@@ -390,30 +435,6 @@ object Etl {
     }
   }
 
-  /** The COW MERGE pass over a copied layout at `dstRoot`:
-    *  - UPDATE half: rows in the x8 stripe `RefQueries.MergeStripe`
-    *    shift their order date by `MergeDayShift` (wrapped into the
-    *    table's day span), which RELOCATES them on the curve — new y8,
-    *    new hidx, new hbucket. Source partitions are zone-map candidates
-    *    for the stripe (the only partitions the update half reads);
-    *    their retained rows rewrite with the bucket.
-    *  - INSERT half: a CDC feed of re-keyed sampled orders
-    *    (`mix64(o_orderkey) mod MergeInsertMod = 0`, key +
-    *    `MergeKeyOffset`), placed with the SAME frozen layout stats the
-    *    original ingest used ([[curveLaid]]).
-    *  - DESTINATION partitions that receive relocated/inserted rows are
-    *    read (partition-pruned by bucket list) and rewritten together
-    *    with the incoming rows — the part of clustered MERGE that makes
-    *    it harder than DELETE: a bucket can be rewritten because rows
-    *    ARRIVE, not just because rows leave. Fully-vacated buckets drop
-    *    their directories; zone maps refresh for touched buckets only;
-    *    a commit manifest records (touched, updated, inserted).
-    * Scale: the pass reads |stripe candidates| + |destination buckets|
-    * partitions; the untouched majority of a 100 TB table costs a
-    * manifest re-point, exactly like the DELETE.
-    *
-    * Returns (stripe zone candidates, full touched set) so the physical
-    * spec can prove untouched partitions carried over bit-identical. */
   /** The MERGE update-half read — stripe zone-map candidates only
     * (plan-time PartitionFilters; PlanSpec guards that partitions
     * outside the stripe's candidates are never read). Exposed so the
@@ -431,6 +452,32 @@ object Etl {
     (candRows, srcCands)
   }
 
+  /** The COW MERGE pass over a copied layout at `dstRoot`:
+    *  - UPDATE half: rows in the x8 stripe `RefQueries.MergeStripe`
+    *    shift their order date by `MergeDayShift` (wrapped into the
+    *    table's day span), which RELOCATES them on the curve — new y8,
+    *    new hidx, new hbucket. Source partitions are zone-map candidates
+    *    for the stripe (the only partitions the update half reads —
+    *    [[mergeStripeCands]]); their retained rows rewrite with the
+    *    bucket.
+    *  - INSERT half: a CDC feed of re-keyed sampled orders
+    *    (`mix64(o_orderkey) mod MergeInsertMod = 0`, key +
+    *    [[mergeKeyOffset]] — derived above the max key, never a fixed
+    *    constant), placed with the SAME frozen layout stats the original
+    *    ingest used ([[curveLaid]] / [[orderLayoutStats]]).
+    *  - DESTINATION partitions that receive relocated/inserted rows are
+    *    read (partition-pruned by bucket list) and rewritten together
+    *    with the incoming rows — the part of clustered MERGE that makes
+    *    it harder than DELETE: a bucket can be rewritten because rows
+    *    ARRIVE, not just because rows leave. The write/vacate/zone tail
+    *    is the SHARED [[cowRewrite]] (one COW protocol for DELETE and
+    *    MERGE); a commit manifest records (touched, updated, inserted).
+    * Scale: the pass reads |stripe candidates| + |destination buckets|
+    * partitions; the untouched majority of a 100 TB table costs a
+    * manifest re-point, exactly like the DELETE.
+    *
+    * Returns (stripe zone candidates, full touched set) so the physical
+    * spec can prove untouched partitions carried over bit-identical. */
   private[graft] def cowMergeStripe(spark: SparkSession, sfDir: String,
       srcRoot: String, dstRoot: java.io.File): (Array[Long], Array[Long]) = {
     import org.apache.spark.sql.functions._
@@ -438,13 +485,11 @@ object Etl {
     graft.functions.HilbertIndex.register(spark)
     graft.functions.Mix64.register(spark)
     val (sLo, sHi) = R.MergeStripe
-    // frozen layout stats — the same aggregate the original ingest ran
-    val st = graft.Tables.read(spark, sfDir, "orders")
-      .select(datediff(col("o_orderdate").cast("date"),
-        lit("1992-01-01").cast("date")).cast("long").as("day"))
-      .agg(min(col("day")), max(col("day"))).head()
-    val dayMin = st.getLong(0)
-    val span = st.getLong(1) - dayMin + 1L
+    // the frozen layout stats — the ingest's own aggregate, shared
+    val st = orderLayoutStats(spark, sfDir)
+    val dayMin = st.getLong(2)
+    val span = st.getLong(3) - dayMin + 1L
+    val keyOff = mergeKeyOffset(spark, sfDir)
     // update half reads ONLY the stripe's zone-map candidates
     val (candRows, srcCands) = mergeStripeCands(spark, srcRoot)
     val movers = candRows.filter(col("x8").between(sLo, sHi))
@@ -460,7 +505,7 @@ object Etl {
     val ins = curveLaid(spark, sfDir, "hilbert_xy2d(x8, y8)")
       .filter(pmod(call_function("mix64", col("o_orderkey")),
         lit(R.MergeInsertMod)) === 0L)
-      .withColumn("o_orderkey", col("o_orderkey") + R.MergeKeyOffset)
+      .withColumn("o_orderkey", col("o_orderkey") + keyOff)
     // two consumers (bucket census, final union) — one computation
     val incoming = movers.unionByName(ins).localCheckpoint(true)
     val inBuckets = incoming.select(col("hbucket")).distinct()
@@ -473,37 +518,12 @@ object Etl {
     // three consumers (write, liveness census, zone refresh) — one scan
     val finalRows = retained.unionByName(existingDest)
       .unionByName(incoming).localCheckpoint(true)
-    val dstTable = new java.io.File(dstRoot, HilbertTableDir)
-    finalRows
-      .repartition(col("hbucket"))
-      .sortWithinPartitions(col("hbucket"), col("hidx"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("hbucket")
-      .parquet(dstTable.getAbsolutePath)
-    // fully-vacated buckets: dynamic overwrite never visits them
-    val alive = finalRows.select(col("hbucket")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    touched.filterNot(alive).foreach { b =>
-      deleteRecursively(new java.io.File(dstTable, s"hbucket=$b"))
-    }
-    // zone maps: untouched carry over; touched recompute from the
-    // written rows (new buckets appear, vacated ones drop out)
-    val zones = spark.read.parquet(s"$srcRoot/$HilbertZonesDir")
-    zones.filter(!col("hbucket").isin(touched: _*))
-      .unionByName(finalRows.groupBy(col("hbucket"))
-        .agg(min(col("x8")).as("x_lo"), max(col("x8")).as("x_hi"),
-          min(col("y8")).as("y_lo"), max(col("y8")).as("y_hi")))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(new java.io.File(dstRoot, HilbertZonesDir).getAbsolutePath)
+    cowRewrite(spark, srcRoot, dstRoot, finalRows, touched.toSeq)
     // the commit manifest: what this MERGE touched (driver metadata —
     // the counts a table format records with the commit)
     val counted = incoming
-      .agg(sum(when(col("o_orderkey") < R.MergeKeyOffset, 1L)
-          .otherwise(0L)),
-        sum(when(col("o_orderkey") >= R.MergeKeyOffset, 1L)
-          .otherwise(0L))).head()
+      .agg(sum(when(col("o_orderkey") < keyOff, 1L).otherwise(0L)),
+        sum(when(col("o_orderkey") >= keyOff, 1L).otherwise(0L))).head()
     import spark.implicits._
     Seq((touched.length.toLong, counted.getLong(0), counted.getLong(1)))
       .toDF("n_buckets_touched", "n_updated", "n_inserted")

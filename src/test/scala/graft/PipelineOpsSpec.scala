@@ -1969,11 +1969,12 @@ class PipelineOpsSpec extends SparkSpec {
       val srcKeys = spark.read.parquet(s"$src/${E.HilbertTableDir}")
         .select("o_orderkey").collect().map(_.getLong(0)).toSet
       graft.functions.Mix64.register(spark)
+      val keyOff = E.mergeKeyOffset(spark, sf)
       val expectIns = Tables.read(spark, sf, "orders")
         .filter(pmod(call_function("mix64", col("o_orderkey")),
           lit(R.MergeInsertMod)) === 0L)
         .select("o_orderkey").collect()
-        .map(_.getLong(0) + R.MergeKeyOffset).toSet
+        .map(_.getLong(0) + keyOff).toSet
       val gotKeys = merged.select("o_orderkey").collect()
         .map(_.getLong(0)).toSet
       assert(gotKeys == srcKeys ++ expectIns,
@@ -1991,7 +1992,7 @@ class PipelineOpsSpec extends SparkSpec {
       assert(srcY.nonEmpty, "stripe empty — update half vacuous")
       val movedY = merged
         .filter(col("x8").between(sLo, sHi) &&
-          col("o_orderkey") < R.MergeKeyOffset)
+          col("o_orderkey") < keyOff)
         .select("o_orderkey", "y8").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(movedY.keySet == srcY.keySet,
