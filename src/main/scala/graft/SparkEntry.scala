@@ -280,6 +280,7 @@ object SparkEntry {
     "sim_topk_ivf_incremental" -> ((s, d) =>
       Similarity.topKIvfIncremental(s, d)),
     "q_vacuum" -> ((s, d) => RefQueries.qVacuum(s, d)),
+    "q_schema_evolution" -> ((s, d) => RefQueries.qSchemaEvolution(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2121,6 +2122,20 @@ object SparkEntry {
              m.n_rows_after, m.survivor_checksum,
              0::BIGINT AS n_rect_rows_after
       FROM fd, m""",
+    // schema-evolution replay: both physical generations derive from
+    // orders (gen 1 = even keys without the column, gen 2 = odd keys
+    // with o_bucket = o_custkey mod 16), so the merged read must report
+    // exactly these totals — losing old rows, inventing non-NULL values
+    // for them, or dropping evolved rows all fail the hash
+    "q_schema_evolution" -> """
+      SELECT count(*)::BIGINT AS n_rows,
+             sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_evolved,
+             sum(CASE WHEN o_orderkey % 2 = 1 THEN o_custkey % 16
+                      ELSE 0 END)::BIGINT AS bucket_sum,
+             (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                  % 1000000007) % 1000000007)::BIGINT AS key_checksum
+      FROM orders""",
     // vacuum dry-run replay: all five counts derive from the delete's
     // zone-map arithmetic — total buckets (one file each), touched
     // candidates (their v0 files are the garbage), fully-dead buckets

@@ -1223,6 +1223,33 @@ object RefQueries {
         $"n_rows_after", $"key_checksum", $"pos_checksum")
   }
 
+  /** SCHEMA EVOLUTION read — the mid-life column add every long-lived
+    * table accumulates (`Etl.schemaEvolutionFixture`: generation 1 files
+    * lack `o_bucket`, generation 2 files carry it, one directory): the
+    * reader merges the two physical schemas (`mergeSchema` — the
+    * explicit-pass stand-in for a table format's tracked schema), old
+    * rows surface NULL for the new column with NO rewrite of history,
+    * and column pruning still reaches the scan (PlanSpec: ReadSchema
+    * carries exactly the projected columns — the never-projected `ck`
+    * is not read even though both generations store it). The oracle
+    * derives both generations from `orders`, so the hash gate proves
+    * the merged read loses and invents nothing: total rows, the
+    * evolved-row count (non-NULL new column), the new column's sum,
+    * and the key checksum across BOTH generations.
+    * Scale: schema merge is a FOOTER operation (one per file, driver
+    * metadata at plan time); the data read is unchanged — a 100 TB
+    * table evolves its schema without touching a byte of history. */
+  def qSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = graft.sources.Etl.schemaEvolutionFixture(spark, sfDir)
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .select($"o_orderkey", $"o_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"o_bucket").as("n_evolved"),
+        coalesce(sum($"o_bucket"), lit(0L)).as("bucket_sum"),
+        keyChecksum($"o_orderkey").as("key_checksum"))
+  }
+
   /** TIME TRAVEL over the copy-on-write table — the read-side payoff of
     * COW DML: because `q_delete_rewrite` never mutates version 0's files
     * (untouched partitions carry over; touched ones are REWRITTEN into

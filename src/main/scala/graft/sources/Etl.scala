@@ -533,6 +533,30 @@ object Etl {
     (srcCands, touched.toArray)
   }
 
+  /** SCHEMA-EVOLUTION fixture — the mid-life column add every long-lived
+    * table accumulates: generation 1 (even order keys) is written with
+    * (o_orderkey, o_custkey); generation 2 (odd keys) appends files
+    * carrying an ADDED `o_bucket` column into the SAME directory. The
+    * table is now physically heterogeneous — old files simply lack the
+    * column — which is exactly the state `mergeSchema` readers (and
+    * real table formats' schema tracking) exist to serve: old rows read
+    * NULL for the new column, no rewrite of history. Deterministic, so
+    * the oracle derives both generations from `orders` directly. */
+  def schemaEvolutionFixture(spark: SparkSession, sfDir: String): String =
+    cachedFixture(sfDir, "orders-schema-evo-v1",
+        s"$sfDir/orders.parquet") { tmp =>
+      import org.apache.spark.sql.functions._
+      val ord = graft.Tables.read(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").cast("long").as("ck"))
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_bucket", pmod(col("ck"), lit(16L)))
+        .write.mode(SaveMode.Append).parquet(tmp.getAbsolutePath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+
   /** Per-process private warehouse for graft-built tables (bucketed join
     * slices), deleted on JVM exit. Isolation is deliberate: BUCKETING
     * METADATA lives only in the session's in-memory catalog, so a fresh

@@ -502,6 +502,19 @@ class PlanSpec extends SparkSpec {
       s"delete predicate not pushed to the parquet scan:\n$p")
   }
 
+  test("q_schema_evolution: column pruning survives schema merge — the" +
+      " never-projected column is not read from either generation") {
+    val df = SparkEntry.queries("q_schema_evolution")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("o_bucket"),
+      s"the evolved column must reach the scan:\n$p")
+    assert("[<,]ck:".r.findFirstIn(p).isEmpty,
+      s"the never-projected ck column must be pruned from the merged" +
+        s" read:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a global aggregate needs no hash exchange:\n$p")
+  }
+
   test("q_merge_rewrite: the update-half read touches ONLY stripe" +
       " zone-candidate partitions, stripe predicate pushed to footers") {
     // the MERGE cost claim mirrors the delete's: rows can only LEAVE
