@@ -86,7 +86,17 @@ def main(sf_dir, out_dir, json_out=None):
     summary = {}
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = bad = 0
-    for name in sorted(os.listdir(out_dir)):
+    # GRAFT_CHECK_SLICE="i/n" checks every n-th query starting at i.
+    # Fresh connections alone are not enough at the 10x scale: after
+    # ~200 heavy oracles the PROCESS RSS (duckdb allocator arenas
+    # retained across connections) exhausts the box — run the sweep as
+    # n slice processes and merge the per-slice JSONs.
+    names = sorted(os.listdir(out_dir))
+    sl = os.environ.get("GRAFT_CHECK_SLICE")
+    if sl:
+        i, n = map(int, sl.split("/"))
+        names = names[i::n]
+    for name in names:
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
