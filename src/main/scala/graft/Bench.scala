@@ -96,7 +96,13 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         false
       }
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration on a
+    // hot query; the driver never sets it, so round artifacts are always
+    // the full suite.
+    val only =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // warm-up pass: JIT + codegen compilation are per-query one-time
     // costs; the timed passes below measure steady-state throughput
     // (disable with SPARK_GRAFT_WARMUP=0). The pass is TIMED and

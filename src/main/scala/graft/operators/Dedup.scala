@@ -25,7 +25,7 @@ object Dedup {
     * ([[estimatedPairs]]), and the streaming index twin: a width change
     * here re-derives every consumer (a drifting hard-coded divisor would
     * silently skew every est_jaccard). */
-  private[graft] val NPerm = 16
+  private[graft] val NPerm = graft.functions.MinhashSig.NPerm
   private[graft] val NBands = 4
 
   /** Release the storage blocks behind an eager `localCheckpoint` once a
@@ -253,21 +253,55 @@ object Dedup {
   /** The minhash band-bucket SIGNATURE INDEX for a docs(doc_id, text)
     * corpus — (doc_id, sig, band, bsig), 4 rows per doc: exactly the
     * table a production near-dup pipeline persists between ingest
-    * batches. Shared by [[minHashLsh]] (self-join) and
-    * [[dedupIncremental]] (delta-vs-index join).
+    * batches. Shared by [[minHashLsh]] (self-join), [[dedupIncremental]]
+    * (delta-vs-index join), and the STREAMING ingest twin
+    * (`stream_minhash_index`) — one signing kernel for every route.
     *
-    * Shingle stream without materializing per-doc arrays: posexplode
-    * tokens → window lead(1)/lead(2) → concat. Everything stays in
-    * WholeStageCodegen (the transform()/array_distinct() HOF route is
-    * interpreted and measured ~5× slower at sf0.1); duplicate shingles
-    * are harmless because min() ignores them. The group-by shuffles only
-    * per-partition partial mins — #docs × 16 longs. */
+    * Signing is the fused codegen'd [[graft.functions.MinhashSig]]
+    * expression over the in-row token array: shingling, per-shingle
+    * poly-hash, and all 16 permutation minima fold inside one map-only
+    * operator — ZERO shuffles before banding (the historical window
+    * route shuffled the full shingle stream per doc; the interpreted
+    * HOF route re-hashed every shingle 16× — both kept below as
+    * differential spec references, DedupSpec proves all three routes
+    * produce the identical (doc_id, sig, band, bsig) set). Map-only is
+    * also what lets a streaming micro-batch sign documents without a
+    * second aggregation. Docs with < 3 tokens have no shingles → NULL
+    * signature → dropped, same as the window route's empty group. */
   private[graft] def minhashBanded(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.functions.MinhashSig.register(spark)
+    docs
+      .withColumn("norm", normText)
+      .withColumn("sig", call_function("minhash_sig", split($"norm", " ")))
+      .filter($"sig".isNotNull)
+      .transform(bandExplode)
+  }
+
+  /** (doc_id, sig) → one row per (band, bsig) bucket — the 4-way band
+    * explode shared by every signing route. */
+  private def bandExplode(sig: DataFrame): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val rowsPerBand = NPerm / NBands
+    sig.select($"doc_id", $"sig",
+      explode(array((0 until NBands).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (0 until rowsPerBand).map(r =>
+            col("sig")(b * rowsPerBand + r)): _*).as("bsig"))): _*)).as("bb"))
+      .select($"doc_id", $"sig", $"bb.band", $"bb.bsig")
+  }
+
+  /** Differential reference #1 (spec-only): the historical batch route —
+    * posexplode tokens → lead-window shingles → 16 min() aggregates.
+    * Correct but shuffles the full shingle stream per document before
+    * signing; kept so DedupSpec can prove the fused [[minhashBanded]]
+    * kernel signature-identical to an independent formulation. */
+  private[graft] def minhashBandedWindowRef(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val nPerm = NPerm
-    val bands = NBands
-    val rowsPerBand = nPerm / bands
     graft.functions.PolyHash.register(spark)
     val toks = docs
       .withColumn("norm", normText)
@@ -281,39 +315,26 @@ object Dedup {
     def perm(p: Int): Column =
       (call_function("poly_hash", $"shingle", lit(1 << 20)) * lit(2L * p + 1)
         + lit(7919L * p)) % lit(1000000007L)
-    val sig = shingles
+    shingles
       .groupBy($"doc_id")
       .agg(min(perm(0)).as("mh_0"),
         (1 until nPerm).map(p => min(perm(p)).as(s"mh_$p")): _*)
       .withColumn("sig",
         array((0 until nPerm).map(p => col(s"mh_$p")): _*))
       .select($"doc_id", $"sig")
-    // explode into (band_id, band_signature) buckets
-    sig.select($"doc_id", $"sig",
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          concat_ws(":", (0 until rowsPerBand).map(r =>
-            col("sig")(b * rowsPerBand + r)): _*).as("bsig"))): _*)).as("bb"))
-      .select($"doc_id", $"sig", $"bb.band", $"bb.bsig")
+      .transform(bandExplode)
   }
 
-  /** ROW-LOCAL twin of [[minhashBanded]] — identical signatures and band
-    * buckets, computed with ZERO shuffles: shingles via the HOF route
-    * over the in-row token array ([[shinglesExpr]]) and each permutation
-    * min as an array fold, so a STREAMING micro-batch can band documents
-    * map-only (Structured Streaming forbids the window the batch path
-    * uses, and an extra per-doc aggregate would be a second streaming
-    * agg). The batch path keeps the window route for throughput (the
-    * HOF lambdas are interpreted — measured ~5× slower per doc at
-    * sf0.1); DedupSpec proves the two routes produce the IDENTICAL
-    * (doc_id, sig, band, bsig) set on the fixture corpus. Docs with
-    * < 3 tokens have no shingles and drop out — same as the batch
-    * path's empty group. */
-  private[graft] def minhashBandedRowLocal(docs: DataFrame): DataFrame = {
+  /** Differential reference #2 (spec-only): the interpreted HOF route —
+    * shingles via transform(sequence(...)) and each permutation min as
+    * an array_min fold over `poly_hash`. Row-local like the production
+    * kernel but ~5× slower (interpreted lambdas, every shingle re-hashed
+    * per permutation); kept as the second independent formulation in
+    * DedupSpec's three-way route-equivalence gate. */
+  private[graft] def minhashBandedHofRef(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.PolyHash.register(spark)
-    val rowsPerBand = NPerm / NBands
     val sigExpr =
       s"""transform(sequence(0, ${NPerm - 1}), p ->
             array_min(transform(shingles, s ->
@@ -325,13 +346,7 @@ object Dedup {
       .filter(expr("size(toks) >= 3"))
       .withColumn("shingles", expr(shinglesExpr))
       .withColumn("sig", expr(sigExpr))
-      .select($"doc_id", $"sig",
-        explode(array((0 until NBands).map(b =>
-          struct(lit(b).as("band"),
-            concat_ws(":", (0 until rowsPerBand).map(r =>
-              col("sig")(b * rowsPerBand + r)): _*).as("bsig"))): _*))
-          .as("bb"))
-      .select($"doc_id", $"sig", $"bb.band", $"bb.bsig")
+      .transform(bandExplode)
   }
 
   /** Band-bucket occupancy cells over a banded signature table — one row

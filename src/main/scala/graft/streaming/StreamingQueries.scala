@@ -611,10 +611,11 @@ object StreamingQueries {
     * incremental-dedup loop kept live: `dedup_incremental` probes the
     * persisted minhash band-bucket index, and THIS query is what keeps
     * that index fresh as shards arrive. Each arriving document is
-    * signed and banded ROW-LOCALLY (`Dedup.minhashBandedRowLocal` —
-    * shingles, 16 permutation minima, and the 4 band buckets all fold
-    * inside the row; zero bytes to any exchange before the one
-    * aggregation), and the per-(band, bsig) occupancy cells — member
+    * signed and banded ROW-LOCALLY (`Dedup.minhashBanded` — the fused
+    * codegen'd `minhash_sig` kernel folds shingles, 16 permutation
+    * minima, and the 4 band buckets inside the row; zero bytes to any
+    * exchange before the one aggregation, and the batch build runs the
+    * SAME kernel), and the per-(band, bsig) occupancy cells — member
     * count + mod-prime member checksum — are Complete-mode streaming
     * state: both are merge-order-invariant sums, so the stream maintains
     * the exact-same-cells index summary whatever the micro-batch slicing
@@ -639,7 +640,7 @@ object StreamingQueries {
       Seq(docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1)),
       OutputMode.Complete()) { df =>
       graft.operators.Dedup.bandCells(
-        graft.operators.Dedup.minhashBandedRowLocal(df))
+        graft.operators.Dedup.minhashBanded(df))
     }
     out.select($"band".cast("long").as("band"), $"bsig", $"n_docs",
         $"member_checksum")

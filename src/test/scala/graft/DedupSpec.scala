@@ -585,30 +585,82 @@ class DedupSpec extends SparkSpec {
         s" only-inc=${inc.diff(expected)} only-full=${expected.diff(inc)}")
   }
 
-  test("row-local banded signatures ≡ the window-route batch builder" +
-      " (sf fixture differential)") {
+  test("fused minhash_sig kernel ≡ window route ≡ HOF route" +
+      " (three-way sf fixture differential)") {
     import org.apache.spark.sql.functions.col
-    // the streaming twin signs documents without the per-doc shuffle;
-    // the two routes must agree on every (doc_id, sig, band, bsig) row —
-    // a shingle-indexing or permutation drift here would silently change
-    // every bucket the stream maintains
+    // production signs with the fused codegen'd kernel; the two
+    // historical routes are independent formulations (shuffle-window
+    // aggregation; interpreted HOF folds) — all three must agree on
+    // every (doc_id, sig, band, bsig) row, or a shingle-indexing /
+    // permutation / composition drift would silently change every
+    // bucket the index and the stream maintain
     val docs = Tables.read(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
     def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       (r.getLong(0), r.getSeq[Long](1).mkString(","), r.getInt(2),
         r.getString(3))
     }.toSet
-    val window = key(Dedup.minhashBanded(docs)
-      .select(col("doc_id"), col("sig"), col("band").cast("int"),
+    def banded(df: org.apache.spark.sql.DataFrame) =
+      key(df.select(col("doc_id"), col("sig"), col("band").cast("int"),
         col("bsig")))
-    val rowLocal = key(Dedup.minhashBandedRowLocal(docs)
-      .select(col("doc_id"), col("sig"), col("band").cast("int"),
-        col("bsig")))
-    assert(window.nonEmpty, "banded signature table must be non-empty")
-    assert(rowLocal == window,
-      s"row-local route drifted: only-rowlocal=" +
-        s"${rowLocal.diff(window).take(3)} only-window=" +
-        s"${window.diff(rowLocal).take(3)}")
+    val fused = banded(Dedup.minhashBanded(docs))
+    val window = banded(Dedup.minhashBandedWindowRef(docs))
+    val hof = banded(Dedup.minhashBandedHofRef(docs))
+    assert(fused.nonEmpty, "banded signature table must be non-empty")
+    assert(fused == window,
+      s"fused kernel drifted from the window route: only-fused=" +
+        s"${fused.diff(window).take(3)} only-window=" +
+        s"${window.diff(fused).take(3)}")
+    assert(fused == hof,
+      s"fused kernel drifted from the HOF route: only-fused=" +
+        s"${fused.diff(hof).take(3)} only-hof=" +
+        s"${hof.diff(fused).take(3)}")
+  }
+
+  test("minhash_sig composed rolling hash ≡ naive per-shingle poly_hash" +
+      " (kernel unit differential, incl. cap fallback)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent naive reference: build each shingle STRING and hash it
+    // with PolyHash.hash (the JVM twin of the oracle's formula)
+    def naive(toks: Seq[String]): Option[Seq[Long]] = {
+      if (toks.length < 3) return None
+      val mins = Array.fill(16)(Long.MaxValue)
+      toks.sliding(3).foreach { w =>
+        val base = graft.functions.PolyHash.hash(w.mkString(" "), 1 << 20)
+        var p = 0
+        while (p < 16) {
+          val v = (base * (2 * p + 1) + 7919L * p) % 1000000007L
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      Some(mins.toSeq)
+    }
+    def fused(toks: Seq[String]): Option[Seq[Long]] = {
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      Option(graft.functions.MinhashSig.compute(arr)).map(_.toSeq)
+    }
+    val cases: Seq[Seq[String]] = Seq(
+      Seq(),
+      Seq("a"),
+      Seq("a", "b"),
+      Seq("a", "b", "c"),
+      Seq("", "", ""),                       // empty tokens from split
+      Seq("alpha", "beta", "gamma", "delta", "alpha", "beta", "gamma"),
+      Seq("x" * 300, "y", "z" * 1000, "w"),  // long tokens
+      (0 until 50).map(i => s"tok$i"),
+      // cap fallback: one token pushes the shingle past the 1 MiB
+      // poly_hash prefix — composed path must hand off to the byte fold
+      Seq("q" * ((1 << 20) + 5), "r", "s", "t"),
+      Seq("a", "q" * ((1 << 20) - 3), "b", "c"),
+    )
+    cases.foreach { toks =>
+      assert(fused(toks) == naive(toks),
+        s"kernel drifted on ${toks.map(_.take(8)).mkString("[", ",", "]")}" +
+          s" (lens=${toks.map(_.length)})")
+    }
   }
 
   private def cellSet(df: org.apache.spark.sql.DataFrame)
