@@ -189,28 +189,49 @@ object Forget {
       .orderBy($"doc_id".asc)
   }
 
-  /** Declared incremental-forget query: persisted state = the full-corpus
-    * minhash labels plus the pair store tagged with its component label
-    * (built once and frozen via localCheckpoint — the signature-index
-    * precedent); tombstones = the same `mix64(doc_id) mod 19 = 0` draw
-    * as [[qForget]]. The oracle re-resolves the ENTIRE induced alive
-    * subgraph from scratch. */
+  /** Declared incremental-forget query against the PHYSICAL pair store
+    * ([[graft.sources.Etl.pairStoreFixture]]): persisted state = the
+    * on-disk member→label table plus the pair store directory-partitioned
+    * by `lbucket = label mod 1024`; tombstones = the same
+    * `mix64(doc_id) mod 19 = 0` draw as [[qForget]]. The touched-label
+    * buckets (≤ 1024 ints, compliance-derived — bounded driver metadata,
+    * the zone-map-candidate precedent) are collected and applied as a
+    * literal isin on the partition column, so the pair-store read is a
+    * PLAN-TIME partition prune: untouched components' pairs are never
+    * listed, opened, or decoded — at 100 TB the daily compliance batch
+    * reads O(touched pairs), not the graph (PlanSpec pins the
+    * PartitionFilters; ForgetSpec proves the pruned file set). The
+    * oracle re-resolves the ENTIRE induced alive subgraph from
+    * scratch, so the hash gate is pruned-scoped ≡ full. */
   def qDedupForgetCc(spark: SparkSession, sfDir: String): DataFrame = {
+    val (labels, labeledPairs, tombs) = prunedPairStore(spark, sfDir)
+    forgetLabelsScoped(labels, labeledPairs, tombs)
+  }
+
+  /** The physical reads behind [[qDedupForgetCc]], exposed so PlanSpec
+    * can pin the pruned pair-store scan DIRECTLY (the star-CC resolver
+    * materializes its input eagerly, so the declared query's final plan
+    * only shows the frozen iterate — the PartitionFilters live on this
+    * read's plan). Returns (labels, pruned labeled pairs, tombstones). */
+  private[graft] def prunedPairStore(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     graft.functions.Mix64.register(spark)
-    val pairs = Dedup.minHashLsh(spark, sfDir)
-      .select($"doc_a", $"doc_b").localCheckpoint(true)
-    val (labels0, _) = Dedup.connectedComponentsStar(pairs)
-    val labels = labels0.localCheckpoint(true)
-    // pairs stay inside one component, so doc_a's label IS the pair's
-    // component label
-    val labeledPairs = pairs
-      .join(labels.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
-      .select($"doc_a", $"doc_b", $"label").localCheckpoint(true)
+    val root = graft.sources.Etl.pairStoreFixture(spark, sfDir)
+    val labels = spark.read.parquet(s"$root/labels")
     val tombs = Tables.read(spark, sfDir, "documents")
       .filter(pmod(call_function("mix64", $"doc_id"), lit(19L)) === 0L)
       .select($"doc_id")
-    forgetLabelsScoped(labels, labeledPairs, tombs)
+    val touchedBuckets = labels
+      .join(broadcast(tombs), Seq("doc_id"), "left_semi")
+      .select(pmod($"label",
+        lit(graft.sources.Etl.PairStoreBuckets.toLong)).cast("int")
+        .as("lbucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val labeledPairs = spark.read.parquet(s"$root/pairs")
+      .filter($"lbucket".isin(touchedBuckets.map(Integer.valueOf): _*))
+      .select($"doc_a", $"doc_b", $"label")
+    (labels, labeledPairs, tombs)
   }
 
   /** Declared query: tombstones = docs whose splitmix64 draw lands on

@@ -131,4 +131,43 @@ class ForgetSpec extends SparkSpec {
       cs2(Seq((1L, 1L), (2L, 1L))))))
     assert(out("3_packs") == ((2L, 0L, 2L, cs1(Seq(0L, 1L)))))
   }
+
+  test("physical pair store: touched-bucket prune is a strict subset of" +
+      " the on-disk buckets and lossless vs the unpruned read") {
+    import org.apache.spark.sql.functions.{broadcast, call_function, col,
+      lit, pmod}
+    graft.functions.Mix64.register(spark)
+    val root = graft.sources.Etl.pairStoreFixture(spark, sf)
+    val allBucketDirs = Option(new java.io.File(s"$root/pairs").listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("lbucket="))
+        .map(_.getName).toSet).getOrElse(Set.empty[String])
+    assert(allBucketDirs.nonEmpty, "pair store has no bucket partitions")
+    val labels = spark.read.parquet(s"$root/labels")
+    val tombs = Tables.read(spark, sf, "documents")
+      .filter(pmod(call_function("mix64", col("doc_id")), lit(19L)) === 0L)
+      .select(col("doc_id"))
+    val touched = labels.join(broadcast(tombs), Seq("doc_id"), "left_semi")
+      .select(pmod(col("label"),
+        lit(graft.sources.Etl.PairStoreBuckets.toLong)).cast("int")
+        .as("lbucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.nonEmpty, "no tombstoned graph member — prune vacuous")
+    // the prune must be REAL at fixture scale: strictly fewer buckets
+    // read than exist on disk
+    assert(touched.size < allBucketDirs.size,
+      s"prune vacuous: ${touched.size} touched of ${allBucketDirs.size}" +
+        s" on-disk buckets")
+    // lossless: the bucket prune is a pure pre-filter — the scoped
+    // resolution over the pruned store must equal the one over the FULL
+    // store (the semi-join on touched labels does the exact scoping)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val pruned = Forget.qDedupForgetCc(spark, sf)
+    val unpruned = Forget.forgetLabelsScoped(labels,
+      spark.read.parquet(s"$root/pairs")
+        .select(col("doc_a"), col("doc_b"), col("label")),
+      tombs)
+    assert(key(pruned) == key(unpruned),
+      "bucket prune changed the resolved labels")
+  }
 }

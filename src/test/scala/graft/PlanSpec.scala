@@ -968,10 +968,17 @@ class PlanSpec extends SparkSpec {
     // the persisted cells are a frozen checkpoint; the ONLY parquet read
     // in the final plan is the tombstone batch being re-signed — a
     // second scan would mean the maintenance re-reads the corpus it
-    // promised never to touch
-    val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans == 1,
-      s"expected exactly the tombstone-side documents scan, got $scans:\n$p")
+    // promised never to touch. Guard on the INPUT PATHS, not the
+    // renderer's scan-node token (which drifts across Spark versions):
+    // exactly one documents.parquet location, no other table's.
+    val docScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(docScans == 1,
+      s"expected exactly the tombstone-side documents scan, got" +
+        s" $docScans:\n$p")
+    val otherScans = "[a-z_]+\\.parquet".r.findAllIn(p).toList
+      .filterNot(_.contains("documents"))
+    assert(otherScans.isEmpty,
+      s"index maintenance must read no other table, got $otherScans:\n$p")
     // the dead contributions are compliance-sized: the subtract join
     // must broadcast them, never shuffle the persisted index
     assert(p.contains("BroadcastHashJoin"),
@@ -982,6 +989,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
   }
 
+  test("dedup_forget_cc: touched label buckets prune the pair store at" +
+      " plan time") {
+    // the operator's own 100 TB claim: the daily compliance batch reads
+    // O(touched pairs) — the physical pair store's lbucket partition
+    // column must carry the touched-bucket literals as PLAN-TIME
+    // partition filters, so untouched components' pair files are never
+    // listed, opened, or decoded (ForgetSpec proves the bucket set is a
+    // strict subset and the prune lossless). Guarded on the pruned READ
+    // itself: the star-CC resolver freezes its input, so the declared
+    // query's final plan shows only the frozen iterate.
+    val (_, labeledPairs, _) =
+      graft.operators.Forget.prunedPairStore(spark, sf)
+    val p = labeledPairs.queryExecution.executedPlan.toString
+    // a single touched bucket folds the isin to an equality — accept
+    // INSET / IN / = as long as it lands in PartitionFilters on lbucket
+    assert(p.contains("PartitionFilters: [") && p.contains("lbucket") &&
+      (p.contains("INSET") || p.contains(" IN (") ||
+        "lbucket#\\d+ = \\d+".r.findFirstIn(p).isDefined),
+      s"touched buckets not applied as partition filters:\n$p")
+    assert(!plan("dedup_forget_cc").contains("CartesianProduct"),
+      "plan went cartesian")
+  }
+
   test("sim_topk_ivf_incremental: the index is never re-read on ingest —" +
       " embeddings scanned exactly twice (Δ assignment + query probes)") {
     val df = SparkEntry.queries("sim_topk_ivf_incremental")(spark, sf)
@@ -989,11 +1019,18 @@ class PlanSpec extends SparkSpec {
     // the persisted cell-assigned index is a frozen checkpoint: the only
     // parquet reads in the final plan are the arriving shard being
     // assigned and the query vectors probing — a third scan would mean
-    // ingest re-reads the index corpus it promised never to touch
-    val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans == 2,
-      s"expected exactly the Δ-assignment and query-probe scans," +
-        s" got $scans:\n$p")
+    // ingest re-reads the index corpus it promised never to touch.
+    // Guard on the INPUT PATHS (which inputs are read), not the
+    // renderer's scan-node token: exactly two embeddings.parquet
+    // locations, no other table's.
+    val embScans = "embeddings\\.parquet".r.findAllIn(p).length
+    assert(embScans == 2,
+      s"expected exactly the Δ-assignment and query-probe embeddings" +
+        s" scans, got $embScans:\n$p")
+    val otherScans = "[a-z_]+\\.parquet".r.findAllIn(p).toList
+      .filterNot(_.contains("embeddings"))
+    assert(otherScans.isEmpty,
+      s"ingest must read no other table, got $otherScans:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan went cartesian:\n$p")
   }
 
