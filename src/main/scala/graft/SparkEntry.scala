@@ -281,6 +281,8 @@ object SparkEntry {
       Similarity.topKIvfIncremental(s, d)),
     "q_vacuum" -> ((s, d) => RefQueries.qVacuum(s, d)),
     "q_schema_evolution" -> ((s, d) => RefQueries.qSchemaEvolution(s, d)),
+    "q_time_travel_chain" -> ((s, d) => RefQueries.qTimeTravelChain(s, d)),
+    "q_vacuum_retention" -> ((s, d) => RefQueries.qVacuumRetention(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -722,6 +724,91 @@ object SparkEntry {
                       (((y8 >> i) & 1) << (2*i + 1)))) // 24) AS hbucket
         FROM g
       )"""
+
+  /** The commit-chain replay shared by the `q_time_travel_chain` and
+    * `q_vacuum_retention` oracles: v1 = the Hilbert rows minus the
+    * delete rectangle, then the MERGE CDC batch applied to V1 (stripe
+    * movers re-folded on the shifted coordinate + the splitmix64 insert
+    * draw re-keyed above the max key — the `q_merge_rewrite` CTEs, with
+    * v1r as the update-half source instead of hb), yielding v2's row
+    * set; v3 (OPTIMIZE) has identical rows by construction. */
+  private lazy val chainCtes: String = s"""$hilbertGridCtes, hb AS (
+        SELECT o_orderkey, day, x8, y8, hidx, (hidx // 24) AS hbucket
+        FROM h
+      ), v1r AS (
+        SELECT * FROM hb
+        WHERE NOT (x8 BETWEEN ${RefQueries.HilbertRect._1}
+                          AND ${RefQueries.HilbertRect._2}
+               AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                          AND ${RefQueries.HilbertRect._4})
+      ),
+      k0 AS (SELECT o_orderkey,
+               ((o_orderkey::UHUGEINT + 11400714819323198485)
+                % 18446744073709551616)::UBIGINT AS z FROM orders),
+      k1 AS (SELECT o_orderkey,
+               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                % 18446744073709551616)::UBIGINT AS z FROM k0),
+      k2 AS (SELECT o_orderkey,
+               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                % 18446744073709551616)::UBIGINT AS z FROM k1),
+      insk AS (
+        SELECT o_orderkey FROM k2
+        WHERE ((CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+             THEN (xor(z, z >> 31)::HUGEINT - 18446744073709551616)::BIGINT
+             ELSE xor(z, z >> 31)::BIGINT END
+             % ${RefQueries.MergeInsertMod})
+             + ${RefQueries.MergeInsertMod})
+             % ${RefQueries.MergeInsertMod} = 0
+      ),
+      koff AS (
+        SELECT ((max(o_orderkey) // 10000000) + 1) * 10000000 AS koff
+        FROM orders
+      ),
+      mv AS (
+        SELECT o_orderkey, x8,
+               (((day - day_min + ${RefQueries.MergeDayShift})
+                 % (day_max - day_min + 1)) * 256)
+                 // (day_max - day_min + 1) AS y8
+        FROM v1r, s
+        WHERE x8 BETWEEN ${RefQueries.MergeStripe._1}
+                     AND ${RefQueries.MergeStripe._2}
+      ),
+      mv2 AS (
+        SELECT o_orderkey, x8, y8,
+               ${hilbertFoldSql("x8 * 256 + y8")} AS hidx
+        FROM mv
+      ),
+      ins AS (
+        SELECT hb.o_orderkey + (SELECT koff FROM koff) AS o_orderkey,
+               x8, y8, hidx
+        FROM hb JOIN insk USING (o_orderkey)
+      ),
+      inc AS (
+        SELECT o_orderkey, x8, y8, hidx FROM mv2
+        UNION ALL SELECT o_orderkey, x8, y8, hidx FROM ins
+      ),
+      v2r AS (
+        SELECT o_orderkey, x8, y8, hidx FROM v1r
+        WHERE NOT (x8 BETWEEN ${RefQueries.MergeStripe._1}
+                          AND ${RefQueries.MergeStripe._2})
+        UNION ALL SELECT o_orderkey, x8, y8, hidx FROM inc
+      )"""
+
+  /** One chain version's (version, n_rows, key_checksum, n_rect_rows)
+    * aggregate over a [[chainCtes]] row CTE — zone-map soundness makes
+    * the oracle's plain rectangle count equal the Spark side's
+    * candidate-gated one. */
+  private def chainVersionAgg(v: Int, src: String): String = s"""
+        SELECT $v::BIGINT AS version, count(*)::BIGINT AS n_rows,
+               coalesce((sum((o_orderkey % 1000000007)
+                   * (o_orderkey % 1000000007) % 1000000007)
+                 % 1000000007), 0)::BIGINT AS key_checksum,
+               sum(CASE WHEN x8 BETWEEN ${RefQueries.HilbertRect._1}
+                                    AND ${RefQueries.HilbertRect._2}
+                         AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                                    AND ${RefQueries.HilbertRect._4}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_rect_rows
+        FROM $src"""
 
   /** Compaction replay, parameterized on the curve: everything from the
     * bucket-count table down (prefix sum, bin = cum_before // target,
@@ -2291,6 +2378,89 @@ object SparkEntry {
                           AND ${RefQueries.HilbertRect._4})
       )
       SELECT * FROM v0 UNION ALL SELECT * FROM v1 ORDER BY version ASC""",
+    // depth-4 commit-chain time travel: v0 from source orders, v1 the
+    // delete survivors, v2 the post-merge set, v3 ≡ v2 (OPTIMIZE moves
+    // bytes, never rows) — the Spark side reads every version through
+    // its manifest + own zone maps in one pass over distinct files, so
+    // a hash match proves the whole chain's history is byte-complete
+    "q_time_travel_chain" -> s"""
+      WITH $chainCtes,
+      vv0 AS (${chainVersionAgg(0, "hb")}),
+      vv1 AS (${chainVersionAgg(1, "v1r")}),
+      vv2 AS (${chainVersionAgg(2, "v2r")}),
+      vv3 AS (${chainVersionAgg(3, "v2r")})
+      SELECT * FROM vv0 UNION ALL SELECT * FROM vv1
+      UNION ALL SELECT * FROM vv2 UNION ALL SELECT * FROM vv3
+      ORDER BY version ASC""",
+    // retention-vacuum replay: every file count derives from the curve
+    // arithmetic — per-version live buckets, the delete's zone
+    // candidates (their c0 files are the only garbage when v0 expires),
+    // the merge's touched set, and the OPTIMIZE bin census; live =
+    // kept c0 + c1 + c2 + c3 files. A wrong manifest composition
+    // anywhere in the chain (e.g. vacuuming a {v0,v1}-shared file the
+    // current version no longer references) fails this gate
+    "q_vacuum_retention" -> s"""
+      WITH $chainCtes,
+      z0 AS (
+        SELECT hbucket, min(x8) AS x_lo, max(x8) AS x_hi,
+               min(y8) AS y_lo, max(y8) AS y_hi
+        FROM hb GROUP BY 1
+      ),
+      td AS (
+        SELECT hbucket FROM z0
+        WHERE x_hi >= ${RefQueries.HilbertRect._1}
+          AND x_lo <= ${RefQueries.HilbertRect._2}
+          AND y_hi >= ${RefQueries.HilbertRect._3}
+          AND y_lo <= ${RefQueries.HilbertRect._4}
+      ),
+      z1 AS (
+        SELECT hbucket, min(x8) AS x_lo, max(x8) AS x_hi
+        FROM v1r GROUP BY 1
+      ),
+      srcc AS (
+        SELECT hbucket FROM z1
+        WHERE x_hi >= ${RefQueries.MergeStripe._1}
+          AND x_lo <= ${RefQueries.MergeStripe._2}
+      ),
+      tm AS (
+        SELECT hbucket FROM srcc
+        UNION SELECT DISTINCT (hidx // 24) AS hbucket FROM inc
+      ),
+      b1 AS (SELECT DISTINCT hbucket FROM v1r),
+      b2 AS (SELECT DISTINCT (hidx // 24) AS hbucket FROM v2r),
+      bc AS (
+        SELECT (hidx // 24) AS hbucket, count(*)::BIGINT AS bc
+        FROM v2r GROUP BY 1
+      ),
+      tgt AS (
+        SELECT greatest(64, (sum(bc)::BIGINT + 255) // 256)::BIGINT
+          AS target
+        FROM bc
+      ),
+      bins AS (
+        SELECT hbucket,
+               (coalesce(sum(bc) OVER (ORDER BY hbucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // target)::BIGINT AS cbin
+        FROM bc, tgt
+      ),
+      n AS (
+        SELECT
+          (SELECT count(DISTINCT hbucket) FROM hb)::BIGINT AS n0,
+          (SELECT count(*) FROM b1)::BIGINT AS n1,
+          (SELECT count(*) FROM b2)::BIGINT AS n2,
+          (SELECT count(DISTINCT cbin) FROM bins)::BIGINT AS n3,
+          (SELECT count(*) FROM td)::BIGINT AS ntd,
+          (SELECT count(*) FROM b1
+            WHERE hbucket IN (SELECT hbucket FROM td))::BIGINT AS c1n,
+          (SELECT count(*) FROM b2
+            WHERE hbucket IN (SELECT hbucket FROM tm))::BIGINT AS c2n
+      )
+      SELECT n0 AS n_files_v0, n1 AS n_files_v1, n2 AS n_files_v2,
+             n3 AS n_files_v3, ntd AS n_garbage,
+             (n0 - ntd)::BIGINT AS n_shared_kept,
+             ((n0 - ntd) + c1n + c2n + n3)::BIGINT AS n_live
+      FROM n""",
     // Morton write-path twin: same grid, width-24 buckets, rectangle,
     // and zone-map protocol — only the curve index differs (the
     // q_zorder_layout bit-interleave instead of the Hilbert fold)

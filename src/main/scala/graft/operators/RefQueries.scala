@@ -1320,6 +1320,88 @@ object RefQueries {
       .toDF("n_files_v0", "n_files_v1", "n_shared", "n_garbage", "n_fresh")
   }
 
+  /** TIME TRAVEL over the depth-4 COMMIT CHAIN (`Etl.chainFixture`:
+    * v0 ingest → v1 DELETE → v2 MERGE → v3 OPTIMIZE, one table root,
+    * per-version manifests + zone maps) — every version served with its
+    * OWN metadata, in ONE pass over the DISTINCT files of the whole
+    * history: a file shared by several versions (the manifest re-points
+    * COW leaves behind) is read ONCE and its rows attributed to each
+    * referencing version through a broadcast (file → version,
+    * rect-candidate flag) map built from the manifests and zone maps
+    * (driver metadata, ≤ ~11k entries). This is what kills the
+    * K-versions × full-snapshot listing tax the two-root `q_time_travel`
+    * pays: explicit manifest file lists (no directory listing), each
+    * physical file's footer opened once however many versions share it.
+    * Per version: row count, key checksum, and the rectangle count
+    * through that version's own zone candidates — v0 sees the
+    * pre-delete rect rows, v1/v2 see the post-delete state (plus any
+    * merge-inserted rows that land in the rect), v3 must agree with v2
+    * exactly (OPTIMIZE changes layout, never content). */
+  def qTimeTravelChain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val root = E.chainFixture(spark, sfDir)
+    val (xLo, xHi, yLo, yHi) = HilbertRect
+    val entries = (0 to 3).flatMap { v =>
+      val keyCol = if (v == 3) "cbin" else "hbucket"
+      val cands = spark.read.parquet(s"$root/${E.ChainZonesDir}/v$v")
+        .filter($"x_hi" >= xLo && $"x_lo" <= xHi &&
+          $"y_hi" >= yLo && $"y_lo" <= yHi)
+        .select(col(keyCol)).as[Long].collect().toSet
+      val pat = s"$keyCol=(\\d+)".r
+      E.chainManifest(root, v).map { rel =>
+        val key = pat.findFirstMatchIn(rel).get.group(1).toLong
+        (rel, v, cands(key))
+      }
+    }
+    val fileMap = broadcast(entries.toDF("rel", "version", "in_cands"))
+    val commits = entries.map(_._1.takeWhile(_ != '/')).distinct.sorted
+    val rows = commits.map { c =>
+      spark.read.option("basePath", s"$root/${E.ChainDataDir}/$c")
+        .parquet(s"$root/${E.ChainDataDir}/$c")
+        .select($"o_orderkey", $"x8", $"y8",
+          substring_index(input_file_name(), "/data/", -1).as("rel"))
+    }.reduce(_ unionByName _)
+    rows.join(fileMap, Seq("rel"))
+      .groupBy($"version".cast("long").as("version"))
+      .agg(count(lit(1)).as("n_rows"),
+        keyChecksum($"o_orderkey").as("key_checksum"),
+        sum(when($"in_cands" && $"x8".between(xLo, xHi) &&
+          $"y8".between(yLo, yHi), 1L).otherwise(0L)).as("n_rect_rows"))
+      .orderBy($"version".asc)
+  }
+
+  /** RETENTION VACUUM (dry run) over the depth-4 commit chain — the
+    * classification a real warehouse's first VACUUM decision needs and
+    * a naive two-way oldest-vs-current diff gets WRONG: expire v0, keep
+    * {v1, v2}, current v3. Because v3 (the OPTIMIZE commit) rewrote
+    * every live row into fresh bin files, NO v0 file is referenced by
+    * the current version — yet the c0 files of delete-untouched buckets
+    * are still referenced by v1 and v2, and deleting them would break
+    * time travel to the kept versions. The dry run is a pure MANIFEST
+    * diff (4 file-name lists, driver metadata, zero data I/O):
+    *  - garbage     = v0-only files (delete-touched buckets' originals),
+    *  - shared_kept = v0 files that SURVIVE via a kept version — the
+    *    naive-diff trap class (ChainSpec executes the vacuum and proves
+    *    these files keep v1/v2/v3 byte-identical while the v0 read
+    *    fails),
+    *  - live        = the union a correct vacuum must preserve.
+    * The oracle derives every count from the curve arithmetic alone
+    * (delete candidates, merge touched set, bin census), so a wrong
+    * manifest composition anywhere in the chain fails the hash gate. */
+  def qVacuumRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val root = E.chainFixture(spark, sfDir)
+    val f = (0 to 3).map(v => E.chainManifest(root, v).toSet)
+    val live = f(1) | f(2) | f(3)
+    Seq((f(0).size.toLong, f(1).size.toLong, f(2).size.toLong,
+        f(3).size.toLong, (f(0) -- live).size.toLong,
+        (f(0) & live).size.toLong, live.size.toLong))
+      .toDF("n_files_v0", "n_files_v1", "n_files_v2", "n_files_v3",
+        "n_garbage", "n_shared_kept", "n_live")
+  }
+
   /** Incremental JOIN maintenance — the delta identity behind every
     * materialized-view refresh: with both sides split into base + delta
     * (a load boundary at `cutoff`),

@@ -624,6 +624,210 @@ object Etl {
     * twins, the date-partitioned events copy, bucketed join tables) so a
     * timed pass measures queries, not conversions. Bench reports this as
     * its separate `etl` metric. */
+  /** Subdirectories of [[chainFixture]]: `data/c{0..3}/` hold each
+    * commit's part files (never rewritten by later commits — a commit
+    * only ADDS files; versions are manifest re-points), `manifests/`
+    * one file-list per version, `zones/v{0..3}/` each version's OWN
+    * zone maps (metadata is versioned with the data). */
+  val ChainDataDir = "data"
+  val ChainManifestsDir = "manifests"
+  val ChainZonesDir = "zones"
+
+  /** COMMIT-CHAINED table fixture — the full lakehouse version chain on
+    * ONE table root, depth 4:
+    *   v0 = ingest (Hilbert-clustered, one file per hbucket, commit c0),
+    *   v1 = COW DELETE of [[graft.operators.RefQueries.HilbertRect]]
+    *        (zone-candidate buckets rewritten into commit c1; untouched
+    *        buckets carry over by MANIFEST RE-POINT — their c0 files are
+    *        shared between v0 and v1, zero copy),
+    *   v2 = COW MERGE (the `cowMergeStripe` CDC batch applied to v1:
+    *        stripe movers relocate on the curve + re-keyed inserts;
+    *        touched buckets rewritten into c2, everything else re-points),
+    *   v3 = OPTIMIZE (bin-packs v2's live rows into ~256 contiguous-range
+    *        files, commit c3 — the compaction commit that collapses the
+    *        small-file listing tax for current readers).
+    * Each version is a manifest (list of table-relative file paths) plus
+    * its own zone maps; `_current` names the live version. Retention
+    * semantics over the chain are exactly the hard case VACUUM must get
+    * right: a c0 file dropped by v3 but still referenced by v1/v2 MUST
+    * survive a v0-expiry — the classification a naive two-way
+    * current-vs-oldest diff gets wrong (`q_vacuum_retention` gates it,
+    * ChainSpec executes the vacuum and proves v1/v2/v3 reads are
+    * byte-identical after while the expired v0 read fails).
+    * Deterministic end-to-end, so the DuckDB oracle derives every
+    * version's rows, file census, and retention classes from the curve
+    * arithmetic alone. */
+  def chainFixture(spark: SparkSession, sfDir: String): String =
+    cachedFixture(sfDir, "orders-chain-v1", s"$sfDir/orders.parquet") { tmp =>
+      import org.apache.spark.sql.functions._
+      graft.functions.HilbertIndex.register(spark)
+      graft.functions.Mix64.register(spark)
+      val R = graft.operators.RefQueries
+      val data = new java.io.File(tmp, ChainDataDir)
+      val mans = new java.io.File(tmp, ChainManifestsDir)
+      mans.mkdirs()
+
+      def writeCommit(c: String, rows: DataFrame, partCol: String): Unit =
+        rows.repartition(col(partCol))
+          .sortWithinPartitions(col(partCol), col("hidx"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(partCol)
+          .parquet(new java.io.File(data, c).getAbsolutePath)
+      def commitFiles(c: String): Seq[String] = {
+        val base = new java.io.File(data, c)
+        Option(base.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(d => d.isDirectory && d.getName.contains("="))
+          .flatMap { d =>
+            Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+              .filter(_.getName.startsWith("part-"))
+              .map(f => s"$c/${d.getName}/${f.getName}")
+          }.sorted
+      }
+      def writeManifest(v: Int, files: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          new java.io.File(mans, s"v$v.txt").toPath,
+          files.sorted.mkString("\n").getBytes("UTF-8")): Unit
+      def zonesOf(rows: DataFrame, keyCol: String): DataFrame =
+        rows.groupBy(col(keyCol).cast("long").as(keyCol))
+          .agg(min(col("x8")).as("x_lo"), max(col("x8")).as("x_hi"),
+            min(col("y8")).as("y_lo"), max(col("y8")).as("y_hi"))
+      def writeZones(v: Int, zones: DataFrame): Unit =
+        zones.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(new java.io.File(new java.io.File(tmp, ChainZonesDir),
+            s"v$v").getAbsolutePath)
+      def bucketOf(rel: String): Long =
+        "hbucket=(\\d+)".r.findFirstMatchIn(rel).get.group(1).toLong
+
+      // ---- v0: ingest commit
+      val laid = curveLaid(spark, sfDir, "hilbert_xy2d(x8, y8)")
+        .localCheckpoint(true)
+      writeCommit("c0", laid, "hbucket")
+      val c0 = commitFiles("c0")
+      writeManifest(0, c0)
+      writeZones(0, zonesOf(laid, "hbucket"))
+
+      // ---- v1: COW DELETE commit (rect rows out, candidates rewritten)
+      val (xLo, xHi, yLo, yHi) = R.HilbertRect
+      val inRect = col("x8").between(xLo, xHi) &&
+        col("y8").between(yLo, yHi)
+      val touchedDel = zonesOf(laid, "hbucket")
+        .filter(col("x_hi") >= xLo && col("x_lo") <= xHi &&
+          col("y_hi") >= yLo && col("y_lo") <= yHi)
+        .select(col("hbucket")).collect().map(_.getLong(0)).toSet
+      val v1Rows = laid.filter(!inRect).localCheckpoint(true)
+      writeCommit("c1",
+        v1Rows.filter(col("hbucket").isin(touchedDel.toSeq: _*)), "hbucket")
+      val v1Files = c0.filterNot(f => touchedDel(bucketOf(f))) ++
+        commitFiles("c1")
+      writeManifest(1, v1Files)
+      writeZones(1, zonesOf(v1Rows, "hbucket"))
+
+      // ---- v2: COW MERGE commit (stripe movers within v1 + CDC inserts)
+      val (sLo, sHi) = R.MergeStripe
+      val st = orderLayoutStats(spark, sfDir)
+      val dayMin = st.getLong(2)
+      val span = st.getLong(3) - dayMin + 1L
+      val keyOff = mergeKeyOffset(spark, sfDir)
+      val srcCands = zonesOf(v1Rows, "hbucket")
+        .filter(col("x_hi") >= sLo && col("x_lo") <= sHi)
+        .select(col("hbucket")).collect().map(_.getLong(0)).toSet
+      val movers = v1Rows.filter(col("x8").between(sLo, sHi))
+        .withColumn("off", (col("day") - dayMin + R.MergeDayShift) % span)
+        .withColumn("day", col("off") + dayMin)
+        .withColumn("y8", expr(s"(off * 256) div $span"))
+        .withColumn("hidx",
+          call_function("hilbert_xy2d", col("x8"), col("y8")))
+        .withColumn("hbucket", expr("hidx div 24"))
+        .drop("off")
+      val inserts = laid
+        .filter(pmod(call_function("mix64", col("o_orderkey")),
+          lit(R.MergeInsertMod)) === 0L)
+        .withColumn("o_orderkey", col("o_orderkey") + keyOff)
+      val incoming = movers.unionByName(inserts).localCheckpoint(true)
+      val touchedMrg = srcCands ++ incoming.select(col("hbucket"))
+        .distinct().collect().map(_.getLong(0))
+      val v2Rows = v1Rows.filter(!col("x8").between(sLo, sHi))
+        .unionByName(incoming).localCheckpoint(true)
+      writeCommit("c2",
+        v2Rows.filter(col("hbucket").isin(touchedMrg.toSeq: _*)), "hbucket")
+      val v2Files = v1Files.filterNot(f => touchedMrg(bucketOf(f))) ++
+        commitFiles("c2")
+      writeManifest(2, v2Files)
+      writeZones(2, zonesOf(v2Rows, "hbucket"))
+
+      // ---- v3: OPTIMIZE commit (bin-pack the live set — the
+      // compactCurveFixture protocol on v2's rows)
+      val counts = v2Rows.groupBy(col("hbucket"))
+        .agg(count(lit(1)).as("bc"))
+      val total = counts.agg(coalesce(sum(col("bc")), lit(0L)))
+        .head().getLong(0)
+      val target = math.max(64L, (total + 255L) / 256L)
+      val bins = counts.as("a")
+        .join(broadcast(counts.as("b")),
+          col("b.hbucket") < col("a.hbucket"), "left_outer")
+        .groupBy(col("a.hbucket").as("hbucket"))
+        .agg(coalesce(sum(col("b.bc")), lit(0L)).as("cum_before"))
+        .select(col("hbucket"),
+          expr(s"cum_before div $target").as("cbin"))
+      val laid3 = v2Rows.join(broadcast(bins), Seq("hbucket"))
+        .localCheckpoint(true)
+      writeCommit("c3", laid3, "cbin")
+      writeManifest(3, commitFiles("c3"))
+      writeZones(3, zonesOf(laid3, "cbin"))
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_current").toPath, "3"): Unit
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+
+  /** A chain version's manifest: table-relative part paths (bounded —
+    * ≤ ~2731 + touched entries per version, driver metadata). */
+  def chainManifest(root: String, v: Int): Seq[String] = {
+    val f = new java.io.File(s"$root/$ChainManifestsDir/v$v.txt")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+  }
+
+  /** Read one chain version's rows (o_orderkey, x8, y8, hidx) through
+    * its manifest — explicit file lists, no directory listing. Throws if
+    * a referenced file is missing (an expired/vacuumed version MUST fail
+    * loudly, never silently return partial history). */
+  def chainReadVersion(spark: SparkSession, root: String, v: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val rels = chainManifest(root, v)
+    rels.foreach { r =>
+      if (!new java.io.File(s"$root/$ChainDataDir/$r").exists())
+        throw new java.io.FileNotFoundException(
+          s"version v$v references vacuumed file $r")
+    }
+    rels.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).map {
+      case (c, paths) =>
+        spark.read.option("basePath", s"$root/$ChainDataDir/$c")
+          .parquet(paths.map(p => s"$root/$ChainDataDir/$p"): _*)
+          .select(col("o_orderkey"), col("x8"), col("y8"), col("hidx"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Execute the retention VACUUM on a chain root: delete every data
+    * file referenced ONLY by expired versions (the manifests themselves
+    * stay — history metadata is cheap, and a read of an expired version
+    * must fail LOUDLY on its missing files, not on absent metadata).
+    * Returns the deleted relative paths. Used by ChainSpec on a COPY of
+    * the fixture (fixtures are build-once). */
+  def chainVacuum(root: String, expired: Set[Int], kept: Set[Int])
+      : Seq[String] = {
+    val live = kept.toSeq.flatMap(v => chainManifest(root, v)).toSet
+    val dead = expired.toSeq.flatMap(v => chainManifest(root, v))
+      .distinct.filterNot(live)
+    dead.foreach { r =>
+      val f = new java.io.File(s"$root/$ChainDataDir/$r")
+      if (f.exists() && !f.delete())
+        throw new java.io.IOException(s"could not vacuum $r")
+    }
+    dead
+  }
+
   /** Label-bucket directory count for [[pairStoreFixture]] — bounded at
     * any corpus size (1024 dirs ≈ 100 GB each at 100 TB), large enough
     * that a compliance batch's touched components nominate a strict
@@ -682,6 +886,7 @@ object Etl {
     compactZorderFixture(spark, sfDir)
     deleteRewriteFixture(spark, sfDir)
     mergeRewriteFixture(spark, sfDir)
+    chainFixture(spark, sfDir)
     pairStoreFixture(spark, sfDir)
     bucketedOrderTables(spark, sfDir)
     ()

@@ -1,0 +1,93 @@
+package graft
+
+import graft.sources.Etl
+
+/** Physical semantics of the depth-4 commit chain (`Etl.chainFixture`):
+  * commit immutability, version content invariants, and the retention
+  * VACUUM executed for real on a copy — the expired version must fail
+  * loudly while every kept version stays byte-identical, including the
+  * {v0,v1}-shared files a naive oldest-vs-current diff would delete. */
+class ChainSpec extends SparkSpec {
+
+  private def rowKey(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long)] =
+    df.select("o_orderkey", "hidx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("chain content invariants: v1 = v0 minus the rectangle, v3 ≡ v2" +
+      " row-for-row, commits only add files") {
+    import org.apache.spark.sql.functions.col
+    val root = Etl.chainFixture(spark, sf)
+    val (xLo, xHi, yLo, yHi) = graft.operators.RefQueries.HilbertRect
+    val v0 = Etl.chainReadVersion(spark, root, 0)
+    val v1 = Etl.chainReadVersion(spark, root, 1)
+    val v2 = Etl.chainReadVersion(spark, root, 2)
+    val v3 = Etl.chainReadVersion(spark, root, 3)
+    val rect = col("x8").between(xLo, xHi) && col("y8").between(yLo, yHi)
+    assert(v1.filter(rect).count() == 0L,
+      "v1 must hold no deleted-rectangle row")
+    assert(rowKey(v1) == rowKey(v0.filter(!rect)),
+      "v1 must be exactly v0's rectangle survivors")
+    assert(rowKey(v3) == rowKey(v2),
+      "OPTIMIZE must move bytes, never rows")
+    // commit immutability: every file a version references exists, and
+    // a later version never references a file its commit didn't write
+    // or an earlier manifest didn't already carry
+    val manifests = (0 to 3).map(v => Etl.chainManifest(root, v))
+    manifests.zipWithIndex.foreach { case (files, v) =>
+      files.foreach { rel =>
+        assert(new java.io.File(s"$root/${Etl.ChainDataDir}/$rel").exists(),
+          s"v$v references missing file $rel")
+        val commit = rel.takeWhile(_ != '/').drop(1).toInt
+        assert(commit <= v,
+          s"v$v references a FUTURE commit's file $rel")
+      }
+    }
+    // the chain genuinely shares: v1 re-points some of v0's files
+    assert((manifests(0).toSet & manifests(1).toSet).nonEmpty,
+      "v1 must share untouched files with v0 (manifest re-point)")
+  }
+
+  test("executed retention vacuum: expired v0 read fails, kept versions" +
+      " byte-identical, the {v0,v1}-shared trap class survives") {
+    val src = Etl.chainFixture(spark, sf)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_chain_vac").toFile
+    try {
+      Etl.copyDir(new java.io.File(src), tmp)
+      val root = tmp.getAbsolutePath
+      val f = (0 to 3).map(v => Etl.chainManifest(root, v).toSet)
+      val live = f(1) | f(2) | f(3)
+      // the trap class: files shared by {v0, kept versions} that the
+      // CURRENT version no longer references — a naive v0-vs-current
+      // diff deletes them and breaks time travel to v1/v2
+      val trap = (f(0) & live) -- f(3)
+      assert(trap.nonEmpty, "no {v0,kept}-shared file — the retention" +
+        " hard case is vacuous at this scale")
+      val before = (1 to 3)
+        .map(v => rowKey(Etl.chainReadVersion(spark, root, v)))
+      val deleted = Etl.chainVacuum(root, expired = Set(0),
+        kept = Set(1, 2, 3))
+      assert(deleted.toSet == (f(0) -- live) && deleted.nonEmpty,
+        s"vacuum must delete exactly the v0-only files" +
+          s" (got ${deleted.size}, expected ${(f(0) -- live).size})")
+      trap.foreach { rel =>
+        assert(new java.io.File(s"$root/${Etl.ChainDataDir}/$rel").exists(),
+          s"vacuum deleted the kept-version-shared file $rel")
+      }
+      intercept[java.io.FileNotFoundException] {
+        Etl.chainReadVersion(spark, root, 0)
+      }
+      (1 to 3).foreach { v =>
+        assert(rowKey(Etl.chainReadVersion(spark, root, v)) == before(v - 1),
+          s"v$v drifted after the vacuum")
+      }
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+        x.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
+}

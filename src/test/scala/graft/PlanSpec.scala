@@ -900,6 +900,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_time_travel_chain: 4 versions, one scan per COMMIT — shared" +
+      " history files are never read once per referencing version") {
+    // the single-pass design: however many versions share a file, each
+    // commit directory is scanned exactly once and rows fan out to
+    // versions through the broadcast manifest map — the plan must show
+    // exactly the 4 commit scans and a broadcast join, no shuffle join
+    val p = plan("q_time_travel_chain")
+    val commitScans = "/data/c\\d".r.findAllIn(p).length
+    assert(commitScans == 4,
+      s"expected exactly one scan per commit (4), got $commitScans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the manifest map must broadcast:\n$p")
+    assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      s"history attribution must not shuffle the corpus:\n$p")
+  }
+
   test("q_dpp_join: dynamic partition pruning subquery reaches the fact" +
       " scan") {
     val df = SparkEntry.queries("q_dpp_join")(spark, sf)
