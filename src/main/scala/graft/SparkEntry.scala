@@ -283,6 +283,7 @@ object SparkEntry {
     "q_schema_evolution" -> ((s, d) => RefQueries.qSchemaEvolution(s, d)),
     "q_time_travel_chain" -> ((s, d) => RefQueries.qTimeTravelChain(s, d)),
     "q_vacuum_retention" -> ((s, d) => RefQueries.qVacuumRetention(s, d)),
+    "q_schema_widening" -> ((s, d) => RefQueries.qSchemaWidening(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2220,6 +2221,22 @@ object SparkEntry {
                AS n_evolved,
              sum(CASE WHEN o_orderkey % 2 = 1 THEN o_custkey % 16
                       ELSE 0 END)::BIGINT AS bucket_sum,
+             (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                  % 1000000007) % 1000000007)::BIGINT AS key_checksum
+      FROM orders""",
+    // type-widening replay: all three generations derive from orders
+    // (gen by key mod 3; o_qty = ck mod 100 [+100 | +5e9]), so the
+    // widened cast-on-read must report exactly these totals — losing a
+    // narrow-generation row, truncating a wide value, or inventing
+    // width all fail the hash
+    "q_schema_widening" -> """
+      SELECT count(*)::BIGINT AS n_rows,
+             sum(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)::BIGINT
+               AS n_wide,
+             sum(CASE o_orderkey % 3
+                 WHEN 0 THEN o_custkey % 100
+                 WHEN 1 THEN o_custkey % 100 + 100
+                 ELSE o_custkey % 100 + 5000000000 END)::BIGINT AS qty_sum,
              (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
                   % 1000000007) % 1000000007)::BIGINT AS key_checksum
       FROM orders""",

@@ -1250,6 +1250,40 @@ object RefQueries {
         keyChecksum($"o_orderkey").as("key_checksum"))
   }
 
+  /** TYPE-WIDENING read (`Etl.typeWideningFixture`: o_qty is INT in
+    * generations 1-2, BIGINT with beyond-Int values in generation 3) —
+    * the migration `mergeSchema` cannot serve (no numeric promotion in
+    * its schema merge; EtlSpec pins the int-vs-bigint hard failure).
+    * The read applies the table's TRACKED widened schema explicitly and
+    * the parquet scan upcasts old INT32 pages to bigint — cast-on-read,
+    * zero history rewrite, exactly a table format's `ALTER COLUMN ...
+    * TYPE BIGINT`. The oracle derives all three generations from
+    * `orders`, so the hash gate proves the widened read loses and
+    * invents nothing: total rows, the wide-generation count (values
+    * beyond Int range — the proof the widening is load-bearing), the
+    * exact sum across the type boundary, and the key checksum.
+    * Scale: like the add-column read, this is a FOOTER/plan-time
+    * concern; the data path upcasts inside the scan — a 100 TB table
+    * widens a column without touching a byte of history. */
+  def qSchemaWidening(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = graft.sources.Etl.typeWideningFixture(spark, sfDir)
+    val tracked = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ck",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_qty",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(tracked).parquet(path)
+      .select($"o_orderkey", $"o_qty")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"o_qty" > Int.MaxValue.toLong, 1L).otherwise(0L))
+          .as("n_wide"),
+        sum($"o_qty").as("qty_sum"),
+        keyChecksum($"o_orderkey").as("key_checksum"))
+  }
+
   /** TIME TRAVEL over the copy-on-write table — the read-side payoff of
     * COW DML: because `q_delete_rewrite` never mutates version 0's files
     * (untouched partitions carry over; touched ones are REWRITTEN into

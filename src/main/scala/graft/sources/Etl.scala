@@ -557,6 +557,43 @@ object Etl {
         new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
     }
 
+  /** TYPE-WIDENING fixture — the mid-life migration `mergeSchema`
+    * CANNOT do (its StructType merge has no numeric promotion — int vs
+    * bigint files hard-fail, EtlSpec pins the failure): three physical
+    * generations of one table directory where the `o_qty` column WIDENS
+    * from INT to BIGINT:
+    *   gen 1 (keys ≡ 0 mod 3): o_qty INT = ck mod 100,
+    *   gen 2 (keys ≡ 1 mod 3): o_qty INT = ck mod 100 + 100 (history
+    *     accumulates MULTIPLE narrow generations before the widening),
+    *   gen 3 (keys ≡ 2 mod 3): o_qty BIGINT = ck mod 100 + 5·10⁹ —
+    *     values beyond Int range, so narrowing back is impossible and
+    *     the widened read is load-bearing, not cosmetic.
+    * The serving protocol is CAST-ON-READ: the reader applies the
+    * table's TRACKED (widened) schema explicitly and the parquet reader
+    * upcasts old INT32 pages to bigint in the scan — no rewrite of
+    * history, exactly how table formats execute `ALTER COLUMN ... TYPE
+    * BIGINT`. A never-projected `ck` column rides along so the pruning
+    * guard can prove the widened read still prunes. */
+  def typeWideningFixture(spark: SparkSession, sfDir: String): String =
+    cachedFixture(sfDir, "orders-schema-widen-v1",
+        s"$sfDir/orders.parquet") { tmp =>
+      import org.apache.spark.sql.functions._
+      val ord = graft.Tables.read(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").cast("long").as("ck"))
+      ord.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_qty", pmod(col("ck"), lit(100L)).cast("int"))
+        .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+      ord.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_qty",
+          (pmod(col("ck"), lit(100L)) + 100L).cast("int"))
+        .write.mode(SaveMode.Append).parquet(tmp.getAbsolutePath)
+      ord.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_qty", pmod(col("ck"), lit(100L)) + 5000000000L)
+        .write.mode(SaveMode.Append).parquet(tmp.getAbsolutePath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+
   /** Per-process private warehouse for graft-built tables (bucketed join
     * slices), deleted on JVM exit. Isolation is deliberate: BUCKETING
     * METADATA lives only in the session's in-memory catalog, so a fresh

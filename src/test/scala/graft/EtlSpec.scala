@@ -50,4 +50,37 @@ class EtlSpec extends SparkSpec {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(e) // must register without throwing
   }
+
+  test("type widening: mergeSchema hard-fails on int-vs-bigint" +
+      " generations; the tracked-schema cast-on-read serves all three") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val path = Etl.typeWideningFixture(spark, sf)
+    // the migration mergeSchema CANNOT do — its StructType merge has no
+    // numeric promotion, so the mixed int/bigint o_qty must fail loudly
+    // (this failure is exactly why the widened-read protocol exists)
+    val merged = intercept[Exception] {
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .select(col("o_qty")).collect()
+    }
+    assert(merged.getMessage.toLowerCase.contains("merge")
+        || merged.getMessage.toLowerCase.contains("int"),
+      s"expected a schema-merge failure, got: ${merged.getMessage}")
+    // cast-on-read: the widened query must agree with reading each
+    // generation separately through its own native type
+    val out = graft.operators.RefQueries.qSchemaWidening(spark, sf)
+      .collect()(0)
+    val raw = spark.read.parquet(path) // schema from a sampled footer;
+    // count is type-agnostic, so use it only for the row total
+    assert(out.getLong(0) == raw.count(), "widened read lost rows")
+    // the wide generation is REAL: its minimum exceeds Int range, so a
+    // reader that silently truncated to int could not produce these
+    val wide = spark.read
+      .schema("o_orderkey bigint, ck bigint, o_qty bigint").parquet(path)
+      .filter(col("o_orderkey") % 3 === 2)
+    val mn = wide.agg(min(col("o_qty")), max(col("o_qty"))).collect()(0)
+    assert(mn.getLong(0) > Int.MaxValue.toLong,
+      s"wide generation must exceed Int range, min=${mn.getLong(0)}")
+    assert(out.getLong(1) == wide.count(),
+      "n_wide must count exactly the wide generation")
+  }
 }
