@@ -284,6 +284,10 @@ object SparkEntry {
     "q_time_travel_chain" -> ((s, d) => RefQueries.qTimeTravelChain(s, d)),
     "q_vacuum_retention" -> ((s, d) => RefQueries.qVacuumRetention(s, d)),
     "q_schema_widening" -> ((s, d) => RefQueries.qSchemaWidening(s, d)),
+    "stream_forget_index" -> ((s, d) =>
+      graft.streaming.StreamingQueries.forgetIndexStream(s, d)),
+    "sim_topk_serving_consistency" -> ((s, d) =>
+      Similarity.topKServingConsistency(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -1531,7 +1535,7 @@ object SparkEntry {
     * the same centroids IS the rebuild), then the standard probe/rerank.
     * The Spark side never re-reads the index on ingest, so the hash gate
     * is the incremental ≡ rebuild proof. */
-  private lazy val simTopKIvfIncrementalOracle = s"""
+  private def simTopKIvfIncrementalOracleFor(nq: Int) = s"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), ei AS (
@@ -1558,7 +1562,7 @@ object SparkEntry {
                row_number() OVER (PARTITION BY ev.vec_id
                  ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
                           c.cell_id ASC) AS r
-        FROM e ev CROSS JOIN centroids c WHERE ev.vec_id < 3
+        FROM e ev CROSS JOIN centroids c WHERE ev.vec_id < $nq
       ) WHERE r <= (SELECT np FROM kp)
     ), cand AS (
       SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a USING (cell_id)
@@ -1821,6 +1825,36 @@ object SparkEntry {
     FROM p ASOF LEFT JOIN c
       ON p.user_id = c.user_id AND p.ts >= c.click_ts
     ORDER BY p.event_id ASC"""
+
+  /** Alive-corpus index rebuild — the oracle for BOTH forget-index
+    * routes (`dedup_forget_index` batch subtraction and
+    * `stream_forget_index` Complete-mode streaming subtraction): the
+    * tombstone draw replayed through the splitmix64 chain, then the
+    * band-bucket cells rebuilt from scratch over the survivors. */
+  private lazy val forgetIndexOracle: String = s"""
+      WITH
+      z0 AS (SELECT doc_id,
+               ((doc_id::UHUGEINT + 11400714819323198485)
+                % 18446744073709551616)::UBIGINT AS z FROM documents),
+      z1 AS (SELECT doc_id,
+               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                % 18446744073709551616)::UBIGINT AS z FROM z0),
+      z2 AS (SELECT doc_id,
+               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                % 18446744073709551616)::UBIGINT AS z FROM z1),
+      dead AS (
+        SELECT doc_id FROM z2
+        WHERE ((CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+             THEN (xor(z, z >> 31)::HUGEINT - 18446744073709551616)::BIGINT
+             ELSE xor(z, z >> 31)::BIGINT END % 19) + 19) % 19 = 0
+      ), $minhashBandedCtes
+      SELECT band, bsig, count(*)::BIGINT AS n_docs,
+             (sum((doc_id % 1000000007) * (doc_id % 1000000007)
+                  % 1000000007) % 1000000007)::BIGINT AS member_checksum
+      FROM banded
+      WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+      GROUP BY band, bsig
+      ORDER BY band ASC, bsig ASC"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_topmonths" -> q1Oracle,
@@ -2655,7 +2689,11 @@ object SparkEntry {
     "sim_topk_lsh" -> simTopKLshOracle,
     "sim_topk_ivf" -> simTopKIvfOracle,
     "sim_topk_batch" -> simTopKIvfOracleFor(64),
-    "sim_topk_ivf_incremental" -> simTopKIvfIncrementalOracle,
+    "sim_topk_ivf_incremental" -> simTopKIvfIncrementalOracleFor(3),
+    // the serving-consistency probe is the SAME frozen-model rebuild
+    // replayed at the 64-query batch size — merged-index serving under
+    // maintenance must land on it exactly
+    "sim_topk_serving_consistency" -> simTopKIvfIncrementalOracleFor(64),
     "sim_topk_ivf_kmeans" -> simTopKIvfKmeansOracle,
     // binary-quantized ANN replay: identical sign-bit packing (two
     // 32-bit words — bit 63 is the BIGINT sign bit on both engines),
@@ -3979,30 +4017,12 @@ object SparkEntry {
     // the alive corpus — it subtracts the tombstoned docs' contributions
     // from the persisted cells — so the hash gate is the
     // subtract-maintenance ≡ rebuild proof.
-    "dedup_forget_index" -> s"""
-      WITH
-      z0 AS (SELECT doc_id,
-               ((doc_id::UHUGEINT + 11400714819323198485)
-                % 18446744073709551616)::UBIGINT AS z FROM documents),
-      z1 AS (SELECT doc_id,
-               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
-                % 18446744073709551616)::UBIGINT AS z FROM z0),
-      z2 AS (SELECT doc_id,
-               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
-                % 18446744073709551616)::UBIGINT AS z FROM z1),
-      dead AS (
-        SELECT doc_id FROM z2
-        WHERE ((CASE WHEN xor(z, z >> 31) >= 9223372036854775808
-             THEN (xor(z, z >> 31)::HUGEINT - 18446744073709551616)::BIGINT
-             ELSE xor(z, z >> 31)::BIGINT END % 19) + 19) % 19 = 0
-      ), $minhashBandedCtes
-      SELECT band, bsig, count(*)::BIGINT AS n_docs,
-             (sum((doc_id % 1000000007) * (doc_id % 1000000007)
-                  % 1000000007) % 1000000007)::BIGINT AS member_checksum
-      FROM banded
-      WHERE doc_id NOT IN (SELECT doc_id FROM dead)
-      GROUP BY band, bsig
-      ORDER BY band ASC, bsig ASC""",
+    "dedup_forget_index" -> forgetIndexOracle,
+    // the streaming twin subtracts the SAME tombstone draw as
+    // Complete-mode dead-cell state and finalizes through the shared
+    // batch subtraction — its oracle is the batch rebuild VERBATIM, so
+    // the gate is stream-subtract ≡ batch-subtract ≡ rebuild
+    "stream_forget_index" -> forgetIndexOracle,
     // runtime-filter oracle: the plain join rollup — the bloom filter is
     // a PLAN transformation (might_contain prunes non-joining fact rows
     // before the exchange); the answer must be bit-identical to the

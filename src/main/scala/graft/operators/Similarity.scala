@@ -287,6 +287,33 @@ object Similarity {
     * cell_id-bucketed union a real vector store maintains per segment. */
   def topKIvfIncremental(spark: SparkSession, sfDir: String, k: Int = 5,
       nQueries: Int = 3): DataFrame = {
+    val (emb, centroids, merged, np) = frozenIvfModel(spark, sfDir)
+    ivfServe(spark, emb, merged, centroids, k, nQueries, np)
+  }
+
+  /** SERVING-UNDER-MAINTENANCE consistency probe — the two incremental
+    * halves composed: the index [[topKIvfIncremental]] grew (frozen
+    * model, Δ assigned in one pass, merged with the persisted index)
+    * must serve the PRODUCTION-SIZED query batch ([[topKBatch]]'s 64
+    * queries, one cell_id equi-join for all of them) exactly as the
+    * rebuilt index would. The oracle is the incremental oracle's full
+    * rebuild replayed at 64 queries, so the hash gate proves serving
+    * consistency under maintenance at batch scale; SimilaritySpec
+    * additionally asserts merged ≡ rebuilt per query at BOTH batch
+    * sizes (3 and 64) against the in-session rebuild. */
+  def topKServingConsistency(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val (emb, centroids, merged, np) = frozenIvfModel(spark, sfDir)
+    ivfServe(spark, emb, merged, centroids, k = 5, nQueries = 64,
+      nprobe = np)
+  }
+
+  /** The frozen serving state [[topKIvfIncremental]] maintains, exposed
+    * so the consistency probe and SimilaritySpec reuse ONE build:
+    * (corpus, frozen index-seeded centroids, persisted-index ∪
+    * newly-assigned-Δ, frozen probe width). */
+  private[graft] def frozenIvfModel(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, Int) = {
     import spark.implicits._
     val emb = corpus(spark, sfDir)
     val isDelta = $"vec_id" % 2 === 1
@@ -300,8 +327,8 @@ object Similarity {
       .localCheckpoint(true)
     // the arriving shard: one broadcast-centroids pass over Δ only
     val deltaAssigned = assignCells(spark, emb.filter(isDelta), centroids)
-    ivfServe(spark, emb, assignedIndex.unionByName(deltaAssigned),
-      centroids, k, nQueries, ivfNprobe(nc, 0))
+    (emb, centroids, assignedIndex.unionByName(deltaAssigned),
+      ivfNprobe(nc, 0))
   }
 
   /** Corpus-derived IVF cell count: explicit override, else the

@@ -647,6 +647,50 @@ object StreamingQueries {
       .orderBy($"band".asc, $"bsig".asc)
   }
 
+  /** STREAMING signature-index FORGET — the tombstone half of the index
+    * lifecycle kept live, closing the build / maintain / probe / forget
+    * symmetry: `stream_minhash_index` grows the band-bucket occupancy
+    * cells as documents ARRIVE; this query shrinks them as compliance
+    * tombstone batches arrive. The stream signs each tombstoned doc
+    * row-locally (the SAME fused `minhash_sig` kernel as every other
+    * route) and maintains the DEAD-cell aggregate — per-(band, bsig)
+    * tombstone count + mod-prime member checksum — as Complete-mode
+    * state: both are merge-order-invariant SUMS, so however the
+    * tombstone batches slice, the accumulated dead cells equal the
+    * one-shot batch signing (StreamingSpec plants a cell whose dead
+    * members arrive in DIFFERENT batches and proves the cross-batch
+    * subtraction). The sink then finalizes through the SHARED
+    * `Dedup.forgetIndexCells` subtraction against the frozen persisted
+    * index — the batch `dedup_forget_index` protocol verbatim, and the
+    * oracle IS that query's alive-corpus rebuild SQL: stream-subtract ≡
+    * batch-subtract ≡ rebuild, cell for cell.
+    *
+    * The 100 TB shape: the alive corpus is never re-signed or read —
+    * each arriving tombstone batch costs one row-local signing pass of
+    * ITSELF, and the index summary stays continuously correct between
+    * compliance batches. */
+  def forgetIndexStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.Mix64.register(spark)
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    // persisted state: the full-corpus occupancy cells, built once and
+    // frozen (the dedup_forget_index precedent)
+    val cells = graft.operators.Dedup.bandCells(
+      graft.operators.Dedup.minhashBanded(docs)).localCheckpoint(true)
+    val tombs = docs.filter(
+      pmod(call_function("mix64", $"doc_id"), lit(19L)) === 0L)
+    val dead = runFileStream(spark, "forget_index",
+      Seq(tombs.filter($"doc_id" % 2 === 0),
+        tombs.filter($"doc_id" % 2 === 1)),
+      OutputMode.Complete()) { df =>
+      graft.operators.Dedup.bandCells(
+        graft.operators.Dedup.minhashBanded(df))
+    }
+    graft.operators.Dedup.forgetIndexCells(cells,
+      dead.select($"band", $"bsig", $"n_docs", $"member_checksum"))
+  }
+
   /** Streaming equi-width histogram + CDF — the distribution-profile
     * twin of the batch `q_histogram`: per-bucket COUNTS kept as
     * Complete-mode streaming aggregation state (counts are sums —

@@ -501,6 +501,37 @@ class SimilaritySpec extends SparkSpec {
         " differential cannot distinguish a re-training bug")
   }
 
+  test("serving under maintenance: the merged index serves the query" +
+      " batch identically to the rebuilt index at BOTH batch sizes") {
+    import org.apache.spark.sql.functions.col
+    // the two incremental halves composed: whatever batch size the
+    // serving layer throws at it (the per-query 3 and the production 64),
+    // (persisted index) ∪ (Δ-assigned shard) must answer exactly as a
+    // full-corpus re-assignment under the SAME frozen model — per query,
+    // per rank
+    val (emb, centroids, merged, np) = Similarity.frozenIvfModel(spark, sf)
+    val rebuiltAssign = Similarity.assignCells(spark, emb, centroids)
+      .localCheckpoint(true)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    Seq(3, 64).foreach { nq =>
+      val served = key(Similarity.ivfServe(spark, emb, merged, centroids,
+        5, nq, np))
+      val rebuilt = key(Similarity.ivfServe(spark, emb, rebuiltAssign,
+        centroids, 5, nq, np))
+      assert(rebuilt.nonEmpty, s"rebuild at nq=$nq produced no rows")
+      assert(served == rebuilt,
+        s"merged-index serving drifted at nq=$nq: only-served=" +
+          s"${served.diff(rebuilt).take(3)} only-rebuilt=" +
+          s"${rebuilt.diff(served).take(3)}")
+    }
+    // the 64-batch genuinely exercises more queries than the 3-batch
+    val nQ64 = Similarity.topKServingConsistency(spark, sf)
+      .select(col("q_id")).distinct().count()
+    assert(nQ64 > 3, s"64-query batch served only $nQ64 distinct queries")
+  }
+
   test("haversine scalar: zero distance, symmetry, known value") {
     val d0 = GeoFunctions.haversineKmScalar(48.8566, 2.3522, 48.8566, 2.3522)
     assert(math.abs(d0) < 1e-9)

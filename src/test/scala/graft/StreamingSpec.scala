@@ -349,6 +349,83 @@ class StreamingSpec extends SparkSpec {
       "vacuous merge")
   }
 
+  test("streaming forget: a cell's dead members arriving in DIFFERENT" +
+      " batches subtract cross-batch onto the alive rebuild exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val D = graft.operators.Dedup
+    // 10, 12, 14: exact twins modulo case — identical signatures, every
+    // shared cell holds all three; 40: alone in its cells
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "ALPHA BETA GAMMA DELTA EPSILON ZETA ETA THETA IOTA KAPPA"),
+      (14L, "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta Iota Kappa"),
+      (40L, "totally unrelated words about parquet row groups and pages"),
+    ).toDF("doc_id", "text")
+    val cells = D.bandCells(D.minhashBanded(docs)).localCheckpoint(true)
+    // tombstones 10 then 12 — the twins' shared cells lose one member
+    // PER BATCH, so the dead-cell state must genuinely sum across
+    // deliveries (a last-batch-wins bug would leave n_docs = 2)
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = D.bandCells(D.minhashBanded(df)).writeStream
+      .outputMode(OutputMode.Complete).format("memory")
+      .queryName("forget_dead").start()
+    try {
+      input.addData((10L, "alpha beta gamma delta epsilon zeta eta" +
+        " theta iota kappa"))
+      q.processAllAvailable()
+      input.addData((12L, "ALPHA BETA GAMMA DELTA EPSILON ZETA ETA" +
+        " THETA IOTA KAPPA"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def cellSet(x: org.apache.spark.sql.DataFrame) = x.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val kept = cellSet(D.forgetIndexCells(
+      cells.select(col("band").cast("long").as("band"), col("bsig"),
+        col("n_docs"), col("member_checksum")),
+      spark.table("forget_dead")
+        .select(col("band"), col("bsig"), col("n_docs"),
+          col("member_checksum"))))
+    val rebuilt = cellSet(
+      D.bandCells(D.minhashBanded(docs.filter(col("doc_id").isin(14L, 40L))))
+        .select(col("band").cast("long").as("band"), col("bsig"),
+          col("n_docs"), col("member_checksum"))
+        .orderBy(col("band"), col("bsig")))
+    assert(kept == rebuilt,
+      s"cross-batch subtraction drifted from the alive rebuild:" +
+        s" only-kept=${kept.diff(rebuilt).take(3)}" +
+        s" only-rebuilt=${rebuilt.diff(kept).take(3)}")
+    // the twins' shared cells shrank 3 → 1 across TWO batches
+    assert(kept.exists(_._3 == 1L) && cellSet(
+      cells.select(col("band").cast("long").as("band"), col("bsig"),
+        col("n_docs"), col("member_checksum"))).exists(_._3 == 3L),
+      "planted cross-batch shrink 3 -> 1 not observed")
+  }
+
+  test("stream_forget_index ≡ batch dedup_forget_index on the sf" +
+      " fixture, with a genuinely cross-batch dead cell") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.StreamingQueries.forgetIndexStream(spark, sf)
+    val want = graft.operators.Dedup.dedupForgetIndex(spark, sf)
+    assertSameRows(got, want)
+    // nonvacuity: BOTH deliveries carry tombstones, so the Complete-mode
+    // dead state genuinely accumulates across batches (a single shared
+    // cell straddling the parities is too rare at spec scale — the
+    // planted toy test above proves that exact case deterministically)
+    graft.functions.Mix64.register(spark)
+    val docs = Tables.read(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val tombs = docs.filter(
+      pmod(call_function("mix64", col("doc_id")), lit(19L)) === 0L)
+    val parities = tombs.select((col("doc_id") % 2).as("par"))
+      .distinct().count()
+    assert(parities == 2, "a tombstone delivery is empty — " +
+      "vacuous cross-batch accumulation")
+  }
+
   test("streaming histogram buckets merge across batches onto the batch" +
       " CDF exactly") {
     // bucket counts are sums; the parity split puts rows of MOST buckets
