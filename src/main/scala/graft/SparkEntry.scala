@@ -288,6 +288,7 @@ object SparkEntry {
       graft.streaming.StreamingQueries.forgetIndexStream(s, d)),
     "sim_topk_serving_consistency" -> ((s, d) =>
       Similarity.topKServingConsistency(s, d)),
+    "q_schema_rename" -> ((s, d) => RefQueries.qSchemaRename(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2271,6 +2272,22 @@ object SparkEntry {
                  WHEN 0 THEN o_custkey % 100
                  WHEN 1 THEN o_custkey % 100 + 100
                  ELSE o_custkey % 100 + 5000000000 END)::BIGINT AS qty_sum,
+             (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                  % 1000000007) % 1000000007)::BIGINT AS key_checksum
+      FROM orders""",
+    // column-rename replay: gen 1 (even keys) stores the measure under
+    // its ORIGINAL name with values < 100, gen 2 (odd keys, post-rename)
+    // under the new name with values >= 100 — the per-generation counts
+    // bind the mapping to the VALUES, so a mapping applied to the wrong
+    // generation (or a generation dropped by the mapped read) fails
+    "q_schema_rename" -> """
+      SELECT count(*)::BIGINT AS n_rows,
+             sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_gen1,
+             sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_gen2,
+             sum(o_custkey % 100 + CASE WHEN o_orderkey % 2 = 1
+                 THEN 100 ELSE 0 END)::BIGINT AS qty_sum,
              (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
                   % 1000000007) % 1000000007)::BIGINT AS key_checksum
       FROM orders""",

@@ -405,7 +405,16 @@ object Dedup {
 
   /** The subtract core of [[dedupForgetIndex]], exposed for the planted
     * vanishing-cell / shared-cell specs: persisted cells minus the
-    * tombstoned docs' cell contributions, empty cells dropped. */
+    * tombstoned docs' cell contributions, empty cells dropped.
+    *
+    * PRECONDITION: each tombstone batch is applied exactly once
+    * (deliveries are not idempotent — subtraction is not). A duplicate
+    * batch that leaves survivors in a cell drives its count NEGATIVE
+    * and fails the job via the guard below (DedupSpec pins it); a
+    * duplicate whose cells already vanished is structurally
+    * undetectable from counts alone (the left join has no row to go
+    * negative) — exactly-once delivery is the caller's contract, the
+    * guard is the tripwire for the detectable half. */
   private[graft] def forgetIndexCells(cells: DataFrame,
       deadCells: DataFrame): DataFrame = {
     val spark = cells.sparkSession
@@ -418,6 +427,15 @@ object Dedup {
         ($"n_docs" - coalesce($"dead_n", lit(0L))).as("n_docs"),
         pmod($"member_checksum" - coalesce($"dead_cs", lit(0L)) + lit(P),
           lit(P)).as("member_checksum"))
+      // a NEGATIVE count means more members subtracted than the cell
+      // ever held — a re-delivered (non-idempotent) tombstone batch.
+      // Silently filtering it would mask index corruption; fail the job
+      // instead so the duplicate delivery is detected at the source.
+      .withColumn("n_docs", when($"n_docs" < 0L,
+        raise_error(concat(
+          lit("forgetIndexCells: negative cell count — duplicate"
+            + " tombstone batch? band="), $"band".cast("string"),
+          lit(" bsig="), $"bsig"))).otherwise($"n_docs"))
       .filter($"n_docs" > 0L)
       .orderBy($"band".asc, $"bsig".asc)
   }

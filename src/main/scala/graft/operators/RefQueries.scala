@@ -1284,6 +1284,39 @@ object RefQueries {
         keyChecksum($"o_orderkey").as("key_checksum"))
   }
 
+  /** COLUMN-RENAME read (`Etl.schemaRenameFixture`: generation 1 files
+    * store the measure as `qty_v1`, generation 2 as `o_qty` after the
+    * rename commit) — served through the table's tracked NAME MAPPING:
+    * each generation is projected through its mapping (old → current
+    * name) and unioned, with zero history rewrite — a parquet column
+    * rename is a pure metadata operation, exactly a table format's
+    * column-id indirection. The oracle derives both generations from
+    * `orders`, so the hash gate proves the mapped read unifies the
+    * column correctly: total rows, per-generation counts (bound to the
+    * VALUES, so a mapping applied to the wrong generation fails), the
+    * unified sum, and the key checksum.
+    * Scale: the mapping is per-commit metadata applied at plan time;
+    * like the other two migrations, a 100 TB table renames a column
+    * without touching a byte of data. */
+  def qSchemaRename(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val path = E.schemaRenameFixture(spark, sfDir)
+    val gens = E.SchemaRenameMapping.toSeq.sortBy(_._1).map {
+      case (gen, mapping) =>
+        val df = spark.read.parquet(s"$path/$gen")
+        mapping.foldLeft(df) { case (d, (oldName, newName)) =>
+          d.withColumnRenamed(oldName, newName)
+        }.select($"o_orderkey", $"o_qty")
+    }
+    gens.reduce(_ unionByName _)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"o_qty" < 100L, 1L).otherwise(0L)).as("n_gen1"),
+        sum(when($"o_qty" >= 100L, 1L).otherwise(0L)).as("n_gen2"),
+        sum($"o_qty").as("qty_sum"),
+        keyChecksum($"o_orderkey").as("key_checksum"))
+  }
+
   /** TIME TRAVEL over the copy-on-write table — the read-side payoff of
     * COW DML: because `q_delete_rewrite` never mutates version 0's files
     * (untouched partitions carry over; touched ones are REWRITTEN into

@@ -521,9 +521,14 @@ object Etl {
     cowRewrite(spark, srcRoot, dstRoot, finalRows, touched.toSeq)
     // the commit manifest: what this MERGE touched (driver metadata —
     // the counts a table format records with the commit)
+    // coalesce: sum(...) over an EMPTY merge batch (possible at a tiny
+    // SF where stripe and insert draw are both empty) is NULL — the
+    // commit manifest must record (touched, 0, 0), not NPE
     val counted = incoming
-      .agg(sum(when(col("o_orderkey") < keyOff, 1L).otherwise(0L)),
-        sum(when(col("o_orderkey") >= keyOff, 1L).otherwise(0L))).head()
+      .agg(coalesce(sum(when(col("o_orderkey") < keyOff, 1L)
+          .otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("o_orderkey") >= keyOff, 1L)
+          .otherwise(0L)), lit(0L))).head()
     import spark.implicits._
     Seq((touched.length.toLong, counted.getLong(0), counted.getLong(1)))
       .toDF("n_buckets_touched", "n_updated", "n_inserted")
@@ -593,6 +598,44 @@ object Etl {
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
     }
+
+  /** COLUMN-RENAME fixture — the third mid-life migration (add-column
+    * and type-widening being the others): generation 1 files store the
+    * measure under its ORIGINAL name `qty_v1`; generation 2 files (after
+    * the rename commit) store it as `o_qty`. Physical files are never
+    * rewritten — the rename lives entirely in the table's tracked
+    * NAME MAPPING (old name → current name, per generation), exactly
+    * how a table format with column-id indirection serves
+    * `ALTER COLUMN RENAME`: the reader projects each generation through
+    * its mapping and unions. Generations land in `g1/`/`g2/` commit
+    * subdirs (the rename IS a commit boundary). A never-projected `ck`
+    * column rides along for the pruning guard. */
+  def schemaRenameFixture(spark: SparkSession, sfDir: String): String =
+    cachedFixture(sfDir, "orders-schema-rename-v1",
+        s"$sfDir/orders.parquet") { tmp =>
+      import org.apache.spark.sql.functions._
+      val ord = graft.Tables.read(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").cast("long").as("ck"))
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("qty_v1", pmod(col("ck"), lit(100L)))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(tmp, "g1").getAbsolutePath)
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_qty", pmod(col("ck"), lit(100L)) + 100L)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(tmp, "g2").getAbsolutePath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+
+  /** The rename fixture's tracked name mapping: per generation subdir,
+    * old column name → current logical name (identity where unchanged).
+    * In a real format this is table metadata carried by the commit; the
+    * constant here is its in-code stand-in, shared by the reader and
+    * the specs so the mapping can never drift between them. */
+  val SchemaRenameMapping: Map[String, Map[String, String]] = Map(
+    "g1" -> Map("qty_v1" -> "o_qty"),
+    "g2" -> Map.empty)
 
   /** Per-process private warehouse for graft-built tables (bucketed join
     * slices), deleted on JVM exit. Isolation is deliberate: BUCKETING

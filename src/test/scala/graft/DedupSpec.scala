@@ -702,6 +702,37 @@ class DedupSpec extends SparkSpec {
       "the twins must share at least one pre-forget cell")
   }
 
+  test("signature-index forget: a re-delivered tombstone batch fails" +
+      " loudly instead of silently corrupting the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // three exact twins: every shared cell holds all three, so after a
+    // legitimate {10,12} forget (cell at n=1) a RE-DELIVERED {10,12}
+    // batch drives the count to -1 — the guard must fail the job, not
+    // let the empty-cell filter absorb the corruption
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "ALPHA BETA GAMMA DELTA EPSILON ZETA ETA THETA IOTA KAPPA"),
+      (14L, "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta Iota Kappa"),
+    ).toDF("doc_id", "text")
+    val cells = Dedup.bandCells(Dedup.minhashBanded(docs))
+      .select(col("band").cast("long").as("band"), col("bsig"),
+        col("n_docs"), col("member_checksum"))
+    val dead = Dedup.bandCells(
+      Dedup.minhashBanded(docs.filter(col("doc_id").isin(10L, 12L))))
+    val once = Dedup.forgetIndexCells(cells, dead).localCheckpoint(true)
+    assert(once.count() > 0 && once.collect().forall(_.getLong(2) == 1L),
+      "single subtraction must leave exactly doc 14's cells")
+    val err = intercept[Exception] {
+      Dedup.forgetIndexCells(once, dead).collect()
+    }
+    def mentionsGuard(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(
+        _.contains("negative cell count")) || mentionsGuard(t.getCause))
+    assert(mentionsGuard(err),
+      s"expected the duplicate-batch guard, got: ${err.getMessage}")
+  }
+
   test("signature-index forget ≡ alive-corpus rebuild (sf fixture" +
       " differential)") {
     import org.apache.spark.sql.functions.{call_function, col, lit, pmod}

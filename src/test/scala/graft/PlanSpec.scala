@@ -528,6 +528,19 @@ class PlanSpec extends SparkSpec {
       s"a global aggregate needs no hash exchange:\n$p")
   }
 
+  test("q_schema_rename: pruning survives the mapped read — the" +
+      " never-projected ck column is not read from either generation") {
+    val df = SparkEntry.queries("q_schema_rename")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("o_qty") && p.contains("qty_v1"),
+      s"both physical column names must reach their generation's scan:\n$p")
+    assert("[<,]ck:".r.findFirstIn(p).isEmpty,
+      s"the never-projected ck column must be pruned from the mapped" +
+        s" read:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a global aggregate needs no hash exchange:\n$p")
+  }
+
   test("q_merge_rewrite: the update-half read touches ONLY stripe" +
       " zone-candidate partitions, stripe predicate pushed to footers") {
     // the MERGE cost claim mirrors the delete's: rows can only LEAVE

@@ -17,6 +17,15 @@ the baseline's [min,max] spread is flagged as variance, not a
 regression — the r5 lesson that single-run deltas lie. (One-directional
 on purpose: a symmetric or interval-overlap test is maskable by a wide
 candidate spread that merely touches the baseline range.)
+
+CPU-aware: when BOTH artifacts carry taskMetrics.<q>.cpuNs (the
+load-invariant executor CPU time, recorded since r14), a wall-ratio
+breach is judged on the CPU ratio instead — machine load inflates wall
+clock near-uniformly across the suite (the r14 1.24x cluster) while
+executor CPU stays put, so cpu_ratio <= threshold reclassifies the
+breach as load variance and cpu_ratio > threshold confirms a real
+regression regardless of the spread test. Wall-only artifacts keep the
+spread-based verdict unchanged.
 """
 import json
 import sys
@@ -31,6 +40,12 @@ def main(base_path, cand_path, threshold=1.5, allow_gone=()):
     base, cand = load(base_path), load(cand_path)
     bq, cq = base["queries"], cand["queries"]
     bs, cs = base.get("spread", {}), cand.get("spread", {})
+    bm, cm = base.get("taskMetrics", {}), cand.get("taskMetrics", {})
+
+    def cpu_ratio(k):
+        b = bm.get(k, {}).get("cpuNs", 0)
+        c = cm.get(k, {}).get("cpuNs", 0)
+        return (c / b) if b > 0 and c > 0 else None
     shared = sorted(set(bq) & set(cq))
     gone, new = sorted(set(bq) - set(cq)), sorted(set(cq) - set(bq))
     rows = []
@@ -49,15 +64,25 @@ def main(base_path, cand_path, threshold=1.5, allow_gone=()):
         ratio = c / b
         note = ""
         if ratio > threshold:
-            blo, bhi = bs.get(k, [b, b])
-            # variance only if the CANDIDATE MEDIAN lies inside the
-            # baseline's observed spread — one-directional on purpose:
-            # both interval overlap and the symmetric median test are
-            # maskable by a wide candidate spread that merely touches
-            # the baseline range
-            variance = blo <= c <= bhi
-            note = ("variance (candidate median within baseline spread)"
-                    if variance else "REGRESSION")
+            cr = cpu_ratio(k)
+            if cr is not None:
+                # the load-invariant verdict: executor CPU moved (or
+                # not) regardless of how loaded the box was during
+                # either run — overrides the spread test in both
+                # directions
+                note = (f"variance (cpu {cr:.2f}x — wall inflated by load)"
+                        if cr <= threshold else
+                        f"REGRESSION (cpu {cr:.2f}x)")
+            else:
+                blo, bhi = bs.get(k, [b, b])
+                # variance only if the CANDIDATE MEDIAN lies inside the
+                # baseline's observed spread — one-directional on
+                # purpose: both interval overlap and the symmetric
+                # median test are maskable by a wide candidate spread
+                # that merely touches the baseline range
+                variance = blo <= c <= bhi
+                note = ("variance (candidate median within baseline"
+                        " spread)" if variance else "REGRESSION")
         rows.append((ratio, k, b, c, note))
     rows.sort(reverse=True)
     width = max((len(k) for k in shared), default=10)
@@ -78,7 +103,8 @@ def main(base_path, cand_path, threshold=1.5, allow_gone=()):
             print("  allowed removals:", ", ".join(allowed))
     if new:
         print("new in candidate:", ", ".join(new))
-    bad = [k for _, k, _, _, note in rows if note in ("REGRESSION", "FAILED")]
+    bad = [k for _, k, _, _, note in rows
+           if note == "FAILED" or note.startswith("REGRESSION")]
     bad += [k for k in gone if k not in allow_gone]
     if bad:
         print(f"\n{len(bad)} regression(s)/failure(s): {', '.join(bad)}")

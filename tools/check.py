@@ -93,9 +93,18 @@ def main(sf_dir, out_dir, json_out=None):
     # n slice processes and merge the per-slice JSONs.
     names = sorted(os.listdir(out_dir))
     sl = os.environ.get("GRAFT_CHECK_SLICE")
+    slice_names = None
     if sl:
         i, n = map(int, sl.split("/"))
+        # a mistyped spec (3/3, -1/3, 0/0) would silently report
+        # ok=0/bad=0 and a whole slice would vanish from the merge
+        if n <= 0 or not (0 <= i < n):
+            sys.exit(f"GRAFT_CHECK_SLICE={sl!r} invalid: need 0 <= i < n")
         names = names[i::n]
+        slice_names = sorted(
+            x for x in names if os.path.isdir(os.path.join(out_dir, x)))
+        if not slice_names:
+            sys.exit(f"GRAFT_CHECK_SLICE={sl!r} selected zero queries")
     for name in names:
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -113,9 +122,16 @@ def main(sf_dir, out_dir, json_out=None):
                 bad += 1
     print(f"== {ok} ok, {bad} bad ==")
     if json_out:
+        # record the slice spec + exact names covered so the merge step
+        # can assert the slices PARTITION the query set (a silently
+        # missing slice is indistinguishable from an empty one otherwise)
+        blob = {"sf_dir": sf_dir, "ok": ok, "bad": bad,
+                "queries": summary}
+        if sl:
+            blob["slice"] = sl
+            blob["slice_names"] = slice_names
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "ok": ok, "bad": bad,
-                       "queries": summary}, f, indent=1, sort_keys=True)
+            json.dump(blob, f, indent=1, sort_keys=True)
     # type audit over the same dump — fails the sweep on a type outside
     # the proven set even when every cell compares equal (the r7/r8
     # failure class). skip_missing: targeted runs dump a query subset.
