@@ -289,6 +289,7 @@ object SparkEntry {
     "sim_topk_serving_consistency" -> ((s, d) =>
       Similarity.topKServingConsistency(s, d)),
     "q_schema_rename" -> ((s, d) => RefQueries.qSchemaRename(s, d)),
+    "q_delete_mor" -> ((s, d) => RefQueries.qDeleteMor(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2245,6 +2246,40 @@ object SparkEntry {
              m.n_rows_after, m.survivor_checksum,
              0::BIGINT AS n_rect_rows_after
       FROM fd, m""",
+    // merge-on-read delete replay: the SAME rectangle arithmetic as the
+    // COW twin — sidecar files = buckets holding >= 1 predicate row,
+    // entries = predicate rows, survivors identical to q_delete_rewrite;
+    // n_files_rewritten is a hard 0 (the whole point of MOR)
+    "q_delete_mor" -> s"""
+      WITH $hilbertGridCtes, hb AS (
+        SELECT o_orderkey, x8, y8, (hidx // 24) AS hbucket FROM h
+      ), dd AS (
+        SELECT hbucket, count(*)::BIGINT AS n FROM hb
+        WHERE x8 BETWEEN ${RefQueries.HilbertRect._1}
+                     AND ${RefQueries.HilbertRect._2}
+          AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                     AND ${RefQueries.HilbertRect._4}
+        GROUP BY hbucket
+      ), m AS (
+        SELECT count(*)::BIGINT AS n_rows_after,
+               coalesce((sum((o_orderkey % 1000000007)
+                   * (o_orderkey % 1000000007) % 1000000007)
+                 % 1000000007), 0)::BIGINT AS survivor_checksum
+        FROM hb
+        WHERE NOT (x8 BETWEEN ${RefQueries.HilbertRect._1}
+                          AND ${RefQueries.HilbertRect._2}
+               AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                          AND ${RefQueries.HilbertRect._4})
+      )
+      SELECT (SELECT count(DISTINCT hbucket) FROM hb)::BIGINT
+               AS n_files_base,
+             0::BIGINT AS n_files_rewritten,
+             (SELECT count(*) FROM dd)::BIGINT AS n_dv_files,
+             (SELECT coalesce(sum(n), 0) FROM dd)::BIGINT AS n_dv_entries,
+             (SELECT count(*) FROM hb)::BIGINT AS n_rows_before,
+             m.n_rows_after, m.survivor_checksum,
+             0::BIGINT AS n_rect_rows_after
+      FROM m""",
     // schema-evolution replay: both physical generations derive from
     // orders (gen 1 = even keys without the column, gen 2 = odd keys
     // with o_bucket = o_custkey mod 16), so the merged read must report

@@ -1284,6 +1284,60 @@ object RefQueries {
         keyChecksum($"o_orderkey").as("key_checksum"))
   }
 
+  /** MERGE-ON-READ DELETE (`Etl.morDvFixture`) — the same rectangle
+    * delete as `q_delete_rewrite`, executed as DELETION VECTORS: the
+    * commit wrote ONLY a (file, row-position) sidecar (zero data files
+    * rewritten — `n_files_rewritten` is a hard 0 in the output), and
+    * THIS read serves the survivors by anti-joining the broadcast
+    * sidecar on (file, position) against the scan's own
+    * `_metadata.row_index`. The write-amplification trade made
+    * measurable next to its COW twin: delete-time cost collapses from
+    * |touched partitions| rewritten to |deleted rows| tombstone
+    * entries; read-time cost gains the anti-join until compaction
+    * materializes the DV (the COW fixture IS that endpoint — ChainSpec
+    * proves both strategies serve the identical survivor set).
+    * The oracle derives every number from the same delete arithmetic
+    * (`q_delete_rewrite`'s CTEs): sidecar file/entry counts, survivor
+    * count + key checksum, zero rectangle rows through the MOR read.
+    * Scale: the DV build reads only zone-candidate partitions
+    * (plan-guarded); serving broadcasts the compliance-sized sidecar —
+    * a corpus-sized delete would partition-align the DV instead, which
+    * is when a warehouse schedules the compaction anyway. */
+  def qDeleteMor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val src = E.hilbertOrdersFixture(spark, sfDir)
+    val dvRoot = E.morDvFixture(spark, sfDir)
+    val (xLo, xHi, yLo, yHi) = HilbertRect
+    val dv = spark.read.parquet(s"$dvRoot/dv")
+    val base = spark.read.parquet(s"$src/${E.HilbertTableDir}")
+      .select($"o_orderkey", $"x8", $"y8",
+        substring_index(col("_metadata.file_path"),
+          s"/${E.HilbertTableDir}/", -1).as("fp"),
+        $"_metadata.row_index".as("ri"))
+    val survivors = base.join(broadcast(dv), Seq("fp", "ri"), "left_anti")
+    val served = survivors.agg(count(lit(1)).as("n_rows_after"),
+      coalesce(keyChecksum($"o_orderkey"), lit(0L)).as("survivor_checksum"),
+      sum(when($"x8".between(xLo, xHi) && $"y8".between(yLo, yHi), 1L)
+        .otherwise(0L)).as("n_rect_rows_after"))
+    val sidecar = dv.agg(
+      countDistinct($"fp").as("n_dv_files"),
+      count(lit(1)).as("n_dv_entries"))
+    // base census = the zone table's row count (one file per bucket is
+    // the ingest's own metadata — MOR wrote nothing, so there is no
+    // on-disk claim to re-census); n_rows_before = survivors + DV
+    // entries (positions are unique per file — each tombstone kills
+    // exactly one row), so the base table is scanned exactly ONCE
+    val nFilesBase = spark.read
+      .parquet(s"$src/${E.HilbertZonesDir}").count()
+    sidecar.crossJoin(served)
+      .select(lit(nFilesBase).as("n_files_base"),
+        lit(0L).as("n_files_rewritten"),
+        $"n_dv_files", $"n_dv_entries",
+        ($"n_rows_after" + $"n_dv_entries").as("n_rows_before"),
+        $"n_rows_after", $"survivor_checksum", $"n_rect_rows_after")
+  }
+
   /** COLUMN-RENAME read (`Etl.schemaRenameFixture`: generation 1 files
     * store the measure as `qty_v1`, generation 2 as `o_qty` after the
     * rename commit) — served through the table's tracked NAME MAPPING:
@@ -1422,10 +1476,15 @@ object RefQueries {
       }
     }
     val fileMap = broadcast(entries.toDF("rel", "version", "in_cands"))
-    val commits = entries.map(_._1.takeWhile(_ != '/')).distinct.sorted
-    val rows = commits.map { c =>
+    // the manifests ARE the file index: pass explicit leaf paths per
+    // commit, so Spark never lists the ~2731 partition directories (the
+    // small-file listing tax the two-root q_time_travel pays per
+    // version) — each distinct file is named once, opened once
+    val byCommit = entries.map(_._1).distinct
+      .groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    val rows = byCommit.map { case (c, rels) =>
       spark.read.option("basePath", s"$root/${E.ChainDataDir}/$c")
-        .parquet(s"$root/${E.ChainDataDir}/$c")
+        .parquet(rels.map(r => s"$root/${E.ChainDataDir}/$r"): _*)
         .select($"o_orderkey", $"x8", $"y8",
           substring_index(input_file_name(), "/data/", -1).as("rel"))
     }.reduce(_ unionByName _)

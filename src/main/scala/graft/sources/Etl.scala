@@ -599,6 +599,58 @@ object Etl {
         new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
     }
 
+  /** DELETION-VECTOR sidecar fixture — the MERGE-ON-READ delete, the
+    * OTHER DML strategy (`deleteRewriteFixture` is copy-on-write): the
+    * same rectangle DELETE executed with ZERO data rewrite. The commit
+    * writes only a sidecar of (file, row position) tombstones —
+    * positions from the scan's own `_metadata.row_index`, files as
+    * table-relative paths (the Delta/Iceberg deletion-vector shape,
+    * positions-array instead of a roaring bitmap — same semantics) —
+    * and readers anti-join it at serve time. The write-amplification
+    * trade every lakehouse tunes: COW pays the touched-partition
+    * rewrite once and reads clean; MOR pays ~nothing at delete time
+    * and a position anti-join on every read until compaction
+    * materializes the DV (which is exactly the COW rewrite —
+    * `q_delete_rewrite` IS the compacted endpoint, and the spec proves
+    * both strategies serve the identical survivor set).
+    * The build reads ONLY the rectangle's zone-candidate partitions
+    * ([[morDvBuild]] — plan-guarded). Positions are self-consistent
+    * with the CURRENT base files (staleness tracks the base fixture's
+    * build stamp); the declared output gates on counts + key checksums,
+    * which are position-layout-independent. */
+  def morDvFixture(spark: SparkSession, sfDir: String): String = {
+    val src = hilbertOrdersFixture(spark, sfDir)
+    cachedFixture(sfDir, "orders-hilbert-dv-v1", s"$src/_SUCCESS") { tmp =>
+      morDvBuild(spark, src)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(tmp, "dv").getAbsolutePath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+  }
+
+  /** The DV build read — deleted (file, position) pairs for the
+    * rectangle, scanning ONLY zone-candidate partitions. Exposed so
+    * PlanSpec pins the PartitionFilters on exactly the production
+    * build. */
+  private[graft] def morDvBuild(spark: SparkSession, srcRoot: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (xLo, xHi, yLo, yHi) = graft.operators.RefQueries.HilbertRect
+    val cands = spark.read.parquet(s"$srcRoot/$HilbertZonesDir")
+      .filter(col("x_hi") >= xLo && col("x_lo") <= xHi &&
+        col("y_hi") >= yLo && col("y_lo") <= yHi)
+      .select(col("hbucket")).collect().map(_.getLong(0)).sorted
+    spark.read.parquet(s"$srcRoot/$HilbertTableDir")
+      .withColumn("hbucket", col("hbucket").cast("long"))
+      .filter(col("hbucket").isin(cands: _*) &&
+        col("x8").between(xLo, xHi) && col("y8").between(yLo, yHi))
+      .select(
+        substring_index(col("_metadata.file_path"),
+          s"/$HilbertTableDir/", -1).as("fp"),
+        col("_metadata.row_index").as("ri"))
+  }
+
   /** COLUMN-RENAME fixture — the third mid-life migration (add-column
     * and type-widening being the others): generation 1 files store the
     * measure under its ORIGINAL name `qty_v1`; generation 2 files (after
@@ -966,6 +1018,7 @@ object Etl {
     compactZorderFixture(spark, sfDir)
     deleteRewriteFixture(spark, sfDir)
     mergeRewriteFixture(spark, sfDir)
+    morDvFixture(spark, sfDir)
     chainFixture(spark, sfDir)
     pairStoreFixture(spark, sfDir)
     bucketedOrderTables(spark, sfDir)

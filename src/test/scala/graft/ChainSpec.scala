@@ -48,6 +48,39 @@ class ChainSpec extends SparkSpec {
       "v1 must share untouched files with v0 (manifest re-point)")
   }
 
+  test("merge-on-read ≡ copy-on-write: the two DELETE strategies serve" +
+      " the identical survivor set, and MOR rewrites nothing") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val base = Etl.hilbertOrdersFixture(spark, sf)
+    val cow = Etl.deleteRewriteFixture(spark, sf)
+    val dvRoot = Etl.morDvFixture(spark, sf)
+    import org.apache.spark.sql.functions.substring_index
+    val dv = spark.read.parquet(s"$dvRoot/dv")
+    val morSurvivors = spark.read
+      .parquet(s"$base/${Etl.HilbertTableDir}")
+      .select(col("o_orderkey"),
+        substring_index(col("_metadata.file_path"),
+          s"/${Etl.HilbertTableDir}/", -1).as("fp"),
+        col("_metadata.row_index").as("ri"))
+      .join(broadcast(dv), Seq("fp", "ri"), "left_anti")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val cowSurvivors = spark.read
+      .parquet(s"$cow/${Etl.HilbertTableDir}")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(morSurvivors == cowSurvivors,
+      s"DELETE strategies disagree: only-mor=" +
+        s"${morSurvivors.diff(cowSurvivors).take(3)} only-cow=" +
+        s"${cowSurvivors.diff(morSurvivors).take(3)}")
+    assert(dv.count() > 0, "deletion vector is empty — vacuous")
+    // every DV entry must point at a real base file (a stale sidecar
+    // referencing a rewritten file is the MOR failure mode)
+    val fps = dv.select(col("fp")).distinct().collect().map(_.getString(0))
+    fps.foreach { fp =>
+      assert(new java.io.File(s"$base/${Etl.HilbertTableDir}/$fp").exists(),
+        s"DV references missing base file $fp")
+    }
+  }
+
   test("executed retention vacuum: expired v0 read fails, kept versions" +
       " byte-identical, the {v0,v1}-shared trap class survives") {
     val src = Etl.chainFixture(spark, sf)

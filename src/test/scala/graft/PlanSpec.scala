@@ -515,6 +515,24 @@ class PlanSpec extends SparkSpec {
       s"a global aggregate needs no hash exchange:\n$p")
   }
 
+  test("q_delete_mor: the DV build reads ONLY zone-candidate" +
+      " partitions; serving is a broadcast position anti-join") {
+    // the MOR delete's two cost claims: building the sidecar never
+    // reads outside the predicate's zone candidates, and serving never
+    // shuffles the corpus to learn what died
+    val build = graft.sources.Etl.morDvBuild(spark,
+      graft.sources.Etl.hilbertOrdersFixture(spark, sf))
+    val bp = build.queryExecution.executedPlan.toString
+    assert(bp.contains("PartitionFilters: [") && bp.contains("hbucket") &&
+      (bp.contains("INSET") || bp.contains(" IN (")),
+      s"DV build not partition-pruned to zone candidates:\n$bp")
+    val p = plan("q_delete_mor")
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"MOR serve must anti-join the broadcast sidecar:\n$p")
+    assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      s"the corpus must not shuffle to apply the DV:\n$p")
+  }
+
   test("q_schema_widening: pruning survives the widened read — the" +
       " never-projected ck column is not read from any generation") {
     val df = SparkEntry.queries("q_schema_widening")(spark, sf)
