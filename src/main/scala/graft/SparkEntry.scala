@@ -290,6 +290,7 @@ object SparkEntry {
       Similarity.topKServingConsistency(s, d)),
     "q_schema_rename" -> ((s, d) => RefQueries.qSchemaRename(s, d)),
     "q_delete_mor" -> ((s, d) => RefQueries.qDeleteMor(s, d)),
+    "q_wap_audit" -> ((s, d) => RefQueries.qWapAudit(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2246,6 +2247,40 @@ object SparkEntry {
              m.n_rows_after, m.survivor_checksum,
              0::BIGINT AS n_rect_rows_after
       FROM fd, m""",
+    // write-audit-publish replay: the branch batch is the mix64 mod-101
+    // draw over orders keys; a duplicate materializes only when the
+    // defect sub-draw's ORIGINAL key is still alive in v2/v3 (the chain
+    // CTEs' v2r) — flagging a dead key would wrongly block a publish
+    "q_wap_audit" -> s"""
+      WITH $chainCtes,
+      wk AS (
+        SELECT o_orderkey FROM k2
+        WHERE ((CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+             THEN (xor(z, z >> 31)::HUGEINT - 18446744073709551616)::BIGINT
+             ELSE xor(z, z >> 31)::BIGINT END
+             % ${graft.sources.Etl.WapBatchMod})
+             + ${graft.sources.Etl.WapBatchMod})
+             % ${graft.sources.Etl.WapBatchMod} = 0
+      ),
+      dup AS (
+        SELECT w.o_orderkey FROM wk w JOIN v2r v USING (o_orderkey)
+        WHERE w.o_orderkey % ${graft.sources.Etl.WapDefectMod} = 0
+      ),
+      n AS (
+        SELECT
+          (SELECT count(*) FROM v2r)::BIGINT AS n_published_rows,
+          (SELECT count(*) FROM wk)::BIGINT AS n_appended,
+          (SELECT count(*) FROM dup)::BIGINT AS n_dup_keys,
+          (SELECT coalesce((sum((o_orderkey % 1000000007)
+               * (o_orderkey % 1000000007) % 1000000007)
+             % 1000000007), 0) FROM dup)::BIGINT AS dup_key_checksum
+      )
+      SELECT n_published_rows,
+             (n_published_rows + n_appended)::BIGINT AS n_branch_rows,
+             n_appended, n_dup_keys, dup_key_checksum,
+             (CASE WHEN n_dup_keys > 0 THEN 0 ELSE 1 END)::BIGINT
+               AS publish_ok
+      FROM n""",
     // merge-on-read delete replay: the SAME rectangle arithmetic as the
     // COW twin — sidecar files = buckets holding >= 1 predicate row,
     // entries = predicate rows, survivors identical to q_delete_rewrite;

@@ -1284,6 +1284,44 @@ object RefQueries {
         keyChecksum($"o_orderkey").as("key_checksum"))
   }
 
+  /** WRITE-AUDIT-PUBLISH gate (`Etl.chainFixture`'s `b_audit` branch) —
+    * the staging workflow every production table change should go
+    * through: the CDC batch was appended on a BRANCH (commit c4 over
+    * v3's files; main's `_current` still points at v3), and THIS query
+    * is the audit that decides publication. The batch carries a planted
+    * defect — a deterministic subset kept its ORIGINAL key (the
+    * "forgot to re-key" upsert bug) — so the duplicate-primary-key
+    * audit must find exactly those collisions and REFUSE (publish_ok =
+    * 0). Publication itself is an atomic `_current` pointer swap and a
+    * refused branch vacuums away without touching main (ChainSpec
+    * executes both on a copy). The oracle replays the batch draw and
+    * the defect's survivor intersection from the chain arithmetic, so
+    * the gate proves the audit counts exactly the true collisions —
+    * against live keys only (a defect row whose original died in the
+    * DELETE is NOT a duplicate, and flagging it would block a clean
+    * publish).
+    * Scale: the audit is one groupBy over branch keys (the appended
+    * batch is CDC-sized; the base is the published table — the same
+    * aggregate any uniqueness constraint check costs). */
+  def qWapAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val root = E.chainFixture(spark, sfDir)
+    val published = E.chainReadNamed(spark, root, E.chainCurrent(root))
+    val branch = E.chainReadNamed(spark, root, "b_audit")
+    val dup = branch.groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n")).filter($"n" > 1L)
+    val dupAgg = dup.agg(count(lit(1)).as("n_dup_keys"),
+      coalesce(keyChecksum($"o_orderkey"), lit(0L)).as("dup_key_checksum"))
+    val pubAgg = published.agg(count(lit(1)).as("n_published_rows"))
+    val brAgg = branch.agg(count(lit(1)).as("n_branch_rows"))
+    pubAgg.crossJoin(brAgg).crossJoin(dupAgg)
+      .select($"n_published_rows", $"n_branch_rows",
+        ($"n_branch_rows" - $"n_published_rows").as("n_appended"),
+        $"n_dup_keys", $"dup_key_checksum",
+        when($"n_dup_keys" > 0L, 0L).otherwise(1L).as("publish_ok"))
+  }
+
   /** MERGE-ON-READ DELETE (`Etl.morDvFixture`) — the same rectangle
     * delete as `q_delete_rewrite`, executed as DELETION VECTORS: the
     * commit wrote ONLY a (file, row-position) sidecar (zero data files

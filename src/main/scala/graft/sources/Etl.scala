@@ -790,7 +790,7 @@ object Etl {
     * version's rows, file census, and retention classes from the curve
     * arithmetic alone. */
   def chainFixture(spark: SparkSession, sfDir: String): String =
-    cachedFixture(sfDir, "orders-chain-v1", s"$sfDir/orders.parquet") { tmp =>
+    cachedFixture(sfDir, "orders-chain-v3", s"$sfDir/orders.parquet") { tmp =>
       import org.apache.spark.sql.functions._
       graft.functions.HilbertIndex.register(spark)
       graft.functions.Mix64.register(spark)
@@ -906,32 +906,74 @@ object Etl {
       writeCommit("c3", laid3, "cbin")
       writeManifest(3, commitFiles("c3"))
       writeZones(3, zonesOf(laid3, "cbin"))
+
+      // ---- branch 'b_audit': WRITE-AUDIT-PUBLISH — an append commit
+      // staged on a BRANCH, never on main. The CDC batch carries a
+      // PLANTED DEFECT: a deterministic subset keeps its ORIGINAL key
+      // (a "forgot to re-key" upsert bug), colliding with live rows —
+      // duplicate primary keys, the classic audit catch. `_current`
+      // stays at v3: publish is a pointer swap that the failed audit
+      // refuses (q_wap_audit gates the refusal; ChainSpec proves branch
+      // abandonment vacuums ONLY the branch commit's files).
+      val keyOff2 = keyOff * 2
+      val batch = laid
+        .filter(pmod(call_function("mix64", col("o_orderkey")),
+          lit(WapBatchMod)) === 0L)
+        .withColumn("o_orderkey",
+          when(col("o_orderkey") % WapDefectMod === 0, col("o_orderkey"))
+            .otherwise(col("o_orderkey") + keyOff2))
+      writeCommit("c4", batch, "hbucket")
+      java.nio.file.Files.write(
+        new java.io.File(mans, "b_audit.txt").toPath,
+        (commitFiles("c3") ++ commitFiles("c4")).sorted
+          .mkString("\n").getBytes("UTF-8")): Unit
+
       java.nio.file.Files.writeString(
-        new java.io.File(tmp, "_current").toPath, "3"): Unit
+        new java.io.File(tmp, "_current").toPath, "v3"): Unit
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
     }
 
-  /** A chain version's manifest: table-relative part paths (bounded —
-    * ≤ ~2731 + touched entries per version, driver metadata). */
-  def chainManifest(root: String, v: Int): Seq[String] = {
-    val f = new java.io.File(s"$root/$ChainManifestsDir/v$v.txt")
+  /** WAP audit-batch geometry: the CDC draw (`mix64(key) mod 101 = 0`,
+    * ~1% of the table) and the planted-defect sub-draw (original key
+    * kept when `key mod 5 = 0`). Shared by the fixture build, the audit
+    * query, and the oracle replay. */
+  val WapBatchMod = 101L
+  val WapDefectMod = 5L
+
+  /** A chain ref's manifest: table-relative part paths (bounded —
+    * ≤ ~2731 + touched entries per ref, driver metadata). Refs are
+    * version numbers ("v0".."v3") or branch names ("b_audit"). */
+  def chainManifest(root: String, v: Int): Seq[String] =
+    chainManifestNamed(root, s"v$v")
+
+  def chainManifestNamed(root: String, ref: String): Seq[String] = {
+    val f = new java.io.File(s"$root/$ChainManifestsDir/$ref.txt")
     val src = scala.io.Source.fromFile(f, "UTF-8")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
   }
 
-  /** Read one chain version's rows (o_orderkey, x8, y8, hidx) through
+  /** The published ref (`_current` pointer). Publishing IS the atomic
+    * swap of this one file — the WAP endpoint. */
+  def chainCurrent(root: String): String =
+    java.nio.file.Files.readString(
+      new java.io.File(s"$root/_current").toPath).trim
+
+  /** Read one chain ref's rows (o_orderkey, x8, y8, hidx) through
     * its manifest — explicit file lists, no directory listing. Throws if
     * a referenced file is missing (an expired/vacuumed version MUST fail
     * loudly, never silently return partial history). */
   def chainReadVersion(spark: SparkSession, root: String, v: Int)
+      : DataFrame = chainReadNamed(spark, root, s"v$v")
+
+  def chainReadNamed(spark: SparkSession, root: String, ref: String)
       : DataFrame = {
     import org.apache.spark.sql.functions.col
-    val rels = chainManifest(root, v)
+    val rels = chainManifestNamed(root, ref)
     rels.foreach { r =>
       if (!new java.io.File(s"$root/$ChainDataDir/$r").exists())
         throw new java.io.FileNotFoundException(
-          s"version v$v references vacuumed file $r")
+          s"ref $ref references vacuumed file $r")
     }
     rels.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).map {
       case (c, paths) =>
@@ -947,10 +989,10 @@ object Etl {
     * must fail LOUDLY on its missing files, not on absent metadata).
     * Returns the deleted relative paths. Used by ChainSpec on a COPY of
     * the fixture (fixtures are build-once). */
-  def chainVacuum(root: String, expired: Set[Int], kept: Set[Int])
+  def chainVacuum(root: String, expired: Set[String], kept: Set[String])
       : Seq[String] = {
-    val live = kept.toSeq.flatMap(v => chainManifest(root, v)).toSet
-    val dead = expired.toSeq.flatMap(v => chainManifest(root, v))
+    val live = kept.toSeq.flatMap(r => chainManifestNamed(root, r)).toSet
+    val dead = expired.toSeq.flatMap(r => chainManifestNamed(root, r))
       .distinct.filterNot(live)
     dead.foreach { r =>
       val f = new java.io.File(s"$root/$ChainDataDir/$r")

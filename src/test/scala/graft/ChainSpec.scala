@@ -81,6 +81,65 @@ class ChainSpec extends SparkSpec {
     }
   }
 
+  test("write-audit-publish: the audit refuses the defective branch," +
+      " publish is a pointer swap, abandonment vacuums only the branch") {
+    val src = Etl.chainFixture(spark, sf)
+    // the audit on the fixture: planted duplicate keys found → refused
+    val audit = graft.operators.RefQueries.qWapAudit(spark, sf).collect()(0)
+    val nDup = audit.getLong(3)
+    assert(nDup > 0, "planted defect not found — audit vacuous")
+    assert(audit.getLong(5) == 0L, "audit must refuse the publish")
+    assert(Etl.chainCurrent(src) == "v3",
+      "main must still point at v3 — the branch never published")
+    // dup keys must be LIVE originals (a dead key is not a collision)
+    val v3Keys = Etl.chainReadVersion(spark, src, 3)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val branchDups = Etl.chainReadNamed(spark, src, "b_audit")
+      .groupBy(org.apache.spark.sql.functions.col("o_orderkey"))
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(branchDups.nonEmpty && branchDups.subsetOf(v3Keys),
+      "every duplicate must collide with a LIVE published key")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_chain_wap").toFile
+    try {
+      Etl.copyDir(new java.io.File(src), tmp)
+      val root = tmp.getAbsolutePath
+      // publish IS the pointer swap: flip _current and the current read
+      // serves the branch; flip back and it serves v3 again
+      val v3Rows = rowKey(Etl.chainReadNamed(spark, root, "v3"))
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "_current").toPath, "b_audit")
+      val afterPublish =
+        rowKey(Etl.chainReadNamed(spark, root, Etl.chainCurrent(root)))
+      assert(afterPublish.size > v3Rows.size &&
+        v3Rows.subsetOf(afterPublish.map(identity)),
+        "published read must serve the branch (v3 + appended batch)")
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "_current").toPath, "v3")
+      // abandonment: vacuum the refused branch — ONLY c4 files die,
+      // every version read survives unchanged
+      val c4 = Etl.chainManifestNamed(root, "b_audit").toSet --
+        Etl.chainManifestNamed(root, "v3").toSet
+      val deleted = Etl.chainVacuum(root, expired = Set("b_audit"),
+        kept = Set("v0", "v1", "v2", "v3"))
+      assert(deleted.toSet == c4 && deleted.nonEmpty,
+        s"abandonment must delete exactly the branch commit's files" +
+          s" (got ${deleted.size}, expected ${c4.size})")
+      assert(rowKey(Etl.chainReadNamed(spark, root, "v3")) == v3Rows,
+        "main drifted after branch abandonment")
+      intercept[java.io.FileNotFoundException] {
+        Etl.chainReadNamed(spark, root, "b_audit")
+      }
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+        x.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
+
   test("executed retention vacuum: expired v0 read fails, kept versions" +
       " byte-identical, the {v0,v1}-shared trap class survives") {
     val src = Etl.chainFixture(spark, sf)
@@ -99,8 +158,8 @@ class ChainSpec extends SparkSpec {
         " hard case is vacuous at this scale")
       val before = (1 to 3)
         .map(v => rowKey(Etl.chainReadVersion(spark, root, v)))
-      val deleted = Etl.chainVacuum(root, expired = Set(0),
-        kept = Set(1, 2, 3))
+      val deleted = Etl.chainVacuum(root, expired = Set("v0"),
+        kept = Set("v1", "v2", "v3"))
       assert(deleted.toSet == (f(0) -- live) && deleted.nonEmpty,
         s"vacuum must delete exactly the v0-only files" +
           s" (got ${deleted.size}, expected ${(f(0) -- live).size})")
