@@ -101,6 +101,14 @@ object Bench {
     // the full suite.
     val only =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // fail fast on a typo: a misspelled name would silently shrink the
+    // run (possibly to zero) while still writing a success artifact
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is empty")
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // warm-up pass: JIT + codegen compilation are per-query one-time
@@ -119,40 +127,50 @@ object Bench {
         val ok = run(name, fn)
         if (ok) coldSecs(name) = (System.nanoTime() - t0) / 1e9
       }
-    // timed passes; physical metrics are attributed per query on the
-    // LAST pass (drain -> reset -> run -> drain -> snapshot), when the
-    // JVM is warmest — shuffle/spill volumes are plan properties, stable
-    // across passes, so one attributed pass suffices.
+    // timed passes; physical metrics are attributed per query on EVERY
+    // pass (drain -> reset -> run -> drain -> snapshot). Shuffle/spill
+    // volumes are plan properties — any clean pass's snapshot is the
+    // number — but cpuNs is NOT: a single attributed pass hands the
+    // whole suite's deferred JVM work (GC of 200 queries' garbage, a
+    // JIT recompile) to whichever query's window it lands in, and the
+    // r15/r16 "cpu regressions" were exactly that — 2-7x cpu flags on
+    // untouched queries that a solo re-run measured BELOW baseline. The
+    // committed cpuNs is the MEDIAN over passes, same discipline as the
+    // wall medians.
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val cpuSamples = scala.collection.mutable.Map.empty[String, List[Long]]
       .withDefaultValue(Nil)
     val failedNames = scala.collection.mutable.Set.empty[String]
     val metrics =
-      scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long, Long)]
+      scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
     for (pass <- 1 to passes) {
-      val last = pass == passes
       ordered.foreach { case (name, fn) =>
-        val preClean = if (last) { val d = drain(); listener.reset(); d }
-          else true
+        val preClean = { val d = drain(); listener.reset(); d }
         val t0 = System.nanoTime()
         val ok = run(name, fn)
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) samples(name) = sec :: samples(name)
         else failedNames += name
-        if (last) {
-          val postClean = drain()
-          // attribution is only trustworthy if the query succeeded on
-          // EVERY pass (a failed entry with live-looking metrics would
-          // contradict the failed[] list) AND both bounding drains
-          // completed — otherwise record the -1 failure convention,
-          // never a silently-polluted snapshot
+        val postClean = drain()
+        // a pass's snapshot is only trustworthy if the query succeeded
+        // and both bounding drains completed — a polluted snapshot is
+        // dropped, never recorded silently
+        if (ok && preClean && postClean) {
+          cpuSamples(name) = listener.cpuTime.get :: cpuSamples(name)
           metrics(name) =
-            if (ok && !failedNames.contains(name) && preClean && postClean)
-              (listener.shuffleWrite.get, listener.spillMem.get,
-                listener.spillDisk.get, listener.peakMem.get,
-                listener.cpuTime.get)
-            else (-1L, -1L, -1L, -1L, -1L)
+            (listener.shuffleWrite.get, listener.spillMem.get,
+              listener.spillDisk.get, listener.peakMem.get)
         }
       }
+    }
+    // a query that failed on ANY pass reports -1 everywhere (the
+    // failure convention) — metrics from its clean passes must not
+    // contradict the failed[] list
+    failedNames.foreach { n => metrics.remove(n); cpuSamples.remove(n) }
+    def cpuMedian(name: String): Long = cpuSamples(name) match {
+      case Nil => -1L
+      case xs => val s = xs.sorted; s(s.length / 2)
     }
     val results = ordered.map { case (name, _) =>
       // a query that failed on ANY pass reports -1 (the established
@@ -214,15 +232,13 @@ object Bench {
         coldSecs.values.sum
       else -1.0
     val met = results.map { case (k, _, _, _) =>
-      val (sw, sm, sd, pk, cpu) =
-        metrics.getOrElse(k, (-1L, -1L, -1L, -1L, -1L))
-      s""""$k":{"shuffleWrite":$sw,"spillMem":$sm,"spillDisk":$sd,"peakMem":$pk,"cpuNs":$cpu}"""
+      val (sw, sm, sd, pk) = metrics.getOrElse(k, (-1L, -1L, -1L, -1L))
+      s""""$k":{"shuffleWrite":$sw,"spillMem":$sm,"spillDisk":$sd,"peakMem":$pk,"cpuNs":${cpuMedian(k)}}"""
     }.mkString("{", ",", "}")
-    // CPU-seconds beside the wall-time map — attributed on the last pass
-    // like the other physical metrics (plan property, stable across
-    // passes); -1 follows the per-query failure convention
+    // CPU-seconds beside the wall-time map — the per-pass MEDIAN (see
+    // the attribution note above); -1 follows the failure convention
     val cpuFull = results.map { case (k, _, _, _) =>
-      val cpu = metrics.getOrElse(k, (-1L, -1L, -1L, -1L, -1L))._5
+      val cpu = cpuMedian(k)
       "\"" + k + "\":" + (if (cpu < 0) "-1" else (cpu / 1e9).toString)
     }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"etl":$etlSec,"coldTotal":$coldTotal,"failed":$failed,"sf":"$sfDir","queries":$qsFull,"cold":$coldFull,"spread":$spread,"noisy":$noisy,"noisyCount":${noisyNames.size},"cpuSec":$cpuFull,"taskMetrics":$met}"""

@@ -89,7 +89,11 @@ object CosineSimilarity {
     * usable from both `expr("cosine_sim(a, b)")` and SQL text.
     * Idempotent — safe to call per query build. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
+    // skip when present: the builder is fixed (no model state), so
+    // re-registration only spams SimpleFunctionRegistry WARNs
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)),
+        "built-in")
 }

@@ -95,6 +95,10 @@ object HilbertIndex {
 
   /** Register `hilbert_xy2d` for `expr(...)`/SQL use. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hilbert_xy2d", exprs => HilbertIndex(exprs(0), exprs(1)), "built-in")
+    // skip when present: the builder is fixed (no model state), so
+    // re-registration only spams SimpleFunctionRegistry WARNs
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("hilbert_xy2d")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hilbert_xy2d", exprs => HilbertIndex(exprs(0), exprs(1)), "built-in")
 }

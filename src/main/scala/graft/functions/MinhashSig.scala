@@ -79,13 +79,21 @@ object MinhashSig {
 
   /** Register `minhash_sig` for `expr(...)`/SQL use. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinhashSig(exprs.head), "built-in")
+    // skip when present: the builder is fixed (no model state), so
+    // re-registration only spams SimpleFunctionRegistry WARNs
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_sig", exprs => MinhashSig(exprs.head), "built-in")
 
   /** The kernel — called from both the interpreted eval and the generated
     * code (one virtual call per row; the loops JIT as tight byte/long
     * loops either way). Returns null when the document has no 3-gram
-    * shingle. */
+    * shingle, or when any token is NULL — the function is registered
+    * session-wide for SQL, where `array('a', NULL, 'b')` is easy to
+    * construct; a null token means unknown content, so the signature is
+    * unknown (internal callers split on non-null text and never hit
+    * this). */
   def compute(arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
     if (n < 3) return null
@@ -96,6 +104,7 @@ object MinhashSig {
     val lens = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val bytes = arr.getUTF8String(i).getBytes
       var acc = 0L
       var pw = 1L

@@ -75,6 +75,10 @@ object Mix64 {
 
   /** Register `mix64` for `expr(...)`/SQL use. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mix64", exprs => Mix64(exprs(0)), "built-in")
+    // skip when present: the builder is fixed (no model state), so
+    // re-registration only spams SimpleFunctionRegistry WARNs
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("mix64")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "mix64", exprs => Mix64(exprs(0)), "built-in")
 }

@@ -71,8 +71,12 @@ case class PolyHash(left: Expression, right: Expression)
 object PolyHash {
   /** Register `poly_hash` for `expr(...)`/SQL use. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_hash", exprs => PolyHash(exprs(0), exprs(1)), "built-in")
+    // skip when present: the builder is fixed (no model state), so
+    // re-registration only spams SimpleFunctionRegistry WARNs
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "poly_hash", exprs => PolyHash(exprs(0), exprs(1)), "built-in")
 
   /** Pure JVM twin of the expression — for in-memory differential specs. */
   def hash(s: String, prefixLen: Int): Long = {

@@ -663,6 +663,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash_sig: a NULL token yields a NULL signature (no executor" +
+      " NPE) — the function is registered session-wide for SQL") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // kernel level: null element anywhere → null result
+    val withNull = new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), null, UTF8String.fromString("b"),
+      UTF8String.fromString("c")))
+    assert(graft.functions.MinhashSig.compute(withNull) == null)
+    // SQL level: array(..., NULL, ...) is containsNull=true — the exact
+    // shape an ad-hoc SQL caller constructs; must return NULL, not NPE
+    graft.functions.MinhashSig.register(spark)
+    val r = spark.sql(
+      "SELECT minhash_sig(array('a', CAST(NULL AS STRING), 'b', 'c')) " +
+        "AS sig, minhash_sig(array('a', 'b', 'c', 'd')) AS ok")
+      .collect()(0)
+    assert(r.isNullAt(0), "null token must null the signature")
+    assert(!r.isNullAt(1), "clean array must still sign")
+  }
+
   private def cellSet(df: org.apache.spark.sql.DataFrame)
       : Set[(Long, String, Long, Long)] =
     df.collect().map(r =>
