@@ -291,6 +291,12 @@ object SparkEntry {
     "q_schema_rename" -> ((s, d) => RefQueries.qSchemaRename(s, d)),
     "q_delete_mor" -> ((s, d) => RefQueries.qDeleteMor(s, d)),
     "q_wap_audit" -> ((s, d) => RefQueries.qWapAudit(s, d)),
+    "q_delete_mor_stacked" -> ((s, d) => RefQueries.qDeleteMorStacked(s, d)),
+    "q_dv_compaction" -> ((s, d) => RefQueries.qDvCompaction(s, d)),
+    "q_wap_publish" -> ((s, d) => RefQueries.qWapPublish(s, d)),
+    "q_schema_drop" -> ((s, d) => RefQueries.qSchemaDrop(s, d)),
+    "q_partition_evolution" -> ((s, d) =>
+      RefQueries.qPartitionEvolution(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -2315,6 +2321,105 @@ object SparkEntry {
              m.n_rows_after, m.survivor_checksum,
              0::BIGINT AS n_rect_rows_after
       FROM m""",
+    // WAP happy-path replay: the published read must serve exactly
+    // v3's rows (the chain CTEs' v2r) plus the SAME mod-101 CDC draw
+    // re-keyed by 2·koff (the defect fixed) — a publish that didn't
+    // swap the pointer serves v3 alone and fails rows + checksum; a
+    // batch that kept any original key would have produced duplicates
+    // and a refusal
+    "q_wap_publish" -> s"""
+      WITH $chainCtes,
+      wk AS (
+        SELECT o_orderkey FROM k2
+        WHERE ((CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+             THEN (xor(z, z >> 31)::HUGEINT - 18446744073709551616)::BIGINT
+             ELSE xor(z, z >> 31)::BIGINT END
+             % ${graft.sources.Etl.WapBatchMod})
+             + ${graft.sources.Etl.WapBatchMod})
+             % ${graft.sources.Etl.WapBatchMod} = 0
+      ),
+      pub AS (
+        SELECT o_orderkey FROM v2r
+        UNION ALL
+        SELECT o_orderkey + 2 * (SELECT koff FROM koff) FROM wk
+      ),
+      n AS (
+        SELECT
+          (SELECT count(*) FROM v2r)::BIGINT AS n_live_rows,
+          (SELECT count(*) FROM wk)::BIGINT AS n_appended,
+          (SELECT count(*) FROM pub)::BIGINT AS n_published_rows,
+          (SELECT coalesce((sum((o_orderkey % 1000000007)
+               * (o_orderkey % 1000000007) % 1000000007)
+             % 1000000007), 0) FROM pub)::BIGINT AS published_checksum
+      )
+      SELECT n_live_rows, n_appended, 0::BIGINT AS n_dup_keys,
+             1::BIGINT AS publish_ok, n_published_rows, published_checksum
+      FROM n""",
+    // stacked-DV replay: dv1 = rect1 rows, dv2 = rect2 rows still alive
+    // under dv1 (the overlap lives in dv1 ONLY — double-tombstoning the
+    // overlap would break n_rows_before = survivors + |dv1| + |dv2|),
+    // survivors = rows outside both rectangles; zero rows of either
+    // rectangle may survive the composed read
+    "q_delete_mor_stacked" -> s"""
+      WITH $hilbertGridCtes, hb AS (
+        SELECT o_orderkey, x8, y8 FROM h
+      ), r AS (
+        SELECT o_orderkey,
+               (x8 BETWEEN ${RefQueries.HilbertRect._1}
+                       AND ${RefQueries.HilbertRect._2}
+                AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                           AND ${RefQueries.HilbertRect._4}) AS in1,
+               (x8 BETWEEN ${RefQueries.HilbertRect2._1}
+                       AND ${RefQueries.HilbertRect2._2}
+                AND y8 BETWEEN ${RefQueries.HilbertRect2._3}
+                           AND ${RefQueries.HilbertRect2._4}) AS in2
+        FROM hb
+      ), sv AS (
+        SELECT o_orderkey FROM r WHERE NOT in1 AND NOT in2
+      )
+      SELECT 0::BIGINT AS n_files_rewritten,
+             (SELECT count(*) FROM r WHERE in1)::BIGINT AS n_dv1_entries,
+             (SELECT count(*) FROM r WHERE in2 AND NOT in1)::BIGINT
+               AS n_dv2_entries,
+             (SELECT count(*) FROM r)::BIGINT AS n_rows_before,
+             (SELECT count(*) FROM sv)::BIGINT AS n_rows_after,
+             (SELECT coalesce((sum((o_orderkey % 1000000007)
+                  * (o_orderkey % 1000000007) % 1000000007)
+                % 1000000007), 0) FROM sv)::BIGINT AS survivor_checksum,
+             0::BIGINT AS n_rect1_rows_after,
+             0::BIGINT AS n_rect2_rows_after""",
+    // DV-compaction replay: the materialized layout must converge to
+    // the COW arithmetic — one file per surviving bucket (total buckets
+    // minus buckets whose EVERY row died under rect1 ∪ rect2), rows and
+    // checksum exactly the stacked read's survivors, zero rectangle
+    // rows through the compacted (anti-join-free) read
+    "q_dv_compaction" -> s"""
+      WITH $hilbertGridCtes, hb AS (
+        SELECT o_orderkey, x8, y8, (hidx // 24) AS hbucket,
+               (x8 BETWEEN ${RefQueries.HilbertRect._1}
+                       AND ${RefQueries.HilbertRect._2}
+                AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                           AND ${RefQueries.HilbertRect._4}) OR
+               (x8 BETWEEN ${RefQueries.HilbertRect2._1}
+                       AND ${RefQueries.HilbertRect2._2}
+                AND y8 BETWEEN ${RefQueries.HilbertRect2._3}
+                           AND ${RefQueries.HilbertRect2._4}) AS dead
+        FROM h
+      ), sv AS (
+        SELECT o_orderkey FROM hb WHERE NOT dead
+      ), fd AS (
+        SELECT count(*)::BIGINT AS n FROM (
+          SELECT hbucket FROM hb GROUP BY hbucket
+          HAVING sum(CASE WHEN dead THEN 0 ELSE 1 END) = 0)
+      )
+      SELECT ((SELECT count(DISTINCT hbucket) FROM hb)
+               - (SELECT n FROM fd))::BIGINT AS n_files_after,
+             (SELECT count(*) FROM sv)::BIGINT AS n_rows_after,
+             (SELECT coalesce((sum((o_orderkey % 1000000007)
+                  * (o_orderkey % 1000000007) % 1000000007)
+                % 1000000007), 0) FROM sv)::BIGINT AS survivor_checksum,
+             0::BIGINT AS n_rect1_rows_after,
+             0::BIGINT AS n_rect2_rows_after""",
     // schema-evolution replay: both physical generations derive from
     // orders (gen 1 = even keys without the column, gen 2 = odd keys
     // with o_bucket = o_custkey mod 16), so the merged read must report
@@ -2361,6 +2466,69 @@ object SparkEntry {
              (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
                   % 1000000007) % 1000000007)::BIGINT AS key_checksum
       FROM orders""",
+    // drop-column replay: the current read serves both generations
+    // under the post-drop schema (counts + checksum from orders); the
+    // pre-drop epoch still serves the dropped column's values
+    // (note = ck mod 1000 over even keys) — losing history or leaking
+    // the drop into the preserved epoch fails the hash
+    "q_schema_drop" -> """
+      SELECT count(*)::BIGINT AS n_rows,
+             sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_gen1,
+             sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_gen2,
+             (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                  % 1000000007) % 1000000007)::BIGINT AS key_checksum,
+             sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS pre_n_rows,
+             sum(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey % 1000
+                      ELSE 0 END)::BIGINT AS pre_note_sum
+      FROM orders""",
+    // partition-spec-evolution replay: per-spec partition censuses and
+    // zone-candidate counts derive from the grid arithmetic over the
+    // even/odd key split (width 24 for the old spec, 96 for the new);
+    // the rectangle count + checksum cover BOTH layouts — a reader
+    // that planned a file group through the wrong spec's metadata
+    // (or dropped a generation) fails the gate
+    "q_partition_evolution" -> s"""
+      WITH $hilbertGridCtes, hb AS (
+        SELECT o_orderkey, x8, y8, hidx, (o_orderkey % 2) AS par FROM h
+      ), z24 AS (
+        SELECT (hidx // ${graft.sources.Etl.PartEvoWidthOld}) AS pbucket,
+               min(x8) AS x_lo, max(x8) AS x_hi,
+               min(y8) AS y_lo, max(y8) AS y_hi
+        FROM hb WHERE par = 0 GROUP BY 1
+      ), z96 AS (
+        SELECT (hidx // ${graft.sources.Etl.PartEvoWidthNew}) AS pbucket,
+               min(x8) AS x_lo, max(x8) AS x_hi,
+               min(y8) AS y_lo, max(y8) AS y_hi
+        FROM hb WHERE par = 1 GROUP BY 1
+      ), r AS (
+        SELECT o_orderkey FROM hb
+        WHERE x8 BETWEEN ${RefQueries.HilbertRect._1}
+                     AND ${RefQueries.HilbertRect._2}
+          AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                     AND ${RefQueries.HilbertRect._4}
+      )
+      SELECT
+        (SELECT count(*) FROM z24)::BIGINT AS n_parts_old,
+        (SELECT count(*) FROM z96)::BIGINT AS n_parts_new,
+        (SELECT count(*) FROM z24
+          WHERE x_hi >= ${RefQueries.HilbertRect._1}
+            AND x_lo <= ${RefQueries.HilbertRect._2}
+            AND y_hi >= ${RefQueries.HilbertRect._3}
+            AND y_lo <= ${RefQueries.HilbertRect._4})::BIGINT
+          AS n_scanned_old,
+        (SELECT count(*) FROM z96
+          WHERE x_hi >= ${RefQueries.HilbertRect._1}
+            AND x_lo <= ${RefQueries.HilbertRect._2}
+            AND y_hi >= ${RefQueries.HilbertRect._3}
+            AND y_lo <= ${RefQueries.HilbertRect._4})::BIGINT
+          AS n_scanned_new,
+        (SELECT count(*) FROM r)::BIGINT AS n_rect_rows,
+        (SELECT coalesce((sum((o_orderkey % 1000000007)
+             * (o_orderkey % 1000000007) % 1000000007)
+           % 1000000007), 0) FROM r)::BIGINT AS rect_checksum""",
     // vacuum dry-run replay: all five counts derive from the delete's
     // zone-map arithmetic — total buckets (one file each), touched
     // candidates (their v0 files are the garbage), fully-dead buckets
@@ -2494,7 +2662,7 @@ object SparkEntry {
       WITH $hilbertGridCtes, hb AS (
         SELECT o_orderkey, x8, y8 FROM h
       ), v0 AS (
-        SELECT 0 AS version, count(*)::BIGINT AS n_rows,
+        SELECT 0::BIGINT AS version, count(*)::BIGINT AS n_rows,
                (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
                     % 1000000007) % 1000000007)::BIGINT AS key_checksum,
                sum(CASE WHEN x8 BETWEEN ${RefQueries.HilbertRect._1}
@@ -2504,7 +2672,7 @@ object SparkEntry {
                         THEN 1 ELSE 0 END)::BIGINT AS n_rect_rows
         FROM hb
       ), v1 AS (
-        SELECT 1 AS version, count(*)::BIGINT AS n_rows,
+        SELECT 1::BIGINT AS version, count(*)::BIGINT AS n_rows,
                coalesce((sum((o_orderkey % 1000000007)
                    * (o_orderkey % 1000000007) % 1000000007)
                  % 1000000007), 0)::BIGINT AS key_checksum,

@@ -843,6 +843,16 @@ object RefQueries {
     * with the DuckDB oracle. */
   val HilbertRect: (Long, Long, Long, Long) = (40L, 150L, 90L, 200L)
 
+  /** The SECOND delete rectangle (`q_delete_mor_stacked` /
+    * `q_dv_compaction`) — deliberately OVERLAPPING [[HilbertRect]]
+    * (x 100..150, y 150..200 is shared): the overlap's rows are already
+    * dead under the first deletion vector, so the second DV build must
+    * tombstone only the still-alive remainder — the composition bug
+    * class (double-tombstoning, or re-deleting through a stale
+    * snapshot) that stacked-DV reads exist to get right. Shared with
+    * the DuckDB oracle. */
+  val HilbertRect2: (Long, Long, Long, Long) = (100L, 180L, 150L, 230L)
+
   /** The MERGE batch geometry (`Etl.cowMergeStripe`, `q_merge_rewrite`),
     * shared with the DuckDB oracle: UPDATEs hit the x8 stripe
     * [[MergeStripe]] (full-height — a predicate aligned with the
@@ -1322,6 +1332,51 @@ object RefQueries {
         when($"n_dup_keys" > 0L, 0L).otherwise(1L).as("publish_ok"))
   }
 
+  /** WRITE-AUDIT-PUBLISH happy path (`Etl.wapPublishFixture`) — the
+    * lifecycle `q_wap_audit`'s refusal never completes, on an isolated
+    * root (hardlinked chain data) so the pointer swap cannot disturb
+    * the shared fixture: branch `b_clean` stages the SAME CDC draw with
+    * the re-key bug FIXED (every key offset by 2·keyOff), THIS query
+    * audits it (duplicate-primary-key check over the branch — the same
+    * one-aggregate cost as the refusing twin), finds zero collisions,
+    * EXECUTES the atomic `_current` swap (write-temp + rename — a
+    * concurrent reader sees old or new, never torn), and then reads
+    * back THROUGH the published pointer. The oracle derives the
+    * post-publish row count and key checksum from the chain arithmetic
+    * (v3's rows ∪ the re-keyed batch), so the gate proves the published
+    * read serves exactly what the branch staged — publish_ok = 1 is
+    * hash-load-bearing, and so is the pointer the final read resolves.
+    * Scale: audit = one groupBy over branch keys; publish = one rename;
+    * the verification read costs what any current-version read costs. */
+  def qWapPublish(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val root = E.wapPublishFixture(spark, sfDir)
+    val keyOff2 = E.mergeKeyOffset(spark, sfDir) * 2
+    val branch = E.chainReadNamed(spark, root, "b_clean")
+    // the audit decision: bounded driver metadata (4 longs), never rows
+    val audit = branch.groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n"))
+      .agg(sum($"n").as("n_branch_rows"),
+        sum(when($"n" > 1L, 1L).otherwise(0L)).as("n_dup_keys"),
+        sum(when($"o_orderkey" >= keyOff2, $"n").otherwise(0L))
+          .as("n_appended")).head()
+    val nDup = audit.getLong(1)
+    if (nDup == 0L) E.chainPublish(root, "b_clean")
+    // the post-publish verification read resolves the POINTER — if the
+    // swap didn't happen (or landed torn), this still serves v3 and the
+    // row count + checksum fail the hash gate
+    val served = E.chainReadNamed(spark, root, E.chainCurrent(root))
+    served.agg(count(lit(1)).as("n_published_rows"),
+        keyChecksum($"o_orderkey").as("published_checksum"))
+      .select(
+        ($"n_published_rows" - lit(audit.getLong(2))).as("n_live_rows"),
+        lit(audit.getLong(2)).as("n_appended"),
+        lit(nDup).as("n_dup_keys"),
+        lit(if (nDup == 0L) 1L else 0L).as("publish_ok"),
+        $"n_published_rows", $"published_checksum")
+  }
+
   /** MERGE-ON-READ DELETE (`Etl.morDvFixture`) — the same rectangle
     * delete as `q_delete_rewrite`, executed as DELETION VECTORS: the
     * commit wrote ONLY a (file, row-position) sidecar (zero data files
@@ -1376,6 +1431,90 @@ object RefQueries {
         $"n_rows_after", $"survivor_checksum", $"n_rect_rows_after")
   }
 
+  /** STACKED DELETION VECTORS (`Etl.morDvFixture` + `Etl.morDv2Fixture`)
+    * — the daily reality `q_delete_mor` only starts: a SECOND rectangle
+    * delete ([[HilbertRect2]], overlapping the first) committed its own
+    * sidecar, and THIS read composes BOTH in one broadcast anti-join
+    * against the scan's `_metadata.row_index`. The semantics the
+    * composition must get right: dv2 was built against the state WITH
+    * dv1 applied, so the overlap's rows appear in exactly one sidecar
+    * (positions across stacked DVs are disjoint), and
+    * `n_rows_before = survivors + |dv1| + |dv2|` stays exact — the
+    * oracle derives every count from the two-rectangle arithmetic, so
+    * double-tombstoning or missing the overlap fails the hash. Zero
+    * rows of EITHER rectangle survive the stacked read; zero files
+    * rewritten, still.
+    * Scale: each additional DV adds one broadcast to the same single
+    * scan — the read tax grows per-commit until compaction
+    * (`q_dv_compaction`) pays it down; the sidecars stay
+    * compliance-sized (|deleted rows| entries). */
+  def qDeleteMorStacked(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val src = E.hilbertOrdersFixture(spark, sfDir)
+    val (x1Lo, x1Hi, y1Lo, y1Hi) = HilbertRect
+    val (x2Lo, x2Hi, y2Lo, y2Hi) = HilbertRect2
+    val dv1 = spark.read.parquet(s"${E.morDvFixture(spark, sfDir)}/dv")
+    val dv2 = spark.read.parquet(s"${E.morDv2Fixture(spark, sfDir)}/dv")
+    val dvAll = dv1.unionByName(dv2)
+    val base = spark.read.parquet(s"$src/${E.HilbertTableDir}")
+      .select($"o_orderkey", $"x8", $"y8",
+        substring_index(col("_metadata.file_path"),
+          s"/${E.HilbertTableDir}/", -1).as("fp"),
+        $"_metadata.row_index".as("ri"))
+    val survivors = base.join(broadcast(dvAll), Seq("fp", "ri"), "left_anti")
+    val served = survivors.agg(count(lit(1)).as("n_rows_after"),
+      coalesce(keyChecksum($"o_orderkey"), lit(0L)).as("survivor_checksum"),
+      sum(when($"x8".between(x1Lo, x1Hi) && $"y8".between(y1Lo, y1Hi), 1L)
+        .otherwise(0L)).as("n_rect1_rows_after"),
+      sum(when($"x8".between(x2Lo, x2Hi) && $"y8".between(y2Lo, y2Hi), 1L)
+        .otherwise(0L)).as("n_rect2_rows_after"))
+    val s1 = dv1.agg(count(lit(1)).as("n_dv1_entries"))
+    val s2 = dv2.agg(count(lit(1)).as("n_dv2_entries"))
+    s1.crossJoin(s2).crossJoin(served)
+      .select(lit(0L).as("n_files_rewritten"),
+        $"n_dv1_entries", $"n_dv2_entries",
+        ($"n_rows_after" + $"n_dv1_entries" + $"n_dv2_entries")
+          .as("n_rows_before"),
+        $"n_rows_after", $"survivor_checksum",
+        $"n_rect1_rows_after", $"n_rect2_rows_after")
+  }
+
+  /** DV COMPACTION read (`Etl.morDvCompactFixture`) — the commit that
+    * retires the stacked sidecars by MATERIALIZING them into rewritten
+    * files, converging the MOR table to the copy-on-write layout (the
+    * shared `cowRewrite` tail — one file per surviving touched bucket,
+    * fully-dead buckets dropped, zone maps refreshed). THIS read is the
+    * payoff: a plain partitioned scan, NO anti-join anywhere in the
+    * plan (PlanSpec pins it) — the per-read DV tax is gone. The output
+    * gates the convergence claim: the on-disk file census must equal
+    * the COW arithmetic (total buckets minus fully-dead under
+    * rect1 ∪ rect2), and rows/checksum must equal the stacked-DV read's
+    * survivors exactly (ChainSpec proves census-for-census equality
+    * against a twice-applied COW delete).
+    * Scale: compaction cost is O(touched buckets) — the sidecar names
+    * them; the 100 TB schedule trades that one write against every
+    * read's anti-join until the next delete. */
+  def qDvCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val root = E.morDvCompactFixture(spark, sfDir)
+    val (x1Lo, x1Hi, y1Lo, y1Hi) = HilbertRect
+    val (x2Lo, x2Hi, y2Lo, y2Hi) = HilbertRect2
+    val nFiles = listPartFiles(spark, s"$root/${E.HilbertTableDir}").size
+    spark.read.parquet(s"$root/${E.HilbertTableDir}")
+      .select($"o_orderkey", $"x8", $"y8")
+      .agg(count(lit(1)).as("n_rows_after"),
+        coalesce(keyChecksum($"o_orderkey"), lit(0L)).as("survivor_checksum"),
+        sum(when($"x8".between(x1Lo, x1Hi) && $"y8".between(y1Lo, y1Hi), 1L)
+          .otherwise(0L)).as("n_rect1_rows_after"),
+        sum(when($"x8".between(x2Lo, x2Hi) && $"y8".between(y2Lo, y2Hi), 1L)
+          .otherwise(0L)).as("n_rect2_rows_after"))
+      .select(lit(nFiles.toLong).as("n_files_after"),
+        $"n_rows_after", $"survivor_checksum",
+        $"n_rect1_rows_after", $"n_rect2_rows_after")
+  }
+
   /** COLUMN-RENAME read (`Etl.schemaRenameFixture`: generation 1 files
     * store the measure as `qty_v1`, generation 2 as `o_qty` after the
     * rename commit) — served through the table's tracked NAME MAPPING:
@@ -1409,13 +1548,111 @@ object RefQueries {
         keyChecksum($"o_orderkey").as("key_checksum"))
   }
 
-  /** TIME TRAVEL over the copy-on-write table — the read-side payoff of
-    * COW DML: because `q_delete_rewrite` never mutates version 0's files
-    * (untouched partitions carry over; touched ones are REWRITTEN into
-    * the new snapshot, the old files left behind), both versions remain
-    * fully readable, and a reader pins a version by root path — exactly
-    * how a lakehouse table format serves `VERSION AS OF`. One row per
-    * snapshot, each computed in ONE scan of that snapshot:
+  /** DROP-COLUMN read (`Etl.schemaDropFixture`: generation 1 files carry
+    * `o_note`; generation 2, written after the DROP COLUMN commit, does
+    * not — and neither does the tracked schema). Two epochs served in
+    * one output row:
+    *  - the CURRENT read applies the tracked (post-drop) schema to
+    *    EVERY generation, so the dropped column's pages are never
+    *    decoded from any file (the pruning guard pins `o_note` absent
+    *    from the scan — [[schemaDropCurrent]] is the exact production
+    *    read);
+    *  - the PRE-DROP epoch read (generation 1 under its own epoch
+    *    schema) still serves `o_note` — history intact, the migration
+    *    reversible by time travel.
+    * The oracle derives both epochs from `orders` (note = ck mod 1000
+    * on even keys), so losing a row in the projected read, leaking the
+    * dropped column, or drifting the preserved history all fail the
+    * hash.
+    * Scale: like add/widen/rename, a pure metadata operation — a 100 TB
+    * table drops a column without touching a byte; the only lasting
+    * cost is the dead pages old files keep until their next natural
+    * rewrite. */
+  def qSchemaDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = graft.sources.Etl.schemaDropFixture(spark, sfDir)
+    val current = schemaDropCurrent(spark, path)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"o_orderkey" % 2 === 0, 1L).otherwise(0L)).as("n_gen1"),
+        sum(when($"o_orderkey" % 2 === 1, 1L).otherwise(0L)).as("n_gen2"),
+        keyChecksum($"o_orderkey").as("key_checksum"))
+    val preDropSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_note",
+        org.apache.spark.sql.types.LongType)))
+    val preDrop = spark.read.schema(preDropSchema).parquet(s"$path/g1")
+      .agg(count(lit(1)).as("pre_n_rows"),
+        sum($"o_note").as("pre_note_sum"))
+    current.crossJoin(preDrop)
+  }
+
+  /** The current (post-drop) read — the tracked schema applied to both
+    * generations in ONE scan; exposed so PlanSpec pins that `o_note`
+    * reaches no generation's ReadSchema. */
+  private[graft] def schemaDropCurrent(spark: SparkSession,
+      path: String): DataFrame = {
+    val tracked = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ck",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(tracked).parquet(s"$path/g1", s"$path/g2")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"))
+  }
+
+  /** PARTITION-SPEC EVOLUTION read (`Etl.partitionEvolutionFixture`:
+    * generation 1 bucketed `hidx div 24` under spec24, generation 2 —
+    * written after the evolution commit — `hidx div 96` under spec96,
+    * neither rewritten). The rectangle scan plans each file group
+    * through ITS OWN spec's zone maps: spec24 candidates prune c0's
+    * partitions, spec96 candidates prune c1's (both plan-time
+    * PartitionFilters — PlanSpec pins one INSET per spec), and the two
+    * pruned scans union into one aggregate pass. The chain's
+    * file→version map generalizing to file→spec is exactly this.
+    * The output gates the protocol end to end: per-spec partition
+    * censuses and scanned-candidate counts (all derived independently
+    * by the oracle from the grid arithmetic), plus the rectangle count
+    * and checksum over BOTH layouts — zone-map soundness makes the
+    * pruned union equal the oracle's unpruned scan.
+    * Scale: spec evolution costs zero rewrite; every read pays one
+    * zone-map consult per LIVE spec (bounded — real tables hold 2-3
+    * specs), and pruning quality per spec is that spec's own. */
+  def qPartitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val root = E.partitionEvolutionFixture(spark, sfDir)
+    val (xLo, xHi, yLo, yHi) = HilbertRect
+    def spec(commit: String, zones: String): (DataFrame, Long, Long) = {
+      val z = spark.read.parquet(s"$root/${E.PartEvoZonesDir}/$zones")
+      val total = z.count()
+      val cands = z.filter($"x_hi" >= xLo && $"x_lo" <= xHi &&
+          $"y_hi" >= yLo && $"y_lo" <= yHi)
+        .select($"pbucket").as[Long].collect().sorted
+      val rows = spark.read
+        .parquet(s"$root/${E.PartEvoDataDir}/$commit")
+        .withColumn("pbucket", $"pbucket".cast("long"))
+        .filter($"pbucket".isin(cands: _*) &&
+          $"x8".between(xLo, xHi) && $"y8".between(yLo, yHi))
+        .select($"o_orderkey")
+      (rows, total, cands.length.toLong)
+    }
+    val (oldRows, oldTotal, oldScanned) = spec("c0", "spec24")
+    val (newRows, newTotal, newScanned) = spec("c1", "spec96")
+    oldRows.unionByName(newRows)
+      .agg(count(lit(1)).as("n_rect_rows"),
+        coalesce(keyChecksum($"o_orderkey"), lit(0L)).as("rect_checksum"))
+      .select(lit(oldTotal).as("n_parts_old"),
+        lit(newTotal).as("n_parts_new"),
+        lit(oldScanned).as("n_scanned_old"),
+        lit(newScanned).as("n_scanned_new"),
+        $"n_rect_rows", $"rect_checksum")
+  }
+
+  /** TIME TRAVEL over the copy-on-write DELETE — the read-side payoff of
+    * COW DML: the delete never mutates version 0's files, so both
+    * versions stay fully readable and a reader pins a version by REF —
+    * exactly a table format's `VERSION AS OF`. One row per snapshot:
     *  - `n_rows` / `key_checksum` prove version 0 is byte-complete AFTER
     *    the delete created version 1 (the oracle derives v0 from the
     *    source `orders` directly, so a hash match means history did not
@@ -1423,32 +1660,23 @@ object RefQueries {
     *  - `n_rect_rows` re-runs the rectangle scan through each version's
     *    OWN zone maps — metadata is versioned with the data (v0 still
     *    finds every predicate row; v1 finds zero).
+    * Served through the commit chain's MANIFEST reader (the chain's
+    * v0/v1 ARE the ingest and delete-survivor snapshots): explicit
+    * per-commit file lists instead of K × ~2731-directory listings, and
+    * a file shared by both versions is opened ONCE — the protocol
+    * `q_time_travel_chain` proved, now the only read path.
     * Scale: time travel costs nothing at write time beyond what COW
-    * already pays — old snapshots are the files the rewrite didn't
-    * delete; each versioned read is zone-map-pruned like any other. */
-  def qTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val (xLo, xHi, yLo, yHi) = HilbertRect
-    val v0 = graft.sources.Etl.hilbertOrdersFixture(spark, sfDir)
-    val v1 = graft.sources.Etl.deleteRewriteFixture(spark, sfDir)
-    def snapshot(root: String, version: Int): DataFrame = {
-      val cands = spark.read
-        .parquet(s"$root/${graft.sources.Etl.HilbertZonesDir}")
-        .filter($"x_hi" >= xLo && $"x_lo" <= xHi &&
-          $"y_hi" >= yLo && $"y_lo" <= yHi)
-        .select($"hbucket").as[Long].collect().sorted
-      spark.read.parquet(s"$root/${graft.sources.Etl.HilbertTableDir}")
-        .withColumn("hbucket", $"hbucket".cast("long"))
-        .agg(count(lit(1)).as("n_rows"),
-          keyChecksum($"o_orderkey").as("key_checksum"),
-          sum(when($"hbucket".isin(cands: _*) &&
-              $"x8".between(xLo, xHi) && $"y8".between(yLo, yHi),
-            1L).otherwise(0L)).as("n_rect_rows"))
-        .select(lit(version).as("version"),
-          $"n_rows", $"key_checksum", $"n_rect_rows")
-    }
-    snapshot(v0, 0).unionByName(snapshot(v1, 1)).orderBy($"version".asc)
-  }
+    * already pays; each versioned read is zone-map-pruned like any
+    * other, and the listing cost is the manifest's, not the tree's. */
+  def qTimeTravel(spark: SparkSession, sfDir: String): DataFrame =
+    // served through the commit chain's MANIFEST protocol (the chain's
+    // v0/v1 are content-identical to the two-root fixtures: ingest and
+    // rect-delete survivors — same oracle): explicit file lists, no
+    // per-version directory listing over ~2731 partition dirs, shared
+    // untouched files opened ONCE for both versions instead of once per
+    // root — the r15 "before" of its own lesson, retired
+    chainTimeTravel(spark,
+      graft.sources.Etl.chainFixture(spark, sfDir), 0 to 1)
 
   /** VACUUM (dry run) over the copy-on-write table — the retention
     * housekeeping every lakehouse runs after DML: once version 0's
@@ -1496,12 +1724,20 @@ object RefQueries {
     * pre-delete rect rows, v1/v2 see the post-delete state (plus any
     * merge-inserted rows that land in the rect), v3 must agree with v2
     * exactly (OPTIMIZE changes layout, never content). */
-  def qTimeTravelChain(spark: SparkSession, sfDir: String): DataFrame = {
+  def qTimeTravelChain(spark: SparkSession, sfDir: String): DataFrame =
+    chainTimeTravel(spark,
+      graft.sources.Etl.chainFixture(spark, sfDir), 0 to 3)
+
+  /** The shared manifest time-travel reader (see [[qTimeTravelChain]]
+    * for the full protocol): every version in `versions` served with
+    * its own metadata in ONE pass over the distinct files of that
+    * slice of history. */
+  private def chainTimeTravel(spark: SparkSession, root: String,
+      versions: Range): DataFrame = {
     import spark.implicits._
     val E = graft.sources.Etl
-    val root = E.chainFixture(spark, sfDir)
     val (xLo, xHi, yLo, yHi) = HilbertRect
-    val entries = (0 to 3).flatMap { v =>
+    val entries = versions.flatMap { v =>
       val keyCol = if (v == 3) "cbin" else "hbucket"
       val cands = spark.read.parquet(s"$root/${E.ChainZonesDir}/v$v")
         .filter($"x_hi" >= xLo && $"x_lo" <= xHi &&
@@ -1524,7 +1760,8 @@ object RefQueries {
       spark.read.option("basePath", s"$root/${E.ChainDataDir}/$c")
         .parquet(rels.map(r => s"$root/${E.ChainDataDir}/$r"): _*)
         .select($"o_orderkey", $"x8", $"y8",
-          substring_index(input_file_name(), "/data/", -1).as("rel"))
+          substring_index(input_file_name(), s"/${E.ChainDataDir}/", -1)
+            .as("rel"))
     }.reduce(_ unionByName _)
     rows.join(fileMap, Seq("rel"))
       .groupBy($"version".cast("long").as("version"))

@@ -651,6 +651,105 @@ object Etl {
         col("_metadata.row_index").as("ri"))
   }
 
+  /** SECOND deletion-vector sidecar — DV STACKING, the daily reality of
+    * a merge-on-read table: a SECOND rectangle delete
+    * ([[graft.operators.RefQueries.HilbertRect2]], deliberately
+    * OVERLAPPING the first) commits another (file, position) sidecar
+    * WITHOUT touching the first. The new DV is built against the
+    * CURRENT logical state — the scan applies dv1 before selecting
+    * victims — so rows already dead under dv1 are never re-tombstoned
+    * (positions across stacked DVs stay disjoint by construction, which
+    * is what keeps `rows_before = survivors + Σ|dv_i|` exact). Readers
+    * compose ALL stacked sidecars in one anti-join; a table format
+    * unions the position bitmaps per file the same way. The build reads
+    * only rect2's zone-candidate partitions ([[morDv2Build]],
+    * plan-guarded). */
+  def morDv2Fixture(spark: SparkSession, sfDir: String): String = {
+    val src = hilbertOrdersFixture(spark, sfDir)
+    val dv1 = morDvFixture(spark, sfDir)
+    cachedFixture(sfDir, "orders-hilbert-dv2-v1", s"$dv1/_SUCCESS") { tmp =>
+      morDv2Build(spark, src, dv1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(tmp, "dv").getAbsolutePath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+  }
+
+  /** The stacked-DV build read: rect2 victims among rows still alive
+    * under dv1 — zone-candidate partitions only, dv1 applied as a
+    * broadcast anti-join INSIDE the candidate scan. Exposed so PlanSpec
+    * pins both the PartitionFilters and the broadcast. */
+  private[graft] def morDv2Build(spark: SparkSession, srcRoot: String,
+      dv1Root: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (xLo, xHi, yLo, yHi) = graft.operators.RefQueries.HilbertRect2
+    val cands = spark.read.parquet(s"$srcRoot/$HilbertZonesDir")
+      .filter(col("x_hi") >= xLo && col("x_lo") <= xHi &&
+        col("y_hi") >= yLo && col("y_lo") <= yHi)
+      .select(col("hbucket")).collect().map(_.getLong(0)).sorted
+    val dv1 = spark.read.parquet(s"$dv1Root/dv")
+    spark.read.parquet(s"$srcRoot/$HilbertTableDir")
+      .withColumn("hbucket", col("hbucket").cast("long"))
+      .filter(col("hbucket").isin(cands: _*) &&
+        col("x8").between(xLo, xHi) && col("y8").between(yLo, yHi))
+      .select(
+        substring_index(col("_metadata.file_path"),
+          s"/$HilbertTableDir/", -1).as("fp"),
+        col("_metadata.row_index").as("ri"))
+      .join(broadcast(dv1), Seq("fp", "ri"), "left_anti")
+  }
+
+  /** DV COMPACTION fixture — the commit that ENDS a merge-on-read
+    * episode: the stacked sidecars (dv1 ∪ dv2) are MATERIALIZED into
+    * rewritten data files and retired, converging the table to exactly
+    * the copy-on-write layout (one file per surviving touched bucket,
+    * hidx-sorted, refreshed zone maps, fully-dead buckets dropped —
+    * the shared [[cowRewrite]] tail, so MOR-compaction and COW-DML can
+    * never physically diverge). Post-compaction reads have NO anti-join
+    * — the read tax every stacked DV adds is paid down here, which is
+    * why a 100 TB MOR table compacts on a schedule instead of stacking
+    * forever. The rewrite is POSITION-driven (anti-join on the
+    * tombstones' (file, row) pairs), never a re-evaluation of the
+    * delete predicates — compaction must serve whatever the DVs say,
+    * byte-for-byte, or a drifted predicate would resurrect rows. Only
+    * DV-touched buckets are read or rewritten (the sidecar names them);
+    * untouched buckets carry over by manifest re-point (file copy
+    * stand-in). */
+  def morDvCompactFixture(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val src = hilbertOrdersFixture(spark, sfDir)
+    val dv1 = morDvFixture(spark, sfDir)
+    val dv2 = morDv2Fixture(spark, sfDir)
+    cachedFixture(sfDir, "orders-hilbert-dvcompact-v1",
+        s"$dv2/_SUCCESS") { tmp =>
+      copyDir(new java.io.File(src), tmp)
+      val dv = spark.read.parquet(s"$dv1/dv")
+        .unionByName(spark.read.parquet(s"$dv2/dv"))
+        .localCheckpoint(true)
+      // the sidecar itself names every touched bucket — compliance-sized
+      // driver metadata, no table scan needed to plan the rewrite
+      val touched = dv
+        .select(regexp_extract(col("fp"), "hbucket=(\\d+)/", 1)
+          .cast("long").as("hbucket"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val survivors = spark.read.parquet(s"$src/$HilbertTableDir")
+        .withColumn("hbucket", col("hbucket").cast("long"))
+        .filter(col("hbucket").isin(touched: _*))
+        .withColumn("fp", substring_index(col("_metadata.file_path"),
+          s"/$HilbertTableDir/", -1))
+        .withColumn("ri", col("_metadata.row_index"))
+        .join(broadcast(dv), Seq("fp", "ri"), "left_anti")
+        .drop("fp", "ri")
+      cowRewrite(spark, src, tmp, survivors.localCheckpoint(true),
+        touched.toSeq)
+      // retire the materialized DVs: a reader of THIS version must find
+      // no sidecar to apply (the dv dir simply isn't part of the layout)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+  }
+
   /** COLUMN-RENAME fixture — the third mid-life migration (add-column
     * and type-widening being the others): generation 1 files store the
     * measure under its ORIGINAL name `qty_v1`; generation 2 files (after
@@ -679,6 +778,92 @@ object Etl {
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
     }
+
+  /** DROP-COLUMN fixture — the fourth mid-life migration: generation 1
+    * files carry (o_orderkey, ck, o_note); after the DROP COLUMN commit,
+    * generation 2 files are written WITHOUT `o_note`, and the tracked
+    * schema no longer contains it. History is never rewritten — old
+    * files keep the dropped column's pages on disk (a table format
+    * drops the column ID from the schema, not the bytes), which is what
+    * makes the migration reversible-by-time-travel: a pre-drop read
+    * (generation 1 under its own epoch schema) still serves `o_note`,
+    * while the CURRENT read must project it away from EVERY generation
+    * (never decode a dropped page — the pruning guard pins it).
+    * Generations land in `g1/`/`g2/` commit subdirs (the drop IS a
+    * commit boundary). */
+  def schemaDropFixture(spark: SparkSession, sfDir: String): String =
+    cachedFixture(sfDir, "orders-schema-drop-v1",
+        s"$sfDir/orders.parquet") { tmp =>
+      import org.apache.spark.sql.functions._
+      val ord = graft.Tables.read(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").cast("long").as("ck"))
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_note", pmod(col("ck"), lit(1000L)))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(tmp, "g1").getAbsolutePath)
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(tmp, "g2").getAbsolutePath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+
+  /** Subdirectories of [[partitionEvolutionFixture]]: per-commit data
+    * and per-SPEC zone maps — the spec a file was written under is
+    * commit metadata, exactly Iceberg's partition-spec-id. */
+  val PartEvoDataDir = "data"
+  val PartEvoZonesDir = "zones"
+  /** The two bucket widths: the original ingest clusters at width 24
+    * (~2731 partitions over the 16-bit curve); the spec-evolution
+    * commit re-bins NEW data at width 96 (~683 partitions) — the
+    * coarser layout a table adopts once small files dominate. */
+  val PartEvoWidthOld = 24L
+  val PartEvoWidthNew = 96L
+
+  /** PARTITION-SPEC EVOLUTION fixture — the last routine table-lifecycle
+    * migration: a commit CHANGES the table's bucketing (width-24 Hilbert
+    * buckets → width-96 bins) and, as in every real format, old files
+    * are NOT rewritten — they stay under the old spec while new data
+    * lands under the new one, each spec carrying its OWN zone maps.
+    * Generation 1 (even keys, commit c0) is bucketed `hidx div 24`;
+    * generation 2 (odd keys, commit c1, post-evolution) `hidx div 96`.
+    * A reader must plan each file group through ITS spec's metadata —
+    * one logical table, two physical layouts, one pass
+    * (`q_partition_evolution` gates it; PlanSpec pins the per-spec
+    * PartitionFilters). */
+  def partitionEvolutionFixture(spark: SparkSession, sfDir: String)
+      : String = {
+    graft.functions.HilbertIndex.register(spark)
+    cachedFixture(sfDir, "orders-partition-evo-v1",
+        s"$sfDir/orders.parquet") { tmp =>
+      import org.apache.spark.sql.functions._
+      val laid = curveLaid(spark, sfDir, "hilbert_xy2d(x8, y8)")
+        .localCheckpoint(true)
+      def writeSpec(commit: String, rows: DataFrame, width: Long,
+          spec: String): Unit = {
+        val binned = rows.withColumn("pbucket", expr(s"hidx div $width"))
+        binned.repartition(col("pbucket"))
+          .sortWithinPartitions(col("pbucket"), col("hidx"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("pbucket")
+          .parquet(new java.io.File(new java.io.File(tmp, PartEvoDataDir),
+            commit).getAbsolutePath)
+        binned.groupBy(col("pbucket").cast("long").as("pbucket"))
+          .agg(min(col("x8")).as("x_lo"), max(col("x8")).as("x_hi"),
+            min(col("y8")).as("y_lo"), max(col("y8")).as("y_hi"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(new java.io.File(new java.io.File(tmp, PartEvoZonesDir),
+            spec).getAbsolutePath)
+      }
+      writeSpec("c0", laid.filter(col("o_orderkey") % 2 === 0),
+        PartEvoWidthOld, "spec24")
+      writeSpec("c1", laid.filter(col("o_orderkey") % 2 === 1),
+        PartEvoWidthNew, "spec96")
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+  }
 
   /** The rename fixture's tracked name mapping: per generation subdir,
     * old column name → current logical name (identity where unchanged).
@@ -941,6 +1126,100 @@ object Etl {
   val WapBatchMod = 101L
   val WapDefectMod = 5L
 
+  /** WAP HAPPY-PATH fixture — the publish `q_wap_audit`'s refusal never
+    * exercises: its OWN table root (the chain's data files HARDLINKED,
+    * manifests copied, `_current` = v3 — link-not-copy because the
+    * commit files are immutable by the chain's own contract, so two
+    * roots sharing bytes is exactly a table format sharing data files
+    * between catalogs), plus a branch `b_clean` staging the SAME CDC
+    * draw with the re-key bug FIXED (every row offset by 2·keyOff — no
+    * key can collide with live v3 keys or with the MERGE's +keyOff
+    * inserts). The declared `q_wap_publish` audits the branch (0
+    * duplicates), executes the atomic `_current` swap ON THIS ROOT, and
+    * reads back THROUGH the published pointer — the full
+    * write-audit-publish lifecycle with a green gate, isolated so the
+    * swap can never disturb the shared chain fixture the refusing twin
+    * reads. The swap is idempotent (same pointer bytes every run), so
+    * repeated verify/bench passes are stable. */
+  def wapPublishFixture(spark: SparkSession, sfDir: String): String = {
+    val src = chainFixture(spark, sfDir)
+    cachedFixture(sfDir, "orders-chain-wap-v1", s"$src/_SUCCESS") { tmp =>
+      import org.apache.spark.sql.functions._
+      graft.functions.HilbertIndex.register(spark)
+      graft.functions.Mix64.register(spark)
+      linkDir(new java.io.File(src, ChainDataDir),
+        new java.io.File(tmp, ChainDataDir))
+      copyDir(new java.io.File(src, ChainManifestsDir),
+        new java.io.File(tmp, ChainManifestsDir))
+      copyDir(new java.io.File(src, ChainZonesDir),
+        new java.io.File(tmp, ChainZonesDir))
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_current").toPath, "v3"): Unit
+      // the clean batch: the SAME mod-101 CDC draw, every row re-keyed
+      // (the defect sub-draw fixed) — placed with the frozen layout
+      // stats like every other chain commit
+      val keyOff2 = mergeKeyOffset(spark, sfDir) * 2
+      val batch = curveLaid(spark, sfDir, "hilbert_xy2d(x8, y8)")
+        .filter(pmod(call_function("mix64", col("o_orderkey")),
+          lit(WapBatchMod)) === 0L)
+        .withColumn("o_orderkey", col("o_orderkey") + keyOff2)
+      batch.repartition(col("hbucket"))
+        .sortWithinPartitions(col("hbucket"), col("hidx"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("hbucket")
+        .parquet(new java.io.File(new java.io.File(tmp, ChainDataDir),
+          "c5").getAbsolutePath)
+      val c5 = {
+        val base = new java.io.File(new java.io.File(tmp, ChainDataDir), "c5")
+        Option(base.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(d => d.isDirectory && d.getName.contains("="))
+          .flatMap { d =>
+            Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+              .filter(_.getName.startsWith("part-"))
+              .map(f => s"c5/${d.getName}/${f.getName}")
+          }.sorted
+      }
+      java.nio.file.Files.write(
+        new java.io.File(new java.io.File(tmp, ChainManifestsDir),
+          "b_clean.txt").toPath,
+        (chainManifest(src, 3) ++ c5).sorted
+          .mkString("\n").getBytes("UTF-8")): Unit
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+  }
+
+  /** Atomic pointer swap — publication itself: write the new ref to a
+    * temp file and rename over `_current` (rename is atomic on POSIX, so
+    * a concurrent reader sees the old ref or the new, never a torn
+    * one). Idempotent by content. */
+  def chainPublish(root: String, ref: String): Unit = {
+    val tmp = java.nio.file.Files.writeString(
+      new java.io.File(s"$root/_current.tmp-${java.util.UUID.randomUUID()}")
+        .toPath, ref)
+    java.nio.file.Files.move(tmp, new java.io.File(s"$root/_current").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Recursive HARDLINK mirror (falls back to copy across filesystems) —
+    * the zero-byte data-sharing stand-in for a manifest referencing
+    * another catalog's immutable files. */
+  private[graft] def linkDir(from: java.io.File, to: java.io.File): Unit =
+    if (from.isDirectory) {
+      to.mkdirs()
+      Option(from.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(f => linkDir(f, new java.io.File(to, f.getName)))
+    } else {
+      try {
+        java.nio.file.Files.createLink(to.toPath, from.toPath): Unit
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(from.toPath, to.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }
+
   /** A chain ref's manifest: table-relative part paths (bounded —
     * ≤ ~2731 + touched entries per ref, driver metadata). Refs are
     * version numbers ("v0".."v3") or branch names ("b_audit"). */
@@ -1061,7 +1340,12 @@ object Etl {
     deleteRewriteFixture(spark, sfDir)
     mergeRewriteFixture(spark, sfDir)
     morDvFixture(spark, sfDir)
+    morDv2Fixture(spark, sfDir)
+    morDvCompactFixture(spark, sfDir)
     chainFixture(spark, sfDir)
+    wapPublishFixture(spark, sfDir)
+    schemaDropFixture(spark, sfDir)
+    partitionEvolutionFixture(spark, sfDir)
     pairStoreFixture(spark, sfDir)
     bucketedOrderTables(spark, sfDir)
     ()

@@ -81,6 +81,105 @@ class ChainSpec extends SparkSpec {
     }
   }
 
+  test("stacked DVs: positions disjoint across sidecars, composed read" +
+      " ≡ sequential deletes, compaction ≡ twice-applied COW and reads" +
+      " with no anti-join") {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    val base = Etl.hilbertOrdersFixture(spark, sf)
+    val dv1 = spark.read.parquet(s"${Etl.morDvFixture(spark, sf)}/dv")
+    val dv2 = spark.read.parquet(s"${Etl.morDv2Fixture(spark, sf)}/dv")
+    // dv2 must tombstone only rows ALIVE under dv1 — the overlap of the
+    // two rectangles lives in dv1 alone (no double-tombstoning)
+    val p1 = dv1.select("fp", "ri").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val p2 = dv2.select("fp", "ri").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(p2.nonEmpty, "second sidecar empty — stacking vacuous")
+    assert((p1 & p2).isEmpty,
+      s"${(p1 & p2).size} positions tombstoned twice across stacked DVs")
+    def positioned = spark.read.parquet(s"$base/${Etl.HilbertTableDir}")
+      .select(col("o_orderkey"),
+        substring_index(col("_metadata.file_path"),
+          s"/${Etl.HilbertTableDir}/", -1).as("fp"),
+        col("_metadata.row_index").as("ri"))
+    def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    // composed read (one anti-join on dv1 ∪ dv2) ≡ sequential reads
+    val composed = keys(positioned
+      .join(broadcast(dv1.unionByName(dv2)), Seq("fp", "ri"), "left_anti"))
+    val sequential = keys(positioned
+      .join(broadcast(dv1), Seq("fp", "ri"), "left_anti")
+      .join(broadcast(dv2), Seq("fp", "ri"), "left_anti"))
+    assert(composed == sequential,
+      "composed stacked read diverged from sequential DV application")
+    // compaction converges to COW: apply the two rectangle deletes as
+    // sequential copy-on-write rewrites and compare the materialized
+    // layout census-for-census (per-bucket file sets) and row sets
+    val compact = Etl.morDvCompactFixture(spark, sf)
+    val R = graft.operators.RefQueries
+    val tmp1 = java.nio.file.Files
+      .createTempDirectory("graft_cow_seq1").toFile
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft_cow_seq2").toFile
+    try {
+      Etl.copyDir(new java.io.File(base), tmp1)
+      Etl.cowDeleteRect(spark, base, tmp1, R.HilbertRect)
+      Etl.copyDir(tmp1, tmp2)
+      Etl.cowDeleteRect(spark, tmp1.getAbsolutePath, tmp2, R.HilbertRect2)
+      def census(root: String): Map[String, Int] =
+        R.listPartFiles(spark, s"$root/${Etl.HilbertTableDir}")
+          .groupBy(_.split("/").find(_.startsWith("hbucket="))
+            .getOrElse(sys.error("no bucket segment")))
+          .map { case (b, fs) => b -> fs.size }
+      assert(census(compact) == census(tmp2.getAbsolutePath),
+        "compacted layout census diverged from sequential COW")
+      val compactKeys = keys(
+        spark.read.parquet(s"$compact/${Etl.HilbertTableDir}"))
+      assert(compactKeys == composed,
+        "compaction resurrected or lost rows vs the stacked-DV read")
+      // the whole point of compacting: the serving plan has NO join
+      val p = SparkEntry.queries("q_dv_compaction")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Join"),
+        s"post-compaction read still carries a join:\n$p")
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+        x.delete(): Unit
+      }
+      rm(tmp1); rm(tmp2)
+    }
+  }
+
+  test("WAP happy path: clean branch audits green, the executed pointer" +
+      " swap serves the branch, and the shared chain fixture is" +
+      " untouched") {
+    val chainRoot = Etl.chainFixture(spark, sf)
+    val row = graft.operators.RefQueries.qWapPublish(spark, sf).collect()(0)
+    assert(row.getLong(2) == 0L, "clean branch must audit 0 duplicates")
+    assert(row.getLong(3) == 1L, "clean audit must publish")
+    val wapRoot = Etl.wapPublishFixture(spark, sf)
+    // the swap really happened ON THE ISOLATED ROOT...
+    assert(Etl.chainCurrent(wapRoot) == "b_clean",
+      "publish must move the isolated root's _current to the branch")
+    // ...and the published read IS the branch
+    assert(row.getLong(4) == Etl.chainReadNamed(spark, wapRoot, "b_clean")
+      .count(), "published row count must equal the branch read")
+    // the batch is disjointly re-keyed: every appended key above 2·koff
+    val keyOff2 = Etl.mergeKeyOffset(spark, sf) * 2
+    assert(row.getLong(1) > 0L, "appended batch empty — publish vacuous")
+    assert(row.getLong(4) - row.getLong(0) == row.getLong(1),
+      "published = live + appended must hold")
+    val minAppended = Etl.chainReadNamed(spark, wapRoot, "b_clean")
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") >= keyOff2)
+      .count()
+    assert(minAppended == row.getLong(1),
+      "appended rows must all carry re-keyed (≥ 2·koff) keys")
+    // the SHARED chain fixture must be untouched by the publish
+    assert(Etl.chainCurrent(chainRoot) == "v3",
+      "publishing the isolated root moved the shared fixture's pointer")
+  }
+
   test("write-audit-publish: the audit refuses the defective branch," +
       " publish is a pointer swap, abandonment vacuums only the branch") {
     val src = Etl.chainFixture(spark, sf)

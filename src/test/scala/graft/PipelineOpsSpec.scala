@@ -2008,7 +2008,7 @@ class PipelineOpsSpec extends SparkSpec {
       " zone maps") {
     val R = graft.operators.RefQueries
     val rows = R.qTimeTravel(spark, sf).collect()
-      .map(r => r.getInt(0) ->
+      .map(r => r.getLong(0).toInt ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(rows.keySet == Set(0, 1))
     val (n0, cs0, rect0) = rows(0)

@@ -533,6 +533,53 @@ class PlanSpec extends SparkSpec {
       s"the corpus must not shuffle to apply the DV:\n$p")
   }
 
+  test("q_delete_mor_stacked: one scan, both sidecars applied as" +
+      " broadcast anti-joins, no shuffle join; the dv2 build is" +
+      " partition-pruned") {
+    val E = graft.sources.Etl
+    val build = E.morDv2Build(spark, E.hilbertOrdersFixture(spark, sf),
+      E.morDvFixture(spark, sf))
+    val bp = build.queryExecution.executedPlan.toString
+    assert(bp.contains("PartitionFilters: [") && bp.contains("hbucket") &&
+      (bp.contains("INSET") || bp.contains(" IN (")),
+      s"dv2 build not partition-pruned to rect2's zone candidates:\n$bp")
+    assert(bp.contains("BroadcastHashJoin") && bp.contains("LeftAnti"),
+      s"dv2 build must apply dv1 as a broadcast anti-join:\n$bp")
+    val p = plan("q_delete_mor_stacked")
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"stacked serve must anti-join the broadcast sidecars:\n$p")
+    assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      s"the corpus must not shuffle to apply stacked DVs:\n$p")
+  }
+
+  test("q_schema_drop: the dropped column reaches NO generation's scan" +
+      " on the current read; the never-projected ck column is pruned") {
+    val cur = graft.operators.RefQueries.schemaDropCurrent(spark,
+      graft.sources.Etl.schemaDropFixture(spark, sf))
+    val p = cur.queryExecution.executedPlan.toString
+    assert(!p.contains("o_note"),
+      s"the dropped column must not reach the current read's scan:\n$p")
+    assert("[<,]ck:".r.findFirstIn(p).isEmpty,
+      s"the never-projected ck column must be pruned:\n$p")
+    // the full declared query still reads o_note — but ONLY through the
+    // pre-drop epoch scan (history intact)
+    val full = plan("q_schema_drop")
+    assert(full.contains("o_note"),
+      s"the pre-drop epoch read must still serve the dropped column:\n$full")
+  }
+
+  test("q_partition_evolution: each spec's file group carries its OWN" +
+      " plan-time partition filter — two pruned scans, no corpus" +
+      " shuffle") {
+    val p = plan("q_partition_evolution")
+    val insets = "PartitionFilters: \\[[^\\]]*pbucket[^\\]]*INSET"
+      .r.findAllIn(p).length
+    assert(insets == 2,
+      s"expected one INSET partition filter per spec (2), got $insets:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the spec union must not join or shuffle the corpus:\n$p")
+  }
+
   test("q_schema_widening: pruning survives the widened read — the" +
       " never-projected ck column is not read from any generation") {
     val df = SparkEntry.queries("q_schema_widening")(spark, sf)
@@ -942,6 +989,18 @@ class PlanSpec extends SparkSpec {
         s"$name: every window must partition by user_id, got $specs:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name went cartesian:\n$p")
     }
+  }
+
+  test("q_time_travel: served through the manifest protocol — one scan" +
+      " per commit (2), shared files never read twice, no shuffle join") {
+    val p = plan("q_time_travel")
+    val commitScans = "/data/c\\d".r.findAllIn(p).length
+    assert(commitScans == 2,
+      s"expected one scan per commit (2), got $commitScans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the manifest map must broadcast:\n$p")
+    assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      s"history attribution must not shuffle the corpus:\n$p")
   }
 
   test("q_time_travel_chain: 4 versions, one scan per COMMIT — shared" +
