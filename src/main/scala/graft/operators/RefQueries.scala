@@ -1310,24 +1310,45 @@ object RefQueries {
     * against live keys only (a defect row whose original died in the
     * DELETE is NOT a duplicate, and flagging it would block a clean
     * publish).
-    * Scale: the audit is one groupBy over branch keys (the appended
-    * batch is CDC-sized; the base is the published table — the same
-    * aggregate any uniqueness constraint check costs). */
+    * Scale: the audit is INCREMENTAL — one tiny groupBy over the
+    * CDC-sized staged delta plus a broadcast semi-join probed by the
+    * one published read the audit row needs anyway; the base's
+    * uniqueness was certified by the publish that created it, so
+    * re-grouping the whole branch would re-prove a certified invariant
+    * at a corpus-shuffle price. */
   def qWapAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val E = graft.sources.Etl
     val root = E.chainFixture(spark, sfDir)
-    val published = E.chainReadNamed(spark, root, E.chainCurrent(root))
-    val branch = E.chainReadNamed(spark, root, "b_audit")
-    val dup = branch.groupBy($"o_orderkey")
-      .agg(count(lit(1)).as("n")).filter($"n" > 1L)
+    val cur = E.chainCurrent(root)
+    // the INCREMENTAL audit (r16): a branch forked from the published
+    // version only needs its STAGED DELTA checked — the base's key
+    // uniqueness was certified by the publish that created it (the
+    // standard incremental-constraint argument; re-grouping the whole
+    // branch re-proves what is already certified and costs a full
+    // extra history read plus a corpus-keyed shuffle). A branch key is
+    // a duplicate iff it repeats WITHIN the delta or collides with a
+    // LIVE key — computed as one tiny groupBy over the CDC-sized delta
+    // plus one broadcast semi-join probed by the published read the
+    // audit row needs anyway. Same output, hash-identical.
+    val delta = E.chainReadDelta(spark, root, "b_audit", cur)
+      .select($"o_orderkey").localCheckpoint(true)
+    val deltaKeys = delta.groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_delta"))
+    val published = E.chainReadNamed(spark, root, cur)
+    val collisions = published.select($"o_orderkey")
+      .join(broadcast(deltaKeys.select($"o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+    val dup = deltaKeys.filter($"n_delta" > 1L).select($"o_orderkey")
+      .unionByName(collisions).distinct()
     val dupAgg = dup.agg(count(lit(1)).as("n_dup_keys"),
       coalesce(keyChecksum($"o_orderkey"), lit(0L)).as("dup_key_checksum"))
     val pubAgg = published.agg(count(lit(1)).as("n_published_rows"))
-    val brAgg = branch.agg(count(lit(1)).as("n_branch_rows"))
-    pubAgg.crossJoin(brAgg).crossJoin(dupAgg)
-      .select($"n_published_rows", $"n_branch_rows",
-        ($"n_branch_rows" - $"n_published_rows").as("n_appended"),
+    val dAgg = delta.agg(count(lit(1)).as("n_appended_rows"))
+    pubAgg.crossJoin(dAgg).crossJoin(dupAgg)
+      .select($"n_published_rows",
+        ($"n_published_rows" + $"n_appended_rows").as("n_branch_rows"),
+        $"n_appended_rows".as("n_appended"),
         $"n_dup_keys", $"dup_key_checksum",
         when($"n_dup_keys" > 0L, 0L).otherwise(1L).as("publish_ok"))
   }
@@ -1346,22 +1367,32 @@ object RefQueries {
     * (v3's rows ∪ the re-keyed batch), so the gate proves the published
     * read serves exactly what the branch staged — publish_ok = 1 is
     * hash-load-bearing, and so is the pointer the final read resolves.
-    * Scale: audit = one groupBy over branch keys; publish = one rename;
+    * Scale: audit = a tiny groupBy over the staged delta + a broadcast
+    * semi-join against the published version (incremental — the base's
+    * uniqueness is certified by its own publish); publish = one rename;
     * the verification read costs what any current-version read costs. */
   def qWapPublish(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val E = graft.sources.Etl
     val root = E.wapPublishFixture(spark, sfDir)
-    val keyOff2 = E.mergeKeyOffset(spark, sfDir) * 2
-    val branch = E.chainReadNamed(spark, root, "b_clean")
-    // the audit decision: bounded driver metadata (4 longs), never rows
-    val audit = branch.groupBy($"o_orderkey")
-      .agg(count(lit(1)).as("n"))
-      .agg(sum($"n").as("n_branch_rows"),
-        sum(when($"n" > 1L, 1L).otherwise(0L)).as("n_dup_keys"),
-        sum(when($"o_orderkey" >= keyOff2, $"n").otherwise(0L))
-          .as("n_appended")).head()
-    val nDup = audit.getLong(1)
+    // the INCREMENTAL audit (see qWapAudit): within-delta duplicates
+    // from a tiny groupBy over the staged commit, live collisions from
+    // a broadcast semi-join against the published version — the
+    // decision is bounded driver metadata (3 longs), never rows
+    val delta = E.chainReadDelta(spark, root, "b_clean", "v3")
+      .select($"o_orderkey").localCheckpoint(true)
+    val deltaKeys = delta.groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_delta"))
+    val collisions = E.chainReadNamed(spark, root, "v3")
+      .select($"o_orderkey")
+      .join(broadcast(deltaKeys.select($"o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+    val audit = deltaKeys
+      .agg(sum(when($"n_delta" > 1L, 1L).otherwise(0L))
+          .as("n_dup_within"),
+        count(lit(1)).as("n_delta_keys"),
+        sum($"n_delta").as("n_appended")).head()
+    val nDup = audit.getLong(0) + collisions.distinct().count()
     if (nDup == 0L) E.chainPublish(root, "b_clean")
     // the post-publish verification read resolves the POINTER — if the
     // swap didn't happen (or landed torn), this still serves v3 and the

@@ -1262,6 +1262,29 @@ object Etl {
     }.reduce(_ unionByName _)
   }
 
+  /** Read ONLY the files `ref` adds over `base` — the staged commit's
+    * DELTA (manifest set difference, driver metadata). The incremental
+    * audit's input: a branch forked from an audited version only needs
+    * its OWN rows checked, the base's uniqueness was certified by the
+    * publish that created it. */
+  def chainReadDelta(spark: SparkSession, root: String, ref: String,
+      base: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val rels = (chainManifestNamed(root, ref).toSet --
+      chainManifestNamed(root, base).toSet).toSeq.sorted
+    rels.foreach { r =>
+      if (!new java.io.File(s"$root/$ChainDataDir/$r").exists())
+        throw new java.io.FileNotFoundException(
+          s"ref $ref references vacuumed file $r")
+    }
+    rels.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).map {
+      case (c, paths) =>
+        spark.read.option("basePath", s"$root/$ChainDataDir/$c")
+          .parquet(paths.map(p => s"$root/$ChainDataDir/$p"): _*)
+          .select(col("o_orderkey"), col("x8"), col("y8"), col("hidx"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Execute the retention VACUUM on a chain root: delete every data
     * file referenced ONLY by expired versions (the manifests themselves
     * stay — history metadata is cheap, and a read of an expired version

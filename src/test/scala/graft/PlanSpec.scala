@@ -552,6 +552,15 @@ class PlanSpec extends SparkSpec {
       s"the corpus must not shuffle to apply stacked DVs:\n$p")
   }
 
+  test("q_wap_audit: the incremental audit probes live keys with a" +
+      " broadcast semi-join — the corpus never shuffles on its key") {
+    val p = plan("q_wap_audit")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"live-collision check must be a broadcast semi-join:\n$p")
+    assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      s"the published corpus must not shuffle for the audit:\n$p")
+  }
+
   test("q_schema_drop: the dropped column reaches NO generation's scan" +
       " on the current read; the never-projected ck column is pruned") {
     val cur = graft.operators.RefQueries.schemaDropCurrent(spark,
