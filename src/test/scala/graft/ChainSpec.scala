@@ -151,6 +151,28 @@ class ChainSpec extends SparkSpec {
     }
   }
 
+  test("incremental WAP audit ≡ brute-force branch groupBy: dup count" +
+      " and checksum agree with re-grouping the whole branch") {
+    // the r16 delta audit must find EXACTLY the keys a full-branch
+    // groupBy(count > 1) finds — the equivalence that justifies not
+    // re-proving the base's certified uniqueness
+    import org.apache.spark.sql.functions.col
+    val root = Etl.chainFixture(spark, sf)
+    val brute = Etl.chainReadNamed(spark, root, "b_audit")
+      .groupBy(col("o_orderkey")).count()
+      .filter(col("count") > 1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val row = graft.operators.RefQueries.qWapAudit(spark, sf).collect()(0)
+    assert(row.getLong(3) == brute.size.toLong,
+      s"incremental dup count ${row.getLong(3)} != brute ${brute.size}")
+    val P = 1000000007L
+    val bruteCk = brute.toSeq.map { k =>
+      val m = ((k % P) + P) % P; m * m % P
+    }.foldLeft(0L)((a, b) => (a + b) % P)
+    assert(row.getLong(4) == bruteCk,
+      "incremental dup checksum diverged from the brute-force key set")
+  }
+
   test("WAP happy path: clean branch audits green, the executed pointer" +
       " swap serves the branch, and the shared chain fixture is" +
       " untouched") {
