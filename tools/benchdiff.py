@@ -70,9 +70,19 @@ def main(base_path, cand_path, threshold=1.5, allow_gone=()):
     # ratios, and only applied when the suite moved by > 10%.
     all_cr = sorted(r for r in (cpu_ratio(k) for k in shared)
                     if r is not None)
-    load_f = all_cr[len(all_cr) // 2] if all_cr else 1.0
-    load_f = load_f if load_f > 1.1 else 1.0
-    if load_f > 1.0:
+    raw_load = all_cr[len(all_cr) // 2] if all_cr else 1.0
+    # a "load factor" at or beyond the gate threshold is not load — it is
+    # a uniform suite-wide cpu regression (a shared fixture/codegen/
+    # harness change slowing MOST queries would inflate the median and,
+    # unbounded, let the normalizer absolve every per-query ratio). Do
+    # not normalize in that regime; gate on the suite itself instead.
+    suite_regressed = raw_load > threshold
+    load_f = raw_load if (1.1 < raw_load <= threshold) else 1.0
+    if suite_regressed:
+        print(f"SUITE-WIDE CPU REGRESSION: median cpu ratio {raw_load:.2f}x "
+              f"exceeds threshold {threshold}x over {len(all_cr)} queries — "
+              f"refusing to treat it as load; gating")
+    elif load_f > 1.0:
         print(f"suite load normalizer: median cpu ratio {load_f:.2f}x over "
               f"{len(all_cr)} queries — per-query cpu ratios divided by it")
     gone, new = sorted(set(bq) - set(cq)), sorted(set(cq) - set(bq))
@@ -146,6 +156,8 @@ def main(base_path, cand_path, threshold=1.5, allow_gone=()):
     bad = [k for _, k, _, _, note in rows
            if note == "FAILED" or note.startswith("REGRESSION")]
     bad += [k for k in gone if k not in allow_gone]
+    if suite_regressed:
+        bad.append(f"<suite median cpu {raw_load:.2f}x>")
     if bad:
         print(f"\n{len(bad)} regression(s)/failure(s): {', '.join(bad)}")
         return 1
