@@ -294,6 +294,8 @@ object SparkEntry {
     "q_delete_mor_stacked" -> ((s, d) => RefQueries.qDeleteMorStacked(s, d)),
     "q_dv_compaction" -> ((s, d) => RefQueries.qDvCompaction(s, d)),
     "q_wap_publish" -> ((s, d) => RefQueries.qWapPublish(s, d)),
+    "q_table_changes" -> ((s, d) => RefQueries.qTableChanges(s, d)),
+    "q_cdf_refresh" -> ((s, d) => RefQueries.qCdfRefresh(s, d)),
     "q_schema_drop" -> ((s, d) => RefQueries.qSchemaDrop(s, d)),
     "q_partition_evolution" -> ((s, d) =>
       RefQueries.qPartitionEvolution(s, d)),
@@ -2698,6 +2700,61 @@ object SparkEntry {
       SELECT * FROM vv0 UNION ALL SELECT * FROM vv1
       UNION ALL SELECT * FROM vv2 UNION ALL SELECT * FROM vv3
       ORDER BY version ASC""",
+    // change-data-feed replay: the DELETE commit's feed is the rectangle
+    // rows; the MERGE commit's is the stripe movers whose curve position
+    // actually moved (update_pre/update_post pairs — a no-op update is
+    // not a change) plus the re-keyed CDC inserts; the OPTIMIZE commit
+    // contributes a literal 'none' row (dataChange=false metadata — zero
+    // I/O on both engines). Checksums bind key AND (key, hidx) image,
+    // so serving the wrong image (pre for an insert, post for a delete)
+    // or emitting a carry-over fails the hash
+    "q_table_changes" -> s"""
+      WITH $chainCtes,
+      up AS (
+        SELECT p.o_orderkey, p.hidx AS pre_hidx, q.hidx AS post_hidx
+        FROM (SELECT o_orderkey, hidx FROM v1r
+              WHERE x8 BETWEEN ${RefQueries.MergeStripe._1}
+                           AND ${RefQueries.MergeStripe._2}) p
+        JOIN mv2 q USING (o_orderkey)
+        WHERE p.hidx <> q.hidx
+      ),
+      ch AS (
+        SELECT 1 AS version, 'delete' AS change_type, o_orderkey, hidx
+        FROM hb
+        WHERE x8 BETWEEN ${RefQueries.HilbertRect._1}
+                     AND ${RefQueries.HilbertRect._2}
+          AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                     AND ${RefQueries.HilbertRect._4}
+        UNION ALL SELECT 2, 'insert', o_orderkey, hidx FROM ins
+        UNION ALL SELECT 2, 'update_pre', o_orderkey, pre_hidx FROM up
+        UNION ALL SELECT 2, 'update_post', o_orderkey, post_hidx FROM up
+      )
+      SELECT version::BIGINT AS version, change_type,
+             count(*)::BIGINT AS n_rows,
+             (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                  % 1000000007) % 1000000007)::BIGINT AS key_checksum,
+             (sum((((o_orderkey % 1000000007) * 31 + (hidx % 1000000007))
+                     % 1000000007)
+                  * (((o_orderkey % 1000000007) * 31 + (hidx % 1000000007))
+                     % 1000000007) % 1000000007)
+               % 1000000007)::BIGINT AS pos_checksum
+      FROM ch GROUP BY 1, 2
+      UNION ALL
+      SELECT 3::BIGINT, 'none', 0::BIGINT, 0::BIGINT, 0::BIGINT
+      ORDER BY version ASC, change_type ASC""",
+    // incremental-refresh replay: the oracle computes the per-band
+    // summary DIRECTLY from v2's row set, while the Spark side never
+    // reads v2 — it refreshes the v1 summary with the change feed's
+    // signed delta terms. A hash match IS apply(changes, v1) == v2,
+    // band for band
+    "q_cdf_refresh" -> s"""
+      WITH $chainCtes
+      SELECT (x8 // 32)::BIGINT AS xband, count(*)::BIGINT AS n_rows,
+             (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                  % 1000000007) % 1000000007)::BIGINT AS key_checksum,
+             (sum(hidx % 1000000007) % 1000000007)::BIGINT
+               AS hidx_checksum
+      FROM v2r GROUP BY 1 ORDER BY xband ASC""",
     // retention-vacuum replay: every file count derives from the curve
     // arithmetic — per-version live buckets, the delete's zone
     // candidates (their c0 files are the only garbage when v0 expires),

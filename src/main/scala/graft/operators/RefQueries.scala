@@ -1834,6 +1834,152 @@ object RefQueries {
         "n_garbage", "n_shared_kept", "n_live")
   }
 
+  /** ROW-LEVEL CHANGE FEED of one chain transition (v_{k−1} → v_k) —
+    * derived from the COMMIT'S OWN ARTIFACTS, never a two-snapshot diff:
+    * the pre-image is the files the commit RETIRED (manifest set
+    * difference, driver metadata), the post-image the files it ADDED —
+    * both commit-sized, while the untouched majority of the table is
+    * never listed, opened, or decoded. A full-outer join of the two
+    * images on the key classifies every row exactly once:
+    *   pre only            → delete,
+    *   post only           → insert,
+    *   both, values moved  → update_pre + update_post,
+    *   both, identical     → carry-over (a rewritten bucket's survivors
+    *                         — NOT a change; emitting them would make
+    *                         downstream consumers re-process the world).
+    * Layout-only commits (`dataChange = false` in the commit metadata —
+    * OPTIMIZE) return an EMPTY feed by metadata alone: zero files
+    * opened, which is the whole reason the metadata exists (diffing the
+    * two snapshots to discover "nothing changed" would cost two full
+    * reads of a 100 TB table).
+    * Output: (version, change_type, o_orderkey, x8, y8, hidx) — the
+    * image carried is the pre-image for delete/update_pre, the
+    * post-image for insert/update_post. */
+  private[graft] def chainChanges(spark: SparkSession, root: String,
+      version: Int): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val (_, dataChange) = E.chainCommitMeta(root)(s"c$version")
+    if (!dataChange)
+      return Seq.empty[(Long, String, Long, Long, Long, Long)]
+        .toDF("version", "change_type", "o_orderkey", "x8", "y8", "hidx")
+    val pre0 = E.chainManifest(root, version - 1).toSet
+    val post0 = E.chainManifest(root, version).toSet
+    val pre = E.chainReadFiles(spark, root, (pre0 -- post0).toSeq.sorted,
+        s"c$version-pre")
+      .select($"o_orderkey", struct($"x8", $"y8", $"hidx").as("pre"))
+    val post = E.chainReadFiles(spark, root, (post0 -- pre0).toSeq.sorted,
+        s"c$version-post")
+      .select($"o_orderkey", struct($"x8", $"y8", $"hidx").as("post"))
+    // both images are commit-sized (the touched buckets), so this join
+    // shuffles O(commit), not O(table)
+    val updArr = array(
+      struct(lit("update_pre").as("change_type"), $"pre".as("img")),
+      struct(lit("update_post").as("change_type"), $"post".as("img")))
+    pre.join(post, Seq("o_orderkey"), "full_outer")
+      .select($"o_orderkey", explode(
+        when($"post".isNull,
+          array(struct(lit("delete").as("change_type"), $"pre".as("img"))))
+        .when($"pre".isNull,
+          array(struct(lit("insert").as("change_type"), $"post".as("img"))))
+        .when($"pre" =!= $"post", updArr)
+        .otherwise(slice(updArr, 1, 0))).as("ch"))
+      .select(lit(version.toLong).as("version"), $"ch.change_type",
+        $"o_orderkey", $"ch.img.x8".as("x8"), $"ch.img.y8".as("y8"),
+        $"ch.img.hidx".as("hidx"))
+  }
+
+  /** CHANGE-DATA-FEED read over the depth-4 commit chain (`table_changes
+    * (v0, v3)`) — the exact row-level change set of every transition,
+    * derived from commit artifacts alone ([[chainChanges]]): the DELETE
+    * commit emits its rectangle rows as deletes, the MERGE commit its
+    * stripe movers as update_pre/update_post pairs plus the CDC inserts,
+    * and the OPTIMIZE commit emits an explicit `none` row FROM METADATA
+    * (dataChange = false — no file opened to learn that layout moved and
+    * content didn't). One output row per (version, change_type): count,
+    * key checksum, and a position checksum binding (key, hidx) of the
+    * emitted image — so a feed that misses a mover, emits a carry-over,
+    * or serves the wrong image fails the hash. The oracle re-derives the
+    * whole feed from the chain arithmetic it already replays for time
+    * travel; ChainSpec proves apply(changes, v_k) ≡ v_{k+1} row-for-row
+    * for every transition.
+    * Scale: each transition costs O(its commit) — pre/post images are
+    * the retired/added files only; a 100 TB table's nightly CDF read
+    * never touches the untouched partitions, and layout-only commits
+    * cost zero I/O. */
+  def qTableChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val root = E.chainFixture(spark, sfDir)
+    val meta = E.chainCommitMeta(root)
+    val P = TextAnalysis.ChecksumP
+    val posTerm = (pmod($"o_orderkey", lit(P)) * 31 +
+      pmod($"hidx", lit(P))) % P
+    val dataVs = (1 to 3).filter(v => meta(s"c$v")._2)
+    val changed = dataVs.map(v => chainChanges(spark, root, v))
+      .reduce(_ unionByName _)
+      .groupBy($"version", $"change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        keyChecksum($"o_orderkey").as("key_checksum"),
+        keyChecksum(posTerm).as("pos_checksum"))
+    // layout-only commits state "no row changed" as an explicit row —
+    // a consumer polling the feed must see the transition was SERVED
+    // (and skipped), not silently absent
+    val noneRows = (1 to 3).filterNot(v => meta(s"c$v")._2)
+      .map(v => (v.toLong, "none", 0L, 0L, 0L))
+      .toDF("version", "change_type", "n_rows", "key_checksum",
+        "pos_checksum")
+    changed.unionByName(noneRows)
+      .orderBy($"version".asc, $"change_type".asc)
+  }
+
+  /** INCREMENTAL MATERIALIZED-VIEW REFRESH fed by the change feed — the
+    * consumer that makes [[qTableChanges]] load-bearing: a per-x8-band
+    * summary (count, key checksum, hidx sum) materialized at v1 is
+    * refreshed to v2 by applying ONLY the MERGE commit's change rows
+    * (insert/delete: signed count and checksum terms; update_pre/
+    * update_post: the pre-image retracts, the post-image asserts — the
+    * standard delta-retraction algebra, exact because every checksum
+    * here is a commutative mod-P sum). The oracle computes the same
+    * summary DIRECTLY from v2's row set, so the hash gate IS the
+    * apply(changes, v1) ≡ v2 identity, band for band — and the refresh
+    * never read v2.
+    * Scale: the refresh costs O(|changes|) against a bounded summary —
+    * the reason a 100 TB warehouse maintains views from the change feed
+    * instead of recomputing them from the new snapshot. */
+  def qCdfRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val root = E.chainFixture(spark, sfDir)
+    val P = TextAnalysis.ChecksumP
+    val sq = pmod($"o_orderkey", lit(P)) * pmod($"o_orderkey", lit(P)) % P
+    val xband = expr("x8 div 32")
+    // the materialized base: in production this is a stored table — the
+    // one corpus read here stands in for reading the view, not v1
+    val base = E.chainReadVersion(spark, root, 1)
+      .groupBy(xband.as("xband"))
+      .agg(count(lit(1)).as("b_n"),
+        sum(sq).as("b_kck"),
+        sum(pmod($"hidx", lit(P))).as("b_hck"))
+    val sgn = when($"change_type".isin("delete", "update_pre"), -1L)
+      .otherwise(1L)
+    val delta = chainChanges(spark, root, 2)
+      .groupBy(xband.as("xband"))
+      .agg(sum(sgn).as("d_n"),
+        sum(sgn * sq).as("d_kck"),
+        sum(sgn * pmod($"hidx", lit(P))).as("d_hck"))
+    base.join(delta, Seq("xband"), "full_outer")
+      .select($"xband".cast("long").as("xband"),
+        (coalesce($"b_n", lit(0L)) + coalesce($"d_n", lit(0L)))
+          .as("n_rows"),
+        pmod(coalesce($"b_kck", lit(0L)) + coalesce($"d_kck", lit(0L)),
+          lit(P)).as("key_checksum"),
+        pmod(coalesce($"b_hck", lit(0L)) + coalesce($"d_hck", lit(0L)),
+          lit(P)).as("hidx_checksum"))
+      .filter($"n_rows" > 0L)
+      .orderBy($"xband".asc)
+  }
+
   /** Incremental JOIN maintenance — the delta identity behind every
     * materialized-view refresh: with both sides split into base + delta
     * (a load boundary at `cutoff`),

@@ -975,7 +975,7 @@ object Etl {
     * version's rows, file census, and retention classes from the curve
     * arithmetic alone. */
   def chainFixture(spark: SparkSession, sfDir: String): String =
-    cachedFixture(sfDir, "orders-chain-v3", s"$sfDir/orders.parquet") { tmp =>
+    cachedFixture(sfDir, "orders-chain-v4", s"$sfDir/orders.parquet") { tmp =>
       import org.apache.spark.sql.functions._
       graft.functions.HilbertIndex.register(spark)
       graft.functions.Mix64.register(spark)
@@ -1113,11 +1113,37 @@ object Etl {
         (commitFiles("c3") ++ commitFiles("c4")).sorted
           .mkString("\n").getBytes("UTF-8")): Unit
 
+      // per-commit metadata: kind + dataChange flag — what a table
+      // format records with every commit, and what lets a change-data
+      // read SKIP layout-only commits (OPTIMIZE moves bytes, never
+      // rows) without paying a two-snapshot diff to find that out
+      java.nio.file.Files.write(
+        new java.io.File(tmp, ChainCommitsFile).toPath,
+        Seq("c0 ingest true", "c1 delete true", "c2 merge true",
+          "c3 optimize false", "c4 append true")
+          .mkString("\n").getBytes("UTF-8")): Unit
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "_current").toPath, "v3"): Unit
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
     }
+
+  /** Commit-metadata file of [[chainFixture]] roots: one
+    * `<commit> <kind> <dataChange>` line per commit. */
+  val ChainCommitsFile = "commits.txt"
+
+  /** Per-commit (kind, dataChange) metadata — driver-side, bounded by
+    * chain depth. `dataChange = false` marks layout-only commits
+    * (OPTIMIZE): their transition's change feed is empty BY METADATA,
+    * never by diffing two full snapshots. */
+  def chainCommitMeta(root: String): Map[String, (String, Boolean)] = {
+    val f = new java.io.File(s"$root/$ChainCommitsFile")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val Array(c, kind, dc) = line.trim.split("\\s+")
+      c -> (kind, dc.toBoolean)
+    }.toMap finally src.close()
+  }
 
   /** WAP audit-batch geometry: the CDC draw (`mix64(key) mod 101 = 0`,
     * ~1% of the table) and the planted-defect sub-draw (original key
@@ -1246,21 +1272,8 @@ object Etl {
       : DataFrame = chainReadNamed(spark, root, s"v$v")
 
   def chainReadNamed(spark: SparkSession, root: String, ref: String)
-      : DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val rels = chainManifestNamed(root, ref)
-    rels.foreach { r =>
-      if (!new java.io.File(s"$root/$ChainDataDir/$r").exists())
-        throw new java.io.FileNotFoundException(
-          s"ref $ref references vacuumed file $r")
-    }
-    rels.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).map {
-      case (c, paths) =>
-        spark.read.option("basePath", s"$root/$ChainDataDir/$c")
-          .parquet(paths.map(p => s"$root/$ChainDataDir/$p"): _*)
-          .select(col("o_orderkey"), col("x8"), col("y8"), col("hidx"))
-    }.reduce(_ unionByName _)
-  }
+      : DataFrame =
+    chainReadFiles(spark, root, chainManifestNamed(root, ref), ref)
 
   /** Read ONLY the files `ref` adds over `base` — the staged commit's
     * DELTA (manifest set difference, driver metadata). The incremental
@@ -1268,10 +1281,19 @@ object Etl {
     * its OWN rows checked, the base's uniqueness was certified by the
     * publish that created it. */
   def chainReadDelta(spark: SparkSession, root: String, ref: String,
-      base: String): DataFrame = {
+      base: String): DataFrame =
+    chainReadFiles(spark, root,
+      (chainManifestNamed(root, ref).toSet --
+        chainManifestNamed(root, base).toSet).toSeq.sorted, ref)
+
+  /** Read an EXPLICIT table-relative file list from a chain root — the
+    * shared tail of every manifest-served read (named refs, staged
+    * deltas, change-feed pre/post images): no directory listing, one
+    * scan per commit prefix, loud failure on a vacuumed file. */
+  def chainReadFiles(spark: SparkSession, root: String,
+      rels: Seq[String], ref: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val rels = (chainManifestNamed(root, ref).toSet --
-      chainManifestNamed(root, base).toSet).toSeq.sorted
+    require(rels.nonEmpty, s"ref $ref resolves to an empty file list")
     rels.foreach { r =>
       if (!new java.io.File(s"$root/$ChainDataDir/$r").exists())
         throw new java.io.FileNotFoundException(

@@ -151,6 +151,61 @@ class ChainSpec extends SparkSpec {
     }
   }
 
+  test("change feed: apply(changes, v_k) ≡ v_{k+1} row-for-row at every" +
+      " transition, no carry-over emitted, layout commit feeds empty") {
+    import org.apache.spark.sql.functions.col
+    val R = graft.operators.RefQueries
+    val root = Etl.chainFixture(spark, sf)
+    (1 to 3).foreach { v =>
+      val ch = R.chainChanges(spark, root, v)
+      val vPrev = Etl.chainReadVersion(spark, root, v - 1)
+      val vNext = Etl.chainReadVersion(spark, root, v)
+      val retracted = ch
+        .filter(col("change_type").isin("delete", "update_pre"))
+        .select("o_orderkey")
+      val asserted = ch
+        .filter(col("change_type").isin("insert", "update_post"))
+        .select("o_orderkey", "x8", "y8", "hidx")
+      val applied = vPrev
+        .join(retracted, Seq("o_orderkey"), "left_anti")
+        .unionByName(asserted)
+      assert(rowKey(applied) == rowKey(vNext),
+        s"apply(changes, v${v - 1}) != v$v")
+      // every retraction names a real v_{k-1} row, every assertion a
+      // real v_k row — the feed invents nothing
+      val prevKeys = rowKey(vPrev).map(_._1)
+      val nextSet = rowKey(vNext)
+      retracted.collect().map(_.getLong(0)).foreach { k =>
+        assert(prevKeys(k), s"c$v retracts key $k absent from v${v - 1}")
+      }
+      asserted.collect().foreach { r =>
+        assert(nextSet((r.getLong(0), r.getLong(3))),
+          s"c$v asserts (${r.getLong(0)}, ${r.getLong(3)}) absent from v$v")
+      }
+      // no carry-over row leaks into the feed: a (key, position) pair
+      // present unchanged in both versions must not appear at all (an
+      // update pair's images are each in exactly one version)
+      val unchanged = rowKey(vPrev) & nextSet
+      val emitted = ch.select("o_orderkey", "hidx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((emitted & unchanged).isEmpty,
+        s"c$v emitted ${(emitted & unchanged).size} carry-over rows")
+    }
+    // the OPTIMIZE transition is served by METADATA: empty feed
+    assert(R.chainChanges(spark, root, 3).count() == 0L,
+      "layout-only commit must feed zero change rows")
+    // commit-artifact cost pin: the feed's inputs are exactly the
+    // manifest set differences, never a snapshot
+    (1 to 2).foreach { v =>
+      val pre = Etl.chainManifest(root, v - 1).toSet
+      val post = Etl.chainManifest(root, v).toSet
+      assert((pre -- post).nonEmpty && (post -- pre).nonEmpty,
+        s"transition $v has no retired/added files — feed vacuous")
+      assert((pre -- post).size < pre.size,
+        s"transition $v pre-image is the whole snapshot")
+    }
+  }
+
   test("incremental WAP audit ≡ brute-force branch groupBy: dup count" +
       " and checksum agree with re-grouping the whole branch") {
     // the r16 delta audit must find EXACTLY the keys a full-branch

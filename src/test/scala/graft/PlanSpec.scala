@@ -1189,6 +1189,32 @@ class PlanSpec extends SparkSpec {
       s"binning must use the codegen'd poly_hash expression:\n$p")
   }
 
+  test("q_table_changes: reads exactly the commits' retired+added files" +
+      " — never a snapshot, zero files for the layout-only transition") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    val E = graft.sources.Etl
+    val root = E.chainFixture(spark, sf)
+    val df = SparkEntry.queries("q_table_changes")(spark, sf)
+    val scanned = df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
+        r.location.inputFiles.length
+    }.sum
+    // expected = Σ over the two DATA transitions of |retired| + |added|;
+    // the OPTIMIZE transition (dataChange=false) contributes ZERO scans
+    val expected = (1 to 2).map { v =>
+      val pre = E.chainManifest(root, v - 1).toSet
+      val post = E.chainManifest(root, v).toSet
+      (pre -- post).size + (post -- pre).size
+    }.sum
+    assert(scanned == expected,
+      s"change feed scanned $scanned files, commit artifacts are $expected")
+    // strictly partial: a snapshot-sized read would defeat the operator
+    val snapshot = (0 to 3).map(v => E.chainManifest(root, v).size).max
+    assert(scanned < snapshot,
+      s"change feed read $scanned files >= a full snapshot ($snapshot)")
+  }
+
   test("sim_topk_ivfpq: corpus joins only broadcast fitted models," +
       " ADC scoring partial-combines") {
     val p = plan("sim_topk_ivfpq")
