@@ -296,6 +296,7 @@ object SparkEntry {
     "q_wap_publish" -> ((s, d) => RefQueries.qWapPublish(s, d)),
     "q_table_changes" -> ((s, d) => RefQueries.qTableChanges(s, d)),
     "q_cdf_refresh" -> ((s, d) => RefQueries.qCdfRefresh(s, d)),
+    "q_commit_conflict" -> ((s, d) => RefQueries.qCommitConflict(s, d)),
     "q_schema_drop" -> ((s, d) => RefQueries.qSchemaDrop(s, d)),
     "q_partition_evolution" -> ((s, d) =>
       RefQueries.qPartitionEvolution(s, d)),
@@ -2742,6 +2743,96 @@ object SparkEntry {
       UNION ALL
       SELECT 3::BIGINT, 'none', 0::BIGINT, 0::BIGINT, 0::BIGINT
       ORDER BY version ASC, change_type ASC""",
+    // concurrent-commit replay: the oracle re-derives v3's bin-pack
+    // layout (the OPTIMIZE arithmetic), each branch's zone-candidate
+    // bin set, the conflict census |S1 ∩ S2| (one file per bin), the
+    // independent writer's disjointness |S1 ∩ S3| = 0, and the served
+    // state v3 − rect1 − (rect3 if it landed) — conditional on the
+    // SAME disjointness test the validator runs, so both engines agree
+    // at any scale
+    "q_commit_conflict" -> s"""
+      WITH $chainCtes,
+      bc AS (
+        SELECT (hidx // 24) AS hbucket, count(*)::BIGINT AS bc
+        FROM v2r GROUP BY 1
+      ), tgt AS (
+        SELECT greatest(64, (sum(bc)::BIGINT + 255) // 256)::BIGINT
+          AS target
+        FROM bc
+      ), bins AS (
+        SELECT hbucket,
+               (coalesce(sum(bc) OVER (ORDER BY hbucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // target)::BIGINT AS cbin
+        FROM bc, tgt
+      ), r2 AS (
+        SELECT v.o_orderkey, v.x8, v.y8, b.cbin
+        FROM v2r v JOIN bins b ON (v.hidx // 24) = b.hbucket
+      ), z AS (
+        SELECT cbin, min(x8) AS x_lo, max(x8) AS x_hi,
+               min(y8) AS y_lo, max(y8) AS y_hi
+        FROM r2 GROUP BY cbin
+      ), s1 AS (
+        SELECT cbin FROM z
+        WHERE x_hi >= ${RefQueries.HilbertRect._1}
+          AND x_lo <= ${RefQueries.HilbertRect._2}
+          AND y_hi >= ${RefQueries.HilbertRect._3}
+          AND y_lo <= ${RefQueries.HilbertRect._4}
+      ), s2 AS (
+        SELECT cbin FROM z
+        WHERE x_hi >= ${RefQueries.HilbertRect2._1}
+          AND x_lo <= ${RefQueries.HilbertRect2._2}
+          AND y_hi >= ${RefQueries.HilbertRect2._3}
+          AND y_lo <= ${RefQueries.HilbertRect2._4}
+      ), s3 AS (
+        SELECT cbin FROM z
+        WHERE x_hi >= ${RefQueries.ConflictRect3._1}
+          AND x_lo <= ${RefQueries.ConflictRect3._2}
+          AND y_hi >= ${RefQueries.ConflictRect3._3}
+          AND y_lo <= ${RefQueries.ConflictRect3._4}
+      ), conflict AS (
+        SELECT count(*)::BIGINT AS n FROM
+          (SELECT cbin FROM s1 INTERSECT SELECT cbin FROM s2)
+      ), disj AS (
+        SELECT count(*)::BIGINT AS n FROM
+          (SELECT cbin FROM s1 INTERSECT SELECT cbin FROM s3)
+      ), served AS (
+        SELECT o_orderkey, x8, y8 FROM r2
+        WHERE NOT (x8 BETWEEN ${RefQueries.HilbertRect._1}
+                          AND ${RefQueries.HilbertRect._2}
+               AND y8 BETWEEN ${RefQueries.HilbertRect._3}
+                          AND ${RefQueries.HilbertRect._4})
+          AND NOT (x8 BETWEEN ${RefQueries.ConflictRect3._1}
+                          AND ${RefQueries.ConflictRect3._2}
+               AND y8 BETWEEN ${RefQueries.ConflictRect3._3}
+                          AND ${RefQueries.ConflictRect3._4}
+               AND (SELECT n FROM disj) = 0)
+      ), m AS (
+        SELECT count(*)::BIGINT AS n_rows,
+               coalesce((sum((o_orderkey % 1000000007)
+                   * (o_orderkey % 1000000007) % 1000000007)
+                 % 1000000007), 0)::BIGINT AS key_checksum,
+               sum(CASE WHEN x8 BETWEEN ${RefQueries.HilbertRect2._1}
+                                    AND ${RefQueries.HilbertRect2._2}
+                         AND y8 BETWEEN ${RefQueries.HilbertRect2._3}
+                                    AND ${RefQueries.HilbertRect2._4}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_rect2_rows,
+               sum(CASE WHEN x8 BETWEEN ${RefQueries.ConflictRect3._1}
+                                    AND ${RefQueries.ConflictRect3._2}
+                         AND y8 BETWEEN ${RefQueries.ConflictRect3._3}
+                                    AND ${RefQueries.ConflictRect3._4}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_rect3_rows
+        FROM served
+      )
+      SELECT 1::BIGINT AS publish1_ok,
+             (SELECT n FROM conflict) AS n_conflict_files,
+             (CASE WHEN (SELECT n FROM conflict) > 0 THEN 0 ELSE 1
+              END)::BIGINT AS publish2_ok,
+             (CASE WHEN (SELECT n FROM disj) = 0 THEN 1 ELSE 0
+              END)::BIGINT AS publish3_ok,
+             m.n_rows, m.key_checksum,
+             0::BIGINT AS n_rect1_rows, m.n_rect2_rows, m.n_rect3_rows
+      FROM m""",
     // incremental-refresh replay: the oracle computes the per-band
     // summary DIRECTLY from v2's row set, while the Spark side never
     // reads v2 — it refreshes the v1 summary with the change feed's

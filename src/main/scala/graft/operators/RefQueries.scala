@@ -853,6 +853,16 @@ object RefQueries {
     * the DuckDB oracle. */
   val HilbertRect2: (Long, Long, Long, Long) = (100L, 180L, 150L, 230L)
 
+  /** The INDEPENDENT-WRITER rectangle (`q_commit_conflict`'s third
+    * branch) — a far-corner box whose v3 zone-candidate bins are
+    * DISJOINT from [[HilbertRect]]'s (Hilbert bins are spatially local,
+    * and the corner sits two quadrants away from rect1's span), so the
+    * branch deleting it is the writer optimistic concurrency must let
+    * LAND after b_cc1, not refuse. Shared with the DuckDB oracle, which
+    * re-derives the disjointness from the bin zone maps rather than
+    * trusting it. */
+  val ConflictRect3: (Long, Long, Long, Long) = (0L, 30L, 0L, 30L)
+
   /** The MERGE batch geometry (`Etl.cowMergeStripe`, `q_merge_rewrite`),
     * shared with the DuckDB oracle: UPDATEs hit the x8 stripe
     * [[MergeStripe]] (full-height — a predicate aligned with the
@@ -1978,6 +1988,62 @@ object RefQueries {
           lit(P)).as("hidx_checksum"))
       .filter($"n_rows" > 0L)
       .orderBy($"xband".asc)
+  }
+
+  /** OPTIMISTIC-CONCURRENCY CONFLICT DETECTION (`Etl.concurrentFixture`)
+    * — the two-writer episode every multi-writer table lives through,
+    * replayed deterministically from v3 on an isolated root:
+    *  1. `b_cc1` (DELETE rect1) publishes first — its base hasn't moved,
+    *     validation is vacuous, the pointer swaps to `p_b_cc1`;
+    *  2. `b_cc2` (DELETE rect2, OVERLAPPING rect1) then attempts: the
+    *     validation ([[graft.sources.Etl.chainPublishValidated]] — files
+    *     this branch overwrote ∩ files retired since its base, pure
+    *     manifest arithmetic) finds the shared candidate bins and
+    *     REFUSES with the conflicting files named — two writers rewrote
+    *     the same files and the second's snapshot is stale;
+    *  3. `b_cc3` (DELETE rect3, candidate bins DISJOINT from b_cc1's)
+    *     attempts on the same moved base and LANDS: validation proves
+    *     the overwrite sets disjoint, so the branch REBASES exactly
+    *     (current − overwritten + added) and the pointer swaps again.
+    * The final read resolves the pointer: exactly v3 − rect1 − rect3
+    * (rect2 survives in full minus its rect1 overlap — the refused
+    * writer changed nothing). The oracle re-derives the bin zone maps,
+    * the conflict census, the disjointness, and the served rows from
+    * the chain arithmetic, so a validator that misses the conflict,
+    * refuses the independent writer, or rebases wrong fails the hash.
+    * Scale: the entire decision is manifest set arithmetic — driver
+    * metadata, zero data I/O; staging cost is each branch's own COW
+    * delete (candidate bins only). */
+  def qCommitConflict(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val root = E.concurrentFixture(spark, sfDir)
+    val (x1Lo, x1Hi, y1Lo, y1Hi) = HilbertRect
+    val (x2Lo, x2Hi, y2Lo, y2Hi) = HilbertRect2
+    val (x3Lo, x3Hi, y3Lo, y3Hi) = ConflictRect3
+    // deterministic replay: the episode always starts from v3 (the
+    // reset is the same idempotent atomic swap publication uses)
+    E.chainPublish(root, "v3")
+    val r1 = E.chainPublishValidated(root, "b_cc1")
+    val r2 = E.chainPublishValidated(root, "b_cc2")
+    val r3 = E.chainPublishValidated(root, "b_cc3")
+    def ok(r: Either[Seq[String], String]): Long = if (r.isRight) 1L else 0L
+    val nConflict = r2.left.toOption.map(_.size.toLong).getOrElse(0L)
+    val served = E.chainReadNamed(spark, root, E.chainCurrent(root))
+    served.agg(count(lit(1)).as("n_rows"),
+        keyChecksum($"o_orderkey").as("key_checksum"),
+        sum(when($"x8".between(x1Lo, x1Hi) && $"y8".between(y1Lo, y1Hi),
+          1L).otherwise(0L)).as("n_rect1_rows"),
+        sum(when($"x8".between(x2Lo, x2Hi) && $"y8".between(y2Lo, y2Hi),
+          1L).otherwise(0L)).as("n_rect2_rows"),
+        sum(when($"x8".between(x3Lo, x3Hi) && $"y8".between(y3Lo, y3Hi),
+          1L).otherwise(0L)).as("n_rect3_rows"))
+      .select(lit(ok(r1)).as("publish1_ok"),
+        lit(nConflict).as("n_conflict_files"),
+        lit(ok(r2)).as("publish2_ok"),
+        lit(ok(r3)).as("publish3_ok"),
+        $"n_rows", $"key_checksum",
+        $"n_rect1_rows", $"n_rect2_rows", $"n_rect3_rows")
   }
 
   /** Incremental JOIN maintenance — the delta identity behind every

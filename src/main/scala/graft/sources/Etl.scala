@@ -1215,6 +1215,147 @@ object Etl {
     }
   }
 
+  /** CONCURRENT-WRITERS fixture — the two-writer episode optimistic
+    * concurrency control exists for, staged on an ISOLATED root (chain
+    * data hardlinked, manifests/zones copied, `_current` = v3) so the
+    * publishes can never disturb the shared chain fixture. Three COW
+    * DELETE branches forked off v3, each recording its base ref and the
+    * files it REWROTE (its overwrite set — the commit metadata Iceberg/
+    * Delta validate against):
+    *  - `b_cc1` deletes [[graft.operators.RefQueries.HilbertRect]]
+    *    (commit c6; rewrites rect1's zone-candidate cbin files),
+    *  - `b_cc2` deletes [[graft.operators.RefQueries.HilbertRect2]]
+    *    (commit c7) — the rectangles OVERLAP, so its overwrite set
+    *    intersects b_cc1's: whichever publishes second must be REFUSED,
+    *  - `b_cc3` deletes [[graft.operators.RefQueries.ConflictRect3]]
+    *    (commit c8) — a far-corner rectangle whose candidate bins are
+    *    disjoint from b_cc1's: a genuinely independent writer that must
+    *    LAND after b_cc1 by rebase, not be refused.
+    * `q_commit_conflict` replays the episode ([[chainPublishValidated]]);
+    * ChainSpec executes both orders on a copy. */
+  def concurrentFixture(spark: SparkSession, sfDir: String): String = {
+    val src = chainFixture(spark, sfDir)
+    cachedFixture(sfDir, "orders-chain-cc-v1", s"$src/_SUCCESS") { tmp =>
+      val R = graft.operators.RefQueries
+      linkDir(new java.io.File(src, ChainDataDir),
+        new java.io.File(tmp, ChainDataDir))
+      copyDir(new java.io.File(src, ChainManifestsDir),
+        new java.io.File(tmp, ChainManifestsDir))
+      copyDir(new java.io.File(src, ChainZonesDir),
+        new java.io.File(tmp, ChainZonesDir))
+      java.nio.file.Files.copy(
+        new java.io.File(src, ChainCommitsFile).toPath,
+        new java.io.File(tmp, ChainCommitsFile).toPath): Unit
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_current").toPath, "v3"): Unit
+      val root = tmp.getAbsolutePath
+      stageDeleteBranch(spark, root, "b_cc1", "c6", R.HilbertRect)
+      stageDeleteBranch(spark, root, "b_cc2", "c7", R.HilbertRect2)
+      stageDeleteBranch(spark, root, "b_cc3", "c8", R.ConflictRect3)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+  }
+
+  /** Stage one COW DELETE branch off v3: the v3 zone maps name the
+    * predicate's candidate cbins (the branch's READ+OVERWRITE set —
+    * only those files are opened or rewritten), survivors rewrite into
+    * the branch's own commit, and the branch manifest re-points
+    * everything else. The `.meta` sidecar records (base ref, overwritten
+    * files) — the validation input of [[chainPublishValidated]]. */
+  private def stageDeleteBranch(spark: SparkSession, root: String,
+      branch: String, commit: String,
+      rect: (Long, Long, Long, Long)): Unit = {
+    import org.apache.spark.sql.functions._
+    val (xLo, xHi, yLo, yHi) = rect
+    val cands = spark.read.parquet(s"$root/$ChainZonesDir/v3")
+      .filter(col("x_hi") >= xLo && col("x_lo") <= xHi &&
+        col("y_hi") >= yLo && col("y_lo") <= yHi)
+      .select(col("cbin")).collect().map(_.getLong(0)).toSet
+    val v3Files = chainManifestNamed(root, "v3")
+    val cbinPat = "cbin=(\\d+)".r
+    def cbinOf(rel: String): Long =
+      cbinPat.findFirstMatchIn(rel).get.group(1).toLong
+    val removed = v3Files.filter(f => cands(cbinOf(f)))
+    val survivors = spark.read
+      .option("basePath", s"$root/$ChainDataDir/c3")
+      .parquet(removed.map(r => s"$root/$ChainDataDir/$r"): _*)
+      .filter(!(col("x8").between(xLo, xHi) &&
+        col("y8").between(yLo, yHi)))
+    survivors.repartition(col("cbin"))
+      .sortWithinPartitions(col("cbin"), col("hidx"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cbin")
+      .parquet(new java.io.File(
+        new java.io.File(root, ChainDataDir), commit).getAbsolutePath)
+    val added = listCommitFiles(root, commit)
+    java.nio.file.Files.write(
+      new java.io.File(s"$root/$ChainManifestsDir/$branch.txt").toPath,
+      ((v3Files.toSet -- removed) ++ added).toSeq.sorted
+        .mkString("\n").getBytes("UTF-8")): Unit
+    java.nio.file.Files.write(
+      new java.io.File(s"$root/$ChainManifestsDir/$branch.meta").toPath,
+      (s"base v3" +: removed.sorted).mkString("\n").getBytes("UTF-8")): Unit
+  }
+
+  /** A staged branch's commit metadata: (base ref, overwritten files). */
+  def chainBranchMeta(root: String, branch: String): (String, Seq[String]) = {
+    val f = new java.io.File(s"$root/$ChainManifestsDir/$branch.meta")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try {
+      val lines = src.getLines().filter(_.nonEmpty).toList
+      val base = lines.head.stripPrefix("base ").trim
+      (base, lines.tail)
+    } finally src.close()
+  }
+
+  /** On-disk part files of one commit directory (table-relative). */
+  private[graft] def listCommitFiles(root: String, commit: String)
+      : Seq[String] = {
+    val base = new java.io.File(s"$root/$ChainDataDir/$commit")
+    Option(base.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(d => d.isDirectory && d.getName.contains("="))
+      .flatMap { d =>
+        Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(_.getName.startsWith("part-"))
+          .map(f => s"$commit/${d.getName}/${f.getName}")
+      }.sorted
+  }
+
+  /** OPTIMISTIC-CONCURRENCY publish — the validation every table format
+    * runs before a commit lands on a base that MOVED: conflict iff a
+    * file this branch OVERWROTE was already retired by a commit landed
+    * since the branch's base (the Iceberg/Delta file-level write-write
+    * check — two writers rewriting the same file cannot both be right,
+    * while writers touching disjoint files serialize trivially). On
+    * success the branch is REBASED onto the current manifest (current −
+    * overwritten + added — exact because validation proved the sets
+    * disjoint), the rebased manifest committed under `p_<branch>`, and
+    * the pointer swapped atomically. Returns Left(conflicting files) on
+    * refusal, Right(published ref) on success.
+    * Scale: the whole decision is manifest arithmetic — driver metadata,
+    * zero data I/O, O(|manifest|) set operations. */
+  def chainPublishValidated(root: String, branch: String)
+      : Either[Seq[String], String] = {
+    val (base, removed) = chainBranchMeta(root, branch)
+    val added = chainManifestNamed(root, branch).toSet --
+      chainManifestNamed(root, base).toSet
+    val cur = chainCurrent(root)
+    val curFiles = chainManifestNamed(root, cur).toSet
+    val removedSince = chainManifestNamed(root, base).toSet -- curFiles
+    val conflict = removed.toSet & removedSince
+    if (conflict.nonEmpty) Left(conflict.toSeq.sorted)
+    else {
+      val rebased = ((curFiles -- removed) ++ added).toSeq.sorted
+      val ref = s"p_$branch"
+      java.nio.file.Files.write(
+        new java.io.File(s"$root/$ChainManifestsDir/$ref.txt").toPath,
+        rebased.mkString("\n").getBytes("UTF-8")): Unit
+      chainPublish(root, ref)
+      Right(ref)
+    }
+  }
+
   /** Atomic pointer swap — publication itself: write the new ref to a
     * temp file and rename over `_current` (rename is atomic on POSIX, so
     * a concurrent reader sees the old ref or the new, never a torn
@@ -1389,6 +1530,7 @@ object Etl {
     morDvCompactFixture(spark, sfDir)
     chainFixture(spark, sfDir)
     wapPublishFixture(spark, sfDir)
+    concurrentFixture(spark, sfDir)
     schemaDropFixture(spark, sfDir)
     partitionEvolutionFixture(spark, sfDir)
     pairStoreFixture(spark, sfDir)

@@ -316,6 +316,66 @@ class ChainSpec extends SparkSpec {
     }
   }
 
+  test("optimistic concurrency: conflicting branches refuse in BOTH" +
+      " orders, the disjoint writer lands in any order, rebase is exact") {
+    import org.apache.spark.sql.functions.col
+    val R = graft.operators.RefQueries
+    val src = Etl.concurrentFixture(spark, sf)
+    def rect(t: (Long, Long, Long, Long)) =
+      col("x8").between(t._1, t._2) && col("y8").between(t._3, t._4)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_chain_cc").toFile
+    try {
+      Etl.copyDir(new java.io.File(src), tmp)
+      val root = tmp.getAbsolutePath
+      // order A is the declared query's: cc1 lands, cc2 refused, cc3
+      // lands. Order B (cc2 first) must refuse cc1 with the SAME
+      // conflicting file set — symmetry is what makes it a conflict,
+      // not a priority rule.
+      Etl.chainPublish(root, "v3")
+      val a1 = Etl.chainPublishValidated(root, "b_cc2")
+      assert(a1.isRight, "first writer must always land")
+      val a2 = Etl.chainPublishValidated(root, "b_cc1")
+      assert(a2.isLeft, "overlapping second writer must refuse")
+      val a3 = Etl.chainPublishValidated(root, "b_cc3")
+      assert(a3.isRight, "disjoint writer must land after cc2 too")
+      // the conflict names the same files whichever branch is second
+      Etl.chainPublish(root, "v3")
+      assert(Etl.chainPublishValidated(root, "b_cc1").isRight)
+      val b2 = Etl.chainPublishValidated(root, "b_cc2")
+      assert(b2.isLeft)
+      assert(a2.left.toOption.get == b2.left.toOption.get,
+        "conflict file set must be order-independent")
+      // rebase exactness: after (cc1, cc3) the served rows are
+      // v3 − rect1 − rect3, row for row
+      assert(Etl.chainPublishValidated(root, "b_cc3").isRight)
+      val served = rowKey(
+        Etl.chainReadNamed(spark, root, Etl.chainCurrent(root)))
+      val expect = rowKey(Etl.chainReadNamed(spark, root, "v3")
+        .filter(!rect(R.HilbertRect) && !rect(R.ConflictRect3)))
+      assert(served == expect, "rebased publish diverged from" +
+        " v3 minus the two landed deletes")
+      // the refused writer changed nothing: rect2-only rows survive
+      assert(Etl.chainReadNamed(spark, root, Etl.chainCurrent(root))
+        .filter(rect(R.HilbertRect2) && !rect(R.HilbertRect)).count() > 0,
+        "refused branch's rows must survive in full")
+      // staging sanity: the fixture's conflict is real and the
+      // independent branch genuinely disjoint at this scale
+      val (_, rm1) = Etl.chainBranchMeta(root, "b_cc1")
+      val (_, rm2) = Etl.chainBranchMeta(root, "b_cc2")
+      val (_, rm3) = Etl.chainBranchMeta(root, "b_cc3")
+      assert((rm1.toSet & rm2.toSet).nonEmpty, "planted conflict vacuous")
+      assert((rm1.toSet & rm3.toSet).isEmpty,
+        "independent branch overlaps — ConflictRect3 not disjoint here")
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+        x.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
+
   test("executed retention vacuum: expired v0 read fails, kept versions" +
       " byte-identical, the {v0,v1}-shared trap class survives") {
     val src = Etl.chainFixture(spark, sf)
