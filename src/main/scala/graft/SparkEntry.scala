@@ -297,6 +297,7 @@ object SparkEntry {
     "q_table_changes" -> ((s, d) => RefQueries.qTableChanges(s, d)),
     "q_cdf_refresh" -> ((s, d) => RefQueries.qCdfRefresh(s, d)),
     "q_commit_conflict" -> ((s, d) => RefQueries.qCommitConflict(s, d)),
+    "q_merge_mor" -> ((s, d) => RefQueries.qMergeMor(s, d)),
     "q_schema_drop" -> ((s, d) => RefQueries.qSchemaDrop(s, d)),
     "q_partition_evolution" -> ((s, d) =>
       RefQueries.qPartitionEvolution(s, d)),
@@ -809,6 +810,65 @@ object SparkEntry {
         WHERE NOT (x8 BETWEEN ${RefQueries.MergeStripe._1}
                           AND ${RefQueries.MergeStripe._2})
         UNION ALL SELECT o_orderkey, x8, y8, hidx FROM inc
+      )"""
+
+  /** The standalone MERGE replay prefix (on the two-root Hilbert table,
+    * not the chain): the CDC batch's movers (stripe rows re-folded on
+    * the shifted coordinate), the splitmix64 insert draw re-keyed above
+    * the max key, and `fin` — the post-merge row set. ONE definition for
+    * the COW (`q_merge_rewrite`) and MOR (`q_merge_mor`) oracles: the
+    * two strategies are gated against the identical replay, which IS
+    * the strategy-equivalence claim. */
+  private lazy val mergeCtes: String = s"""$hilbertGridCtes, hb AS (
+        SELECT o_orderkey, day, x8, y8, hidx FROM h
+      ),
+      k0 AS (SELECT o_orderkey,
+               ((o_orderkey::UHUGEINT + 11400714819323198485)
+                % 18446744073709551616)::UBIGINT AS z FROM orders),
+      k1 AS (SELECT o_orderkey,
+               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+                % 18446744073709551616)::UBIGINT AS z FROM k0),
+      k2 AS (SELECT o_orderkey,
+               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+                % 18446744073709551616)::UBIGINT AS z FROM k1),
+      insk AS (
+        SELECT o_orderkey FROM k2
+        WHERE ((CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+             THEN (xor(z, z >> 31)::HUGEINT - 18446744073709551616)::BIGINT
+             ELSE xor(z, z >> 31)::BIGINT END
+             % ${RefQueries.MergeInsertMod})
+             + ${RefQueries.MergeInsertMod})
+             % ${RefQueries.MergeInsertMod} = 0
+      ),
+      mv AS (
+        SELECT o_orderkey, x8,
+               (((day - day_min + ${RefQueries.MergeDayShift})
+                 % (day_max - day_min + 1)) * 256)
+                 // (day_max - day_min + 1) AS y8
+        FROM hb, s
+        WHERE x8 BETWEEN ${RefQueries.MergeStripe._1}
+                     AND ${RefQueries.MergeStripe._2}
+      ),
+      mv2 AS (
+        SELECT o_orderkey, x8, y8,
+               ${hilbertFoldSql("x8 * 256 + y8")} AS hidx
+        FROM mv
+      ),
+      koff AS (
+        SELECT ((max(o_orderkey) // 10000000) + 1) * 10000000 AS koff
+        FROM orders
+      ),
+      ins AS (
+        SELECT hb.o_orderkey + (SELECT koff FROM koff) AS o_orderkey,
+               x8, y8, hidx
+        FROM hb JOIN insk USING (o_orderkey)
+      ),
+      fin AS (
+        SELECT o_orderkey, x8, y8, hidx FROM hb
+        WHERE NOT (x8 BETWEEN ${RefQueries.MergeStripe._1}
+                          AND ${RefQueries.MergeStripe._2})
+        UNION ALL SELECT o_orderkey, x8, y8, hidx FROM mv2
+        UNION ALL SELECT o_orderkey, x8, y8, hidx FROM ins
       )"""
 
   /** One chain version's (version, n_rows, key_checksum, n_rect_rows)
@@ -2571,57 +2631,7 @@ object SparkEntry {
     // buckets), and the (key, hidx) position checksum that pins every
     // relocated row to its recomputed curve position
     "q_merge_rewrite" -> s"""
-      WITH $hilbertGridCtes, hb AS (
-        SELECT o_orderkey, day, x8, y8, hidx FROM h
-      ),
-      k0 AS (SELECT o_orderkey,
-               ((o_orderkey::UHUGEINT + 11400714819323198485)
-                % 18446744073709551616)::UBIGINT AS z FROM orders),
-      k1 AS (SELECT o_orderkey,
-               ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
-                % 18446744073709551616)::UBIGINT AS z FROM k0),
-      k2 AS (SELECT o_orderkey,
-               ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
-                % 18446744073709551616)::UBIGINT AS z FROM k1),
-      insk AS (
-        SELECT o_orderkey FROM k2
-        WHERE ((CASE WHEN xor(z, z >> 31) >= 9223372036854775808
-             THEN (xor(z, z >> 31)::HUGEINT - 18446744073709551616)::BIGINT
-             ELSE xor(z, z >> 31)::BIGINT END
-             % ${RefQueries.MergeInsertMod})
-             + ${RefQueries.MergeInsertMod})
-             % ${RefQueries.MergeInsertMod} = 0
-      ),
-      mv AS (
-        SELECT o_orderkey, x8,
-               (((day - day_min + ${RefQueries.MergeDayShift})
-                 % (day_max - day_min + 1)) * 256)
-                 // (day_max - day_min + 1) AS y8
-        FROM hb, s
-        WHERE x8 BETWEEN ${RefQueries.MergeStripe._1}
-                     AND ${RefQueries.MergeStripe._2}
-      ),
-      mv2 AS (
-        SELECT o_orderkey, x8, y8,
-               ${hilbertFoldSql("x8 * 256 + y8")} AS hidx
-        FROM mv
-      ),
-      koff AS (
-        SELECT ((max(o_orderkey) // 10000000) + 1) * 10000000 AS koff
-        FROM orders
-      ),
-      ins AS (
-        SELECT hb.o_orderkey + (SELECT koff FROM koff) AS o_orderkey,
-               x8, y8, hidx
-        FROM hb JOIN insk USING (o_orderkey)
-      ),
-      fin AS (
-        SELECT o_orderkey, x8, y8, hidx FROM hb
-        WHERE NOT (x8 BETWEEN ${RefQueries.MergeStripe._1}
-                          AND ${RefQueries.MergeStripe._2})
-        UNION ALL SELECT o_orderkey, x8, y8, hidx FROM mv2
-        UNION ALL SELECT o_orderkey, x8, y8, hidx FROM ins
-      ),
+      WITH $mergeCtes,
       zz AS (
         SELECT (hidx // 24) AS hbucket, min(x8) AS x_lo, max(x8) AS x_hi
         FROM hb GROUP BY 1
@@ -2655,6 +2665,34 @@ object SparkEntry {
              (SELECT count(*) FROM hb)::BIGINT AS n_rows_before,
              (SELECT count(*) FROM mv2)::BIGINT AS n_updated,
              (SELECT count(*) FROM ins)::BIGINT AS n_inserted,
+             m.n_rows_after, m.key_checksum, m.pos_checksum
+      FROM m""",
+    // merge-on-read MERGE replay: the SAME mergeCtes replay as the COW
+    // twin (gating both strategies against one derivation IS the
+    // equivalence claim) — DV entries = the stripe's pre-images,
+    // appends = movers' new versions + CDC inserts, zero files
+    // rewritten, and the composed read's rows/checksums are fin's
+    "q_merge_mor" -> s"""
+      WITH $mergeCtes,
+      m AS (
+        SELECT count(*)::BIGINT AS n_rows_after,
+               (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                    % 1000000007) % 1000000007)::BIGINT AS key_checksum,
+               (sum((((o_orderkey % 1000000007) * 31 + (hidx % 1000000007))
+                       % 1000000007)
+                    * (((o_orderkey % 1000000007) * 31 + (hidx % 1000000007))
+                       % 1000000007) % 1000000007)
+                % 1000000007)::BIGINT AS pos_checksum
+        FROM fin
+      )
+      SELECT 0::BIGINT AS n_files_rewritten,
+             (SELECT count(*) FROM hb
+              WHERE x8 BETWEEN ${RefQueries.MergeStripe._1}
+                           AND ${RefQueries.MergeStripe._2})::BIGINT
+               AS n_dv_entries,
+             ((SELECT count(*) FROM mv2)
+              + (SELECT count(*) FROM ins))::BIGINT AS n_appended,
+             (SELECT count(*) FROM hb)::BIGINT AS n_rows_before,
              m.n_rows_after, m.key_checksum, m.pos_checksum
       FROM m""",
     // time-travel replay: version 0 derives from the source orders (a

@@ -1556,6 +1556,58 @@ object RefQueries {
         $"n_rect1_rows_after", $"n_rect2_rows_after")
   }
 
+  /** MERGE-ON-READ MERGE read (`Etl.morMergeFixture`) — the same CDC
+    * batch as `q_merge_rewrite`, committed as ONE sidecar + appended
+    * files with ZERO base rewrite (`n_files_rewritten` is a hard 0),
+    * completing the {DELETE, MERGE} × {COW, MOR} DML matrix. The read
+    * composes the commit in one pass: base scan anti-joins the
+    * broadcast DV on (file, `_metadata.row_index`) — retiring the
+    * stripe rows' OLD versions — and unions the appended batch (movers'
+    * new positions + CDC inserts). The gates are the COW twin's exact
+    * numbers: total rows, key checksum, and the (key, hidx) position
+    * checksum — so serving a stale pre-image, dropping an append, or
+    * double-serving a mover fails the hash (ChainSpec additionally
+    * proves MOR ≡ COW row-for-row and that the shared compaction tail
+    * retires the commit into exactly the COW layout).
+    * Scale: merge-time cost collapses from |touched partitions|
+    * rewritten to |stripe rows| tombstones + |batch| appended rows; the
+    * read tax is one broadcast anti-join until compaction pays it down
+    * — the same trade the DELETE pair measures, now on the harder DML. */
+  def qMergeMor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val P = TextAnalysis.ChecksumP
+    val src = E.hilbertOrdersFixture(spark, sfDir)
+    val root = E.morMergeFixture(spark, sfDir)
+    val dv = spark.read.parquet(s"$root/dv")
+    val base = spark.read.parquet(s"$src/${E.HilbertTableDir}")
+      .select($"o_orderkey", $"hidx",
+        substring_index(col("_metadata.file_path"),
+          s"/${E.HilbertTableDir}/", -1).as("fp"),
+        $"_metadata.row_index".as("ri"))
+    val survivors = base.join(broadcast(dv), Seq("fp", "ri"), "left_anti")
+      .select($"o_orderkey", $"hidx", lit(0L).as("is_add"))
+    val adds = spark.read.parquet(s"$root/adds")
+      .select($"o_orderkey", $"hidx", lit(1L).as("is_add"))
+    val posTerm = (pmod($"o_orderkey", lit(P)) * 31 +
+      pmod($"hidx", lit(P))) % P
+    val served = survivors.unionByName(adds)
+      .agg(count(lit(1)).as("n_rows_after"),
+        keyChecksum($"o_orderkey").as("key_checksum"),
+        keyChecksum(posTerm).as("pos_checksum"),
+        sum($"is_add").as("n_appended"))
+    val sidecar = dv.agg(count(lit(1)).as("n_dv_entries"))
+    sidecar.crossJoin(served)
+      .select(lit(0L).as("n_files_rewritten"),
+        $"n_dv_entries", $"n_appended",
+        // positions are unique per file (each tombstone kills exactly
+        // one pre-image) and appends are net-new, so the base census
+        // recovers without a second scan
+        ($"n_rows_after" - $"n_appended" + $"n_dv_entries")
+          .as("n_rows_before"),
+        $"n_rows_after", $"key_checksum", $"pos_checksum")
+  }
+
   /** COLUMN-RENAME read (`Etl.schemaRenameFixture`: generation 1 files
     * store the measure as `qty_v1`, generation 2 as `o_qty` after the
     * rename commit) — served through the table's tracked NAME MAPPING:

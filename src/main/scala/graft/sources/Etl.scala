@@ -485,27 +485,11 @@ object Etl {
     graft.functions.HilbertIndex.register(spark)
     graft.functions.Mix64.register(spark)
     val (sLo, sHi) = R.MergeStripe
-    // the frozen layout stats — the ingest's own aggregate, shared
-    val st = orderLayoutStats(spark, sfDir)
-    val dayMin = st.getLong(2)
-    val span = st.getLong(3) - dayMin + 1L
     val keyOff = mergeKeyOffset(spark, sfDir)
     // update half reads ONLY the stripe's zone-map candidates
     val (candRows, srcCands) = mergeStripeCands(spark, srcRoot)
-    val movers = candRows.filter(col("x8").between(sLo, sHi))
-      .withColumn("off", (col("day") - dayMin + R.MergeDayShift) % span)
-      .withColumn("day", col("off") + dayMin)
-      .withColumn("y8", expr(s"(off * 256) div $span"))
-      .withColumn("hidx",
-        call_function("hilbert_xy2d", col("x8"), col("y8")))
-      .withColumn("hbucket", expr("hidx div 24"))
-      .drop("off")
     val retained = candRows.filter(!col("x8").between(sLo, sHi))
-    // the CDC insert feed, placed with the frozen stats
-    val ins = curveLaid(spark, sfDir, "hilbert_xy2d(x8, y8)")
-      .filter(pmod(call_function("mix64", col("o_orderkey")),
-        lit(R.MergeInsertMod)) === 0L)
-      .withColumn("o_orderkey", col("o_orderkey") + keyOff)
+    val (movers, ins) = mergeBatch(spark, sfDir, candRows)
     // two consumers (bucket census, final union) — one computation
     val incoming = movers.unionByName(ins).localCheckpoint(true)
     val inBuckets = incoming.select(col("hbucket")).distinct()
@@ -536,6 +520,111 @@ object Etl {
       .write.mode(SaveMode.Overwrite)
       .parquet(new java.io.File(dstRoot, MergeManifestDir).getAbsolutePath)
     (srcCands, touched.toArray)
+  }
+
+  /** The MERGE CDC batch — ONE definition for the copy-on-write pass
+    * ([[cowMergeStripe]]) and the merge-on-read commit
+    * ([[morMergeFixture]]), so the two strategies apply the identical
+    * batch by construction: movers = the stripe's rows relocated on the
+    * curve (date shift → new y8 → new hidx/hbucket), inserts = the
+    * mix64-sampled CDC feed re-keyed above the table's max key and
+    * placed with the frozen layout stats. */
+  private def mergeBatch(spark: SparkSession, sfDir: String,
+      candRows: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val R = graft.operators.RefQueries
+    graft.functions.HilbertIndex.register(spark)
+    graft.functions.Mix64.register(spark)
+    val (sLo, sHi) = R.MergeStripe
+    val st = orderLayoutStats(spark, sfDir)
+    val dayMin = st.getLong(2)
+    val span = st.getLong(3) - dayMin + 1L
+    val keyOff = mergeKeyOffset(spark, sfDir)
+    val movers = candRows.filter(col("x8").between(sLo, sHi))
+      .withColumn("off", (col("day") - dayMin + R.MergeDayShift) % span)
+      .withColumn("day", col("off") + dayMin)
+      .withColumn("y8", expr(s"(off * 256) div $span"))
+      .withColumn("hidx",
+        call_function("hilbert_xy2d", col("x8"), col("y8")))
+      .withColumn("hbucket", expr("hidx div 24"))
+      .drop("off")
+    val ins = curveLaid(spark, sfDir, "hilbert_xy2d(x8, y8)")
+      .filter(pmod(call_function("mix64", col("o_orderkey")),
+        lit(R.MergeInsertMod)) === 0L)
+      .withColumn("o_orderkey", col("o_orderkey") + keyOff)
+    (movers, ins)
+  }
+
+  /** MERGE-ON-READ MERGE (upsert) fixture — the SAME CDC batch as the
+    * copy-on-write pass ([[mergeBatch]]), committed without rewriting a
+    * single base file (completing the {DELETE, MERGE} × {COW, MOR} DML
+    * matrix):
+    *  - `dv/` tombstones the stripe rows' OLD versions as (file,
+    *    position) pairs — the update half's pre-images, built from the
+    *    stripe's zone-candidate partitions only;
+    *  - `adds/` appends the movers' NEW versions plus the CDC inserts.
+    * One commit = one sidecar + appended files; the read composes both
+    * in one pass (`q_merge_mor`: base anti-join DV, union adds).
+    * Merge-time cost collapses from |touched partitions| rewritten to
+    * |stripe rows| tombstones + |batch| appended rows; the read pays
+    * the anti-join until compaction (ChainSpec proves the shared
+    * `cowRewrite` tail retires it into exactly the COW-merge layout). */
+  def morMergeFixture(spark: SparkSession, sfDir: String): String = {
+    val src = hilbertOrdersFixture(spark, sfDir)
+    cachedFixture(sfDir, "orders-hilbert-mormerge-v1",
+        s"$src/_SUCCESS") { tmp =>
+      import org.apache.spark.sql.functions._
+      val (sLo, sHi) = graft.operators.RefQueries.MergeStripe
+      val (candRows, _) = mergeStripeCands(spark, src)
+      candRows.filter(col("x8").between(sLo, sHi))
+        .select(substring_index(col("_metadata.file_path"),
+          s"/$HilbertTableDir/", -1).as("fp"),
+          col("_metadata.row_index").as("ri"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(tmp, "dv").getAbsolutePath)
+      val (movers, ins) = mergeBatch(spark, sfDir, candRows)
+      movers.unionByName(ins)
+        .repartition(col("hbucket"))
+        .sortWithinPartitions(col("hbucket"), col("hidx"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(tmp, "adds").getAbsolutePath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+  }
+
+  /** Compact the MOR MERGE commit through the SHARED [[cowRewrite]]
+    * tail: materialize sidecar + appends into rewritten files on a copy
+    * of the base at `dstRoot` — position-driven (the DV names the
+    * pre-images), touched buckets named by the commit's own artifacts
+    * (DV files ∪ append buckets), never a predicate re-evaluation.
+    * Spec surface: ChainSpec proves the result equals the COW-merge
+    * layout census-for-census, which is the claim that MOR and COW are
+    * one protocol with a deferred write. */
+  private[graft] def morMergeCompact(spark: SparkSession, sfDir: String,
+      dstRoot: java.io.File): Unit = {
+    import org.apache.spark.sql.functions._
+    val src = hilbertOrdersFixture(spark, sfDir)
+    val mor = morMergeFixture(spark, sfDir)
+    val dv = spark.read.parquet(s"$mor/dv").localCheckpoint(true)
+    val adds = spark.read.parquet(s"$mor/adds")
+    val touched = dv
+      .select(regexp_extract(col("fp"), "hbucket=(\\d+)/", 1)
+        .cast("long").as("hbucket"))
+      .unionByName(adds.select(col("hbucket")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val survivors = spark.read.parquet(s"$src/$HilbertTableDir")
+      .withColumn("hbucket", col("hbucket").cast("long"))
+      .filter(col("hbucket").isin(touched: _*))
+      .withColumn("fp", substring_index(col("_metadata.file_path"),
+        s"/$HilbertTableDir/", -1))
+      .withColumn("ri", col("_metadata.row_index"))
+      .join(broadcast(dv), Seq("fp", "ri"), "left_anti")
+      .drop("fp", "ri")
+    val finalRows = survivors
+      .unionByName(adds.select(survivors.columns.map(col): _*))
+      .localCheckpoint(true)
+    cowRewrite(spark, src, dstRoot, finalRows, touched.toSeq)
   }
 
   /** SCHEMA-EVOLUTION fixture — the mid-life column add every long-lived
@@ -1528,6 +1617,7 @@ object Etl {
     morDvFixture(spark, sfDir)
     morDv2Fixture(spark, sfDir)
     morDvCompactFixture(spark, sfDir)
+    morMergeFixture(spark, sfDir)
     chainFixture(spark, sfDir)
     wapPublishFixture(spark, sfDir)
     concurrentFixture(spark, sfDir)

@@ -316,6 +316,73 @@ class ChainSpec extends SparkSpec {
     }
   }
 
+  test("MOR merge ≡ COW merge row-for-row; the shared compaction tail" +
+      " retires the commit into exactly the COW layout") {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    val R = graft.operators.RefQueries
+    val base = Etl.hilbertOrdersFixture(spark, sf)
+    val cow = Etl.mergeRewriteFixture(spark, sf)
+    val mor = Etl.morMergeFixture(spark, sf)
+    val dv = spark.read.parquet(s"$mor/dv")
+    val adds = spark.read.parquet(s"$mor/adds")
+    // the commit is real: tombstones and appends both non-empty, and
+    // the DV tombstones exactly the stripe's pre-images
+    val (sLo, sHi) = R.MergeStripe
+    val stripeRows = spark.read.parquet(s"$base/${Etl.HilbertTableDir}")
+      .filter(col("x8").between(sLo, sHi)).count()
+    assert(dv.count() == stripeRows && stripeRows > 0,
+      "DV must tombstone exactly the stripe's old row versions")
+    assert(adds.count() > 0, "append half empty — merge vacuous")
+    // composed MOR read ≡ the COW-merged table, row for row on
+    // (key, position)
+    val morServed = spark.read.parquet(s"$base/${Etl.HilbertTableDir}")
+      .select(col("o_orderkey"), col("hidx"),
+        substring_index(col("_metadata.file_path"),
+          s"/${Etl.HilbertTableDir}/", -1).as("fp"),
+        col("_metadata.row_index").as("ri"))
+      .join(broadcast(dv), Seq("fp", "ri"), "left_anti")
+      .select(col("o_orderkey"), col("hidx"))
+      .unionByName(adds.select(col("o_orderkey"), col("hidx")))
+    val cowRows = spark.read.parquet(s"$cow/${Etl.HilbertTableDir}")
+    assert(rowKey(morServed) == rowKey(cowRows),
+      "MOR merge diverged from the COW merge's (key, hidx) set")
+    // compaction through the SHARED cowRewrite tail converges to the
+    // COW layout: same per-bucket file census, same rows — except the
+    // zone-candidate buckets the COW pass rewrote without any mover
+    // (MOR's commit never touched them, so they carry over verbatim;
+    // their file COUNT is 1 either way, which census equality covers)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mor_merge_compact").toFile
+    try {
+      Etl.copyDir(new java.io.File(base), tmp)
+      Etl.morMergeCompact(spark, sf, tmp)
+      def census(root: String): Map[String, Int] =
+        R.listPartFiles(spark, s"$root/${Etl.HilbertTableDir}")
+          .groupBy(_.split("/").find(_.startsWith("hbucket="))
+            .getOrElse(sys.error("no bucket segment")))
+          .map { case (b, fs) => b -> fs.size }
+      assert(census(tmp.getAbsolutePath) == census(cow),
+        "compacted MOR-merge layout census diverged from COW merge")
+      val compactRows = spark.read
+        .parquet(s"${tmp.getAbsolutePath}/${Etl.HilbertTableDir}")
+        .select(col("o_orderkey"), col("hidx"))
+      assert(rowKey(compactRows) == rowKey(cowRows),
+        "compacted MOR-merge rows diverged from COW merge")
+      // the payoff: the compacted read plans with no join
+      val p = spark.read
+        .parquet(s"${tmp.getAbsolutePath}/${Etl.HilbertTableDir}")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Join"),
+        s"post-compaction read still carries a join:\n$p")
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+        x.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
+
   test("optimistic concurrency: conflicting branches refuse in BOTH" +
       " orders, the disjoint writer lands in any order, rebase is exact") {
     import org.apache.spark.sql.functions.col
