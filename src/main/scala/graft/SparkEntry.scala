@@ -298,6 +298,7 @@ object SparkEntry {
     "q_cdf_refresh" -> ((s, d) => RefQueries.qCdfRefresh(s, d)),
     "q_commit_conflict" -> ((s, d) => RefQueries.qCommitConflict(s, d)),
     "q_merge_mor" -> ((s, d) => RefQueries.qMergeMor(s, d)),
+    "q_stats_prune" -> ((s, d) => RefQueries.qStatsPrune(s, d)),
     "q_schema_drop" -> ((s, d) => RefQueries.qSchemaDrop(s, d)),
     "q_partition_evolution" -> ((s, d) =>
       RefQueries.qPartitionEvolution(s, d)),
@@ -2666,6 +2667,38 @@ object SparkEntry {
              (SELECT count(*) FROM mv2)::BIGINT AS n_updated,
              (SELECT count(*) FROM ins)::BIGINT AS n_inserted,
              m.n_rows_after, m.key_checksum, m.pos_checksum
+      FROM m""",
+    // per-file column-stats replay: file boundaries ARE the cents bins
+    // (one file per non-empty bin — the price-clustered write's layout
+    // identity), each file's min/max the bin's actual extremes, so the
+    // candidate census and the matched rows both derive from the bin
+    // arithmetic alone; sum is cents-exact (no float)
+    "q_stats_prune" -> s"""
+      WITH c AS (
+        SELECT o_orderkey,
+               CAST(o_totalprice * 100 AS BIGINT) AS cents
+        FROM orders
+      ), b AS (
+        SELECT cents // ${RefQueries.PriceBinCents} AS pbin,
+               min(cents) AS c_min, max(cents) AS c_max
+        FROM c GROUP BY 1
+      ), cand AS (
+        SELECT count(*)::BIGINT AS n FROM b
+        WHERE c_max >= ${RefQueries.PriceRangeCents._1}
+          AND c_min <= ${RefQueries.PriceRangeCents._2}
+      ), m AS (
+        SELECT count(*)::BIGINT AS n_rows,
+               coalesce((sum((o_orderkey % 1000000007)
+                   * (o_orderkey % 1000000007) % 1000000007)
+                 % 1000000007), 0)::BIGINT AS key_checksum,
+               coalesce(sum(cents), 0)::BIGINT AS cents_sum
+        FROM c
+        WHERE cents BETWEEN ${RefQueries.PriceRangeCents._1}
+                        AND ${RefQueries.PriceRangeCents._2}
+      )
+      SELECT (SELECT count(*) FROM b)::BIGINT AS n_files_total,
+             (SELECT n FROM cand) AS n_files_scanned,
+             m.n_rows, m.key_checksum, m.cents_sum
       FROM m""",
     // merge-on-read MERGE replay: the SAME mergeCtes replay as the COW
     // twin (gating both strategies against one derivation IS the

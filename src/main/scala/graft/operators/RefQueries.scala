@@ -1608,6 +1608,54 @@ object RefQueries {
         $"n_rows_after", $"key_checksum", $"pos_checksum")
   }
 
+  /** Price-stats geometry (`Etl.priceStatsFixture` / [[qStatsPrune]]),
+    * shared with the DuckDB oracle: files hold contiguous
+    * [[PriceBinCents]]-wide cents ranges; the audited predicate is the
+    * [[PriceRangeCents]] band — selective enough that pruning is
+    * strictly partial at any SF (the band covers ~4% of the price
+    * domain), wide enough that it spans several files. */
+  val PriceBinCents = 200000L
+  val PriceRangeCents: (Long, Long) = (9000000L, 11000000L)
+
+  /** PER-FILE COLUMN-STATS PRUNING on a plain table — the zone-map
+    * protocol generalized off the spatial curve (`Etl.priceStatsFixture`:
+    * price-clustered orders + a write-time per-FILE (min, max, rows)
+    * sidecar over the cents-exact `o_totalprice`): a range predicate
+    * consults the sidecar (one tiny scan, ≤ |files| rows at any corpus
+    * size), nominates the files whose [min, max] overlaps the band, and
+    * reads THAT EXPLICIT FILE LIST with the residual predicate pushed to
+    * the footers — partition directories play no role, exactly how a
+    * table format serves manifest column stats. The output gates the
+    * protocol end to end: total/scanned file censuses (both derived
+    * independently by the oracle from the bin arithmetic — `scanned`
+    * must be strictly partial), matched rows, key checksum, and the
+    * exact cents sum; stats-pruning soundness makes the pruned scan
+    * equal the oracle's unpruned one (PlanSpec pins losslessness and
+    * the scan's file count).
+    * Scale: the consult is O(|files|) driver metadata; the data read is
+    * O(selectivity), not O(table) — the entire point of writing stats
+    * with every file at 100 TB. */
+  def qStatsPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val root = E.priceStatsFixture(spark, sfDir)
+    val (lo, hi) = PriceRangeCents
+    val stats = spark.read.parquet(s"$root/${E.PriceStatsDir}")
+    val nTotal = stats.count()
+    val cands = stats.filter($"c_max" >= lo && $"c_min" <= hi)
+      .select($"fp").as[String].collect().sorted
+    val pruned = spark.read
+      .option("basePath", s"$root/${E.PriceTableDir}")
+      .parquet(cands.map(f => s"$root/${E.PriceTableDir}/$f"): _*)
+      .filter($"cents".between(lo, hi))
+    pruned.agg(count(lit(1)).as("n_rows"),
+        keyChecksum($"o_orderkey").as("key_checksum"),
+        sum($"cents").as("cents_sum"))
+      .select(lit(nTotal).as("n_files_total"),
+        lit(cands.length.toLong).as("n_files_scanned"),
+        $"n_rows", $"key_checksum", $"cents_sum")
+  }
+
   /** COLUMN-RENAME read (`Etl.schemaRenameFixture`: generation 1 files
     * store the measure as `qty_v1`, generation 2 as `o_qty` after the
     * rename commit) — served through the table's tracked NAME MAPPING:

@@ -627,6 +627,52 @@ object Etl {
     cowRewrite(spark, src, dstRoot, finalRows, touched.toSeq)
   }
 
+  /** Subdirectories of [[priceStatsFixture]]. */
+  val PriceTableDir = "table"
+  val PriceStatsDir = "stats"
+
+  /** PER-FILE COLUMN-STATS fixture — the zone-map protocol generalized
+    * OFF the Hilbert grid onto a plain value column: orders written
+    * price-clustered (one file per contiguous `o_totalprice` range —
+    * the layout an `ORDER BY o_totalprice` ingest produces), with a
+    * WRITE-TIME stats sidecar of per-FILE (path, min, max, rows) over
+    * the cents-exact price. This is what every table format records in
+    * its manifests for every column: the stats are keyed by FILE, not
+    * by partition-directory name, so pruning consults the sidecar and
+    * reads an explicit file list — no directory semantics involved.
+    * Deterministic (integer cents, fixed bin width), so the DuckDB
+    * oracle derives the exact file census and every file's min/max. */
+  def priceStatsFixture(spark: SparkSession, sfDir: String): String =
+    cachedFixture(sfDir, "orders-pricestats-v1",
+        s"$sfDir/orders.parquet") { tmp =>
+      import org.apache.spark.sql.functions._
+      val R = graft.operators.RefQueries
+      val laid = graft.Tables.read(spark, sfDir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("pbin", expr(s"cents div ${R.PriceBinCents}"))
+      laid.repartition(col("pbin"))
+        .sortWithinPartitions(col("pbin"), col("cents"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("pbin")
+        .parquet(new java.io.File(tmp, PriceTableDir).getAbsolutePath)
+      // write-time stats: per physical FILE, the column's min/max and
+      // row count — built from the files just written (at 100 TB the
+      // writer emits these with each file's footer; this pass stands in)
+      spark.read
+        .parquet(new java.io.File(tmp, PriceTableDir).getAbsolutePath)
+        .select(substring_index(col("_metadata.file_path"),
+          s"/$PriceTableDir/", -1).as("fp"), col("cents"))
+        .groupBy(col("fp"))
+        .agg(min(col("cents")).as("c_min"), max(col("cents")).as("c_max"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new java.io.File(tmp, PriceStatsDir).getAbsolutePath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+
   /** SCHEMA-EVOLUTION fixture — the mid-life column add every long-lived
     * table accumulates: generation 1 (even order keys) is written with
     * (o_orderkey, o_custkey); generation 2 (odd keys) appends files
@@ -1618,6 +1664,7 @@ object Etl {
     morDv2Fixture(spark, sfDir)
     morDvCompactFixture(spark, sfDir)
     morMergeFixture(spark, sfDir)
+    priceStatsFixture(spark, sfDir)
     chainFixture(spark, sfDir)
     wapPublishFixture(spark, sfDir)
     concurrentFixture(spark, sfDir)

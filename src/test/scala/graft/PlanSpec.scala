@@ -1215,6 +1215,41 @@ class PlanSpec extends SparkSpec {
       s"change feed read $scanned files >= a full snapshot ($snapshot)")
   }
 
+  test("q_stats_prune: the pruned scan reads exactly the stats-nominated" +
+      " files, strictly partial, and pruning is lossless") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    import org.apache.spark.sql.functions.col
+    val E = graft.sources.Etl
+    val R = graft.operators.RefQueries
+    val root = E.priceStatsFixture(spark, sf)
+    val (lo, hi) = R.PriceRangeCents
+    val df = SparkEntry.queries("q_stats_prune")(spark, sf)
+    val row = df.collect()(0)
+    val (nTotal, nScanned) = (row.getLong(0), row.getLong(1))
+    assert(nScanned > 0 && nScanned < nTotal,
+      s"pruning must be real and partial: $nScanned of $nTotal")
+    // the DATA scan (reading `cents`) holds exactly the nominated files;
+    // the other scan is the stats sidecar itself
+    val dataScans = df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(r: HadoopFsRelation, out, _, _, _)
+          if out.exists(_.name == "cents") =>
+        r.location.inputFiles.length
+    }
+    assert(dataScans == Seq(nScanned.toInt),
+      s"data scan file census $dataScans != nominated $nScanned")
+    // lossless: the pruned aggregate equals the same aggregate over the
+    // UNPRUNED table — files outside the nominated set hold no band row
+    val full = spark.read.parquet(s"$root/${E.PriceTableDir}")
+      .filter(col("cents").between(lo, hi))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(col("cents"))).collect()(0)
+    assert(full.getLong(0) == row.getLong(2) &&
+      full.getLong(1) == row.getLong(4),
+      "stats pruning dropped or invented band rows vs the full scan")
+  }
+
   test("sim_topk_ivfpq: corpus joins only broadcast fitted models," +
       " ADC scoring partial-combines") {
     val p = plan("sim_topk_ivfpq")
