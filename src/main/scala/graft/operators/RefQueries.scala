@@ -1384,38 +1384,77 @@ object RefQueries {
   def qWapPublish(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val E = graft.sources.Etl
+    val P = TextAnalysis.ChecksumP
     val root = E.wapPublishFixture(spark, sfDir)
     // the INCREMENTAL audit (see qWapAudit): within-delta duplicates
-    // from a tiny groupBy over the staged commit, live collisions from
-    // a broadcast semi-join against the published version — the
-    // decision is bounded driver metadata (3 longs), never rows
+    // from a tiny groupBy over the staged commit, live collisions
+    // marked inside the ONE published read below — the decision is
+    // bounded driver metadata, never rows. The same CDC-sized pass
+    // VERIFIES the commit's stamped aggregates (count + checksum
+    // written at stage time), so the post-publish row can be served
+    // from the manifest instead of a second branch-sized read.
     val delta = E.chainReadDelta(spark, root, "b_clean", "v3")
       .select($"o_orderkey").localCheckpoint(true)
     val deltaKeys = delta.groupBy($"o_orderkey")
-      .agg(count(lit(1)).as("n_delta"))
-    val collisions = E.chainReadNamed(spark, root, "v3")
+      .agg(count(lit(1)).as("n_delta")).localCheckpoint(true)
+    val dAudit = deltaKeys.agg(
+      coalesce(sum(when($"n_delta" > 1L, 1L).otherwise(0L)), lit(0L))
+        .as("n_dup_within"),
+      coalesce(sum($"n_delta"), lit(0L)).as("n_appended"),
+      // the delta ROWS' checksum from the key table: each key's squared
+      // term weighted by its multiplicity — identical to aggregating the
+      // raw delta rows, without a second pass over them
+      coalesce(pmod(sum(((pmod($"o_orderkey", lit(P))
+            * pmod($"o_orderkey", lit(P)) % P) * $"n_delta")
+          .cast("decimal(38,0)")), lit(P).cast("decimal(38,0)"))
+        .cast("long"), lit(0L)).as("delta_ck")).head()
+    val nDupWithin = dAudit.getLong(0)
+    val nAppended = dAudit.getLong(1)
+    val deltaCk = dAudit.getLong(2)
+    // stamp verification: the audit's own delta read must reproduce the
+    // stage-time aggregates the manifest carries — a drifted or torn
+    // commit refuses here, never publishes
+    val (stampN, stampCk) = E.chainBranchStats(root, "b_clean")
+    val stampOk = stampN == nAppended && stampCk == deltaCk
+    // ONE published read: collision marks AND the live aggregates in
+    // the same pass (v3 keys are unique — certified by its own publish
+    // — so sum(hit) counts distinct colliding keys)
+    val marked = E.chainReadNamed(spark, root, "v3")
       .select($"o_orderkey")
-      .join(broadcast(deltaKeys.select($"o_orderkey")),
-        Seq("o_orderkey"), "left_semi")
-    val audit = deltaKeys
-      .agg(sum(when($"n_delta" > 1L, 1L).otherwise(0L))
-          .as("n_dup_within"),
-        count(lit(1)).as("n_delta_keys"),
-        sum($"n_delta").as("n_appended")).head()
-    val nDup = audit.getLong(0) + collisions.distinct().count()
-    if (nDup == 0L) E.chainPublish(root, "b_clean")
-    // the post-publish verification read resolves the POINTER — if the
-    // swap didn't happen (or landed torn), this still serves v3 and the
-    // row count + checksum fail the hash gate
-    val served = E.chainReadNamed(spark, root, E.chainCurrent(root))
-    served.agg(count(lit(1)).as("n_published_rows"),
-        keyChecksum($"o_orderkey").as("published_checksum"))
-      .select(
-        ($"n_published_rows" - lit(audit.getLong(2))).as("n_live_rows"),
-        lit(audit.getLong(2)).as("n_appended"),
-        lit(nDup).as("n_dup_keys"),
-        lit(if (nDup == 0L) 1L else 0L).as("publish_ok"),
-        $"n_published_rows", $"published_checksum")
+      .join(broadcast(deltaKeys.withColumn("hit", lit(1L))),
+        Seq("o_orderkey"), "left_outer")
+      .agg(count(lit(1)).as("n_live"),
+        keyChecksum($"o_orderkey").as("live_ck"),
+        coalesce(sum($"hit"), lit(0L)).as("n_coll"),
+        coalesce(sum(when($"hit".isNotNull && $"n_delta" > 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("n_both")).head()
+    val (nLive, liveCk) = (marked.getLong(0), marked.getLong(1))
+    // the duplicate KEY SET is the distinct union (within-delta dups ∪
+    // live collisions) — inclusion-exclusion, same semantics as
+    // qWapAudit's distinct() union
+    val nDup = nDupWithin + marked.getLong(2) - marked.getLong(3)
+    val publishOk = nDup == 0L && stampOk
+    if (publishOk) E.chainPublish(root, "b_clean")
+    // the post-publish row resolves the POINTER and serves the
+    // composition of what it NAMES: the published manifest's files must
+    // exist (the loud-failure contract), and the aggregates compose
+    // from the live pass + the VERIFIED stamp — checksums are
+    // commutative mod-P sums, so live ⊎ delta is exact. If the swap
+    // didn't happen (or landed torn), the pointer still names v3 and
+    // the composed row falls back to the live numbers — failing the
+    // hash gate.
+    val ref = E.chainCurrent(root)
+    E.chainManifestNamed(root, ref).foreach { r =>
+      if (!new java.io.File(s"$root/${E.ChainDataDir}/$r").exists())
+        throw new java.io.FileNotFoundException(
+          s"published ref $ref references missing file $r")
+    }
+    val (pubN, pubCk) =
+      if (ref == "b_clean") (nLive + stampN, (liveCk + stampCk) % P)
+      else (nLive, liveCk)
+    Seq((nLive, nAppended, nDup, if (publishOk) 1L else 0L, pubN, pubCk))
+      .toDF("n_live_rows", "n_appended", "n_dup_keys", "publish_ok",
+        "n_published_rows", "published_checksum")
   }
 
   /** MERGE-ON-READ DELETE (`Etl.morDvFixture`) — the same rectangle

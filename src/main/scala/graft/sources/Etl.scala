@@ -1304,7 +1304,7 @@ object Etl {
     * repeated verify/bench passes are stable. */
   def wapPublishFixture(spark: SparkSession, sfDir: String): String = {
     val src = chainFixture(spark, sfDir)
-    cachedFixture(sfDir, "orders-chain-wap-v1", s"$src/_SUCCESS") { tmp =>
+    cachedFixture(sfDir, "orders-chain-wap-v2", s"$src/_SUCCESS") { tmp =>
       import org.apache.spark.sql.functions._
       graft.functions.HilbertIndex.register(spark)
       graft.functions.Mix64.register(spark)
@@ -1345,9 +1345,36 @@ object Etl {
           "b_clean.txt").toPath,
         (chainManifest(src, 3) ++ c5).sorted
           .mkString("\n").getBytes("UTF-8")): Unit
+      // STAGE-TIME aggregate stamp: the commit manifest carries the
+      // staged delta's (row count, key checksum) — written by the same
+      // pass that wrote the files, verified by the audit's delta read,
+      // and served by the post-publish row so publication costs ONE
+      // branch read instead of re-scanning the published table to
+      // re-derive what the commit already knew
+      val P = graft.operators.TextAnalysis.ChecksumP
+      val stamped = spark.read
+        .parquet(new java.io.File(new java.io.File(tmp, ChainDataDir),
+          "c5").getAbsolutePath)
+        .agg(count(lit(1)),
+          pmod(sum((pmod(col("o_orderkey"), lit(P))
+              * pmod(col("o_orderkey"), lit(P)) % P)
+            .cast("decimal(38,0)")),
+            lit(P).cast("decimal(38,0)")).cast("long")).head()
+      java.nio.file.Files.writeString(
+        new java.io.File(new java.io.File(tmp, ChainManifestsDir),
+          "b_clean.stats").toPath,
+        s"${stamped.getLong(0)} ${stamped.getLong(1)}"): Unit
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
     }
+  }
+
+  /** A staged commit's stamped aggregates: (n_rows, key_checksum). */
+  def chainBranchStats(root: String, branch: String): (Long, Long) = {
+    val s = java.nio.file.Files.readString(
+      new java.io.File(s"$root/$ChainManifestsDir/$branch.stats").toPath)
+      .trim.split("\\s+")
+    (s(0).toLong, s(1).toLong)
   }
 
   /** CONCURRENT-WRITERS fixture — the two-writer episode optimistic
