@@ -299,6 +299,7 @@ object SparkEntry {
     "q_commit_conflict" -> ((s, d) => RefQueries.qCommitConflict(s, d)),
     "q_merge_mor" -> ((s, d) => RefQueries.qMergeMor(s, d)),
     "q_stats_prune" -> ((s, d) => RefQueries.qStatsPrune(s, d)),
+    "sim_index_rebuild" -> ((s, d) => Similarity.indexRebuild(s, d)),
     "q_schema_drop" -> ((s, d) => RefQueries.qSchemaDrop(s, d)),
     "q_partition_evolution" -> ((s, d) =>
       RefQueries.qPartitionEvolution(s, d)),
@@ -1762,6 +1763,38 @@ object SparkEntry {
     SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk::INTEGER AS rnk
     FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
 
+  /** Rebuilt-index serving replay (`sim_index_rebuild`): the adaptive-k
+    * kmeans chain over the FULL corpus at the production batch size —
+    * the committed v2 exactly — plus the served version's identity
+    * columns, so a failed cutover (still serving v1's geometry) fails
+    * every output row, not just a summary. */
+  private lazy val simIndexRebuildOracle = s"""
+    ${kmeansCtes(ivfKSql)}, probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT ev.vec_id AS q_id, c.cell_id,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY list_cosine_similarity(ev.v, c.cv) DESC,
+                          c.cell_id ASC) AS r
+        FROM e ev CROSS JOIN c2 c WHERE ev.vec_id < 64
+      ) WHERE r <= greatest(4, (SELECT k FROM kp) // 4)
+    ), cand AS (
+      SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a USING (cell_id)
+      WHERE a.vec_id != p.q_id
+    ), scored AS (
+      SELECT c.q_id, c.vec_id, list_cosine_similarity(e1.v, e2.v) AS cos
+      FROM cand c
+      JOIN e e1 ON e1.vec_id = c.vec_id
+      JOIN e e2 ON e2.vec_id = c.q_id
+    ), r AS (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT 'v2' AS index_ref, (SELECT k FROM kp)::BIGINT AS n_cells,
+           q_id, vec_id, round(cos, 6) AS cos_sim, rnk::INTEGER AS rnk
+    FROM r WHERE rnk <= 5 ORDER BY q_id ASC, rnk ASC"""
+
   /** Clustering-summary oracle: same unrolled Lloyd replay; the centroid
     * norm is a sequential fold, bit-identical to the Scala loop. */
   private val embedKmeansClustersOracle = s"""
@@ -3169,6 +3202,7 @@ object SparkEntry {
     // maintenance must land on it exactly
     "sim_topk_serving_consistency" -> simTopKIvfIncrementalOracleFor(64),
     "sim_topk_ivf_kmeans" -> simTopKIvfKmeansOracle,
+    "sim_index_rebuild" -> simIndexRebuildOracle,
     // binary-quantized ANN replay: identical sign-bit packing (two
     // 32-bit words — bit 63 is the BIGINT sign bit on both engines),
     // integer hamming prefilter, exact-cosine rerank with the same

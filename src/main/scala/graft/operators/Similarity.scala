@@ -450,6 +450,120 @@ object Similarity {
       .orderBy($"q_id".asc, $"rnk".asc)
   }
 
+  /** VERSIONED ANN-INDEX REBUILD (`Etl.ivfIndexFixture`) — the re-fit
+    * `stream_ivf_cells` only measures the need for, EXECUTED as a
+    * commit with the WAP pointer discipline applied to the index:
+    *  - the serving index is whatever `_current` names on the index
+    *    root — `v1` was built (and its geometry frozen) from the index
+    *    corpus of its day (even vec_ids, seed centroids);
+    *  - the corpus has since DOUBLED (the full embeddings table), so
+    *    the re-fit trigger (corpus count vs the index's stamped build
+    *    census — metadata, no data read) fires: new centroids are
+    *    TRAINED on the grown corpus (deterministic integer-quantized
+    *    k-means at the re-derived cell count), the whole corpus
+    *    re-assigns in one broadcast-centroids pass, and the new index
+    *    version commits beside the old one;
+    *  - cutover is the atomic pointer swap — the old index serves
+    *    every query until the rename lands, then the new one serves
+    *    (a reader sees one or the other, never a torn mix);
+    *  - THIS query then serves the production batch (64 queries)
+    *    THROUGH the pointer, reading centroids + assignments from the
+    *    committed version — `index_ref`/`n_cells` ride on every output
+    *    row, so a failed cutover (still serving v1's geometry) fails
+    *    the hash gate on every row.
+    * The oracle replays the rebuilt index end-to-end (adaptive cell
+    * count, 2-iteration Lloyd, assignment, probes, rerank), so the
+    * gate proves the committed index IS the full re-fit.
+    * SimilaritySpec proves pre-cutover serving equals the frozen v1
+    * model, post-cutover equals the in-session rebuild, and the swap
+    * leaves no torn state.
+    * Scale: re-fit cost is the k-means pass + one corpus re-assignment
+    * — scheduled, not per-query; serving cost never changes shape; the
+    * pointer keeps reads consistent throughout. */
+  def indexRebuild(spark: SparkSession, sfDir: String): DataFrame =
+    indexRebuildAt(spark, sfDir,
+      graft.sources.Etl.ivfIndexFixture(spark, sfDir))
+
+  private[graft] def indexRebuildAt(spark: SparkSession, sfDir: String,
+      root: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val emb = corpus(spark, sfDir)
+    val n = emb.count()
+    val (curBuilt, _, _) = indexMeta(root, E.chainCurrent(root))
+    // the re-fit trigger: the corpus outgrew the serving index's build
+    // census (pure metadata — the stream keeps the skew statistics; the
+    // census check is the commit-time guard)
+    if (n > curBuilt) {
+      val nc2 = ivfCells(emb, 0)
+      val cdf = kmeansCentroids(spark, sfDir, nc2).toSeq
+        .map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "centroid")
+      writeIndexVersion(spark, root, "v2", emb, cdf, n, nc2)
+      E.chainPublish(root, "v2") // the atomic cutover
+    }
+    indexServeAt(spark, sfDir, root)
+  }
+
+  /** Serve the production query batch THROUGH the index pointer: read
+    * the committed version's centroids + cell assignments from disk and
+    * run the standard probe/rerank — the path every consumer uses
+    * before, during, and after a rebuild. */
+  private[graft] def indexServeAt(spark: SparkSession, sfDir: String,
+      root: String): DataFrame = {
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val emb = corpus(spark, sfDir)
+    val ref = E.chainCurrent(root)
+    val (_, nCells, np) = indexMeta(root, ref)
+    val centroids = broadcast(spark.read.parquet(s"$root/$ref/centroids"))
+    val assigned = spark.read.parquet(s"$root/$ref/assigned")
+    ivfServe(spark, emb, assigned, centroids, k = 5, nQueries = 64,
+        nprobe = np)
+      .select(lit(ref).as("index_ref"), lit(nCells.toLong).as("n_cells"),
+        $"q_id", $"vec_id", $"cos_sim", $"rnk")
+      .orderBy($"q_id".asc, $"rnk".asc)
+  }
+
+  /** One committed index version: centroids + full cell assignment +
+    * the metadata stamp (build census, cell count, probe width). Shared
+    * by the v1 fixture build and the v2 re-fit so the two versions can
+    * never diverge structurally. */
+  private[graft] def writeIndexVersion(spark: SparkSession, root: String,
+      ref: String, slice: DataFrame, centroids: DataFrame, nBuild: Long,
+      nCells: Int): Unit = {
+    import org.apache.spark.sql.SaveMode
+    centroids.write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/$ref/centroids")
+    assignCells(spark, slice, broadcast(centroids))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/$ref/assigned")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$root/$ref/meta.txt").toPath,
+      s"$nBuild $nCells ${ivfNprobe(nCells, 0)}"): Unit
+  }
+
+  /** The v1 index build — the state of the world before the corpus
+    * grew: index corpus = even vec_ids, seed centroids, geometry frozen
+    * from that corpus's size ([[frozenIvfModel]]'s protocol, committed
+    * to disk as a version). */
+  private[graft] def buildIndexV1(spark: SparkSession, sfDir: String,
+      root: String): Unit = {
+    import spark.implicits._
+    val index = corpus(spark, sfDir).filter($"vec_id" % 2 === 0)
+    val nc1 = ivfCells(index, 0)
+    val cdf = seedVectors(spark, index, nc1).toSeq
+      .map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "centroid")
+    writeIndexVersion(spark, root, "v1", index, cdf, index.count(), nc1)
+  }
+
+  /** A committed index version's stamp: (build census, cells, nprobe). */
+  private[graft] def indexMeta(root: String, ref: String)
+      : (Long, Int, Int) = {
+    val s = java.nio.file.Files.readString(
+      new java.io.File(s"$root/$ref/meta.txt").toPath).trim.split("\\s+")
+    (s(0).toLong, s(1).toInt, s(2).toInt)
+  }
+
   /** Deterministic Lloyd iterations for IVF centroids, seeded with the
     * `nCells` vectors first in (mix64(vec_id), vec_id) order
     * ([[seedVectors]] — skew-immune, unlike a first-N-ids seed).

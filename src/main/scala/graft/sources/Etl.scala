@@ -673,6 +673,23 @@ object Etl {
         new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
     }
 
+  /** VERSIONED ANN-INDEX root — the serving state
+    * `sim_index_rebuild` starts from: version `v1` (centroids + cell
+    * assignments + metadata stamp) built from the index corpus of its
+    * day (even vec_ids, frozen geometry), `_current` pointing at it —
+    * the WAP pointer discipline applied to an index. The rebuild query
+    * commits `v2` beside it and swaps the pointer atomically. */
+  def ivfIndexFixture(spark: SparkSession, sfDir: String): String =
+    cachedFixture(sfDir, "ivf-index-v1",
+        s"$sfDir/embeddings.parquet") { tmp =>
+      graft.operators.Similarity.buildIndexV1(spark, sfDir,
+        tmp.getAbsolutePath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_current").toPath, "v1"): Unit
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+
   /** SCHEMA-EVOLUTION fixture — the mid-life column add every long-lived
     * table accumulates: generation 1 (even order keys) is written with
     * (o_orderkey, o_custkey); generation 2 (odd keys) appends files
@@ -1692,6 +1709,7 @@ object Etl {
     morDvCompactFixture(spark, sfDir)
     morMergeFixture(spark, sfDir)
     priceStatsFixture(spark, sfDir)
+    ivfIndexFixture(spark, sfDir)
     chainFixture(spark, sfDir)
     wapPublishFixture(spark, sfDir)
     concurrentFixture(spark, sfDir)

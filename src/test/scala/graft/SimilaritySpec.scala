@@ -263,6 +263,73 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, f"binary recall@5 $recall%.2f below floor")
   }
 
+  test("versioned index rebuild: pre-cutover serves the frozen v1 model," +
+      " post-cutover the full re-fit, re-serve is idempotent, pointer" +
+      " never torn") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val E = graft.sources.Etl
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toFile
+    try {
+      val root = tmp.getAbsolutePath
+      Similarity.buildIndexV1(spark, sf, root)
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "_current").toPath, "v1")
+      def servedTuples(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getInt(5))).toSeq
+      def bareTuples(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("q_id"), col("vec_id"), col("cos_sim"), col("rnk"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3))).toSeq
+      // PRE-CUTOVER: the pointer serves exactly the frozen v1 model
+      val pre = Similarity.indexServeAt(spark, sf, root).collect()
+      assert(pre.nonEmpty && pre.forall(_.getString(0) == "v1"),
+        "pre-cutover rows must carry the v1 ref")
+      val emb = Tables.read(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("vec"))
+      val index = emb.filter(col("vec_id") % 2 === 0)
+      val nc1 = Similarity.ivfCells(index, 0)
+      val cents1 = broadcast(
+        Similarity.seedVectors(spark, index, nc1).toSeq
+          .map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "centroid"))
+      val expectPre = bareTuples(Similarity.ivfServe(spark, emb,
+        Similarity.assignCells(spark, index, cents1), cents1,
+        k = 5, nQueries = 64, nprobe = Similarity.ivfNprobe(nc1, 0)))
+      assert(servedTuples(pre) == expectPre,
+        "pre-cutover serving diverged from the frozen v1 model")
+      // REBUILD + CUTOVER: the committed v2 serves the full re-fit
+      val post = Similarity.indexRebuildAt(spark, sf, root).collect()
+      assert(E.chainCurrent(root) == "v2",
+        "rebuild must move the pointer to v2")
+      assert(post.forall(_.getString(0) == "v2"),
+        "post-cutover rows must carry the v2 ref")
+      val expectPost = bareTuples(Similarity.topKIvfKmeans(spark, sf,
+        k = 5, nQueries = 64))
+      assert(servedTuples(post) == expectPost,
+        "post-cutover serving diverged from the in-session full re-fit")
+      // idempotence: the census trigger sees an up-to-date index and
+      // serves WITHOUT re-fitting; same rows
+      val again = Similarity.indexRebuildAt(spark, sf, root).collect()
+      assert(servedTuples(again) == servedTuples(post),
+        "re-serve after cutover diverged")
+      // atomicity hygiene: the swap is rename-based — no torn pointer
+      // temp file may survive, and the pointer names a committed version
+      assert(!tmp.listFiles().exists(_.getName.startsWith("_current.tmp")),
+        "torn pointer temp file left behind")
+      assert(Set("v1", "v2").contains(E.chainCurrent(root)))
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+        x.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
+
   test("semantic dedup: per-label rollup partitions the corpus exactly") {
     val rows = Similarity.dedupSemantic(spark, sf).collect()
     val corpus = Tables.read(spark, sf, "embeddings").count()
