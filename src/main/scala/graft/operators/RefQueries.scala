@@ -2103,13 +2103,10 @@ object RefQueries {
     val P = TextAnalysis.ChecksumP
     val sq = pmod($"o_orderkey", lit(P)) * pmod($"o_orderkey", lit(P)) % P
     val xband = expr("x8 div 32")
-    // the materialized base: in production this is a stored table — the
-    // one corpus read here stands in for reading the view, not v1
-    val base = E.chainReadVersion(spark, root, 1)
-      .groupBy(xband.as("xband"))
-      .agg(count(lit(1)).as("b_n"),
-        sum(sq).as("b_kck"),
-        sum(pmod($"hidx", lit(P))).as("b_hck"))
+    // the MATERIALIZED base: the stored view itself (built once beside
+    // the chain — `Etl.cdfViewFixture`), never a re-read of v1; the
+    // refresh's inputs are the view (≤ 8 rows) + the commit's changes
+    val base = spark.read.parquet(E.cdfViewFixture(spark, sfDir))
     val sgn = when($"change_type".isin("delete", "update_pre"), -1L)
       .otherwise(1L)
     val delta = chainChanges(spark, root, 2)
@@ -2127,6 +2124,21 @@ object RefQueries {
           lit(P)).as("hidx_checksum"))
       .filter($"n_rows" > 0L)
       .orderBy($"xband".asc)
+  }
+
+  /** The v1 per-band summary — the view [[qCdfRefresh]] maintains,
+    * computed ONCE at materialization time (`Etl.cdfViewFixture` calls
+    * this; the refresh never does). */
+  private[graft] def xbandSummaryV1(spark: SparkSession, root: String)
+      : DataFrame = {
+    import spark.implicits._
+    val P = TextAnalysis.ChecksumP
+    val sq = pmod($"o_orderkey", lit(P)) * pmod($"o_orderkey", lit(P)) % P
+    graft.sources.Etl.chainReadVersion(spark, root, 1)
+      .groupBy(expr("x8 div 32").as("xband"))
+      .agg(count(lit(1)).as("b_n"),
+        sum(sq).as("b_kck"),
+        sum(pmod($"hidx", lit(P))).as("b_hck"))
   }
 
   /** OPTIMISTIC-CONCURRENCY CONFLICT DETECTION (`Etl.concurrentFixture`)

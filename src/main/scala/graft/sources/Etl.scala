@@ -673,6 +673,23 @@ object Etl {
         new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
     }
 
+  /** The MATERIALIZED VIEW `q_cdf_refresh` maintains — the per-x8-band
+    * summary of chain version 1, stored as its own table (a real
+    * warehouse materializes the view once and refreshes it from the
+    * change feed forever after; the refresh must never re-read the base
+    * table, or it isn't incremental). Built beside the chain fixture. */
+  def cdfViewFixture(spark: SparkSession, sfDir: String): String = {
+    val src = chainFixture(spark, sfDir)
+    cachedFixture(sfDir, "chain-xband-view-v1", s"$src/_SUCCESS") { tmp =>
+      graft.operators.RefQueries.xbandSummaryV1(spark, src)
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(tmp.getAbsolutePath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_SUCCESS").toPath, ""): Unit
+    }
+  }
+
   /** VERSIONED ANN-INDEX root — the serving state
     * `sim_index_rebuild` starts from: version `v1` (centroids + cell
     * assignments + metadata stamp) built from the index corpus of its
@@ -1710,6 +1727,7 @@ object Etl {
     morMergeFixture(spark, sfDir)
     priceStatsFixture(spark, sfDir)
     ivfIndexFixture(spark, sfDir)
+    cdfViewFixture(spark, sfDir)
     chainFixture(spark, sfDir)
     wapPublishFixture(spark, sfDir)
     concurrentFixture(spark, sfDir)
