@@ -300,6 +300,8 @@ object SparkEntry {
     "q_merge_mor" -> ((s, d) => RefQueries.qMergeMor(s, d)),
     "q_stats_prune" -> ((s, d) => RefQueries.qStatsPrune(s, d)),
     "sim_index_rebuild" -> ((s, d) => Similarity.indexRebuild(s, d)),
+    "stream_cdf_replay" -> ((s, d) =>
+      graft.streaming.StreamingQueries.cdfReplayStream(s, d)),
     "q_schema_drop" -> ((s, d) => RefQueries.qSchemaDrop(s, d)),
     "q_partition_evolution" -> ((s, d) =>
       RefQueries.qPartitionEvolution(s, d)),
@@ -872,6 +874,19 @@ object SparkEntry {
         UNION ALL SELECT o_orderkey, x8, y8, hidx FROM mv2
         UNION ALL SELECT o_orderkey, x8, y8, hidx FROM ins
       )"""
+
+  /** The v2 per-band view summary — ONE definition for the batch
+    * incremental refresh (`q_cdf_refresh`) and the streaming change-feed
+    * replay (`stream_cdf_replay`): both must land on the summary DuckDB
+    * computes directly from v2's rows. */
+  private lazy val cdfSummaryOracle: String = s"""
+      WITH $chainCtes
+      SELECT (x8 // 32)::BIGINT AS xband, count(*)::BIGINT AS n_rows,
+             (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
+                  % 1000000007) % 1000000007)::BIGINT AS key_checksum,
+             (sum(hidx % 1000000007) % 1000000007)::BIGINT
+               AS hidx_checksum
+      FROM v2r GROUP BY 1 ORDER BY xband ASC"""
 
   /** One chain version's (version, n_rows, key_checksum, n_rect_rows)
     * aggregate over a [[chainCtes]] row CTE — zone-map soundness makes
@@ -2941,15 +2956,10 @@ object SparkEntry {
     // summary DIRECTLY from v2's row set, while the Spark side never
     // reads v2 — it refreshes the v1 summary with the change feed's
     // signed delta terms. A hash match IS apply(changes, v1) == v2,
-    // band for band
-    "q_cdf_refresh" -> s"""
-      WITH $chainCtes
-      SELECT (x8 // 32)::BIGINT AS xband, count(*)::BIGINT AS n_rows,
-             (sum((o_orderkey % 1000000007) * (o_orderkey % 1000000007)
-                  % 1000000007) % 1000000007)::BIGINT AS key_checksum,
-             (sum(hidx % 1000000007) % 1000000007)::BIGINT
-               AS hidx_checksum
-      FROM v2r GROUP BY 1 ORDER BY xband ASC""",
+    // band for band. The streaming replay twin shares the SAME string:
+    // stream-replay ≡ batch-refresh ≡ direct recompute, one oracle
+    "q_cdf_refresh" -> cdfSummaryOracle,
+    "stream_cdf_replay" -> cdfSummaryOracle,
     // retention-vacuum replay: every file count derives from the curve
     // arithmetic — per-version live buckets, the delete's zone
     // candidates (their c0 files are the only garbage when v0 expires),

@@ -607,6 +607,63 @@ object StreamingQueries {
       out.select($"cell_id", $"n_vecs"))
   }
 
+  /** STREAMING CHANGE-FEED REPLAY — the table's history consumed as a
+    * STREAM: the commit chain's change-data feed (`q_table_changes`'s
+    * row-level artifacts) arrives one commit per micro-batch — the
+    * ingest commit as all-inserts, the DELETE commit's tombstones, the
+    * MERGE commit's update_pre/update_post pairs + inserts (the
+    * OPTIMIZE commit feeds EMPTY by dataChange metadata, so it
+    * delivers nothing) — and the consumer maintains the per-x8-band
+    * materialized view as Complete-mode state with SIGNED sums
+    * (retractions subtract, assertions add; count, key checksum and
+    * hidx sum are all commutative mod-P terms, so the state is
+    * merge-order- and batch-slicing-invariant). The final state must
+    * equal the view computed DIRECTLY from v2's rows — the oracle IS
+    * `q_cdf_refresh`'s (one SQL string, two names), so the gate proves
+    * stream-replay ≡ batch-refresh ≡ direct recompute.
+    *
+    * The 100 TB shape: a CDF subscriber maintains any distributive
+    * aggregate view of a table forever with O(groups) state and
+    * O(|commit|) work per refresh, never re-reading the base — the
+    * streaming half of the incremental-view story, with retraction
+    * handling the batch twin's full-outer merge does positionally. */
+  def cdfReplayStream(spark: SparkSession, sfDir: String,
+      splitMerge: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val R = graft.operators.RefQueries
+    val E = graft.sources.Etl
+    val root = E.chainFixture(spark, sfDir)
+    val P = graft.operators.TextAnalysis.ChecksumP
+    val ingest = E.chainReadVersion(spark, root, 0)
+      .select(lit("insert").as("change_type"), $"o_orderkey", $"x8",
+        $"hidx")
+    def feed(v: Int) = R.chainChanges(spark, root, v)
+      .select($"change_type", $"o_orderkey", $"x8", $"hidx")
+    // splitMerge re-slices the MERGE commit's feed into two deliveries
+    // by key parity (an update pair can straddle the boundary) — the
+    // StreamingSpec invariance probe: signed-sum state must land on the
+    // identical view under any batch slicing
+    val mergeBatches =
+      if (splitMerge)
+        Seq(feed(2).filter($"o_orderkey" % 2 === 0),
+          feed(2).filter($"o_orderkey" % 2 === 1))
+      else Seq(feed(2))
+    val out = runFileStream(spark, "cdf_replay",
+      Seq(ingest, feed(1)) ++ mergeBatches, OutputMode.Complete()) { df =>
+      val sgn = when($"change_type".isin("delete", "update_pre"), -1L)
+        .otherwise(1L)
+      val sq = pmod($"o_orderkey", lit(P)) * pmod($"o_orderkey", lit(P)) % P
+      df.groupBy(expr("x8 div 32").as("xband"))
+        .agg(sum(sgn).as("n"), sum(sgn * sq).as("kck"),
+          sum(sgn * pmod($"hidx", lit(P))).as("hck"))
+    }
+    out.filter($"n" > 0L)
+      .select($"xband".cast("long").as("xband"), $"n".as("n_rows"),
+        pmod($"kck", lit(P)).as("key_checksum"),
+        pmod($"hck", lit(P)).as("hidx_checksum"))
+      .orderBy($"xband".asc)
+  }
+
   /** STREAMING signature-index maintenance — the ingest half of the
     * incremental-dedup loop kept live: `dedup_incremental` probes the
     * persisted minhash band-bucket index, and THIS query is what keeps

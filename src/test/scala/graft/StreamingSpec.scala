@@ -448,6 +448,29 @@ class StreamingSpec extends SparkSpec {
     assert(both > 0, "parity split never straddles a bucket — vacuous merge")
   }
 
+  test("change-feed replay: stream ≡ batch refresh ≡ direct v2, and the" +
+      " signed-sum state is batch-slicing-invariant") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.streaming.StreamingQueries
+    // the streamed history (ingest + delete + merge feeds) must land on
+    // the batch incremental refresh's exact view — which is itself
+    // hash-gated against the direct v2 recompute
+    val streamed = S.cdfReplayStream(spark, sf)
+    val batch = graft.operators.RefQueries.qCdfRefresh(spark, sf)
+    assertSameRows(streamed, batch)
+    // retraction correctness is load-bearing, not vacuous: the replay
+    // passes through states the final view never shows (the delete
+    // commit's tombstones must SUBTRACT from bands the ingest filled)
+    val R = graft.operators.RefQueries
+    val root = graft.sources.Etl.chainFixture(spark, sf)
+    assert(R.chainChanges(spark, root, 1)
+      .filter(col("change_type") === "delete").count() > 0)
+    // slicing invariance: the merge feed split across two deliveries by
+    // key parity (update pairs can straddle) converges to the same view
+    val sliced = S.cdfReplayStream(spark, sf, splitMerge = true)
+    assertSameRows(sliced, batch)
+  }
+
   test("lateness enforcement: the real withWatermark stream reproduces" +
       " the ms-floor watermark prediction row-for-row, non-vacuously") {
     // predicted (batch-side ms-floor watermark replay) ≡ observed (the
