@@ -55,6 +55,9 @@ object Bench {
       .config(Tables.nanosConfKey, "true") // events TIMESTAMP(NANOS) decode
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // one task per path is pure scheduling overhead on a single node —
+      // see Tables.listingParallelism (scale-adaptive, env-overridable)
+      .config(Tables.listingParallelismKey, Tables.listingParallelism(cpus))
       // per-process private warehouse, deleted on exit (Etl.warehouseDir:
       // bucket metadata cannot outlive the in-memory catalog, so
       // isolation is free and concurrent runs cannot collide)

@@ -33,6 +33,24 @@ object Tables {
     * (TIMESTAMP(NANOS,...))". */
   val nanosConfKey = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** File-listing job parallelism for every graft session
+    * (`spark.sql.sources.parallelPartitionDiscovery.parallelism`).
+    * Spark's default is 10000 — sized so a large CLUSTER can fan a huge
+    * object-store listing across its executors, but on a single-node
+    * session it degenerates to ONE TASK PER PATH: listing the ~2731
+    * explicit manifest paths of one commit cost 4.8 s of pure task-
+    * scheduling overhead (r17 job profile — the single largest cost in
+    * `q_time_travel_chain`, and every partitioned/manifest read paid
+    * it). Scale-adaptive: a few listing tasks per core (floor 32);
+    * `SPARK_GRAFT_LISTING_PAR` overrides for cluster deployments where
+    * a higher fan-out genuinely pays. */
+  def listingParallelism(cpus: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_LISTING_PAR",
+      math.max(32, 4 * cpus.toInt).toString)
+
+  val listingParallelismKey =
+    "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+
   /** Normalizes `ts` to a session-tz TIMESTAMP whatever the parquet
     * writer chose, schema-driven per branch:
     *

@@ -18,6 +18,7 @@ object Verify {
       .config(Tables.nanosConfKey, "true") // events TIMESTAMP(NANOS) decode
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      .config(Tables.listingParallelismKey, Tables.listingParallelism(cpus))
       .config("spark.sql.warehouse.dir", graft.sources.Etl.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

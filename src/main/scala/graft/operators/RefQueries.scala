@@ -1483,12 +1483,23 @@ object RefQueries {
     val dvRoot = E.morDvFixture(spark, sfDir)
     val (xLo, xHi, yLo, yHi) = HilbertRect
     val dv = spark.read.parquet(s"$dvRoot/dv")
+    // the sidecar names files; the ingest wrote exactly ONE file per
+    // hbucket (repartition(hbucket) + partitionBy — Etl.curveOrdersFixture),
+    // so (file, position) ≡ (hbucket, position) and the scan side can
+    // join on the PARTITION column instead of materializing a
+    // `_metadata.file_path` string per corpus row (the r17 measurement:
+    // the per-row path string + substring was ~2s of task cpu on a
+    // ~3s scan). The fp → hbucket decode happens once, on the
+    // broadcast-side sidecar rows only.
+    val dvPos = dv.select(
+      regexp_extract($"fp", "hbucket=(\\d+)/", 1).cast("long")
+        .as("hbucket"), $"ri")
     val base = spark.read.parquet(s"$src/${E.HilbertTableDir}")
       .select($"o_orderkey", $"x8", $"y8",
-        substring_index(col("_metadata.file_path"),
-          s"/${E.HilbertTableDir}/", -1).as("fp"),
+        $"hbucket".cast("long").as("hbucket"),
         $"_metadata.row_index".as("ri"))
-    val survivors = base.join(broadcast(dv), Seq("fp", "ri"), "left_anti")
+    val survivors = base.join(broadcast(dvPos), Seq("hbucket", "ri"),
+      "left_anti")
     val served = survivors.agg(count(lit(1)).as("n_rows_after"),
       coalesce(keyChecksum($"o_orderkey"), lit(0L)).as("survivor_checksum"),
       sum(when($"x8".between(xLo, xHi) && $"y8".between(yLo, yHi), 1L)
@@ -1536,13 +1547,19 @@ object RefQueries {
     val (x2Lo, x2Hi, y2Lo, y2Hi) = HilbertRect2
     val dv1 = spark.read.parquet(s"${E.morDvFixture(spark, sfDir)}/dv")
     val dv2 = spark.read.parquet(s"${E.morDv2Fixture(spark, sfDir)}/dv")
-    val dvAll = dv1.unionByName(dv2)
+    // (file, position) ≡ (hbucket, position) — one file per bucket by
+    // the ingest's construction (see qDeleteMor); decode fp → hbucket
+    // on the broadcast-side sidecars only, never a per-corpus-row
+    // file-path string
+    val dvAll = dv1.unionByName(dv2).select(
+      regexp_extract($"fp", "hbucket=(\\d+)/", 1).cast("long")
+        .as("hbucket"), $"ri")
     val base = spark.read.parquet(s"$src/${E.HilbertTableDir}")
       .select($"o_orderkey", $"x8", $"y8",
-        substring_index(col("_metadata.file_path"),
-          s"/${E.HilbertTableDir}/", -1).as("fp"),
+        $"hbucket".cast("long").as("hbucket"),
         $"_metadata.row_index".as("ri"))
-    val survivors = base.join(broadcast(dvAll), Seq("fp", "ri"), "left_anti")
+    val survivors = base.join(broadcast(dvAll), Seq("hbucket", "ri"),
+      "left_anti")
     val served = survivors.agg(count(lit(1)).as("n_rows_after"),
       coalesce(keyChecksum($"o_orderkey"), lit(0L)).as("survivor_checksum"),
       sum(when($"x8".between(x1Lo, x1Hi) && $"y8".between(y1Lo, y1Hi), 1L)
@@ -1619,12 +1636,18 @@ object RefQueries {
     val src = E.hilbertOrdersFixture(spark, sfDir)
     val root = E.morMergeFixture(spark, sfDir)
     val dv = spark.read.parquet(s"$root/dv")
+    // (file, position) ≡ (hbucket, position) — one file per bucket by
+    // the ingest's construction (see qDeleteMor); fp decodes to hbucket
+    // on the broadcast-side sidecar only
+    val dvPos = dv.select(
+      regexp_extract($"fp", "hbucket=(\\d+)/", 1).cast("long")
+        .as("hbucket"), $"ri")
     val base = spark.read.parquet(s"$src/${E.HilbertTableDir}")
       .select($"o_orderkey", $"hidx",
-        substring_index(col("_metadata.file_path"),
-          s"/${E.HilbertTableDir}/", -1).as("fp"),
+        $"hbucket".cast("long").as("hbucket"),
         $"_metadata.row_index".as("ri"))
-    val survivors = base.join(broadcast(dv), Seq("fp", "ri"), "left_anti")
+    val survivors = base.join(broadcast(dvPos), Seq("hbucket", "ri"),
+      "left_anti")
       .select($"o_orderkey", $"hidx", lit(0L).as("is_add"))
     val adds = spark.read.parquet(s"$root/adds")
       .select($"o_orderkey", $"hidx", lit(1L).as("is_add"))

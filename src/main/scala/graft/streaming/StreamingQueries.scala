@@ -79,6 +79,14 @@ object StreamingQueries {
       } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     (name, q)
   }
+  // NOTE (r17, measured dead end): disabling no-data micro-batches
+  // (`spark.sql.streaming.noDataMicroBatches.enabled=false`) halves the
+  // batch count of the watermarked replays but CHANGES THEIR OUTPUT:
+  // Spark filters late events with the PREVIOUS batch's watermark, and
+  // it is the eviction-only no-data batch that advances it between
+  // deliveries — without it every delivery is judged one watermark
+  // step more leniently (stream_lateness admitted 4 extra rows at
+  // sf0.01). The oracles model the default; the knob must stay on.
 
   private def runFileStream(spark: SparkSession, key: String,
       batches: Seq[DataFrame], mode: OutputMode)(
@@ -93,6 +101,45 @@ object StreamingQueries {
         q.processAllAvailable()
         batches.tail.foreach { b =>
           deliver(b, srcDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name)
+    } finally rmTree(root.toFile)
+  }
+
+  /** Staged-delivery variant of [[runFileStream]] for MANY-batch
+    * replays: the caller pre-writes every delivery in ONE partitioned
+    * Spark write (one parquet file per delivery instead of one
+    * write JOB per delivery — the r17 `stream_lateness` finding: 32
+    * filter+write jobs emitted ~32 part-files EACH, so the file source
+    * re-listed a directory growing toward ~1000 tiny files every
+    * micro-batch), and each delivery here is a plain file RENAME into
+    * the monitored directory — no Spark job, no re-scan of the staged
+    * frame. `staged` is the delivery list in arrival order, each entry
+    * the files of one micro-batch. */
+  private def runFileStreamStaged(spark: SparkSession, key: String,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: Seq[Seq[java.io.File]], mode: OutputMode)(
+      pipeline: DataFrame => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_stream_$key")
+    try {
+      val srcDir = root.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      // batch index prefixes keep names unique across deliveries (part
+      // file names can repeat across partition dirs of one write)
+      def moveIn(files: Seq[java.io.File], i: Int): Unit =
+        files.foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            srcDir.resolve(s"b$i-${f.getName}")): Unit
+        }
+      moveIn(staged.head, 0)
+      val src = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val (name, q) = startToSink(spark, key, mode, pipeline(src))
+      try {
+        q.processAllAvailable()
+        staged.tail.zipWithIndex.foreach { case (files, i) =>
+          moveIn(files, i + 1)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -540,19 +587,43 @@ object StreamingQueries {
     val (late, delayMs) =
       latenessDerivation(spark, sfDir, nShards, targetBatches)
     // delivery list in arrival order — (cycle, shard) lexicographic,
-    // only non-empty batches (an empty parquet delivery would just fire
-    // an empty micro-batch; skipping keeps the run ≤ 32 batches)
-    val present = late.select($"cycle", $"shard").distinct()
-      .as[(Long, Int)].collect().sorted
-    val deliveries = present.toSeq.map { case (c, s) =>
-      late.filter($"cycle" === c && $"shard" === s)
-        .select($"event_id", $"ts", $"event_type")
-    }
-    val out = runFileStream(spark, "lateness", deliveries,
-      OutputMode.Append()) { df =>
-      df.withWatermark("ts", s"$delayMs milliseconds")
-        .dropDuplicates("event_id")
-    }
+    // only non-empty batches (partitionBy writes no dir for an absent
+    // group; skipping keeps the run ≤ 32 batches). All ≤ 32 deliveries
+    // are STAGED by ONE partitioned write — `repartition(cycle, shard)`
+    // puts each delivery wholly in one task, so partitionBy emits
+    // exactly one parquet file per delivery — and delivered by file
+    // RENAME, replacing the 32 filter+write jobs (each of which
+    // re-scanned the checkpointed replay and emitted one part-file per
+    // partition, ~1000 tiny files total) that used to dominate this
+    // query's wall time.
+    val stageRoot =
+      java.nio.file.Files.createTempDirectory("graft_lateness_stage")
+    val out =
+      try {
+        late.select($"event_id", $"ts", $"event_type", $"cycle", $"shard")
+          .repartition($"cycle", $"shard")
+          .write.partitionBy("cycle", "shard").mode("overwrite")
+          .parquet(stageRoot.toString)
+        val dirPat = "cycle=(\\d+)/shard=(\\d+)".r
+        val staged = new java.io.File(stageRoot.toString).listFiles().toSeq
+          .filter(_.isDirectory).flatMap(_.listFiles())
+          .filter(_.isDirectory)
+          .flatMap { d =>
+            dirPat.findFirstMatchIn(d.getPath).map { m =>
+              ((m.group(1).toLong, m.group(2).toInt),
+                d.listFiles().toSeq.filter(f =>
+                  f.getName.endsWith(".parquet")))
+            }
+          }
+          .sortBy(_._1)
+        val schema = org.apache.spark.sql.types.StructType(
+          late.select($"event_id", $"ts", $"event_type").schema.fields)
+        runFileStreamStaged(spark, "lateness", schema, staged.map(_._2),
+          OutputMode.Append()) { df =>
+          df.withWatermark("ts", s"$delayMs milliseconds")
+            .dropDuplicates("event_id")
+        }
+      } finally rmTree(stageRoot.toFile)
     val admitted = out.groupBy($"event_type")
       .agg(count(lit(1)).as("n_admitted"),
         pmod(sum(pmod($"event_id", lit(P))).cast("decimal(38,0)"),

@@ -14,6 +14,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosConfKey, "true") // events TIMESTAMP(NANOS) decode
       .config("spark.ui.enabled", "false")
+      .config(Tables.listingParallelismKey, Tables.listingParallelism("4"))
       .config("spark.sql.warehouse.dir", graft.sources.Etl.warehouseDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
