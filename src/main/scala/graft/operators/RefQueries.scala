@@ -1953,19 +1953,20 @@ object RefQueries {
       }
     }
     val fileMap = broadcast(entries.toDF("rel", "version", "in_cands"))
-    // the manifests ARE the file index: pass explicit leaf paths per
-    // commit, so Spark never lists the ~2731 partition directories (the
-    // small-file listing tax the two-root q_time_travel pays per
-    // version) — each distinct file is named once, opened once
-    val byCommit = entries.map(_._1).distinct
-      .groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-    val rows = byCommit.map { case (c, rels) =>
-      spark.read.option("basePath", s"$root/${E.ChainDataDir}/$c")
-        .parquet(rels.map(r => s"$root/${E.ChainDataDir}/$r"): _*)
-        .select($"o_orderkey", $"x8", $"y8",
-          substring_index(input_file_name(), s"/${E.ChainDataDir}/", -1)
-            .as("rel"))
-    }.reduce(_ unionByName _)
+    // the manifests ARE the file index: pass the explicit leaf paths of
+    // the whole history slice in ONE scan (recursiveFileLookup disables
+    // partition inference, so commits with different partition schemes —
+    // hbucket vs cbin — share the scan; every served column is a data
+    // column). Spark never lists the ~2731 partition directories, each
+    // distinct file is named once, opened once, and the per-commit scan
+    // fixed costs (a listing job + scan setup each — the r17 profile)
+    // collapse into one.
+    val rows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(entries.map(_._1).distinct.sorted
+        .map(r => s"$root/${E.ChainDataDir}/$r"): _*)
+      .select($"o_orderkey", $"x8", $"y8",
+        substring_index(input_file_name(), s"/${E.ChainDataDir}/", -1)
+          .as("rel"))
     rows.join(fileMap, Seq("rel"))
       .groupBy($"version".cast("long").as("version"))
       .agg(count(lit(1)).as("n_rows"),

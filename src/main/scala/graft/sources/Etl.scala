@@ -1625,8 +1625,13 @@ object Etl {
 
   /** Read an EXPLICIT table-relative file list from a chain root — the
     * shared tail of every manifest-served read (named refs, staged
-    * deltas, change-feed pre/post images): no directory listing, one
-    * scan per commit prefix, loud failure on a vacuumed file. */
+    * deltas, change-feed pre/post images): no directory listing, ONE
+    * scan for the whole list, loud failure on a vacuumed file.
+    * `recursiveFileLookup` disables partition inference, which is what
+    * lets files from commits with DIFFERENT partition schemes (hbucket
+    * vs cbin) share one scan — every served column is a data column, so
+    * nothing is lost, and the r17 profile showed each extra per-commit
+    * scan cost its own listing job + scan fixed overhead. */
   def chainReadFiles(spark: SparkSession, root: String,
       rels: Seq[String], ref: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -1636,12 +1641,9 @@ object Etl {
         throw new java.io.FileNotFoundException(
           s"ref $ref references vacuumed file $r")
     }
-    rels.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).map {
-      case (c, paths) =>
-        spark.read.option("basePath", s"$root/$ChainDataDir/$c")
-          .parquet(paths.map(p => s"$root/$ChainDataDir/$p"): _*)
-          .select(col("o_orderkey"), col("x8"), col("y8"), col("hidx"))
-    }.reduce(_ unionByName _)
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(rels.sorted.map(p => s"$root/$ChainDataDir/$p"): _*)
+      .select(col("o_orderkey"), col("x8"), col("y8"), col("hidx"))
   }
 
   /** Execute the retention VACUUM on a chain root: delete every data

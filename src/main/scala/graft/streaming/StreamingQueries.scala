@@ -719,15 +719,43 @@ object StreamingQueries {
         Seq(feed(2).filter($"o_orderkey" % 2 === 0),
           feed(2).filter($"o_orderkey" % 2 === 1))
       else Seq(feed(2))
-    val out = runFileStream(spark, "cdf_replay",
-      Seq(ingest, feed(1)) ++ mergeBatches, OutputMode.Complete()) { df =>
-      val sgn = when($"change_type".isin("delete", "update_pre"), -1L)
-        .otherwise(1L)
-      val sq = pmod($"o_orderkey", lit(P)) * pmod($"o_orderkey", lit(P)) % P
-      df.groupBy(expr("x8 div 32").as("xband"))
-        .agg(sum(sgn).as("n"), sum(sgn * sq).as("kck"),
-          sum(sgn * pmod($"hidx", lit(P))).as("hck"))
-    }
+    // all deliveries staged by ONE write (bid = delivery index,
+    // repartition(bid) → exactly one parquet file per delivery) and
+    // delivered by rename — the lateness staging recipe: the three
+    // commit feeds are computed in one parallel job instead of one
+    // sequential write job per delivery interleaved with the batches
+    val deliveries = (Seq(ingest, feed(1)) ++ mergeBatches).zipWithIndex
+      .map { case (df, i) => df.withColumn("bid", lit(i)) }
+      .reduce(_ unionByName _)
+    val stageRoot =
+      java.nio.file.Files.createTempDirectory("graft_cdf_stage")
+    val out =
+      try {
+        deliveries.repartition($"bid")
+          .write.partitionBy("bid").mode("overwrite")
+          .parquet(stageRoot.toString)
+        val bidPat = "bid=(\\d+)".r
+        val staged = new java.io.File(stageRoot.toString).listFiles().toSeq
+          .filter(_.isDirectory)
+          .flatMap { d =>
+            bidPat.findFirstMatchIn(d.getName).map { m =>
+              (m.group(1).toInt, d.listFiles().toSeq
+                .filter(_.getName.endsWith(".parquet")))
+            }
+          }
+          .sortBy(_._1)
+        val schema = ingest.schema
+        runFileStreamStaged(spark, "cdf_replay", schema, staged.map(_._2),
+          OutputMode.Complete()) { df =>
+          val sgn = when($"change_type".isin("delete", "update_pre"), -1L)
+            .otherwise(1L)
+          val sq =
+            pmod($"o_orderkey", lit(P)) * pmod($"o_orderkey", lit(P)) % P
+          df.groupBy(expr("x8 div 32").as("xband"))
+            .agg(sum(sgn).as("n"), sum(sgn * sq).as("kck"),
+              sum(sgn * pmod($"hidx", lit(P))).as("hck"))
+        }
+      } finally rmTree(stageRoot.toFile)
     out.filter($"n" > 0L)
       .select($"xband".cast("long").as("xband"), $"n".as("n_rows"),
         pmod($"kck", lit(P)).as("key_checksum"),

@@ -1000,32 +1000,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_time_travel: served through the manifest protocol — one scan" +
-      " per commit (2), shared files never read twice, no shuffle join") {
-    val p = plan("q_time_travel")
-    val commitScans = "/data/c\\d".r.findAllIn(p).length
-    assert(commitScans == 2,
-      s"expected one scan per commit (2), got $commitScans:\n$p")
+  /** Shared census assertion for the manifest time-travel reads: ONE
+    * physical scan serves the whole history slice, holding exactly the
+    * DISTINCT files of the referenced versions — a file shared by
+    * several versions appears once (opened once), and rows fan out to
+    * versions through the broadcast manifest map, never a shuffle. */
+  private def assertManifestTimeTravel(name: String,
+      versions: Range): Unit = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    val E = graft.sources.Etl
+    val root = E.chainFixture(spark, sf)
+    val df = SparkEntry.queries(name)(spark, sf)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(r: HadoopFsRelation, out, _, _, _)
+          if out.exists(_.name == "o_orderkey") =>
+        r.location.inputFiles.length
+    }
+    val distinctFiles = versions.flatMap(E.chainManifest(root, _))
+      .distinct.size
+    assert(scans == Seq(distinctFiles),
+      s"$name: expected ONE history scan of exactly the $distinctFiles" +
+        s" distinct files, got scans $scans")
+    val p = plan(name)
     assert(p.contains("BroadcastHashJoin"),
       s"the manifest map must broadcast:\n$p")
     assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
       s"history attribution must not shuffle the corpus:\n$p")
   }
 
-  test("q_time_travel_chain: 4 versions, one scan per COMMIT — shared" +
+  test("q_time_travel: served through the manifest protocol — one scan" +
+      " of the two versions' distinct files, shared files never read" +
+      " twice, no shuffle join") {
+    assertManifestTimeTravel("q_time_travel", 0 to 1)
+  }
+
+  test("q_time_travel_chain: 4 versions, ONE history scan — shared" +
       " history files are never read once per referencing version") {
-    // the single-pass design: however many versions share a file, each
-    // commit directory is scanned exactly once and rows fan out to
-    // versions through the broadcast manifest map — the plan must show
-    // exactly the 4 commit scans and a broadcast join, no shuffle join
-    val p = plan("q_time_travel_chain")
-    val commitScans = "/data/c\\d".r.findAllIn(p).length
-    assert(commitScans == 4,
-      s"expected exactly one scan per commit (4), got $commitScans:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the manifest map must broadcast:\n$p")
-    assert(!"(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
-      s"history attribution must not shuffle the corpus:\n$p")
+    assertManifestTimeTravel("q_time_travel_chain", 0 to 3)
   }
 
   test("q_dpp_join: dynamic partition pruning subquery reaches the fact" +
