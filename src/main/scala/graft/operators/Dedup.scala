@@ -486,10 +486,20 @@ object Dedup {
     * only — no document text — cross the exchange. */
   private[graft] def incrementalPairs(docs: DataFrame, isDelta: Column,
       estThreshold: Double): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val indexB = minhashBanded(docs.filter(!isDelta)).localCheckpoint(true)
     val deltaB = minhashBanded(docs.filter(isDelta)).localCheckpoint(true)
+    incrementalPairsFromBanded(indexB, deltaB, estThreshold)
+  }
+
+  /** The probe/build tail of [[incrementalPairs]] over ALREADY-banded
+    * (and materialized) signature frames — split out so a caller that
+    * needs BOTH the index-only pair graph and the Δ-touching pairs
+    * ([[dedupIncrementalCc]]) bands each half of the corpus exactly
+    * once instead of re-running the signature kernel per pair set. */
+  private def incrementalPairsFromBanded(indexB: DataFrame,
+      deltaB: DataFrame, estThreshold: Double): DataFrame = {
+    val spark = indexB.sparkSession
+    import spark.implicits._
     val probe = deltaB.select($"doc_id".as("id_a"), $"sig".as("sig_a"),
       $"band", $"bsig")
     val build = indexB.withColumn("is_delta", lit(false))
@@ -544,15 +554,24 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.read(spark, sfDir, "documents")
     val isDelta = col("doc_id") % 2 === 1
+    // each corpus half is signature-banded exactly ONCE (r17: the
+    // index half used to be banded twice — once for the index-only
+    // pair graph, once inside the Δ probe); both pair sets derive from
+    // the same two materialized banded frames.
+    val bandedIndex =
+      minhashBanded(docs.filter(!isDelta)).localCheckpoint(true)
+    val bandedDelta =
+      minhashBanded(docs.filter(isDelta)).localCheckpoint(true)
     // persisted state stand-in (built once, frozen — the signature-index
-    // precedent): labels over the INDEX-only pair graph. An all-delta
-    // predicate degenerates incrementalPairs to the full self-dedup of
-    // the index corpus.
-    val indexPairs = incrementalPairs(docs.filter(!isDelta), lit(true),
-      estThreshold).select($"doc_a", $"doc_b")
+    // precedent): labels over the INDEX-only pair graph. An empty index
+    // side degenerates the probe to the full self-dedup of the index
+    // corpus (every banded row probes its own band buckets).
+    val indexPairs = incrementalPairsFromBanded(bandedIndex.limit(0),
+      bandedIndex, estThreshold).select($"doc_a", $"doc_b")
     val (indexLabels, _) = connectedComponentsStar(indexPairs)
-    val deltaPairs = incrementalPairs(docs, isDelta, estThreshold)
-      .select($"doc_a", $"doc_b")
+    val deltaPairs =
+      incrementalPairsFromBanded(bandedIndex, bandedDelta, estThreshold)
+        .select($"doc_a", $"doc_b")
     mergeLabels(indexLabels.localCheckpoint(true), deltaPairs)
   }
 
